@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query at sf0.001; ``queries()``
+exposes the engine's full catalog (one entry per implemented operator
+from SURVEY.md §2 plus the LLM-data-pipeline extensions); ``oracle_sql()``
+gives the DuckDB-equivalent SQL for every SQL-expressible query.
 """
 
 from __future__ import annotations
@@ -13,26 +12,24 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sales_data_pipeline_spark.plans import QUERIES
+
+_SMOKE_DIR = "/root/testdata/sf0.001"
+FLAGSHIP = "q02_customer_monthly_mart"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (customer monthly mart) on sf0.001."""
+    return QUERIES[FLAGSHIP].fn(spark, _SMOKE_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """Every implemented catalog query: name -> (spark, sf_dir) -> DataFrame."""
+    return {name: q.fn for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL for each SQL-expressible query; queries
+    whose semantics are not SQL-expressible (LSH dedup/ANN, streaming
+    state) are omitted -> driver records the weaker rows-only check."""
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

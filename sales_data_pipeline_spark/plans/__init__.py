@@ -1,0 +1,6 @@
+"""Query catalog: name → (Spark callable, ANSI-SQL oracle)."""
+
+from sales_data_pipeline_spark.plans.registry import QUERIES, Query, query  # noqa: F401
+
+# Importing the query modules populates QUERIES.
+from sales_data_pipeline_spark.plans import relational  # noqa: E402,F401

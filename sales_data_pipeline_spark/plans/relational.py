@@ -1,0 +1,677 @@
+"""Core relational query catalog — SURVEY §2's operator inventory
+re-expressed Spark-first over the driver's star schema.
+
+Every reference operator class appears here at least once:
+scans/pushdown (S1-S7), projections/filters/conditionals (P1-P8),
+broadcast star joins (J1-J3), group aggregation incl. the literal
+window-sum+distinct pattern (A1-A4, W1-W2), rank windows + top-k
+(W3, O1), unionByName (U1, fixing the reference's union-in-loop bug by
+intent), scalar functions (F1-F7), plus extensions the reference gets
+free from Spark (semi/anti joins, rollup, sessionization).
+
+Determinism contract: money aggregates are computed in DECIMAL (exact,
+order-independent — a double sum would vary with partition merge order
+at scale) and surfaced as double; the DuckDB oracle mirrors the same
+decimal widths so values match bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.catalog import table
+from sales_data_pipeline_spark.plans.registry import query
+
+# Narrow decimal casts for multiplication chains: (12,2)*(4,2) stays well
+# inside 38 digits in both Spark and DuckDB (their precision-propagation
+# rules differ; these widths are safe in both).
+_PRICE = "decimal(12,2)"
+_RATE = "decimal(4,2)"
+_QTY = "decimal(12,2)"
+
+
+def _dec_sum(col, cast, alias):
+    return F.sum(F.col(col).cast(cast)).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------------------
+# q01 — pricing summary (grouped aggregation, filter pushdown, arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    headline=True,
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+        AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary.
+
+    Covers: grouped sums (SURVEY §2d A1/A2 — done as one-shuffle groupBy,
+    not the reference's window+distinct), predicate pushdown to the
+    parquet scan, decimal arithmetic chains (F6).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast(_RATE)
+    price = F.col("l_extendedprice").cast(_PRICE)
+    disc = F.col("l_discount").cast(_RATE)
+    tax = F.col("l_tax").cast(_RATE)
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum("l_quantity", _QTY, "sum_qty"),
+            _dec_sum("l_extendedprice", _PRICE, "sum_base_price"),
+            F.sum(price * (one - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(price * (one - disc) * (one + tax)).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(_QTY)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q02 — customer monthly mart (the reference's flagship question:
+# "customer total purchase per month", customer_mart_sql_tranform_write.py:7-9)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q02_customer_monthly_mart",
+    headline=True,
+    oracle="""
+    SELECT
+      c_custkey AS customer_id,
+      c_name    AS customer_name,
+      strftime(o_orderdate, '%Y-%m') AS sales_month,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_sales
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def q02_customer_monthly_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer monthly spend mart.
+
+    Reference semantics (customer_mart_sql_tranform_write.py:10-27):
+    sum(total_cost) per (customer, yyyy-MM) done there as window+distinct;
+    here as a single-shuffle groupBy — same result, half the exchanges.
+    month bucket via date_format (== substring(date,1,7) on ISO dates).
+    """
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .groupBy(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_name").alias("customer_name"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("sales_month"),
+        )
+        .agg(_dec_sum("o_totalprice", _PRICE, "total_sales"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q03 — sales-team incentive mart (window rank + conditional payout)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q03_team_incentive_mart",
+    headline=True,
+    oracle="""
+    WITH totals AS (
+      SELECT
+        s_nationkey AS store_id,
+        l_suppkey   AS sales_person_id,
+        strftime(l_shipdate, '%Y-%m') AS sales_month,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_sales
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT
+      store_id, sales_person_id, sales_month, total_sales,
+      CAST(RANK() OVER (PARTITION BY store_id, sales_month
+                        ORDER BY total_sales DESC) AS BIGINT) AS rnk,
+      CASE WHEN RANK() OVER (PARTITION BY store_id, sales_month
+                             ORDER BY total_sales DESC) = 1
+           THEN ROUND(total_sales * 0.01, 2) ELSE 0.0 END AS incentive
+    FROM totals
+    """,
+)
+def q03_team_incentive_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-seller incentive mart — the reference's sales_team mart shape
+    (sales_mart_sql_transformation_file.py:11-39): group-sum per
+    (store, person, month), rank() within (store, month) by total desc,
+    1% incentive paid to rank 1 (ties all paid — rank(), not row_number,
+    to preserve the reference's tie semantics, SURVEY §2j.4).
+
+    Here supplier nation plays "store", supplier plays "sales person".
+    """
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    totals = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "inner")
+        .groupBy(
+            F.col("s_nationkey").alias("store_id"),
+            F.col("l_suppkey").alias("sales_person_id"),
+            F.date_format("l_shipdate", "yyyy-MM").alias("sales_month"),
+        )
+        .agg(_dec_sum("l_extendedprice", _PRICE, "total_sales"))
+    )
+    w = Window.partitionBy("store_id", "sales_month").orderBy(F.col("total_sales").desc())
+    return (
+        totals.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        .withColumn(
+            "incentive",
+            F.when(F.col("rnk") == 1, F.round(F.col("total_sales") * 0.01, 2)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q04 — star-schema enrichment join (the reference's 3-way dim join, widened)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q04_star_enrichment",
+    headline=True,
+    oracle="""
+    SELECT
+      l_orderkey, l_linenumber,
+      c_name AS customer_name,
+      n_name AS customer_nation,
+      r_name AS customer_region,
+      s_name AS supplier_name,
+      p_name AS part_name,
+      CAST(CAST(l_extendedprice AS DECIMAL(12,2))
+           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+        AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    JOIN supplier ON l_suppkey  = s_suppkey
+    JOIN part     ON l_partkey  = p_partkey
+    """,
+)
+def q04_star_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact enrichment via star joins — the reference's 3-dim inner-join
+    chain (dimension_tables_join.py:16-53) widened to six dims.
+
+    Scale notes: bounded-domain dims (nation/region/supplier) carry
+    explicit broadcast hints; customer/part grow with SF and are left to
+    Catalyst (broadcast under threshold, else shuffle join; AQE may
+    convert at runtime). Columns are aliased *before* the join
+    (rename-before-join) so no ambiguous names survive — the reference's
+    qualified-string drops silently no-op (SURVEY §2j.3).
+    """
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_name").alias("customer_name"), "c_nationkey"
+    )
+    nation = table(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("customer_nation"), "n_regionkey"
+    )
+    region = table(spark, sf_dir, "region").select(
+        "r_regionkey", F.col("r_name").alias("customer_region")
+    )
+    supp = table(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.col("s_name").alias("supplier_name")
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", F.col("p_name").alias("part_name"))
+    one = F.lit(1).cast(_RATE)
+    revenue = (
+        F.col("l_extendedprice").cast(_PRICE) * (one - F.col("l_discount").cast(_RATE))
+    ).cast("double")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "inner")
+        .join(cust, orders.o_custkey == cust.c_custkey, "inner")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey, "inner")
+        .join(part, li.l_partkey == part.p_partkey, "inner")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "customer_name",
+            "customer_nation",
+            "customer_region",
+            "supplier_name",
+            "part_name",
+            revenue.alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q05 — selective filter + single aggregate (pushdown showcase, TPC-H Q6 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q05_revenue_filter",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q05_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highly selective conjunctive filter + global aggregate (TPC-H Q6
+    shape). All four predicates push into the parquet scan
+    (PushedFilters in .explain); only 4 columns are read (ReadSchema)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast(_PRICE) * F.col("l_discount").cast(_RATE))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q06 — unionByName (U1, implementing the reference's *intent*)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q06_union_by_name",
+    oracle="""
+    WITH unioned AS (
+      SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+       WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_orderkey, o_orderpriority, o_orderstatus FROM orders
+       WHERE o_orderpriority = '5-LOW'
+    )
+    SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+    FROM unioned GROUP BY 1, 2
+    """,
+)
+def q06_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-relation union then aggregate.
+
+    The reference unions per-file DataFrames positionally — and its
+    union sits outside the loop so only the last file survives
+    (main.py:267, SURVEY §2g U1). The engine implements the stated
+    intent: union *all* inputs, by NAME (schema-safe even when branch
+    column order differs, as it does here on purpose)."""
+    orders = table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority", "o_orderstatus"
+    )
+    low = orders.filter(F.col("o_orderpriority") == "5-LOW").select(
+        "o_orderstatus", "o_orderkey", "o_orderpriority"  # shuffled on purpose
+    )
+    return (
+        urgent.unionByName(low)
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q07 — distinct (A3/A4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q07_distinct",
+    oracle="SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+)
+def q07_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT — the reference's dedup/idempotency-probe shape
+    (SELECT DISTINCT file_name, main.py:59-63). One hash-aggregate
+    exchange; AQE coalesces the post-shuffle partitions."""
+    return table(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+
+
+# ---------------------------------------------------------------------------
+# q08 — the reference's literal window-sum + distinct pattern (compat mode)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q08_window_sum_distinct",
+    oracle="""
+    SELECT DISTINCT
+      o_custkey AS customer_id,
+      strftime(o_orderdate, '%Y-%m') AS sales_month,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+             OVER (PARTITION BY o_custkey, strftime(o_orderdate, '%Y-%m'))
+           AS DOUBLE) AS total_sales
+    FROM orders
+    """,
+)
+def q08_window_sum_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-compat replica of the reference's aggregation idiom:
+    sum() OVER (PARTITION BY keys) then .distinct()
+    (customer_mart_sql_tranform_write.py:11-20). Kept as a strict compat
+    mode; q02 is the idiomatic one-shuffle rewrite. The two agree only
+    because every selected column is functionally dependent on the
+    partition keys — a property tests assert (SURVEY §7 risk register)."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("customer_id", "sales_month")
+    return (
+        orders.select(
+            F.col("o_custkey").alias("customer_id"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("sales_month"),
+            F.col("o_totalprice").cast(_PRICE).alias("_price"),
+        )
+        .withColumn("total_sales", F.sum("_price").over(w).cast("double"))
+        .drop("_price")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# q09 — top-k per group (rank window, O1 generalized)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q09_topk_per_group",
+    oracle="""
+    WITH part_rev AS (
+      SELECT
+        p_brand,
+        l_partkey AS part_id,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                 * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+          AS revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_brand, part_id, revenue, rnk FROM (
+      SELECT *, CAST(RANK() OVER (PARTITION BY p_brand ORDER BY revenue DESC) AS BIGINT) AS rnk
+      FROM part_rev
+    ) WHERE rnk <= 3
+    """,
+)
+def q09_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 revenue parts per brand — the reference's top-1-per-group
+    rank pattern (sales_mart...py:24-28) generalized to top-k. rank()
+    keeps tie semantics deterministic across engines (row_number would
+    not be, under ties)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    one = F.lit(1).cast(_RATE)
+    rev = F.col("l_extendedprice").cast(_PRICE) * (one - F.col("l_discount").cast(_RATE))
+    part_rev = (
+        li.join(part, li.l_partkey == part.p_partkey, "inner")
+        .groupBy("p_brand", F.col("l_partkey").alias("part_id"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc())
+    return (
+        part_rev.withColumn("rnk", F.rank().over(w).cast("bigint")).filter(F.col("rnk") <= 3)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q10 — conditional aggregation (P7 when/otherwise)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q10_conditional_agg",
+    oracle="""
+    SELECT
+      o_orderstatus,
+      SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count,
+      COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def q10_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counting via when().otherwise() inside an aggregate —
+    the reference's conditional-expression surface (P7,
+    sales_mart...py:28-29) in TPC-H-Q12 shape."""
+    orders = table(spark, sf_dir, "orders")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+        F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q11 — scalar function surface (F1-F7)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_scalar_functions",
+    oracle="""
+    SELECT
+      c_custkey AS customer_id,
+      concat(c_name, ' ', c_mktsegment) AS full_label,
+      concat_ws(',', c_mktsegment, c_name) AS folded,
+      substring(c_name, 1, 9) AS name_prefix,
+      upper(c_mktsegment) AS segment_upper,
+      length(c_name) AS name_len,
+      c_custkey * 2 + 1 AS derived_key,
+      'const' AS tag
+    FROM customer
+    """,
+)
+def q11_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar-function inventory in one projection:
+    concat (F3), concat_ws fold (F1), substring (F4), lit (F2), column
+    arithmetic (F6) — all Catalyst built-ins inside one codegen stage."""
+    cust = table(spark, sf_dir, "customer")
+    return cust.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.concat(F.col("c_name"), F.lit(" "), F.col("c_mktsegment")).alias("full_label"),
+        F.concat_ws(",", F.col("c_mktsegment"), F.col("c_name")).alias("folded"),
+        F.substring("c_name", 1, 9).alias("name_prefix"),
+        F.upper("c_mktsegment").alias("segment_upper"),
+        F.length("c_name").cast("bigint").alias("name_len"),
+        (F.col("c_custkey") * 2 + 1).alias("derived_key"),
+        F.lit("const").alias("tag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q12/q13 — anti & semi joins (free Spark extensions, SURVEY §2c note)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q12_anti_join",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_name AS customer_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def q12_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no orders — left_anti join (relational form of the
+    reference's quarantine/idempotency set-difference logic, P8)."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("customer_id"), F.col("c_name").alias("customer_name")
+    )
+
+
+@query(
+    "q13_semi_join",
+    oracle="""
+    SELECT c_custkey AS customer_id, c_mktsegment
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    """,
+)
+def q13_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with ≥1 urgent order — left_semi join; the filter on the
+    probe side pushes into the orders scan before the join."""
+    cust = table(spark, sf_dir, "customer")
+    urgent = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi").select(
+        F.col("c_custkey").alias("customer_id"), "c_mktsegment"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q14 — tumbling-window aggregation over the events stream table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q14_events_hourly",
+    headline=True,
+    oracle="""
+    SELECT
+      date_trunc('hour', ts) AS window_start,
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q14_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregate per event type — the batch
+    equivalent of the streaming module's windowed aggregation (there via
+    F.window + watermark; date_trunc is the aligned-1h special case)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q15 — sessionization (gap-based) via lag + running sum
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_sessionize",
+    oracle="""
+    WITH flagged AS (
+      SELECT
+        user_id,
+        CASE WHEN lag(ts) OVER w IS NULL THEN 1
+             WHEN ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1
+             ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, SUM(new_session) AS n_sessions, COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q15_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag over
+    (user, time) then running-sum of session starts. The streaming
+    variant uses session_window / applyInPandasWithState; the batch
+    semantics here are the oracle-checkable core. event_id breaks
+    ordering ties deterministically."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # microsecond-precision gap: cast-to-long would truncate to seconds
+    # and disagree with the oracle's INTERVAL comparison on .5s gaps
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag(F.col("ts")).over(w))
+    flagged = ev.select(
+        "user_id",
+        F.when(gap.isNull() | (gap > 30 * 60 * 1_000_000), 1).otherwise(0).alias("new_session"),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"), F.count(F.lit(1)).alias("n_events")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q16 — rollup (grouping-sets extension)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q16_rollup",
+    oracle="""
+    SELECT
+      r_name AS region_name,
+      n_name AS nation_name,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_acctbal,
+      COUNT(c_custkey) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP subtotals over region→nation — hierarchical aggregation the
+    reference lacks but a mart consumer asks for first. Single expand +
+    one shuffle in Spark."""
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    joined = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey, "inner")
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey, "inner")
+        .select(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+            "c_acctbal",
+            "c_custkey",
+        )
+    )
+    return joined.rollup("region_name", "nation_name").agg(
+        _dec_sum("c_acctbal", _PRICE, "total_acctbal"),
+        F.count("c_custkey").alias("n_customers"),
+    )
