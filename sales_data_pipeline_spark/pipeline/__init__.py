@@ -1,0 +1,8 @@
+"""End-to-end sales ETL: validate → normalize → enrich → marts → sinks."""
+
+from sales_data_pipeline_spark.pipeline.sales_pipeline import (  # noqa: F401
+    PipelineConfig,
+    PipelineResult,
+    run_pipeline,
+)
+from sales_data_pipeline_spark.pipeline.state import AuditState  # noqa: F401

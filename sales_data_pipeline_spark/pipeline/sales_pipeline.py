@@ -1,0 +1,117 @@
+"""The end-to-end sales ETL — the reference's main.py, Spark-first.
+
+Stage order preserves the reference's failure-aware semantics
+(SURVEY §2j.9): quarantine precedes any state write; archive + status
+flip happen only after both marts commit.
+
+Deliberate physical upgrades over the reference (SURVEY §4 anti-patterns):
+- the enriched frame is cached once and feeds every sink (the reference
+  recomputes CSV scans + 3 joins per action, main.py:271-398);
+- accepted files are read once, grouped by header, with the explicit
+  contract schema (no inferSchema double pass, main.py:145-147+249-252);
+- no local-disk staging hop: inputs are read where they land
+  (local/s3a/hdfs alike via the Hadoop FS API).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sales_data_pipeline_spark.operators.enrich import sales_enrichment
+from sales_data_pipeline_spark.operators.marts import (
+    customer_monthly_mart,
+    sales_team_mart,
+)
+from sales_data_pipeline_spark.operators.normalize import (
+    read_validated_union,
+    validate_headers,
+)
+from sales_data_pipeline_spark.pipeline import fs
+from sales_data_pipeline_spark.pipeline.state import AuditState
+from sales_data_pipeline_spark.schemas import MANDATORY_COLUMNS, SALES_CONTRACT
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    input_dir: str
+    quarantine_dir: str
+    processed_dir: str
+    output_dir: str
+    state_dir: str
+    extras_mode: str = "json"  # "concat" = reference bit-compat
+    strict_compat: bool = False  # window+distinct mart replication
+
+
+@dataclass
+class PipelineResult:
+    accepted_files: list[str] = field(default_factory=list)
+    quarantined_files: dict[str, list[str]] = field(default_factory=dict)
+    resumed_files: list[str] = field(default_factory=list)
+    n_fact_rows: int = 0
+    customer_mart_path: str = ""
+    sales_team_mart_path: str = ""
+
+
+def run_pipeline(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    customer: DataFrame,
+    store: DataFrame,
+    sales_team: DataFrame,
+) -> PipelineResult:
+    result = PipelineResult()
+    state = AuditState(spark, cfg.state_dir)
+
+    # 1. failed-run probe: files activated by a crashed run are picked up
+    #    again (reference: main.py:56-73). They still sit in input_dir
+    #    because archive only happens post-commit.
+    result.resumed_files = state.stale_active_files()
+
+    # 2. discovery (replaces boto3 list+download, aws_read.py:7-23)
+    discovered = fs.list_files(spark, cfg.input_dir, suffix=".csv")
+    if not discovered:
+        return result
+
+    # 3. file-level contract validation; rejects quarantined before any
+    #    state write (reference ordering, main.py:142-188)
+    report = validate_headers(spark, discovered, MANDATORY_COLUMNS)
+    for path, missing in report.quarantined.items():
+        fs.move_file(spark, path, cfg.quarantine_dir)
+    result.quarantined_files = dict(report.quarantined)
+    if not report.valid:
+        return result
+
+    # 4. audit trail: accepted files become status 'A' (main.py:196-225)
+    result.accepted_files = report.valid_paths
+    state.mark_active(result.accepted_files)
+
+    # 5. single-pass read + normalize + union; cached because it feeds
+    #    two marts and a count (the reference re-scans per action)
+    fact = read_validated_union(spark, report, SALES_CONTRACT, cfg.extras_mode).cache()
+    result.n_fact_rows = fact.count()
+
+    # 6. enrichment (broadcast star joins, rename-before-join)
+    enriched = sales_enrichment(fact, customer, store, sales_team)
+
+    # 7. marts → parquet. The sales-team mart is partitioned by
+    #    (sales_month, store_id) exactly like the reference's final write
+    #    (main.py:363-368); dynamic partition overwrite keeps re-runs
+    #    idempotent per partition instead of append-duplicating
+    #    (SURVEY §2j.7).
+    result.customer_mart_path = f"{cfg.output_dir}/customers_data_mart"
+    customer_monthly_mart(enriched, cfg.strict_compat).write.mode("overwrite").parquet(
+        result.customer_mart_path
+    )
+    result.sales_team_mart_path = f"{cfg.output_dir}/sales_team_data_mart"
+    sales_team_mart(enriched, cfg.strict_compat).write.mode("overwrite").partitionBy(
+        "sales_month", "store_id"
+    ).parquet(result.sales_team_mart_path)
+    fact.unpersist()
+
+    # 8. post-commit: archive inputs, flip state to 'I' (main.py:403-448)
+    for path in result.accepted_files:
+        fs.move_file(spark, path, cfg.processed_dir)
+    state.mark_inactive(result.accepted_files)
+    return result

@@ -1,0 +1,179 @@
+"""End-to-end tests for the sales ETL pipeline over FIXTURES.md shapes:
+happy path (8-col), extra-column acceptance (9-col), missing-column
+quarantine (7-col), multi-file union, re-run idempotency, failed-run
+resume probe, and the mart invariants (F5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.pipeline import PipelineConfig, run_pipeline
+from sales_data_pipeline_spark.pipeline.state import AuditState
+from tests.fixtures import dim_frames, write_sales_csv
+
+
+@pytest.fixture()
+def cfg(tmp_path):
+    (tmp_path / "in").mkdir()
+    return PipelineConfig(
+        input_dir=str(tmp_path / "in"),
+        quarantine_dir=str(tmp_path / "err"),
+        processed_dir=str(tmp_path / "done"),
+        output_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+    )
+
+
+def _in(cfg):
+    from pathlib import Path
+
+    return Path(cfg.input_dir)
+
+
+def test_end_to_end(spark, cfg):
+    p1 = write_sales_csv(_in(cfg) / "sales1.csv", n=400, seed=1)
+    p2 = write_sales_csv(_in(cfg) / "sales2.csv", n=300, seed=2, extra_payment_mode=True)
+    p3 = write_sales_csv(_in(cfg) / "bad.csv", n=50, seed=3, drop_store_id=True)
+    customer, store, team = dim_frames(spark)
+
+    res = run_pipeline(spark, cfg, customer, store, team)
+
+    # quarantine: 7-col file rejected whole, moved to error dir
+    assert [k.rsplit("/", 1)[-1] for k in res.quarantined_files] == ["bad.csv"]
+    # keys are FS URIs (file:/... locally, s3a://... on object stores)
+    (missing,) = [v for k, v in res.quarantined_files.items() if k.endswith("bad.csv")]
+    assert missing == ["store_id"]
+    assert (_in(cfg).parent / "err" / "bad.csv").exists()
+
+    # union across ALL accepted files (the reference's loop bug, fixed by intent)
+    assert res.n_fact_rows == 700
+    assert sorted(f.rsplit("/", 1)[-1] for f in res.accepted_files) == [
+        "sales1.csv", "sales2.csv"]
+    # accepted files archived post-commit
+    assert (_in(cfg).parent / "done" / "sales1.csv").exists()
+    assert not (_in(cfg) / "sales1.csv").exists()
+
+    cust_mart = spark.read.parquet(res.customer_mart_path)
+    team_mart = spark.read.parquet(res.sales_team_mart_path)
+
+    # F5.1: conservation — Σ mart.total_sales == Σ accepted fact total_cost
+    # (all fixture keys exist in dims, so inner joins drop nothing)
+    mart_total = cust_mart.agg(F.sum("total_sales")).collect()[0][0]
+    team_total = team_mart.agg(F.sum("total_sales")).collect()[0][0]
+    assert mart_total == team_total
+
+    # F5.2: incentive rows — ≥1 rank-1 row per (store, month); 1% payout
+    inc = team_mart.filter(F.col("incentive") > 0)
+    per_group = inc.groupBy("store_id", "sales_month").count().collect()
+    all_groups = team_mart.select("store_id", "sales_month").distinct().count()
+    assert len(per_group) == all_groups
+    row = inc.orderBy("store_id", "sales_month", "sales_person_id").first()
+    assert row.incentive == (row.total_sales * Decimal("0.01")).quantize(Decimal("0.01"))
+
+    # schema: mart money is DECIMAL(10,2), not float (SURVEY §2j.8)
+    assert dict(cust_mart.dtypes)["total_sales"] == "decimal(10,2)"
+
+    # extras folded to queryable JSON
+    assert "payment_mode" not in cust_mart.columns
+
+
+def test_extra_column_folding(spark, cfg):
+    write_sales_csv(_in(cfg) / "extra.csv", n=50, seed=4, extra_payment_mode=True)
+    from sales_data_pipeline_spark.operators.normalize import (
+        read_validated_union,
+        validate_headers,
+    )
+    from sales_data_pipeline_spark.pipeline import fs
+    from sales_data_pipeline_spark.schemas import MANDATORY_COLUMNS, SALES_CONTRACT
+
+    report = validate_headers(
+        spark, fs.list_files(spark, cfg.input_dir), MANDATORY_COLUMNS
+    )
+    df = read_validated_union(spark, report, SALES_CONTRACT)
+    assert df.columns[-1] == "additional_column"
+    modes = {
+        r[0]
+        for r in df.select(
+            F.get_json_object("additional_column", "$.payment_mode")
+        ).distinct().collect()
+    }
+    assert modes == {"cash", "UPI"}
+
+    # concat compat mode reproduces the reference's comma-join
+    df2 = read_validated_union(spark, report, SALES_CONTRACT, extras_mode="concat")
+    vals = {r[0] for r in df2.select("additional_column").distinct().collect()}
+    assert vals == {"cash", "UPI"}
+
+
+def test_rerun_is_idempotent(spark, cfg):
+    write_sales_csv(_in(cfg) / "day1.csv", n=200, seed=5)
+    customer, store, team = dim_frames(spark)
+    res1 = run_pipeline(spark, cfg, customer, store, team)
+    total1 = spark.read.parquet(res1.customer_mart_path).agg(F.sum("total_sales")).collect()[0][0]
+
+    # second run with no new files: nothing to do, marts untouched
+    res2 = run_pipeline(spark, cfg, customer, store, team)
+    assert res2.accepted_files == []
+    total2 = spark.read.parquet(res1.customer_mart_path).agg(F.sum("total_sales")).collect()[0][0]
+    assert total1 == total2
+
+
+def test_failed_run_probe(spark, cfg):
+    """Files marked 'A' but never flipped (crashed run) surface on the
+    next run — reference main.py:56-73 semantics."""
+    state = AuditState(spark, cfg.state_dir)
+    state.mark_active([f"{cfg.input_dir}/ghost.csv"])
+    assert state.stale_active_files() == [f"{cfg.input_dir}/ghost.csv"]
+
+    state.mark_inactive([f"{cfg.input_dir}/ghost.csv"])
+    assert state.stale_active_files() == []
+
+
+def test_datewise_multifile_union(spark, cfg):
+    """Datewise arrival (FIXTURES.md F2): one file per date; month
+    bucketing spans files."""
+    for i, d in enumerate([dt.date(2023, 3, 5), dt.date(2023, 3, 20), dt.date(2023, 4, 2)]):
+        write_sales_csv(_in(cfg) / f"d{i}.csv", n=100, seed=10 + i, date=d)
+    customer, store, team = dim_frames(spark)
+    res = run_pipeline(spark, cfg, customer, store, team)
+    assert res.n_fact_rows == 300
+    months = {
+        r[0]
+        for r in spark.read.parquet(res.customer_mart_path)
+        .select("sales_date_month").distinct().collect()
+    }
+    assert months == {"2023-03", "2023-04"}
+
+
+def test_strict_compat_marts_match_default(spark, cfg):
+    """window+distinct (reference literal) == groupBy rewrite on data
+    where non-key columns are functionally dependent on keys (SURVEY §7)."""
+    write_sales_csv(_in(cfg) / "s.csv", n=300, seed=6)
+    customer, store, team = dim_frames(spark)
+    from sales_data_pipeline_spark.operators.enrich import sales_enrichment
+    from sales_data_pipeline_spark.operators.marts import (
+        customer_monthly_mart,
+        sales_team_mart,
+    )
+    from sales_data_pipeline_spark.operators.normalize import (
+        read_validated_union,
+        validate_headers,
+    )
+    from sales_data_pipeline_spark.pipeline import fs as _fs
+    from sales_data_pipeline_spark.schemas import MANDATORY_COLUMNS, SALES_CONTRACT
+
+    report = validate_headers(spark, _fs.list_files(spark, cfg.input_dir), MANDATORY_COLUMNS)
+    enriched = sales_enrichment(
+        read_validated_union(spark, report, SALES_CONTRACT), customer, store, team
+    )
+    for fn in (customer_monthly_mart, sales_team_mart):
+        a = fn(enriched, strict_compat=False).toPandas()
+        b = fn(enriched, strict_compat=True).toPandas()
+        cols = sorted(a.columns)
+        a = a[cols].sort_values(cols).reset_index(drop=True)
+        b = b[cols].sort_values(cols).reset_index(drop=True)
+        assert a.equals(b), fn.__name__
