@@ -1,0 +1,260 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the point of each variant):
+
+- ``exact_dedup``: one hash-aggregate on a fingerprint — the cheapest
+  pass, always run first. Shuffles only (key, doc_id) pairs, never text.
+- ``ngram_jaccard_pairs``: EXACT all-pairs similarity via a shingle
+  inverted index (explode → self-join on shingle → count). Quadratic in
+  the worst case — correct at test scale and the verification oracle
+  for the approximate paths. ``max_shingle_freq`` drops ubiquitous
+  shingles (stopword runs) which otherwise create skewed join keys and
+  O(f²) candidate blowup — the standard inverted-index prefix filter.
+- ``minhash_lsh_pairs``: the 100 TB path. k permutations × b bands:
+  shuffle cost is O(docs × bands), independent of pair count; only
+  LSH-colliding candidates are verified with exact Jaccard. Recall for
+  jaccard ≥ t is 1-(1-t^r)^b (k=64, b=16, r=4: ≥0.9998 at t=0.8).
+- ``simhash64``: constant-size signature per doc; near-dups share one of
+  four 16-bit blocks (pigeonhole for hamming ≤ 3), so candidate
+  generation is a block-key equi-join, again linear-ish.
+
+All pure DataFrame ops — hashing via xxhash64 (JVM), no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.operators.text import fingerprint, shingles
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, key_cols: list[str] | None = None, text_col: str | None = "text"
+) -> DataFrame:
+    """One representative (min id) per duplicate group + group size.
+
+    Group key = explicit columns, else the text fingerprint. Only the
+    key and id move through the shuffle."""
+    if key_cols:
+        proj, keys = df.select(*key_cols, id_col), list(key_cols)
+    else:
+        proj = df.select(fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        keys = ["fingerprint"]
+    return proj.groupBy(*keys).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (inverted index)
+# ---------------------------------------------------------------------------
+
+
+def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with Jaccard(shingles_a, shingles_b) ≥ threshold — exact.
+
+    Plan: explode distinct shingles → (optionally drop shingles appearing
+    in > max_shingle_freq docs: they contribute little to J but dominate
+    join fanout) → self-join on shingle with doc_a < doc_b → count common
+    → join per-doc shingle counts → J = common / (|A|+|B|-common)."""
+    idx = _shingle_index(df, id_col, text_col, n)
+    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_shingle_freq is not None:
+        rare = (
+            idx.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df_"))
+            .filter(F.col("df_") <= max_shingle_freq)
+            .select("shingle")
+        )
+        idx = idx.join(rare, "shingle", "inner")
+    a = idx.select(F.col("doc").alias("doc_a"), "shingle")
+    b = idx.select(F.col("doc").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle", "inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH (the at-scale near-dup path)
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
+) -> DataFrame:
+    """k-permutation MinHash signature per doc.
+
+    Permutation i = xxhash64(shingle, i) (seeding by an extra hashed
+    column is the standard trick; xxhash64 is a JVM built-in). One
+    explode + one groupBy with k min() aggregates — a single shuffle of
+    (doc, shingle) pairs."""
+    idx = _shingle_index(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        for i in range(num_perm)
+    ]
+    return idx.groupBy("doc").agg(*mins)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Near-dup pairs via banded LSH, then EXACT Jaccard verification of
+    candidates only. Output schema matches ngram_jaccard_pairs; the
+    difference is recall (<1 with probability 1-(1-t^r)^b) and cost
+    (linear-ish vs quadratic).
+    """
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    band_arr = F.array(
+        *[
+            F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)], F.lit(b))
+            for b in range(bands)
+        ]
+    )
+    buckets = sig.select(
+        F.col("doc"), F.posexplode(band_arr).alias("band", "bucket")
+    )
+    left = buckets.select(F.col("doc").alias("doc_a"), "band", "bucket")
+    right = buckets.select(F.col("doc").alias("doc_b"), "band", "bucket")
+    candidates = (
+        left.join(right, ["band", "bucket"], "inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    # exact verification restricted to candidates
+    idx = _shingle_index(df, id_col, text_col, n)
+    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = idx.select(F.col("doc").alias("doc_a"), "shingle")
+    b = idx.select(F.col("doc").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle", "inner")
+        .join(candidates, ["doc_a", "doc_b"], "left_semi")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash64(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per doc: sign-sum of token-hash bits.
+
+    Explode tokens → per-bit signed contributions (64 conditional sums in
+    ONE aggregate — not 64 passes) → reassemble the sign vector into a
+    bigint. Everything stays in one shuffle of (doc, token_hash)."""
+    toks = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = toks.groupBy("doc").agg(*bit_sums)
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)  # disjoint bits: XOR == OR == +
+    return agg.select("doc", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Pairs with hamming(simhash_a, simhash_b) ≤ max_hamming.
+
+    Blocking: split the 64-bit signature into 4 × 16-bit blocks; any pair
+    within hamming ≤ 3 must agree on ≥1 whole block (pigeonhole), so
+    candidates come from 4 equi-joins on block values, not a cross join."""
+    sig = simhash64(df, id_col, text_col)
+    blocks = sig.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("block_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc", "simhash", "blk.block_id", "blk.block_val")
+    a = blocks.select(
+        F.col("doc").alias("doc_a"), F.col("simhash").alias("sim_a"), "block_id", "block_val"
+    )
+    b = blocks.select(
+        F.col("doc").alias("doc_b"), F.col("simhash").alias("sim_b"), "block_id", "block_val"
+    )
+    return (
+        a.join(b, ["block_id", "block_val"], "inner")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sim_a", "sim_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("int")
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

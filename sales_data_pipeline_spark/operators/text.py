@@ -1,0 +1,96 @@
+"""Text-analysis operators for LLM-data pipelines — all Catalyst built-ins.
+
+Everything here is expression-level (split / higher-order functions /
+hashes), so it runs JVM-side inside whole-stage codegen and scales
+linearly with no shuffle: at 100 TB these are embarrassingly parallel
+map stages whose cost is the parquet scan itself.
+
+Determinism: ratios are computed as int/int double divisions with a
+fixed expression shape so the DuckDB oracle reproduces values bitwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Function-word set used by the language heuristic. On real corpora this
+# would be a per-language table (broadcast-joined); the principle — a
+# stopword-hit-ratio over tokens, no UDF — is identical.
+EN_STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "to", "in", "is")
+
+
+def tokens(col: Column | str, sep: str = " ") -> Column:
+    """Whitespace tokenization (documents are single-space separated)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, sep)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col)).cast("bigint")
+
+
+def stopword_count(col: Column | str, stopwords: tuple[str, ...] = EN_STOPWORDS) -> Column:
+    """# tokens that are function words — a filter() higher-order fn, no UDF."""
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*stopwords))).cast("bigint")
+
+
+def unique_token_count(col: Column | str) -> Column:
+    return F.size(F.array_distinct(tokens(col))).cast("bigint")
+
+
+def lang_id(col: Column | str, threshold: float = 0.03) -> Column:
+    """N-gram-free language heuristic: stopword-hit ratio ≥ threshold → 'en'.
+
+    A real multi-language classifier is the same plan shape with a
+    per-language stopword map (explode + broadcast join + argmax)."""
+    ratio = stopword_count(col) / token_count(col)
+    return F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other"))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score: length-band flag, lexical diversity,
+    bounded stopword ratio — the standard cheap pre-filters in front of
+    expensive pipeline stages (dedup, embedding)."""
+    n = token_count(col)
+    length_ok = F.when((n >= 20) & (n <= 80), F.lit(1.0)).otherwise(F.lit(0.0))
+    unique_ratio = unique_token_count(col) / n
+    stop = F.least(stopword_count(col) / n * 10.0, F.lit(1.0))
+    return length_ok * 0.4 + unique_ratio * 0.3 + stop * 0.3
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic 128-bit content fingerprint (md5 of normalized text).
+    Used as the exact-dedup key; identical across engines/runs."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.trim(c))
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct n-gram word shingles as an array<string> — the unit for
+    Jaccard similarity and MinHash. Pure expressions: transform over a
+    sequence of start offsets, slice, concat."""
+    t = tokens(col)
+    # guard: sequence(1, 0) would generate a DESCENDING sequence for docs
+    # shorter than n tokens — emit an empty shingle set instead
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+            )
+        )
+    )
+
+
+def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience: append the full feature set in one projection."""
+    return df.select(
+        "*",
+        token_count(text_col).alias("n_tokens"),
+        unique_token_count(text_col).alias("n_unique_tokens"),
+        stopword_count(text_col).alias("n_stopwords"),
+        lang_id(text_col).alias("lang_pred"),
+        quality_score(text_col).alias("quality"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

@@ -1,0 +1,195 @@
+"""Text-analysis + deduplication query catalog (documents table).
+
+The LLM-training-data operators the reference never had but a 100 TB
+corpus pipeline needs: token statistics, language ID, quality scoring,
+content fingerprinting, exact dedup, exact n-gram Jaccard near-dup, and
+the two sub-quadratic near-dup paths (MinHash+LSH, SimHash blocking).
+
+Exact operators carry DuckDB oracles; the LSH paths are probabilistic
+by design (their recall is a property, not an equation) so they get
+rows-only driver checks plus recall assertions against the exact
+operator in tests/test_dedup.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.catalog import table
+from sales_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from sales_data_pipeline_spark.operators.text import (
+    EN_STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    stopword_count,
+    token_count,
+    unique_token_count,
+)
+from sales_data_pipeline_spark.plans.registry import query
+
+_STOP_SQL = "(" + ", ".join(f"'{w}'" for w in EN_STOPWORDS) + ")"
+
+# DuckDB equivalent of operators.text.shingles (distinct word 3-grams)
+_SHINGLES_CTE = """
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+      FROM toks, unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS u(i)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+
+@query(
+    "q17_text_stats",
+    oracle="""
+    SELECT
+      doc_id,
+      length(text) AS char_len,
+      len(string_split(text, ' ')) AS n_tokens,
+      len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+      (length(text) - (len(string_split(text, ' ')) - 1))
+        / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+)
+def q17_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics — pure map stage, no shuffle.
+    avg_token_len uses the closed form (chars - separators) / tokens so
+    both engines produce bit-identical doubles."""
+    docs = table(spark, sf_dir, "documents")
+    n = token_count("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("char_len"),
+        n.alias("n_tokens"),
+        unique_token_count("text").alias("n_unique_tokens"),
+        ((F.length("text").cast("bigint") - (n - F.lit(1))) / n).alias("avg_token_len"),
+    )
+
+
+@query(
+    "q18_lang_id",
+    oracle=f"""
+    SELECT
+      doc_id,
+      lang,
+      len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL})) AS n_stopwords,
+      len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))
+        / len(string_split(text, ' ')) AS stop_ratio,
+      CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))
+                / len(string_split(text, ' ')) >= 0.03
+           THEN 'en' ELSE 'other' END AS lang_pred
+    FROM documents
+    """,
+)
+def q18_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic (higher-order filter(), no UDF).
+    Real multi-language ID = same plan + a broadcast per-language
+    stopword map."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        stopword_count("text").alias("n_stopwords"),
+        (stopword_count("text") / token_count("text")).alias("stop_ratio"),
+        lang_id("text").alias("lang_pred"),
+    )
+
+
+@query(
+    "q19_quality_score",
+    oracle=f"""
+    SELECT
+      doc_id,
+      (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END) * 0.4
+      + (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) * 0.3
+      + least(len(list_filter(string_split(text,' '), x -> x IN {_STOP_SQL}))
+              / len(string_split(text,' ')) * 10.0, 1.0) * 0.3
+        AS quality
+    FROM documents
+    """,
+)
+def q19_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality pre-filter (length band, lexical diversity,
+    bounded stopword ratio) — the cheap gate before dedup/embedding."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score("text").alias("quality"))
+
+
+@query(
+    "q20_fingerprint",
+    oracle="SELECT doc_id, lang, source, md5(trim(text)) AS fingerprint FROM documents",
+)
+def q20_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit deterministic content fingerprint (exact-dedup key)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", "source", fingerprint("text").alias("fingerprint"))
+
+
+@query(
+    "q21_dedup_exact",
+    oracle="""
+    SELECT lang, source, min(doc_id) AS keep_id, count(*) AS group_size
+    FROM documents GROUP BY lang, source
+    """,
+)
+def q21_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one representative (min id) per group + group size.
+    Shown on (lang, source); text-level dedup is the same operator keyed
+    on the md5 fingerprint (tests plant true duplicate texts)."""
+    docs = table(spark, sf_dir, "documents")
+    return exact_dedup(docs, id_col="doc_id", key_cols=["lang", "source"])
+
+
+@query(
+    "q22_ngram_jaccard_pairs",
+    headline=True,
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    """,
+)
+def q22_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-duplicate pairs (3-gram shingle Jaccard ≥ 0.6) via a
+    shingle inverted index. This is the ground truth the approximate
+    paths (q23/q24) are measured against."""
+    docs = table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, threshold=0.6)
+
+
+@query("q23_minhash_lsh_pairs", headline=True)  # probabilistic: rows-only check
+def q23_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands × 4 rows) candidate generation, exact
+    Jaccard verification of candidates only — the sub-quadratic near-dup
+    path for 100 TB corpora. No SQL oracle: banded-LSH recall is
+    probabilistic (1-(1-t^r)^b); tests assert recall==1.0 on the planted
+    ≥0.95 pairs vs the exact operator."""
+    docs = table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, threshold=0.6)
+
+
+@query("q24_simhash_pairs")  # probabilistic blocking: rows-only check
+def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming ≤ 3) with 16-bit block
+    pigeonhole candidate generation — constant-size signatures, linear
+    candidate cost. Verified against a pure-Python reference in tests."""
+    docs = table(spark, sf_dir, "documents")
+    return simhash_near_pairs(docs, max_hamming=3)

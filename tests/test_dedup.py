@@ -1,0 +1,101 @@
+"""Dedup-operator properties that the SQL oracle can't express:
+LSH recall vs exact ground truth, SimHash vs a pure-Python reference,
+text-level exact dedup on planted duplicates."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.catalog import table
+from sales_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+    simhash64,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents").cache()
+
+
+def test_minhash_lsh_recall_on_strong_pairs(spark, docs):
+    """Every exact pair with J ≥ 0.9 must be found by LSH
+    (recall at t=0.9 with 16 bands × 4 rows is 1-(1-0.9⁴)^16 ≈ 0.9998)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert exact, "calibration: testdata should contain planted near-dups"
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.9).collect()
+    }
+    assert exact <= lsh
+    # verification step makes LSH output exact-on-candidates: no false positives
+    assert lsh <= {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+
+
+def test_lsh_jaccard_values_match_exact(spark, docs):
+    """For pairs both paths emit, the Jaccard value must be identical
+    (verification recomputes it exactly)."""
+    exact = {(r.doc_a, r.doc_b): r.jaccard for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r.doc_a, r.doc_b): r.jaccard for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+    for k in exact.keys() & lsh.keys():
+        assert exact[k] == lsh[k]
+
+
+def _py_simhash(text: str, spark_hash) -> int:
+    """Reference SimHash using Spark's own xxhash64 for token hashes."""
+    counts = [0] * 64
+    for tok, h in spark_hash(text.split(" ")):
+        for i in range(64):
+            counts[i] += 1 if (h >> i) & 1 else -1
+    return sum(1 << i for i in range(64) if counts[i] > 0)
+
+
+def test_simhash_matches_python_reference(spark, docs):
+    sample = docs.limit(5).collect()
+    got = {r.doc: r.simhash for r in simhash64(docs.limit(5)).collect()}
+
+    def spark_hash(tokens):
+        df = spark.createDataFrame([(t,) for t in tokens], "tok string")
+        return [(r.tok, r.h) for r in df.select("tok", F.xxhash64("tok").alias("h")).collect()]
+
+    for row in sample:
+        expect = _py_simhash(row.text, spark_hash)
+        # python ints are unsigned here; spark longs are signed 64-bit
+        assert got[row.doc_id] & 0xFFFFFFFFFFFFFFFF == expect & 0xFFFFFFFFFFFFFFFF
+
+
+def test_simhash_near_pairs_symmetric_and_bounded(spark, docs):
+    pairs = simhash_near_pairs(docs, max_hamming=3).collect()
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= 3
+
+
+def test_exact_dedup_on_planted_duplicates(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),       # exact dup of 1
+        (3, "  alpha beta gamma  "),   # dup modulo trim
+        (4, "delta epsilon zeta"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.keep_id: r.group_size for r in exact_dedup(df, "doc_id").collect()}
+    assert out == {1: 3, 4: 1}
+
+
+def test_short_doc_shingles_empty_not_descending(spark):
+    """Docs shorter than n must yield no shingles (regression: descending
+    sequence(1,0) crash/garbage)."""
+    df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, threshold=0.0).collect()
+    assert out == []  # no shared 3-grams between the two docs
