@@ -1,0 +1,123 @@
+"""Multimodal columns: opaque binary payloads + typed metadata.
+
+The Spark-side design is the real deliverable here: media travels as a
+``binary`` column with a metadata struct beside it; decode / feature
+extraction / frame sampling run as Arrow-batched pandas functions over
+``mapInPandas`` (one Python process per partition, whole column batches
+— never row-at-a-time). The actual codec step is STUBBED (no
+image/audio libraries in this container): ``decode_media`` computes
+deterministic fake metadata from the bytes, and raises
+NotImplementedError if a real codec is requested, keeping the plumbing
+(schemas, batching, partitioning) fully real and testable.
+
+Scale notes: payload columns dominate I/O — always column-prune before
+a shuffle (select the id + payload only inside the UDF stage), size
+``spark.sql.files.maxPartitionBytes`` so a batch of payloads fits
+executor memory, and prefer ``mapInPandas`` (streamed batches) over
+``collect``-style UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DECODED_SCHEMA = (
+    "media_id long, byte_len long, checksum string, fake_width int, fake_height int"
+)
+FRAME_SCHEMA = "media_id long, frame_no int, frame_bytes binary"
+FEATURE_DIM = 16
+FEATURE_SCHEMA = f"media_id long, features array<double>"
+
+
+def attach_binary_payload(
+    df: DataFrame, id_col: str, text_col: str = "text"
+) -> DataFrame:
+    """Deterministic fake media: payload = utf-8 bytes of the text column
+    (stands in for image/audio bytes), plus source metadata."""
+    return df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("fake/utf8").alias("mime"),
+            F.octet_length(F.encode(F.col(text_col), "UTF-8")).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """'Decode' payloads via mapInPandas (Arrow batches).
+
+    codec='fake' derives deterministic metadata from the raw bytes
+    (byte length, md5 checksum, fake dimensions). Any real codec raises
+    until the decode libraries exist in the runtime image."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r}: no media libraries in this runtime; "
+            "plug a real decoder into _decode_batch"
+        )
+
+    def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            raw = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "byte_len": raw.map(len).astype("int64"),
+                    "checksum": raw.map(lambda b: hashlib.md5(bytes(b)).hexdigest()),
+                    # fake dims: derived from content so they're stable
+                    "fake_width": raw.map(lambda b: 64 + len(b) % 577).astype("int32"),
+                    "fake_height": raw.map(lambda b: 64 + (len(b) * 7) % 577).astype(
+                        "int32"
+                    ),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(_decode_batch, DECODED_SCHEMA)
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Feature extraction stub: 16-bin byte histogram, L1-normalized —
+    a stand-in for an embedding model, with the real Arrow batch shape."""
+
+    def _featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for b in pdf["payload"]:
+                arr = np.frombuffer(bytes(b), dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype("float64")
+                total = hist.sum()
+                feats.append((hist / total if total else hist).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
+
+    return df.select("media_id", "payload").mapInPandas(_featurize, FEATURE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, frame_size: int = 256, stride: int = 2) -> DataFrame:
+    """'Video' frame sampling stub: split the payload into frame_size
+    chunks, keep every ``stride``-th — one input row fans out to many
+    output rows, the real shape of a frame-sampling stage."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(b)
+                for j, off in enumerate(range(0, len(raw), frame_size)):
+                    if j % stride == 0:
+                        ids.append(mid)
+                        nos.append(j)
+                        frames.append(raw[off : off + frame_size])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": pd.array(nos, dtype="int32"),
+                 "frame_bytes": frames}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(_frames, FRAME_SCHEMA)

@@ -1,0 +1,299 @@
+"""Similarity search over embedding columns (array<float>).
+
+Three tiers, same output shape:
+
+- ``cosine_topk``: brute-force exact top-k. The query set is broadcast
+  (it's small); the corpus streams — one scan, no shuffle of the corpus,
+  O(|Q|·N) similarity evaluations entirely inside whole-stage codegen
+  (zip_with/aggregate — no Python). Right answer for |Q| ≤ thousands.
+- ``embedding_neardup_pairs``: exact all-pairs ≥ threshold. Quadratic;
+  the verification oracle for the approximate path at test scale.
+- ``lsh_ann`` / ``srp_signatures``: signed-random-projection LSH for the
+  HIGH-similarity regime (near-duplicate detection, cos ≥ ~0.85, where
+  bucket-collision probability (1-θ/π)^bits stays useful). Deterministic
+  pseudo-random hyperplanes are derived from xxhash64(table, plane, dim)
+  so signatures are reproducible across runs and engines with no RNG
+  state. Candidates = bucket collisions in any table; exact re-rank of
+  candidates only. Shuffle cost O(N·tables), independent of N².
+- ``ivf_topk``: inverted-file ANN for the MODERATE-similarity top-k
+  regime (neighbors at cos ~0.3-0.6, where SRP collision probability
+  collapses). Coarse k-means centroids trained on a driver-side sample
+  (the standard IVF recipe — training is tiny, assignment is the big
+  distributed map), broadcast as literals; each corpus row is assigned
+  to its nearest cell with pure expressions, queries probe the n_probe
+  nearest cells, candidates re-ranked exactly. Search cost ≈
+  N·(n_probe/n_cells) per query.
+
+Cosine is computed in float64 over the array in element order, so
+results are bitwise reproducible regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.functions.vectors import (
+    as_double_array,
+    cosine_similarity,
+    dot_product,
+    l2_norm,
+)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 9,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (brute force).
+
+    Output: query_id, neighbor_id, sim, rank (row_number over
+    (sim desc, neighbor_id) — fully deterministic under ties).
+    ``round_digits`` rounds sim before ranking so rankings are stable
+    across engines whose float accumulation order differs (the oracle)."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv")
+    )
+    sim: Column = cosine_similarity(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def embedding_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold (embedding-space near-dup).
+
+    Quadratic — at scale run lsh_ann buckets first and verify only
+    collisions (same pattern as MinHash→Jaccard in operators.dedup)."""
+    a = corpus.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vb"))
+    sim: Column = cosine_similarity(F.col("va"), F.col("vb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# signed-random-projection LSH
+# ---------------------------------------------------------------------------
+
+
+def _plane_component(table: int, plane: int, dim: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    xxhash64(table, plane, dim) scaled — reproducible, no RNG state."""
+    h = F.xxhash64(F.lit(table), F.lit(plane), dim)
+    return (h % 10_000_001).cast("double") / 10_000_001.0
+
+
+def srp_signatures(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_bits: int = 16,
+) -> DataFrame:
+    """One n_bits-bucket per table per vector: bit j = sign(v · plane_j).
+
+    The dot products are aggregate() expressions over (value, index)
+    pairs; everything stays JVM-side."""
+    v = as_double_array(vec_col)
+    pairs = F.arrays_zip(v.alias("x"), F.sequence(F.lit(0), F.size(v) - 1).alias("i"))
+
+    def _dot_with_plane(t: int, b: int) -> Column:
+        def merge(acc: Column, p: Column) -> Column:
+            return acc + p["x"] * _plane_component(t, b, p["i"])
+
+        return F.aggregate(pairs, F.lit(0.0), merge)
+
+    buckets = []
+    for t in range(n_tables):
+        bits = []
+        for b in range(n_bits):
+            dot = _dot_with_plane(t, b)
+            bits.append(F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0)))
+        bucket = bits[0]
+        for expr in bits[1:]:
+            bucket = bucket + expr
+        buckets.append(bucket.cast("long").alias(f"t{t}"))
+    return df.select(F.col(id_col).alias("vid"), *buckets)
+
+
+def lsh_ann(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_bits: int = 12,
+) -> DataFrame:
+    """Approximate top-k: SRP bucket collisions (any table) → exact
+    cosine re-rank of candidates only. Same output schema as cosine_topk;
+    recall measured against it in tests."""
+    from pyspark.sql import Window
+
+    c_sig = srp_signatures(corpus, id_col, vec_col, n_tables, n_bits)
+    q_sig = srp_signatures(queries, id_col, vec_col, n_tables, n_bits)
+    c_buckets = c_sig.selectExpr(
+        "vid as neighbor_id",
+        f"stack({n_tables}, "
+        + ", ".join(f"{t}, t{t}" for t in range(n_tables))
+        + ") as (tbl, bucket)",
+    )
+    q_buckets = q_sig.selectExpr(
+        "vid as query_id",
+        f"stack({n_tables}, "
+        + ", ".join(f"{t}, t{t}" for t in range(n_tables))
+        + ") as (tbl, bucket)",
+    )
+    candidates = (
+        q_buckets.join(c_buckets, ["tbl", "bucket"], "inner")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), as_double_array(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), as_double_array(vec_col).alias("cv"))
+    scored = (
+        candidates.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 9).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted file) ANN
+# ---------------------------------------------------------------------------
+
+
+def train_centroids(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_size: int = 10_000,
+    iters: int = 10,
+) -> list[list[float]]:
+    """Coarse quantizer: Lloyd's k-means on a driver-side sample.
+
+    Deterministic: the sample is the first ``sample_size`` rows in id
+    order and init is the first k of those — no RNG. At 100 TB the
+    sample is still tiny (training needs ~100×n_cells vectors); the
+    expensive part, assignment, stays distributed in ivf_topk."""
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(sample_size).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    # cosine k-means: operate on unit vectors
+    x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = x[:n_cells].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / max(np.linalg.norm(m), 1e-12)
+    return cents.tolist()
+
+
+def _centroid_sims(vec_col: str, centroids: list[list[float]]) -> Column:
+    """array<struct<sim,cell>>: cosine of the row vector to each centroid
+    (centroids are unit vectors, so dot / ‖v‖)."""
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    v = as_double_array(vec_col)
+    norm = l2_norm(v)
+
+    def sim_to(c: Column) -> Column:
+        return dot_product(v, c) / norm
+
+    return F.transform(
+        cent_lit,
+        lambda c, i: F.struct(sim_to(c).alias("sim"), i.alias("cell")),
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF ANN: assign corpus rows to their nearest centroid cell, probe
+    the query's n_probe nearest cells, exact cosine re-rank of the
+    candidates. Output schema matches cosine_topk."""
+    from pyspark.sql import Window
+
+    cents = centroids if centroids is not None else train_centroids(
+        corpus, vec_col, n_cells
+    )
+    sims = _centroid_sims(vec_col, cents)
+    # corpus: top-1 cell (array_max on (sim, cell) structs orders by sim)
+    c_assigned = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        as_double_array(vec_col).alias("cv"),
+        F.array_max(sims).getField("cell").alias("cell"),
+    )
+    # queries: n_probe best cells
+    q_probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        as_double_array(vec_col).alias("qv"),
+        F.slice(F.reverse(F.array_sort(sims)), 1, n_probe).alias("probes"),
+    ).select(
+        "query_id", "qv", F.explode(F.col("probes").getField("cell")).alias("cell")
+    )
+    scored = (
+        c_assigned.join(F.broadcast(q_probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity(F.col("qv"), F.col("cv")), 9).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,136 @@
+"""Similarity-search + multimodal query catalog (embeddings/documents).
+
+- q25: exact brute-force cosine top-k (oracle: DuckDB
+  list_cosine_similarity over the same float64 arrays; both engines
+  round sim to 9 digits before ranking so accumulation-order noise in
+  the last float bits cannot flip ranks).
+- q26: exact embedding near-dup pairs (threshold on rounded sim).
+- q27: SRP-LSH approximate top-k — probabilistic, rows-only check;
+  recall vs q25 asserted in tests/test_similarity.py.
+- q28/q29: multimodal binary-column plumbing (Arrow-batched
+  mapInPandas decode / frame-sampling stubs with deterministic fake
+  codecs — oracle-checkable because the fakes are pure functions of
+  the bytes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.catalog import table
+from sales_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media,
+    sample_frames,
+)
+from sales_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    embedding_neardup_pairs,
+    ivf_topk,
+)
+from sales_data_pipeline_spark.plans.registry import query
+
+_N_QUERIES = 5  # query set = vec_id < 5
+_K = 10
+
+
+@query(
+    "q25_ann_cosine_topk",
+    headline=True,
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < {_N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id, round(list_cosine_similarity(qv, cv), 9) AS sim
+      FROM q CROSS JOIN c
+      WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim DESC, neighbor_id) AS BIGINT) AS "rank"
+    FROM scored QUALIFY "rank" <= {_K}
+    """,
+)
+def q25_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for 5 query vectors — the ANN baseline.
+    Query set broadcast, corpus streamed, similarity fully JVM-side
+    (zip_with/aggregate in float64, element order fixed → bit-stable)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return cosine_topk(emb, queries, k=_K)
+
+
+@query(
+    "q26_embedding_neardup",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings a, embeddings b
+    WHERE a.vec_id < b.vec_id
+      AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
+    """,
+)
+def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact embedding-space near-dup pairs (cosine ≥ 0.4). Quadratic —
+    the exactness oracle for LSH-bucketed near-dup at scale."""
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, threshold=0.4)
+
+
+@query("q27_ann_ivf")  # probabilistic cell probing: rows-only check
+def q27_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: 16 coarse k-means cells (trained on a
+    driver-side sample, deterministic init), queries probe their 4
+    nearest cells, exact cosine re-rank of candidates. The scale path
+    for moderate-similarity top-k where SRP-LSH collision probability
+    collapses. No SQL oracle — cell recall is data-dependent; tests
+    measure recall vs q25 (≥0.7 at n_probe=4 on this corpus)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(emb, queries, k=_K, n_cells=16, n_probe=4)
+
+
+@query(
+    "q28_multimodal_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS checksum,
+           CAST(64 + octet_length(encode(text)) % 577 AS INTEGER) AS fake_width,
+           CAST(64 + (octet_length(encode(text)) * 7) % 577 AS INTEGER) AS fake_height
+    FROM documents
+    """,
+)
+def q28_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: payload = utf-8 bytes standing in
+    for media, decoded via Arrow-batched mapInPandas (deterministic fake
+    codec → SQL-checkable: the oracle recomputes the same pure function
+    of the bytes)."""
+    docs = table(spark, sf_dir, "documents")
+    return decode_media(attach_binary_payload(docs, "doc_id"), codec="fake")
+
+
+@query(
+    "q29_frame_sample_stats",
+    oracle="""
+    SELECT doc_id AS media_id,
+           (CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) + 1) // 2
+             AS n_frames,
+           CAST(least(octet_length(encode(text)), 256) AS BIGINT) AS first_frame_len
+    FROM documents
+    """,
+)
+def q29_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out (1 payload → N frame rows via mapInPandas,
+    every 2nd 256-byte chunk) aggregated back to per-media stats the
+    oracle can recompute arithmetically."""
+    docs = table(spark, sf_dir, "documents")
+    frames = sample_frames(attach_binary_payload(docs, "doc_id"), frame_size=256, stride=2)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.max(
+            F.when(F.col("frame_no") == 0, F.octet_length("frame_bytes"))
+        ).cast("bigint").alias("first_frame_len"),
+    )

@@ -1,0 +1,97 @@
+"""Similarity + multimodal properties the SQL oracle can't express:
+LSH recall vs brute force, feature-extraction stub vs numpy reference,
+codec stub behavior."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.catalog import table
+from sales_data_pipeline_spark.operators.multimodal import (
+    attach_binary_payload,
+    decode_media,
+    extract_features,
+)
+from sales_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_ann,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return table(spark, sf_dir, "embeddings").cache()
+
+
+def test_ivf_recall_vs_bruteforce(spark, emb):
+    """IVF (16 cells, probe 4) must recover most of the exact top-10 on
+    this naturally-clustered corpus."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = cosine_topk(emb, queries, k=10).collect()
+    approx = ivf_topk(emb, queries, k=10, n_cells=16, n_probe=4).collect()
+    e = {(r.query_id, r.neighbor_id) for r in exact}
+    a = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.7, f"IVF recall too low: {recall}"
+
+
+def test_srp_lsh_finds_planted_near_duplicates(spark, emb):
+    """SRP-LSH operates in the high-similarity regime: a corpus with
+    planted near-identical vectors (cos ≈ 0.999) must yield them as the
+    top hits. (On moderate-similarity corpora its collision probability
+    collapses by design — that's IVF's regime.)"""
+    base = emb.limit(50).collect()
+    rows = [(r.vec_id, r.embedding) for r in base]
+    planted = [
+        (1000 + r.vec_id, [x * 1.001 + 0.001 for x in r.embedding])
+        for r in base[:5]
+    ]
+    corpus = spark.createDataFrame(
+        rows + planted, "vec_id long, embedding array<float>"
+    )
+    queries = corpus.filter(F.col("vec_id") >= 1000)
+    hits = lsh_ann(corpus, queries, k=1, n_tables=8, n_bits=12).collect()
+    top1 = {r.query_id: r.neighbor_id for r in hits}
+    found = sum(1 for qid, nid in top1.items() if nid == qid - 1000)
+    assert found >= 4, f"SRP-LSH missed planted near-dups: {top1}"
+
+
+def test_topk_matches_numpy(spark, emb):
+    """Brute-force top-k agrees with a numpy reference (modulo the
+    9-digit rounding both apply before ranking)."""
+    rows = emb.orderBy("vec_id").collect()
+    M = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = np.round(Mn @ Mn.T, 9)
+
+    got = cosine_topk(emb, emb.filter(F.col("vec_id") == 3), k=5).collect()
+    qi = int(np.where(ids == 3)[0][0])
+    order = sorted(
+        [(float(-sims[qi, j]), int(ids[j])) for j in range(len(ids)) if ids[j] != 3]
+    )[:5]
+    expect = [vid for _, vid in order]
+    assert [r.neighbor_id for r in sorted(got, key=lambda r: r.rank)] == expect
+
+
+def test_feature_extraction_matches_numpy(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(3)
+    media = attach_binary_payload(docs, "doc_id")
+    feats = {r.media_id: r.features for r in extract_features(media).collect()}
+    for row in docs.collect():
+        raw = row.text.encode("utf-8")
+        arr = np.frombuffer(raw, dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=16).astype(float)
+        hist /= hist.sum()
+        assert np.allclose(feats[row.doc_id], hist)
+    assert all(len(v) == 16 for v in feats.values())
+
+
+def test_real_codec_raises(spark, sf_dir):
+    docs = table(spark, sf_dir, "documents").limit(1)
+    media = attach_binary_payload(docs, "doc_id")
+    with pytest.raises(NotImplementedError, match="jpeg"):
+        decode_media(media, codec="jpeg")
