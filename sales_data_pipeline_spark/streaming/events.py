@@ -1,0 +1,168 @@
+"""Streaming event analytics: watermarked windows + custom stateful ops.
+
+The reference has none of this (SURVEY §2i); these are the Structured
+Streaming counterparts of the batch `q14_events_hourly` /
+`q15_sessionize` queries, built the idiomatic way:
+
+- ``hourly_event_rollup``: event-time tumbling window with a watermark.
+  In append mode a window row is emitted exactly once, when the
+  watermark passes its end — late events inside the tolerance still
+  land in their window; events later than the watermark are dropped.
+  State per key is bounded by the watermark (Spark evicts closed
+  windows), so the operator runs indefinitely at any scale.
+- ``sessionize_stateful``: gap-based sessions per user via
+  applyInPandasWithState — the custom-stateful-operator escape hatch
+  for semantics windows can't express. State is one small tuple per
+  user (Arrow-batched, grouped by user_id → scales horizontally with
+  the key space); each micro-batch emits closed sessions plus the
+  updated open session.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENT_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+
+def read_event_stream(
+    spark: SparkSession, input_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """Parquet file-source stream of events (fixed schema, checkpointed
+    file tracking handled by the query that consumes it). Recursive
+    lookup lets producers land whole Spark output directories under
+    ``input_dir`` — the file source still tracks individual leaf files."""
+    reader = (
+        spark.readStream.schema(EVENT_STREAM_SCHEMA)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_dir)
+
+
+def hourly_event_rollup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour window per event_type: count, sum(value).
+
+    Append-mode semantics: a (hour, event_type) row finalizes when the
+    watermark (max event time − tolerance) passes hour end."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("session_start", TimestampType(), True),
+        StructField("session_end", TimestampType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+        StructField("closed", StringType(), True),  # 'Y' final / 'N' still open
+    ]
+)
+
+# (session_start_us, last_ts_us, n_events, total_value)
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("start_us", LongType(), True),
+        StructField("last_us", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("total_value", DoubleType(), True),
+    ]
+)
+
+_US = 1_000_000
+
+
+def _session_fn(gap_seconds: int):
+    gap_us = gap_seconds * _US
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns → µs
+        values = rows["value"].fillna(0.0).tolist()
+
+        if state.exists:
+            start_us, last_us, n_events, total_value = state.get
+        else:
+            start_us, last_us, n_events, total_value = ts_us[0], ts_us[0], 0, 0.0
+
+        out: list[tuple] = []
+        for t, v in zip(ts_us, values):
+            if n_events and t - last_us > gap_us:
+                out.append((user_id, start_us, last_us, n_events, total_value, "Y"))
+                start_us, n_events, total_value = t, 0, 0.0
+            elif not n_events:
+                start_us = t
+            last_us = t
+            n_events += 1
+            total_value += v
+        state.update((start_us, last_us, n_events, total_value))
+        out.append((user_id, start_us, last_us, n_events, total_value, "N"))
+        yield pd.DataFrame(
+            {
+                "user_id": [r[0] for r in out],
+                "session_start": pd.to_datetime([r[1] for r in out], unit="us"),
+                "session_end": pd.to_datetime([r[2] for r in out], unit="us"),
+                "n_events": [r[3] for r in out],
+                "total_value": [round(r[4], 6) for r in out],
+                "closed": [r[5] for r in out],
+            }
+        )
+
+    return fn
+
+
+def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Gap-based sessions per user, state carried across micro-batches.
+
+    Emits every touched user's open session each batch ('N') and any
+    sessions that batch closed ('Y') — update-mode output. Batch
+    counterpart: plans.relational.q15_sessionize (lag + cumulative
+    window); this is the streaming form of the same semantics."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _session_fn(gap_seconds),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,136 @@
+"""Structured Streaming: exactly-once incremental ETL, watermarked
+windows, and cross-batch stateful sessionization."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.streaming.events import (
+    hourly_event_rollup,
+    read_event_stream,
+    sessionize_stateful,
+)
+from sales_data_pipeline_spark.streaming.incremental import (
+    IncrementalConfig,
+    run_incremental,
+)
+from tests.fixtures import dim_frames, write_sales_csv
+
+
+def _mk_cfg(tmp_path) -> IncrementalConfig:
+    return IncrementalConfig(
+        input_dir=str(tmp_path / "in"),
+        fact_dir=str(tmp_path / "fact"),
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+
+
+def test_incremental_exactly_once_and_mart_parity(spark, tmp_path):
+    cfg = _mk_cfg(tmp_path)
+    (tmp_path / "in").mkdir()
+    customer, store, sales_team = dim_frames(spark)
+
+    write_sales_csv(tmp_path / "in" / "day1.csv", n=200, seed=1, date=dt.date(2023, 3, 10))
+    write_sales_csv(tmp_path / "in" / "day2.csv", n=200, seed=2, date=dt.date(2023, 4, 2))
+    run_incremental(spark, cfg, customer, store, sales_team)
+
+    fact = spark.read.option("basePath", cfg.fact_dir).parquet(cfg.fact_dir)
+    assert fact.count() == 400
+
+    # late arrival → second run must process ONLY the new file
+    write_sales_csv(tmp_path / "in" / "day3.csv", n=100, seed=3, date=dt.date(2023, 4, 9))
+    run_incremental(spark, cfg, customer, store, sales_team)
+    fact = spark.read.option("basePath", cfg.fact_dir).parquet(cfg.fact_dir)
+    assert fact.count() == 500  # 600 would mean day1/day2 reprocessed
+
+    # mart parity with a from-scratch batch computation over all files
+    from sales_data_pipeline_spark.operators.enrich import sales_enrichment
+    from sales_data_pipeline_spark.operators.marts import customer_monthly_mart
+
+    batch_fact = fact.drop("ingest_batch", "sales_month")
+    want = (
+        customer_monthly_mart(sales_enrichment(batch_fact, customer, store, sales_team))
+        .withColumnRenamed("sales_date_month", "sales_month")
+    )
+    cols = ["customer_id", "full_name", "address", "phone_number", "sales_month", "total_sales"]
+    got = spark.read.parquet(f"{cfg.output_dir}/customers_data_mart").select(*cols)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.select(*cols).collect()))
+    # incremental recompute touched only affected months; totals conserve
+    total = got.agg(F.sum("total_sales")).collect()[0][0]
+    want_total = batch_fact.agg(F.sum("total_cost")).collect()[0][0]
+    assert total == want_total
+
+
+def _write_events(spark, path: str, rows: list[tuple]) -> None:
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, et, v)
+         for i, (s, u, et, v) in enumerate(rows)],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_hourly_rollup_append_watermark(spark, tmp_path):
+    """Two micro-batches: batch 2's later events advance the watermark
+    past batch 1's windows → exactly those windows are appended."""
+    src = tmp_path / "events"
+    _write_events(spark, str(src / "f1"), [
+        (0, 1, "click", 1.0), (60, 1, "click", 2.0), (3700, 2, "view", 5.0),
+    ])
+    time.sleep(1.1)  # distinct mod-times → deterministic batch order
+    _write_events(spark, str(src / "f2"), [
+        (5 * 3600, 1, "click", 7.0),  # hour 5 → watermark 3h passes hours 0 and 1
+    ])
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        hourly_event_rollup(stream, watermark="3 hours")
+        .writeStream.format("memory")
+        .queryName("rollup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.hour_start.hour, r.event_type): (r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM rollup").collect()
+    }
+    # hour-0 click and hour-1 view finalized; hour-5 not yet past watermark
+    assert got == {(0, "click"): (2, 3.0), (1, "view"): (1, 5.0)}
+
+
+def test_sessionize_state_spans_batches(spark, tmp_path):
+    src = tmp_path / "events"
+    # batch 1: user 1 two events 10s apart (one open session)
+    _write_events(spark, str(src / "f1"), [(0, 1, "a", 1.0), (10, 1, "a", 2.0)])
+    time.sleep(1.1)  # distinct mod-times → deterministic batch order
+    # batch 2: user 1 continues at t=20 (same session: gap 10s < 60s),
+    # then jumps to t=1000 (gap > 60s → first session closes)
+    _write_events(spark, str(src / "f2"), [(20, 1, "a", 3.0), (1000, 1, "a", 4.0)])
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        sessionize_stateful(stream, gap_seconds=60)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM sessions ORDER BY session_start, closed").collect()
+    closed = [r for r in rows if r.closed == "Y"]
+    assert len(closed) == 1
+    # the closed session spans BOTH batches: 3 events, t=0..20, Σvalue=6
+    assert closed[0].n_events == 3
+    assert closed[0].total_value == pytest.approx(6.0)
+    assert (closed[0].session_end - closed[0].session_start).total_seconds() == 20
+    open_rows = [r for r in rows if r.closed == "N"]
+    assert open_rows[-1].n_events == 1 and open_rows[-1].total_value == pytest.approx(4.0)
