@@ -26,7 +26,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from sales_data_pipeline_spark.operators.text import fingerprint, shingles
+from sales_data_pipeline_spark.operators.text import (
+    fingerprint,
+    shingle_hashes_from_tokens,
+    tokens,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -57,9 +61,27 @@ def exact_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, sh: array<bigint>) — tokens projected first (see
+    shingle_hashes_from_tokens: inline token exprs re-evaluate the split
+    per element, ~15x slower)."""
+    return df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__t")).select(
+        "doc", shingle_hashes_from_tokens("__t", n).alias("sh")
+    )
+
+
 def _shingle_index(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc"), F.explode(shingles(text_col, n)).alias("shingle")
+    # explode_outer + post-filter, NOT explode: for plain explode,
+    # InferFiltersFromGenerate synthesizes a size(sh)>0 predicate that
+    # predicate-pushdown re-inlines below the token projection,
+    # re-evaluating the whole shingle expression per row a second time
+    # in its expensive per-element form (measured ~18× slower). The
+    # outer variant infers nothing; null rows from empty shingle sets
+    # are dropped by a cheap filter on the GENERATED column.
+    return (
+        _shingle_sets(df, id_col, text_col, n)
+        .select("doc", F.explode_outer("sh").alias("shingle"))
+        .filter(F.col("shingle").isNotNull())
     )
 
 
@@ -78,7 +100,10 @@ def ngram_jaccard_pairs(
     join fanout) → self-join on shingle with doc_a < doc_b → count common
     → join per-doc shingle counts → J = common / (|A|+|B|-common)."""
     idx = _shingle_index(df, id_col, text_col, n)
-    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
+    # |shingle set| is a narrow per-row expression — no explode+groupBy
+    sizes = _shingle_sets(df, id_col, text_col, n).select(
+        "doc", F.size("sh").alias("n_sh")
+    )
     if max_shingle_freq is not None:
         rare = (
             idx.groupBy("shingle")
@@ -114,18 +139,23 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, num_perm: int = 64
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc.
+    """k-permutation MinHash signature per doc — ZERO shuffles.
 
     Permutation i = xxhash64(shingle, i) (seeding by an extra hashed
-    column is the standard trick; xxhash64 is a JVM built-in). One
-    explode + one groupBy with k min() aggregates — a single shuffle of
-    (doc, shingle) pairs."""
-    idx = _shingle_index(df, id_col, text_col, n)
+    column is the standard trick; xxhash64 is a JVM built-in). Each
+    signature component is array_min(transform(shingles, hash_i)) — a
+    narrow per-row expression fully inside whole-stage codegen, so
+    signature computation is map-only and scales embarrassingly
+    (an earlier explode+groupBy formulation shuffled every (doc,
+    shingle) pair; at 100 TB that shuffle IS the job)."""
+    sh = F.col("__sh")
     mins = [
-        F.min(F.xxhash64(F.col("shingle"), F.lit(i))).alias(f"h{i}")
+        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    return idx.groupBy("doc").agg(*mins)
+    return _shingle_sets(df, id_col, text_col, n).withColumnRenamed("sh", "__sh").select(
+        "doc", *mins
+    )
 
 
 def minhash_lsh_pairs(
@@ -161,22 +191,23 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    # exact verification restricted to candidates
-    idx = _shingle_index(df, id_col, text_col, n)
-    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = idx.select(F.col("doc").alias("doc_a"), "shingle")
-    b = idx.select(F.col("doc").alias("doc_b"), "shingle")
-    common = (
-        a.join(b, "shingle", "inner")
-        .join(candidates, ["doc_a", "doc_b"], "left_semi")
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    # Exact verification of candidates only, via per-doc shingle SETS
+    # (array_intersect), not a second inverted-index self-join: cost is
+    # O(|candidates| · shingles-per-doc), and the only shuffles are the
+    # two joins that attach each side's shingle array. (The earlier
+    # formulation re-joined the full index and semi-filtered AFTER —
+    # paying the quadratic join LSH exists to avoid.)
+    sets = _shingle_sets(df, id_col, text_col, n)
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = F.col("n_common") / (
+        F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - F.col("n_common")
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", n_common.cast("bigint"))
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")
