@@ -39,6 +39,41 @@ def unique_token_count(col: Column | str) -> Column:
     return F.size(F.array_distinct(tokens(col))).cast("bigint")
 
 
+# BPE-style pre-tokenization pattern (GPT-2-like, lookahead-free so the
+# same pattern means the same thing in Java regex and RE2): a token is
+# an optionally space-prefixed letter run, digit run, or punctuation
+# run. Subword BPE merges only ever split within these pre-tokens, so
+# this count is the standard cheap proxy for "LLM tokens" in corpus
+# accounting.
+BPE_PRETOKEN_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """# BPE-ish pre-tokens (regex runs), vs whitespace token_count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), 0)).cast("bigint")
+
+
+# 2^50-scale prime: acc < M keeps acc*31+c < 2^63 (no Java overflow,
+# no DuckDB BIGINT overflow error) so both engines roll identically.
+ROLLING_HASH_MOD = 1_125_899_906_842_589
+
+
+def rolling_hash(col: Column | str) -> Column:
+    """Polynomial rolling hash over the character stream:
+    h_i = (31·h_{i-1} + code(c_i)) mod M — the classic Rabin-Karp
+    fingerprint, computed as one aggregate() fold (JVM-side, no UDF).
+    Unlike md5 it is incrementally maintainable over a sliding window
+    (h_out = h - c·31^{k-1} shifts), the property content-defined
+    chunking and winnowing build on."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.aggregate(
+        F.split(c, ""),
+        F.lit(0).cast("bigint"),
+        lambda acc, ch: (acc * F.lit(31) + F.ascii(ch)) % F.lit(ROLLING_HASH_MOD),
+    )
+
+
 def lang_id(col: Column | str, threshold: float = 0.03) -> Column:
     """N-gram-free language heuristic: stopword-hit ratio ≥ threshold → 'en'.
 

@@ -25,9 +25,11 @@ from sales_data_pipeline_spark.operators.dedup import (
 )
 from sales_data_pipeline_spark.operators.text import (
     EN_STOPWORDS,
+    bpe_token_count,
     fingerprint,
     lang_id,
     quality_score,
+    rolling_hash,
     stopword_count,
     token_count,
     unique_token_count,
@@ -55,6 +57,8 @@ _SHINGLES_CTE = """
       length(text) AS char_len,
       len(string_split(text, ' ')) AS n_tokens,
       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+      len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9]+'))
+        AS n_bpe_tokens,
       (length(text) - (len(string_split(text, ' ')) - 1))
         / len(string_split(text, ' ')) AS avg_token_len
     FROM documents
@@ -62,8 +66,10 @@ _SHINGLES_CTE = """
 )
 def q17_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document token statistics — pure map stage, no shuffle.
-    avg_token_len uses the closed form (chars - separators) / tokens so
-    both engines produce bit-identical doubles."""
+    n_bpe_tokens counts GPT-2-style pre-tokenization runs (the cheap
+    LLM-token proxy for corpus accounting); avg_token_len uses the
+    closed form (chars - separators) / tokens so both engines produce
+    bit-identical doubles."""
     docs = table(spark, sf_dir, "documents")
     n = token_count("text")
     return docs.select(
@@ -71,6 +77,7 @@ def q17_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("char_len"),
         n.alias("n_tokens"),
         unique_token_count("text").alias("n_unique_tokens"),
+        bpe_token_count("text").alias("n_bpe_tokens"),
         ((F.length("text").cast("bigint") - (n - F.lit(1))) / n).alias("avg_token_len"),
     )
 
@@ -126,12 +133,29 @@ def q19_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q20_fingerprint",
-    oracle="SELECT doc_id, lang, source, md5(trim(text)) AS fingerprint FROM documents",
+    oracle="""
+    SELECT doc_id, lang, source, md5(trim(text)) AS fingerprint,
+           CASE WHEN length(text) = 0 THEN 0
+                ELSE list_reduce(
+                  list_prepend(0::BIGINT,
+                               [unicode(x) for x in string_split(text, '')]),
+                  (acc, c) -> (acc * 31 + c) % 1125899906842589)
+           END AS rhash
+    FROM documents
+    """,
 )
 def q20_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """128-bit deterministic content fingerprint (exact-dedup key)."""
+    """Content fingerprints for exact dedup: md5 (128-bit, content
+    addressing) + Rabin-Karp polynomial rolling hash (incrementally
+    maintainable — the primitive under content-defined chunking)."""
     docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", "lang", "source", fingerprint("text").alias("fingerprint"))
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        fingerprint("text").alias("fingerprint"),
+        rolling_hash("text").alias("rhash"),
+    )
 
 
 @query(

@@ -90,6 +90,22 @@ def test_feature_extraction_matches_numpy(spark, sf_dir):
     assert all(len(v) == 16 for v in feats.values())
 
 
+def test_resize_output_contract(spark, sf_dir):
+    """Every resized row carries exactly width*height bytes, and the
+    sampling is deterministic (same input → same pixels)."""
+    from sales_data_pipeline_spark.operators.multimodal import resize_media
+
+    docs = table(spark, sf_dir, "documents").limit(5)
+    media = attach_binary_payload(docs, "doc_id")
+    out = resize_media(media, width=16, height=8).collect()
+    assert len(out) == 5
+    for r in out:
+        assert (r.width, r.height) == (16, 8)
+        assert len(r.pixels) == 16 * 8
+    again = {r.media_id: bytes(r.pixels) for r in resize_media(media, 16, 8).collect()}
+    assert {r.media_id: bytes(r.pixels) for r in out} == again
+
+
 def test_real_codec_raises(spark, sf_dir):
     docs = table(spark, sf_dir, "documents").limit(1)
     media = attach_binary_payload(docs, "doc_id")
