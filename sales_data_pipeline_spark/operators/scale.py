@@ -1,0 +1,114 @@
+"""Skew & co-location tools for the 100 TB regime.
+
+The reference runs everything through default hash shuffles (its dims
+are ≤30 rows — nothing can skew, SURVEY §6). At real scale three
+failure modes appear that these helpers address:
+
+- ``salted_agg``: a hot group key (one customer with 10⁹ rows) turns a
+  groupBy into a single straggler task. Two-phase aggregation over a
+  deterministic salt spreads the hot key across ``n_salt`` reducers,
+  then combines the partials — valid for any algebraic aggregate
+  (sum/count/min/max here).
+- ``salted_join``: the join-side twin. The skewed (big) side gets a
+  per-row salt; the modest side is replicated ``n_salt`` times via an
+  inline explode, and the join key becomes (key, salt) — the hot key's
+  rows now land on n_salt different reducers. Use when the small side
+  fits memory×n_salt but not the broadcast budget. (When it DOES fit
+  the broadcast budget, broadcast; when AQE's skew-join split is
+  enough, do nothing — this is the manual tool for the worst cases.)
+- ``write_bucketed`` / ``read_bucketed``: pre-shuffle once at write
+  time, join shuffle-free forever after. Both sides bucketed by the
+  join key into the same bucket count ⇒ SortMergeJoin with NO Exchange
+  (asserted in tests). At 100 TB this converts every recurring
+  fact⋈fact join from a full network shuffle into a local merge.
+
+Salts are deterministic (xxhash64 of the whole row's key columns — no
+rand()), so retried tasks produce identical output: a requirement for
+exactly-once sinks and AQE replans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_ALGEBRAIC = {"sum", "count", "min", "max"}
+
+
+def _salt(cols: list[str], n_salt: int) -> Column:
+    # deterministic per-row spreading: hash every available column so
+    # rows of the SAME hot key still fan out across salts
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(n_salt))
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    n_salt: int = 32,
+) -> DataFrame:
+    """groupBy(keys).agg(...) resistant to hot keys.
+
+    ``aggs`` maps column -> one of sum/count/min/max. Phase 1 aggregates
+    by (keys, salt) — the hot key is split n_salt ways; phase 2 combines
+    partials by keys (count partials combine via sum). Output column
+    names: ``{fn}_{col}`` (aliases match what a direct groupBy with the
+    same aliases would produce)."""
+    unknown = set(aggs.values()) - _ALGEBRAIC
+    if unknown:
+        raise ValueError(f"non-algebraic aggregates not salt-splittable: {unknown}")
+    salted = df.withColumn("__salt", _salt(df.columns, n_salt))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[getattr(F, fn)(c).alias(f"{fn}_{c}") for c, fn in aggs.items()]
+    )
+    recombine = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    return partial.groupBy(*keys).agg(
+        *[
+            recombine[fn](f"{fn}_{c}").alias(f"{fn}_{c}")
+            for c, fn in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    skewed: DataFrame,
+    modest: DataFrame,
+    on: str,
+    n_salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot values of ``on``.
+
+    The skewed side gets a deterministic per-row salt in [0, n_salt);
+    the modest side is replicated once per salt value (explode of a
+    literal sequence — no extra shuffle of the skewed side beyond the
+    join's own), and the join runs on (on, salt): hot-key rows spread
+    over n_salt reducers instead of one straggler."""
+    left = skewed.withColumn("__salt", _salt(skewed.columns, n_salt))
+    right = modest.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    return left.join(right, [on, "__salt"], how).drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort: bool = True,
+) -> None:
+    """Persist as a bucketed (and bucket-sorted) managed table: the
+    one-time shuffle that makes every later join/agg on ``bucket_col``
+    shuffle-free (Exchange-less SortMergeJoin / partial-only agg)."""
+    writer = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    writer.saveAsTable(table_name)
+
+
+def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
+    """Read back a bucketed table (bucket metadata comes from the
+    catalog; the scan reports outputPartitioning = HashPartitioning on
+    the bucket column, which is what removes the join Exchange)."""
+    return spark.table(table_name)
