@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.catalog import table
+from sales_data_pipeline_spark.operators.asof import asof_join
 from sales_data_pipeline_spark.plans.registry import query
 
 # Narrow decimal casts for multiplication chains: (12,2)*(4,2) stays well
@@ -674,4 +675,57 @@ def q16_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.rollup("region_name", "nation_name").agg(
         _dec_sum("c_acctbal", _PRICE, "total_acctbal"),
         F.count("c_custkey").alias("n_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q30 — as-of join (most-recent-prior event enrichment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q30_asof_join",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase'),
+    v AS (SELECT user_id, ts, value FROM events WHERE event_type = 'view'),
+    ranked AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value,
+             v.ts AS view_ts, v.value AS view_value,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY v.ts DESC NULLS LAST) AS rn
+      FROM p LEFT JOIN v ON p.user_id = v.user_id AND v.ts <= p.ts
+    )
+    SELECT event_id, user_id, ts, value, view_ts, view_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q30_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase→view attribution: each purchase event picks up the most
+    recent prior 'view' by the same user — a LEFT ASOF join, an operator
+    Spark's API lacks, composed as union + last_value-ignore-nulls over
+    one (user, time) window (operators/asof.py): ONE shuffle, no UDF,
+    no quadratic time-range join. The oracle is the equivalent
+    row_number-over-inequality-join formulation (quadratic, fine at
+    oracle scale)."""
+    ev = table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "ts", "value")
+    out = asof_join(
+        purchases,
+        views,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_payload=["value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.col("ts_asof").alias("view_ts"),
+        F.col("value_asof").alias("view_value"),
     )

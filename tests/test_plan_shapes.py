@@ -1,0 +1,78 @@
+"""Physical-plan regression tests — the properties that decide whether
+a query survives a 100× scale-up: filters reach the parquet scan,
+scans read only needed columns, bounded dims broadcast, map-only
+operators stay map-only. A refactor that silently loses one of these
+still returns correct rows; these tests are what catch it."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.catalog import table
+from sales_data_pipeline_spark.operators.dedup import minhash_signatures
+from sales_data_pipeline_spark.plans import QUERIES
+
+
+def _plan(df) -> str:
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q05_filters_pushed_to_scan(spark, sf_dir):
+    plan = _plan(QUERIES["q05_revenue_filter"].fn(spark, sf_dir))
+    pushed = re.search(r"PushedFilters: \[(.*?)\]", plan)
+    assert pushed, plan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed.group(1), f"{col} not pushed: {pushed.group(1)}"
+
+
+def test_q05_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(QUERIES["q05_revenue_filter"].fn(spark, sf_dir))
+    schema = re.search(r"ReadSchema: struct<(.*?)>", plan)
+    assert schema, plan
+    cols = {c.split(":")[0] for c in schema.group(1).split(",")}
+    # only the predicate + aggregate columns, not all 16 lineitem cols
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q01_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(QUERIES["q01_pricing_summary"].fn(spark, sf_dir))
+    schema = re.search(r"ReadSchema: struct<(.*?)>", plan)
+    assert schema, plan
+    assert len(schema.group(1).split(",")) <= 8  # pruned, not the full table
+
+
+def test_q04_bounded_dims_broadcast(spark, sf_dir):
+    plan = _plan(QUERIES["q04_star_enrichment"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3  # nation, region, supplier
+    assert "CartesianProduct" not in plan
+
+
+def test_q02_single_shuffle(spark, sf_dir):
+    """Customer monthly mart = join + one aggregation shuffle. The
+    window+distinct formulation the reference used costs two extra
+    exchanges — this pins the rewrite."""
+    plan = _plan(QUERIES["q02_customer_monthly_mart"].fn(spark, sf_dir))
+    # broadcast exchanges don't repartition; count only shuffle exchanges
+    n_shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_shuffles <= 1, plan
+
+
+def test_minhash_signatures_map_only(spark, sf_dir):
+    """The 100 TB contract for signature computation: zero shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    plan = _plan(minhash_signatures(docs, "doc_id", "text", n=3, num_perm=16))
+    assert "Exchange" not in plan, plan
+
+
+def test_streaming_free_operators_stay_in_codegen(spark, sf_dir):
+    """Text analytics must not contain Python evaluation (BatchEvalPython
+    / ArrowEvalPython appear when a Python UDF sneaks into the plan)."""
+    for q in ("q17_text_stats", "q18_lang_id", "q19_quality_score", "q20_fingerprint"):
+        plan = _plan(QUERIES[q].fn(spark, sf_dir))
+        assert "EvalPython" not in plan, q
+        # the '* ' operator prefix marks whole-stage-codegen in formatted mode
+        assert "\n* " in plan or "+- * " in plan, q
