@@ -729,3 +729,73 @@ def q30_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_asof").alias("view_ts"),
         F.col("value_asof").alias("view_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q31 — exact percentiles (interpolated) per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q31_percentiles",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.5), 9) AS p50,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.9), 9) AS p90,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.99), 9) AS p99,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q31_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (both engines use
+    the (1-d)·lower + d·upper continuous-quantile formula; rounded to 9
+    digits to absorb last-bit noise). At 100 TB swap F.percentile for
+    F.percentile_approx — same plan shape, bounded-memory sketch, no
+    oracle equivalence (approx by design)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.5), 9).alias("p50"),
+        F.round(F.percentile("value", 0.9), 9).alias("p90"),
+        F.round(F.percentile("value", 0.99), 9).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q32 — pivot (wide aggregation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q32_pivot_status_revenue",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+                 THEN CAST(o_totalprice AS DECIMAL(14,2)) END), 0) AS DOUBLE) AS F,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+                 THEN CAST(o_totalprice AS DECIMAL(14,2)) END), 0) AS DOUBLE) AS O,
+           CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+                 THEN CAST(o_totalprice AS DECIMAL(14,2)) END), 0) AS DOUBLE) AS P
+    FROM orders GROUP BY 1
+    """,
+)
+def q32_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue pivoted by order status. The pivot values are
+    DECLARED (F/O/P), not discovered: an undeclared pivot costs an extra
+    distinct-collect job and is non-deterministic column-wise — never do
+    that at scale. Decimal-summed, double-presented, zero-filled."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            "o_orderstatus",
+            F.col("o_totalprice").cast("decimal(14,2)").alias("p"),
+        )
+        .groupBy("order_month")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.sum("p").cast("double"))
+        # a (month,status) cell with no rows is NULL out of pivot (the
+        # agg never runs for it) — zero-fill to match the mart contract
+        .na.fill(0.0, ["F", "O", "P"])
+    )
