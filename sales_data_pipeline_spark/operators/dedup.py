@@ -93,16 +93,41 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
-    """All pairs with Jaccard(shingles_a, shingles_b) ≥ threshold — exact.
+    """All pairs with Jaccard(shingles_a, shingles_b) ≥ threshold — EXACT,
+    via prefix filtering (the All-Pairs/PPJoin candidate rule).
 
-    Plan: explode distinct shingles → (optionally drop shingles appearing
-    in > max_shingle_freq docs: they contribute little to J but dominate
-    join fanout) → self-join on shingle with doc_a < doc_b → count common
-    → join per-doc shingle counts → J = common / (|A|+|B|-common)."""
-    idx = _shingle_index(df, id_col, text_col, n)
-    # |shingle set| is a narrow per-row expression — no explode+groupBy
-    sizes = _shingle_sets(df, id_col, text_col, n).select(
-        "doc", F.size("sh").alias("n_sh")
+    Sort each shingle set in one global order (the hash value itself);
+    two sets with J ≥ t MUST share an element inside each one's first
+    |S| - ⌈t·|S|⌉ + 1 elements, so only those prefixes are indexed and
+    self-joined — the join fanout drops to ~(1-t)² of the full inverted
+    index, which at 100 TB is the difference between a bounded shuffle
+    and a quadratic one, with zero loss of recall. A size predicate
+    (t·|A| ≤ |B| ≤ |A|/t, another J ≥ t necessity) prunes candidates in
+    the join itself; survivors are verified exactly with one
+    array_intersect over the full sets.
+
+    ``max_shingle_freq`` additionally drops prefix entries whose shingle
+    appears in more than that many docs — opt-in approximation for
+    stopword-run skew (a dropped shingle can cost candidate pairs)."""
+    sets = _shingle_sets(df, id_col, text_col, n).select(
+        "doc", F.array_sort("sh").alias("sh")
+    )
+    n_sh = F.size("sh")
+    prefix_len = n_sh - F.ceil(n_sh * F.lit(threshold)).cast("int") + F.lit(1)
+    # n_sh travels INSIDE the exploded struct, not as its own projected
+    # column: join conditions on n_a/n_b infer isnotnull constraints,
+    # and a plain column alias would let them push below the projection,
+    # re-inlining the whole shingle expression into the scan filter in
+    # its slow per-element form (same pathology as _shingle_index's
+    # explode_outer note — constraints cannot cross a Generate output).
+    prefix_entries = F.transform(
+        F.slice("sh", 1, F.greatest(prefix_len, F.lit(0))),
+        lambda s: F.struct(s.alias("shingle"), n_sh.alias("n_sh")),
+    )
+    idx = (
+        sets.select("doc", F.explode_outer(prefix_entries).alias("e"))
+        .filter(F.col("e").isNotNull())
+        .select("doc", F.col("e.shingle").alias("shingle"), F.col("e.n_sh").alias("n_sh"))
     )
     if max_shingle_freq is not None:
         rare = (
@@ -112,19 +137,28 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         idx = idx.join(rare, "shingle", "inner")
-    a = idx.select(F.col("doc").alias("doc_a"), "shingle")
-    b = idx.select(F.col("doc").alias("doc_b"), "shingle")
-    common = (
+    a = idx.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"), "shingle")
+    b = idx.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"), "shingle")
+    candidates = (
         a.join(b, "shingle", "inner")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.col("n_b") >= F.col("n_a") * threshold)
+            & (F.col("n_a") >= F.col("n_b") * threshold)
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
     )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = F.col("n_common") / (
+        F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - F.col("n_common")
+    )
     return (
-        common.join(sa, "doc_a").join(sb, "doc_b")
+        candidates.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", n_common.cast("bigint"))
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "n_common", "jaccard")

@@ -68,6 +68,22 @@ def test_minhash_signatures_map_only(spark, sf_dir):
     assert "Exchange" not in plan, plan
 
 
+def test_jaccard_scan_filters_stay_cheap(spark, sf_dir):
+    """Catalyst may infer isnotnull constraints from join conditions and
+    push them below projections, RE-INLINING expensive multi-referenced
+    expressions into the scan filter (measured ~18× slower when the
+    shingle pipeline lands there). The operators route such columns
+    through Generate outputs to block that; this pins it."""
+    from sales_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    plan = _plan(ngram_jaccard_pairs(docs, threshold=0.6))
+    for line in plan.splitlines():
+        if "DataFilters" in line or line.strip().startswith("Condition"):
+            assert "transform(" not in line, line
+            assert "array_sort" not in line, line
+
+
 def test_streaming_free_operators_stay_in_codegen(spark, sf_dir):
     """Text analytics must not contain Python evaluation (BatchEvalPython
     / ArrowEvalPython appear when a Python UDF sneaks into the plan)."""
