@@ -217,3 +217,70 @@ def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate cost. Verified against a pure-Python reference in tests."""
     docs = table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, max_hamming=3)
+
+
+@query(
+    "q33_corpus_curation",
+    headline=True,
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    scored AS (
+      SELECT doc_id, lang, source,
+        (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END) * 0.4
+        + (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) * 0.3
+        + least(len(list_filter(string_split(text,' '), x -> x IN {_STOP_SQL}))
+                / len(string_split(text,' ')) * 10.0, 1.0) * 0.3 AS quality,
+        md5(trim(text)) AS fp
+      FROM documents
+    ),
+    quality_pass AS (SELECT * FROM scored WHERE quality >= 0.5),
+    exact_kept AS (
+      SELECT * FROM quality_pass
+      WHERE doc_id = (SELECT min(q2.doc_id) FROM quality_pass q2 WHERE q2.fp = quality_pass.fp)
+    ),
+    near_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             count(*) / (sa.n_sh + sb.n_sh - count(*)) AS j
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      WHERE a.doc_id IN (SELECT doc_id FROM exact_kept)
+        AND b.doc_id IN (SELECT doc_id FROM exact_kept)
+      GROUP BY 1, 2, sa.n_sh, sb.n_sh
+      HAVING count(*) / (sa.n_sh + sb.n_sh - count(*)) >= 0.8
+    )
+    SELECT e.doc_id, e.lang, e.source, round(e.quality, 9) AS quality
+    FROM exact_kept e
+    WHERE e.doc_id NOT IN (SELECT doc_b FROM near_pairs)
+    """,
+)
+def q33_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end LLM-corpus curation pipeline, composed from the
+    catalog's own operators — the flagship text workload:
+
+      1. quality gate  (quality_score ≥ 0.5 — cheap map, runs first so
+         everything downstream sees fewer rows)
+      2. exact dedup   (md5 fingerprint, keep min doc_id)
+      3. near-dup drop (exact shingle-Jaccard ≥ 0.8 among survivors,
+         drop the larger doc_id of each pair; at 100 TB swap in
+         minhash_lsh_pairs — identical interface, sub-quadratic)
+
+    Output: the curated keep-list with per-doc quality. Stage order is
+    the scale design: each stage shrinks the set the next (more
+    expensive) stage touches."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        quality_score("text").alias("quality"),
+        fingerprint("text").alias("fp"),
+    ).filter(F.col("quality") >= 0.5)
+    keep_ids = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    kept = scored.join(keep_ids, "doc_id", "left_semi")
+    near = ngram_jaccard_pairs(kept, threshold=0.8).select("doc_b").distinct()
+    return (
+        kept.join(near, kept.doc_id == near.doc_b, "left_anti")
+        .select("doc_id", "lang", "source", F.round("quality", 9).alias("quality"))
+    )
