@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.catalog import table
 from sales_data_pipeline_spark.operators.asof import asof_join
+from sales_data_pipeline_spark.operators.range_join import range_join
 from sales_data_pipeline_spark.plans.registry import query
 
 # Narrow decimal casts for multiplication chains: (12,2)*(4,2) stays well
@@ -799,3 +800,44 @@ def q32_pivot_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # agg never runs for it) — zero-fill to match the mart contract
         .na.fill(0.0, ["F", "O", "P"])
     )
+
+
+# ---------------------------------------------------------------------------
+# q34 — range join (point-in-interval) via bin bucketing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q34_range_join",
+    oracle="""
+    WITH s AS (SELECT event_id AS signup_id, user_id, ts AS signup_ts,
+                      ts + INTERVAL '2 hours' AS window_end
+               FROM events WHERE event_type = 'signup'),
+    e AS (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'error')
+    SELECT e.event_id, e.user_id, e.ts, e.value, s.signup_id, s.signup_ts
+    FROM e JOIN s ON e.user_id = s.user_id
+                 AND s.signup_ts <= e.ts AND e.ts < s.window_end
+    """,
+)
+def q34_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Errors within 2 hours after a signup by the same user — a
+    point-in-interval join. Spark would nested-loop the inequality
+    condition; operators/range_join.py rewrites it as a bin-bucketed
+    equi-join on (user, time_bin): one shuffle each side, bounded
+    interval fanout, exact containment filter in the join. The oracle
+    runs the plain inequality join (fine at oracle scale)."""
+    ev = table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"),
+        "user_id",
+        F.col("ts").alias("signup_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("window_end"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return range_join(
+        errors, signups, key="user_id", point_ts="ts",
+        start_ts="signup_ts", end_ts="window_end", bin_width_seconds=3600,
+    ).select("event_id", "user_id", "ts", "value", "signup_id", "signup_ts")
