@@ -841,3 +841,73 @@ def q34_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         errors, signups, key="user_id", point_ts="ts",
         start_ts="signup_ts", end_ts="window_end", bin_width_seconds=3600,
     ).select("event_id", "user_id", "ts", "value", "signup_id", "signup_ts")
+
+
+# ---------------------------------------------------------------------------
+# q35 — global top-k (sort + limit → TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q35_shipping_priority",
+    oracle="""
+    SELECT
+      l_orderkey,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+        AS revenue,
+      o_orderdate,
+      o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderdate < TIMESTAMP '1996-06-15'
+      AND l_shipdate  > TIMESTAMP '1996-06-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q35_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped global top-10 by revenue. orderBy+limit compiles
+    to TakeOrderedAndProject — each partition keeps its local top-10 and
+    only those cross the wire, never a full global sort (the plan-shape
+    test pins this). l_orderkey tiebreak keeps ties deterministic."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    ).filter(F.col("o_orderdate") < F.lit("1996-06-15").cast("timestamp"))
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    ).filter(F.col("l_shipdate") > F.lit("1996-06-15").cast("timestamp"))
+    one = F.lit(1).cast(_RATE)
+    rev = F.col("l_extendedprice").cast(_PRICE) * (one - F.col("l_discount").cast(_RATE))
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "inner")
+        .join(li, orders.o_orderkey == li.l_orderkey, "inner")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q36 — approximate distinct counting (HLL sketch)
+# ---------------------------------------------------------------------------
+
+
+@query("q36_approx_distinct")  # sketch-based: rows-only driver check
+def q36_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct users per event type (rsd 2%). At 100 TB
+    exact count-distinct is a full shuffle of every distinct value;
+    the sketch is constant memory per group and merges associatively
+    (partial aggregation works). No SQL oracle — DuckDB's approx
+    algorithm differs; tests bound the error vs the exact count
+    instead."""
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -92,3 +92,31 @@ def test_streaming_free_operators_stay_in_codegen(spark, sf_dir):
         assert "EvalPython" not in plan, q
         # the '* ' operator prefix marks whole-stage-codegen in formatted mode
         assert "\n* " in plan or "+- * " in plan, q
+
+
+def test_q35_topk_avoids_global_sort(spark, sf_dir):
+    """orderBy+limit must compile to TakeOrderedAndProject (per-partition
+    top-k, k rows over the wire) — never a full global Sort+Exchange."""
+    plan = _plan(QUERIES["q35_shipping_priority"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+
+
+def test_q36_approx_distinct_within_rsd(spark, sf_dir):
+    """HLL++ at rsd=2% must land within 3σ of the exact distinct count."""
+    from pyspark.sql import functions as F2
+    from sales_data_pipeline_spark.catalog import table as _table
+
+    got = {
+        r.event_type: r.approx_users
+        for r in QUERIES["q36_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r.event_type: r.n
+        for r in _table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F2.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(got[et] - n) <= max(3, 0.06 * n), (et, got[et], n)
