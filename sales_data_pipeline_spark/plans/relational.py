@@ -911,3 +911,178 @@ def q36_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+# ---------------------------------------------------------------------------
+# q37 — cube (multi-dimensional super-aggregates in ONE pass)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q37_cube_revenue",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+      CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q37_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all four grouping sets —
+    detail, each single-dim rollup, grand total — in one shuffle via the
+    Expand operator (each input row is replicated once per grouping set
+    map-side, then one hash aggregate). The alternative, four separate
+    groupBys + union, scans the fact table four times; at 100 TB the
+    single Expand pass wins even though it inflates the shuffle 4x,
+    because partial aggregation collapses it before the wire. GROUPING()
+    flags distinguish "NULL because super-aggregate" from a genuinely
+    NULL group value. Complements q16's ROLLUP (reference surface has
+    neither; SURVEY §2d notes both come free from Spark)."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus").agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            _dec_sum("l_extendedprice", _PRICE, "sum_price"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag", "l_linestatus", "g_flag", "g_status",
+            "sum_price", "n_rows",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q38 — lead/lag navigation windows (inter-event gaps)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q38_event_gaps",
+    oracle="""
+    WITH gaps AS (
+      SELECT
+        user_id,
+        epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT
+      user_id,
+      COUNT(*) AS n_events,
+      CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+      CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+      CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps GROUP BY user_id
+    """,
+)
+def q38_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics via lag(): one shuffle on
+    user_id serves BOTH the navigation window and the final groupBy
+    (Catalyst reuses the hashpartitioning(user_id) exchange — the agg
+    runs shuffle-free on the window's output). Gaps are computed in
+    integer microseconds so sums are exact and order-independent;
+    (ts, event_id) ordering makes ties deterministic. lead/lag is the
+    one window class q08/q09/q15 didn't cover (SURVEY §2e: reference
+    has none)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    return (
+        ev.select("user_id", "ts", "event_id")
+        .withColumn("gap_us", gap)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").alias("sum_gap_us"),
+            F.max("gap_us").alias("max_gap_us"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q39 — set operations (INTERSECT / EXCEPT)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q39_retained_customers",
+    oracle="""
+    WITH y95 AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+                   AND o_orderdate < TIMESTAMP '1996-01-01'),
+         y96 AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+                   AND o_orderdate < TIMESTAMP '1997-01-01'),
+         flagged AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'),
+         retained AS (SELECT * FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+                      EXCEPT SELECT * FROM flagged)
+    SELECT c_custkey, c_mktsegment
+    FROM retained JOIN customer ON o_custkey = c_custkey
+    """,
+)
+def q39_retained_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers ordering in both 1995 and 1996 minus any with a
+    failed ('F') order — INTERSECT and EXCEPT, the set ops the
+    reference lacks (SURVEY §2g: union only). Spark plans both as
+    aggregate-style hash ops on the key column alone (1 narrow bigint
+    over the wire per branch, then left-semi/left-anti under AQE), so
+    the year filters push into the parquet scan and the wide customer
+    row is only fetched for the survivors."""
+    orders = table(spark, sf_dir, "orders")
+
+    def year_keys(y: int) -> DataFrame:
+        return orders.filter(
+            (F.col("o_orderdate") >= F.lit(f"{y}-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01").cast("timestamp"))
+        ).select("o_custkey")
+
+    flagged = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    retained = year_keys(1995).intersect(year_keys(1996)).subtract(flagged)
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return retained.join(
+        cust, retained.o_custkey == cust.c_custkey, "inner"
+    ).select("c_custkey", "c_mktsegment")
+
+
+# ---------------------------------------------------------------------------
+# q40 — hot-key-resistant aggregation (salted two-phase groupBy)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q40_salted_hot_key_agg",
+    oracle="""
+    SELECT
+      event_type,
+      CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+      COUNT(event_id) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def q40_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operators.scale.salted_agg path proven against a plain
+    GROUP BY oracle: phase 1 aggregates by (event_type, salt) spreading
+    any hot key over 16 reducers, phase 2 recombines partials. events
+    has only a handful of event_type values — exactly the cardinality
+    regime where ONE group would otherwise be one straggler task at
+    100 TB. Values are summed in decimal so the salted two-phase sum is
+    bitwise equal to the oracle's single-phase sum (double addition is
+    not associative; decimal is)."""
+    from sales_data_pipeline_spark.operators.scale import salted_agg
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", F.col("value").cast("decimal(18,4)").alias("value_d")
+    )
+    out = salted_agg(
+        ev, ["event_type"], {"value_d": "sum", "event_id": "count"}, n_salt=16
+    )
+    return out.select(
+        "event_type",
+        F.col("sum_value_d").cast("double").alias("total_value"),
+        F.col("count_event_id").alias("n_events"),
+    )

@@ -120,3 +120,31 @@ def test_q36_approx_distinct_within_rsd(spark, sf_dir):
     }
     for et, n in exact.items():
         assert abs(got[et] - n) <= max(3, 0.06 * n), (et, got[et], n)
+
+
+def _n_exchanges(plan: str) -> int:
+    # formatted mode lists each physical op once in the numbered detail
+    # section as "(N) Exchange" — count those, not tree-art mentions
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+
+
+def test_q37_cube_is_single_pass(spark, sf_dir):
+    """CUBE must plan as Expand + ONE shuffle — not four scans/unions."""
+    plan = _plan(QUERIES["q37_cube_revenue"].fn(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_q38_window_and_agg_share_one_shuffle(spark, sf_dir):
+    """lag() window and the per-user groupBy both partition by user_id;
+    Catalyst must reuse the single hashpartitioning exchange."""
+    plan = _plan(QUERIES["q38_event_gaps"].fn(spark, sf_dir))
+    assert "Window" in plan, plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_q40_salted_agg_is_two_phase(spark, sf_dir):
+    """Salted aggregation = exactly two exchanges: (key, salt) spread,
+    then key recombine."""
+    plan = _plan(QUERIES["q40_salted_hot_key_agg"].fn(spark, sf_dir))
+    assert _n_exchanges(plan) == 2, plan
