@@ -226,14 +226,18 @@ def minhash_signatures(
     signature computation is map-only and scales embarrassingly
     (an earlier explode+groupBy formulation shuffled every (doc,
     shingle) pair; at 100 TB that shuffle IS the job)."""
+    return _signatures_from_sets(_shingle_sets(df, id_col, text_col, n), num_perm)
+
+
+def _signatures_from_sets(sets: DataFrame, num_perm: int) -> DataFrame:
+    """Signatures from precomputed (doc, sh) sets — lets callers that
+    also need the sets elsewhere (LSH verify) share one materialization."""
     sh = F.col("__sh")
     mins = [
         F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))).alias(f"h{i}")
         for i in range(num_perm)
     ]
-    return _shingle_sets(df, id_col, text_col, n).withColumnRenamed("sh", "__sh").select(
-        "doc", *mins
-    )
+    return sets.withColumnRenamed("sh", "__sh").select("doc", *mins)
 
 
 def minhash_lsh_pairs(
@@ -252,7 +256,12 @@ def minhash_lsh_pairs(
     (linear-ish vs quadratic).
     """
     rows = num_perm // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_perm)
+    # one shingle pass feeds BOTH the signatures and the exact-verify
+    # arrays below; persist so it materializes once
+    sets = _shingle_sets(df, id_col, text_col, n)
+    if persist:
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = _signatures_from_sets(sets, num_perm)
     band_arr = F.array(
         *[
             F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)], F.lit(b))
@@ -275,11 +284,7 @@ def minhash_lsh_pairs(
     # O(|candidates| · shingles-per-doc), and the only shuffles are the
     # two joins that attach each side's shingle array. (The earlier
     # formulation re-joined the full index and semi-filtered AFTER —
-    # paying the quadratic join LSH exists to avoid.) The sets feed both
-    # verify sides — persist once instead of shingling twice.
-    sets = _shingle_sets(df, id_col, text_col, n)
-    if persist:
-        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    # paying the quadratic join LSH exists to avoid.)
     sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
