@@ -1086,3 +1086,165 @@ def q40_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value_d").cast("double").alias("total_value"),
         F.col("count_event_id").alias("n_events"),
     )
+
+# ---------------------------------------------------------------------------
+# q41 — semi-structured JSON extraction (variant-column pattern)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q41_json_props",
+    oracle="""
+    SELECT
+      event_type,
+      COUNT(*) AS n_events,
+      CAST(SUM(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS sum_k,
+      COUNT(*) FILTER (CAST(props->>'$.k' AS INTEGER) >= 50) AS n_high
+    FROM events GROUP BY event_type
+    """,
+)
+def q41_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed extraction from a JSON string column (the engine's variant
+    pattern — SURVEY §1 upgrades the reference's comma-joined
+    additional_column to queryable JSON, main.py:258). from_json with an
+    explicit schema runs JVM-side (Jackson inside codegen, no Python);
+    at 100 TB the win over re-parsing per expression is that ONE parse
+    feeds every extracted field. Integer sums keep the aggregate
+    order-independent."""
+    ev = table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.count_if(F.col("k") >= 50).alias("n_high"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q42 — correlated aggregate subquery, decorrelated (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q42_small_qty_revenue",
+    oracle="""
+    WITH agg AS (
+      SELECT l_partkey,
+             SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+             COUNT(*) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS DOUBLE)
+        AS avg_yearly,
+      COUNT(*) AS n_rows
+    FROM lineitem li
+    JOIN part ON p_partkey = li.l_partkey
+    JOIN agg  ON agg.l_partkey = li.l_partkey
+    WHERE p_brand = 'Brand#1'
+      AND CAST(l_quantity AS DECIMAL(12,2)) * 5 * cnt < sum_qty
+    """,
+)
+def q42_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped correlated scalar subquery (``l_quantity <
+    0.2·avg(qty) per part``), written directly in its decorrelated form:
+    one per-part aggregate, joined back — which is exactly the plan
+    Catalyst would rewrite the subquery into, minus the rewrite risk.
+    The boundary predicate is restated integer-exactly
+    (5·q·cnt < sum_qty, all decimal/bigint) so Spark and the oracle
+    agree even when a quantity sits exactly on 0.2·avg — a double
+    division there is a coin-flip. The brand filter broadcasts: tiny
+    part side prunes both the fact scan and the aggregate join under
+    AQE."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    part_f = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#1")
+        .select("p_partkey")
+    )
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(_QTY)).alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey)
+        .join(agg, "l_partkey")
+        .filter(F.col("l_quantity").cast(_QTY) * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(_PRICE)).cast("double") / 7.0)
+            .cast("double")
+            .alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q43 — rolling range-frame window (trailing 7-day revenue)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q43_rolling_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT
+        o_custkey,
+        datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT
+      o_custkey,
+      day_idx,
+      CAST(rev AS DOUBLE) AS daily_rev,
+      CAST(SUM(rev) OVER (
+        PARTITION BY o_custkey ORDER BY day_idx
+        RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+      ) AS DOUBLE) AS rev_7d
+    FROM daily
+    """,
+)
+def q43_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day revenue per customer: a RANGE frame over an
+    integer day index (value-based — days with no orders still shrink
+    the frame, which rowsBetween would get wrong). Pre-aggregating to
+    daily grain BEFORE the window keeps the sort buffer at
+    days-per-customer, not orders-per-customer. The explicit
+    repartition("o_custkey") makes ONE exchange serve both steps:
+    hashpartitioning(custkey) satisfies the groupBy's (custkey, day)
+    clustering AND the window's partitioning, where the default plan
+    would shuffle on (custkey, day) for the agg and again on custkey
+    for the window (plan-shape test pins the single exchange). Frames
+    q08/q38 didn't cover: explicit rangeBetween."""
+    orders = table(spark, sf_dir, "orders")
+    day_idx = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    )
+    daily = (
+        orders.select(
+            "o_custkey",
+            day_idx.alias("day_idx"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .repartition("o_custkey")
+        .groupBy("o_custkey", "day_idx")
+        .agg(F.sum("p").alias("rev"))
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_idx")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "o_custkey",
+        "day_idx",
+        F.col("rev").cast("double").alias("daily_rev"),
+        F.sum("rev").over(w).cast("double").alias("rev_7d"),
+    )

@@ -148,3 +148,17 @@ def test_q40_salted_agg_is_two_phase(spark, sf_dir):
     then key recombine."""
     plan = _plan(QUERIES["q40_salted_hot_key_agg"].fn(spark, sf_dir))
     assert _n_exchanges(plan) == 2, plan
+
+
+def test_q43_daily_agg_and_range_window_share_one_shuffle(spark, sf_dir):
+    """Daily pre-agg and the 7-day RANGE window both partition by
+    o_custkey — one exchange must serve both."""
+    plan = _plan(QUERIES["q43_rolling_revenue"].fn(spark, sf_dir))
+    assert "Window" in plan, plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_q41_json_parse_stays_jvm_side(spark, sf_dir):
+    """from_json extraction must not fall out of codegen into Python."""
+    plan = _plan(QUERIES["q41_json_props"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan, plan
