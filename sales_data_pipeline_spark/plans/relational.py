@@ -1248,3 +1248,111 @@ def q43_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rev").cast("double").alias("daily_rev"),
         F.sum("rev").over(w).cast("double").alias("rev_7d"),
     )
+
+# ---------------------------------------------------------------------------
+# q44 — deterministic train/val/test split (content-hash bucketing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q44_training_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT
+        source,
+        CASE
+          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('e', 'f') THEN
+            CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) = 'e'
+                 THEN 'val' ELSE 'test' END
+          ELSE 'train'
+        END AS split,
+        length(text) AS n_chars
+      FROM documents
+    )
+    SELECT
+      source,
+      split,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY source, split
+    """,
+)
+def q44_training_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 14/1/1 train/val/test split per source via the last
+    hex digit of md5(doc_id) — the property a training pipeline needs
+    that rand()/sampleBy cannot give: the SAME doc lands in the SAME
+    split on every run, every cluster size, every partitioning (retried
+    tasks included), and adding new docs never reshuffles old ones.
+    md5 is bit-identical across Spark and the oracle, so the split
+    itself is oracle-checkable — not just its sizes. Map-only until the
+    final count: no shuffle of document bodies."""
+    docs = table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    split = (
+        F.when(digit == "e", "val")
+        .when(digit == "f", "test")
+        .otherwise("train")
+    )
+    return (
+        docs.select("source", split.alias("split"), F.length("text").alias("n_chars"))
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q45 — full outer join (reconciliation with both-sides-optional)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q45_acct_order_reconciliation",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_rev,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT
+      COALESCE(c_custkey, o_custkey) AS custkey,
+      CAST(c_acctbal AS DOUBLE) AS acctbal,
+      CAST(total_rev AS DOUBLE) AS total_rev,
+      COALESCE(n_orders, 0) AS n_orders,
+      CASE WHEN c_custkey IS NULL THEN 'orphan_orders'
+           WHEN o_custkey IS NULL THEN 'no_orders'
+           ELSE 'matched' END AS status
+    FROM customer FULL OUTER JOIN rev ON c_custkey = o_custkey
+    """,
+)
+def q45_acct_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-vs-orders reconciliation: FULL OUTER join surfacing
+    customers with no orders AND orders referencing missing customers —
+    the join type every audit/backfill pipeline needs and the reference
+    lacks entirely (SURVEY §2c: inner only). Aggregating orders to one
+    row per custkey BEFORE the join keeps the outer join 1:1 (its
+    output size is bounded by |customers| + |custkeys|, not |orders|);
+    full outer forces a shuffle join — there is no broadcast variant —
+    so both sides arrive pre-shrunk."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    rev = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_rev"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    j = cust.join(rev, cust.c_custkey == rev.o_custkey, "full_outer")
+    return j.select(
+        F.coalesce("c_custkey", "o_custkey").alias("custkey"),
+        F.col("c_acctbal").cast("double").alias("acctbal"),
+        F.col("total_rev").cast("double").alias("total_rev"),
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.when(F.col("c_custkey").isNull(), "orphan_orders")
+        .when(F.col("o_custkey").isNull(), "no_orders")
+        .otherwise("matched")
+        .alias("status"),
+    )
