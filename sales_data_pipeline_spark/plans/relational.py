@@ -1356,3 +1356,114 @@ def q45_acct_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame
         .otherwise("matched")
         .alias("status"),
     )
+
+# ---------------------------------------------------------------------------
+# q46 — calendar gap-fill + forward-fill (time-series resampling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q46_gap_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT
+        min(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS mn,
+        max(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))) AS mx
+      FROM orders
+    ),
+    pri AS (SELECT DISTINCT o_orderpriority FROM orders),
+    grid AS (
+      SELECT o_orderpriority, unnest(generate_series(mn, mx)) AS day_idx
+      FROM pri, bounds
+    ),
+    daily AS (
+      SELECT
+        o_orderpriority,
+        datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS day_idx,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT
+      g.o_orderpriority,
+      g.day_idx,
+      CAST(COALESCE(d.rev, 0) AS DOUBLE) AS rev,
+      CAST(LAST_VALUE(d.rev IGNORE NULLS) OVER (
+        PARTITION BY g.o_orderpriority ORDER BY g.day_idx
+      ) AS DOUBLE) AS rev_ffill
+    FROM grid g
+    LEFT JOIN daily d
+      ON d.o_orderpriority = g.o_orderpriority AND d.day_idx = g.day_idx
+    """,
+)
+def q46_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: densify daily revenue per order priority
+    onto a complete calendar (zero-fill) and forward-fill the last
+    observed value across gaps — the hypertable-rollup shape. The
+    calendar is GENERATED (sequence + explode from one aggregated
+    bounds row, broadcast onto the distinct keys), never materialized
+    as input data; the left join is grid ⋈ pre-aggregated daily rows,
+    so its size is keys × days regardless of raw row count. Forward
+    fill is last(ignorenulls) over the default unbounded-preceding
+    frame — running state inside one window pass, no self-join."""
+    orders = table(spark, sf_dir, "orders")
+    day_idx = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    )
+    daily = (
+        orders.select(
+            "o_orderpriority",
+            day_idx.alias("day_idx"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("p"),
+        )
+        .groupBy("o_orderpriority", "day_idx")
+        .agg(F.sum("p").alias("rev"))
+    )
+    bounds = orders.agg(
+        F.min(day_idx).alias("mn"), F.max(day_idx).alias("mx")
+    )
+    pri = orders.select("o_orderpriority").distinct()
+    grid = pri.crossJoin(F.broadcast(bounds)).select(
+        "o_orderpriority",
+        F.explode(F.sequence(F.col("mn"), F.col("mx"))).alias("day_idx"),
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("day_idx")
+    return (
+        grid.join(daily, ["o_orderpriority", "day_idx"], "left")
+        .select(
+            "o_orderpriority",
+            "day_idx",
+            F.coalesce(F.col("rev"), F.lit(0)).cast("double").alias("rev"),
+            F.last("rev", ignorenulls=True).over(w).cast("double").alias("rev_ffill"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q47 — approximate percentiles (mergeable quantile sketch)
+# ---------------------------------------------------------------------------
+
+
+@query("q47_approx_percentiles")  # sketch-based: rows-only driver check
+def q47_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p95/p99 order value per priority via approx_percentile
+    (Greenwald-Khanna sketch, accuracy 1/10000). Exact per-group
+    percentiles (q31) need every value collected per group; the sketch
+    is bounded memory and MERGEABLE, so partial aggregation works and
+    the shuffle carries one sketch per (partition, group) instead of
+    every row — at 100 TB that is the only viable percentile plan.
+    No SQL oracle (DuckDB's approx algorithm differs); the test bounds
+    each sketch value against the exact percentile's neighborhood
+    instead."""
+    orders = table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.approx_percentile(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+        ).alias("pcts"),
+        F.count(F.lit(1)).alias("n_orders"),
+    ).select(
+        "o_orderpriority",
+        F.col("pcts")[0].alias("p50"),
+        F.col("pcts")[1].alias("p95"),
+        F.col("pcts")[2].alias("p99"),
+        "n_orders",
+    )

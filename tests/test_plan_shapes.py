@@ -162,3 +162,32 @@ def test_q41_json_parse_stays_jvm_side(spark, sf_dir):
     """from_json extraction must not fall out of codegen into Python."""
     plan = _plan(QUERIES["q41_json_props"].fn(spark, sf_dir))
     assert "EvalPython" not in plan, plan
+
+
+def test_q47_approx_percentiles_bounded_error(spark, sf_dir):
+    """A rank-error sketch guarantees rank, not value: assert each approx
+    value lies within the exact [q-0.02, q+0.02] percentile band (wide
+    vs the sketch's 1e-4 guarantee, but small groups make neighboring
+    ranks far apart in VALUE, so value-relative checks would flake)."""
+    got = {
+        r.o_orderpriority: r
+        for r in QUERIES["q47_approx_percentiles"].fn(spark, sf_dir).collect()
+    }
+    from sales_data_pipeline_spark.catalog import table as _table
+
+    exact = (
+        _table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.expr(
+                "percentile(o_totalprice, array(0.48, 0.52, 0.93, 0.97, 1.0))"
+            ).alias("band")
+        )
+        .collect()
+    )
+    bands = {r.o_orderpriority: r.band for r in exact}
+    for key, g in got.items():
+        lo_p50, hi_p50, lo_p95, hi_p95, top = bands[key]
+        assert lo_p50 <= g.p50 <= hi_p50, (key, "p50", g.p50, lo_p50, hi_p50)
+        assert lo_p95 <= g.p95 <= hi_p95, (key, "p95", g.p95, lo_p95, hi_p95)
+        assert hi_p95 <= g.p99 <= top, (key, "p99", g.p99, hi_p95, top)
