@@ -166,3 +166,23 @@ def sessionize_stateful(events: DataFrame, gap_seconds: int = 1800) -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """At-least-once ingestion → exactly-once rows: drop re-deliveries of
+    the same key arriving within the watermark, across micro-batches.
+
+    This is the streaming face of the batch dedup operators (exact_dedup
+    in operators/dedup.py): dropDuplicatesWithinWatermark keeps one state
+    entry per key only until the watermark passes its event time, so
+    state is bounded by (arrival rate × watermark) — a plain
+    dropDuplicates on a stream would grow state forever. Keys re-sent
+    later than the watermark are beyond the exactly-once contract (the
+    upstream replayer is expected to stay inside it)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.streaming.events import (
+    dedup_stream,
     hourly_event_rollup,
     read_event_stream,
     sessionize_stateful,
@@ -134,3 +135,40 @@ def test_sessionize_state_spans_batches(spark, tmp_path):
     assert (closed[0].session_end - closed[0].session_start).total_seconds() == 20
     open_rows = [r for r in rows if r.closed == "N"]
     assert open_rows[-1].n_events == 1 and open_rows[-1].total_value == pytest.approx(4.0)
+
+
+def test_dedup_stream_drops_cross_batch_redeliveries(spark, tmp_path):
+    """The same event_id re-delivered in a later micro-batch (within the
+    watermark) must appear exactly once downstream."""
+    src = tmp_path / "events"
+    _write_events_with_ids(spark, str(src / "f1"), [
+        (1, 0, 1, "click", 1.0), (2, 60, 1, "click", 2.0),
+    ])
+    time.sleep(1.1)  # distinct mod-times → deterministic batch order
+    # batch 2: event 2 re-delivered (duplicate), event 3 new
+    _write_events_with_ids(spark, str(src / "f2"), [
+        (2, 60, 1, "click", 2.0), (3, 120, 2, "view", 5.0),
+    ])
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        dedup_stream(stream, watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("deduped")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT event_id FROM deduped").collect()
+    ids = sorted(r.event_id for r in rows)
+    assert ids == [1, 2, 3], ids
+
+
+def _write_events_with_ids(spark, path: str, rows: list[tuple]) -> None:
+    df = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, et, v)
+         for i, s, u, et, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
