@@ -1467,3 +1467,62 @@ def q47_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pcts")[2].alias("p99"),
         "n_orders",
     )
+
+# ---------------------------------------------------------------------------
+# q48 — distribution windows (ntile deciles + percent_rank)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q48_spend_deciles",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT
+      c_mktsegment,
+      CAST(NTILE(10) OVER (
+        PARTITION BY c_mktsegment ORDER BY total_spend DESC, o_custkey
+      ) AS BIGINT) AS decile,
+      o_custkey AS custkey,
+      CAST(total_spend AS DOUBLE) AS total_spend,
+      ROUND(PERCENT_RANK() OVER (
+        PARTITION BY c_mktsegment ORDER BY total_spend DESC, o_custkey
+      ), 9) AS pct_rank
+    FROM spend JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q48_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend deciles per market segment: ntile(10) +
+    percent_rank over (segment, spend desc) — the distribution windows
+    (SURVEY §2e: reference has none; q03/q09 covered rank only).
+    o_custkey tiebreak makes both functions deterministic under equal
+    spends. The percentile position here is computed by ONE sort per
+    segment partition — contrast q31's exact-percentile aggregation,
+    which collects values per group; a ranking window is the cheaper
+    shape when every row needs its own position. percent_rank rounds to
+    9 places: its divisor (n-1) makes it a true double, and Spark and
+    the oracle may disagree in the 17th digit."""
+    spend = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_spend")
+        )
+    )
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("total_spend").desc(), "o_custkey"
+    )
+    return (
+        spend.join(cust, spend.o_custkey == cust.c_custkey)
+        .select(
+            "c_mktsegment",
+            F.ntile(10).over(w).cast("bigint").alias("decile"),
+            F.col("o_custkey").alias("custkey"),
+            F.col("total_spend").cast("double").alias("total_spend"),
+            F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        )
+    )

@@ -191,3 +191,22 @@ def test_q47_approx_percentiles_bounded_error(spark, sf_dir):
         assert lo_p50 <= g.p50 <= hi_p50, (key, "p50", g.p50, lo_p50, hi_p50)
         assert lo_p95 <= g.p95 <= hi_p95, (key, "p95", g.p95, lo_p95, hi_p95)
         assert hi_p95 <= g.p99 <= top, (key, "p99", g.p99, hi_p95, top)
+
+
+def test_partitioned_write_then_read_prunes_partitions(spark, sf_dir, tmp_path):
+    """The mart write path partitions by month; a month-filtered read
+    must show PartitionFilters at the scan (static pruning) and touch
+    no other month's files — the property that turns a 100 TB table
+    into a one-partition read."""
+    out = str(tmp_path / "orders_by_month")
+    orders = table(spark, sf_dir, "orders").withColumn(
+        "sales_month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    orders.write.mode("overwrite").partitionBy("sales_month").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("sales_month") == "1995-03")
+    plan = _plan(df)
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "sales_month" in m.group(1), plan
+    # and the filter really prunes: only 1995-03 files are read
+    files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
+    assert files and all("sales_month=1995-03" in f for f in files), files[:3]
