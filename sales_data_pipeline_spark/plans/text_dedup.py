@@ -284,3 +284,51 @@ def q33_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         kept.join(near, kept.doc_id == near.doc_b, "left_anti")
         .select("doc_id", "lang", "source", F.round("quality", 9).alias("quality"))
     )
+
+
+@query(
+    "q49_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    )
+    SELECT u AS doc, least(u, min(v)) AS cluster FROM reach GROUP BY u
+    """,
+)
+def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → dedup CLUSTERS: connected components over the
+    exact Jaccard≥0.6 pair graph (operators/graph.py — min-label
+    propagation with pointer jumping, O(log diameter) rounds, two
+    node-keyed shuffles per round). Transitive closure matters: A~B~C
+    groups even when A!~C directly, which pairwise dedup (q33's drop
+    rule) cannot express. The oracle computes the same components via
+    a recursive reachability CTE — tractable at test scale, which is
+    exactly why the iterative Spark formulation exists for the real
+    one. Cluster id = min member doc_id (deterministic canonical
+    representative)."""
+    from sales_data_pipeline_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6)
+    return connected_components(pairs).select(
+        F.col("node").alias("doc"), "cluster"
+    )

@@ -99,3 +99,30 @@ def test_short_doc_shingles_empty_not_descending(spark):
     df = spark.createDataFrame([(1, "one two"), (2, "a b c d")], "doc_id long, text string")
     out = ngram_jaccard_pairs(df, threshold=0.0).collect()
     assert out == []  # no shared 3-grams between the two docs
+
+
+def test_connected_components_transitive_chain(spark):
+    """A~B~C~D chain collapses to one cluster labeled by its min node,
+    disjoint pair stays separate, and results are deterministic."""
+    from sales_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 7), (7, 4), (4, 9), (11, 12)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.cluster for r in connected_components(pairs).collect()}
+    assert got == {2: 2, 7: 2, 4: 2, 9: 2, 11: 11, 12: 11}
+    again = {r.node: r.cluster for r in connected_components(pairs).collect()}
+    assert again == got
+
+
+def test_connected_components_long_path_converges(spark):
+    """A 64-node path needs pointer jumping to converge inside the
+    iteration budget (plain propagation would need 63 rounds)."""
+    from sales_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    got = connected_components(pairs).collect()
+    assert {r.cluster for r in got} == {0}
+    assert len(got) == 65
