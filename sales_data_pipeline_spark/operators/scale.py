@@ -112,3 +112,48 @@ def read_bucketed(spark: SparkSession, table_name: str) -> DataFrame:
     catalog; the scan reports outputPartitioning = HashPartitioning on
     the bucket column, which is what removes the join Exchange)."""
     return spark.table(table_name)
+
+
+def zorder_key(col_a: str, col_b: str, bits: int = 16) -> Column:
+    """Morton/Z-order key: bit-interleave the low ``bits`` bits of two
+    non-negative int columns (a pure codegen expression — 2·bits
+    shift/mask/or terms, no UDF).
+
+    Sorting a table by this key before writing gives every file tight
+    min/max ranges on BOTH dimensions at once, so parquet row-group
+    stats prune scans filtered on EITHER column — the layout trick
+    single-column sorting can't do (sorted-by-date files span every
+    customer; z-ordered files span a date×customer rectangle). Inputs
+    must fit in ``bits`` bits: pre-bucket or scale wider domains first
+    (the curve's locality is what matters, not exact values)."""
+    a = F.col(col_a).cast("bigint")
+    b = F.col(col_b).cast("bigint")
+    z = F.lit(0).cast("bigint")
+    one = F.lit(1).cast("bigint")
+    for i in range(bits):
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(a, i).bitwiseAND(one), 2 * i))
+        z = z.bitwiseOR(F.shiftleft(F.shiftright(b, i).bitwiseAND(one), 2 * i + 1))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int = 16,
+    n_files: int = 32,
+) -> None:
+    """Write parquet laid out along the Z-curve of (col_a, col_b):
+    range-partition by the interleaved key (one skew-free shuffle —
+    range boundaries come from sampling), sort within partitions, drop
+    the key. Readers filtering on either column then skip most
+    row groups via footer min/max — data-skipping without an index."""
+    keyed = df.withColumn("__z", zorder_key(col_a, col_b, bits))
+    (
+        keyed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

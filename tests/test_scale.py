@@ -123,3 +123,34 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from sales_data_pipeline_spark.operators.scale import zorder_key
+
+    df = spark.createDataFrame([(5, 3)], "a long, b long")  # 0b101, 0b011
+    z = df.select(zorder_key("a", "b", bits=3).alias("z")).first().z
+    # a bits → even positions (0,4), b bits → odd positions (1,3):
+    # 1 + 2 + 8 + 16 = 27
+    assert z == 27
+
+
+def test_zorder_partitions_are_2d_local(spark):
+    """Quartiles of the z-order each cover ~1/4 of the 2-D AREA (one
+    quadrant of the grid) — the locality single-column sorting lacks
+    (its quartiles span the full range of the second column)."""
+    from sales_data_pipeline_spark.operators.scale import zorder_key
+
+    rows = [(a, b) for a in range(16) for b in range(16)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    ordered = [
+        (r.a, r.b)
+        for r in df.select("a", "b", zorder_key("a", "b", bits=4).alias("z"))
+        .orderBy("z")
+        .collect()
+    ]
+    for q in range(4):
+        chunk = ordered[q * 64 : (q + 1) * 64]
+        aw = max(c[0] for c in chunk) - min(c[0] for c in chunk) + 1
+        bw = max(c[1] for c in chunk) - min(c[1] for c in chunk) + 1
+        assert aw * bw == 64, (q, aw, bw)  # exactly one 8×8 quadrant
