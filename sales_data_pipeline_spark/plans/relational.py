@@ -1526,3 +1526,72 @@ def q48_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# q50 — latest-record-per-key (row_number dedup, the SCD/upsert pattern)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q50_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q50_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — row_number()==1 over (key, time desc):
+    the dedup shape every CDC/upsert ingest needs (keep the newest
+    version of each entity). row_number, not rank: exactly ONE survivor
+    per key even on timestamp ties (event_id breaks them
+    deterministically). One shuffle on the key; at 100 TB prefer this
+    over groupBy(max(ts))+self-join, which shuffles twice and re-reads
+    the fact."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.select("user_id", "event_id", "event_type", "value", "ts")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q51 — token frequency top-k (explode / lateral view as a query surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q51_token_topk",
+    oracle="""
+    SELECT tok, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+    """,
+)
+def q51_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: explode tokens → count → global top-20.
+    The Generate (lateral view) operator as a first-class query — rows
+    expand ~50× at the explode, but partial aggregation collapses them
+    before the shuffle and the final orderBy+limit is
+    TakeOrderedAndProject (per-partition top-k, never a global sort).
+    This count is the input to stopword lists / vocab pruning in a
+    training pipeline."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(20)
+    )
