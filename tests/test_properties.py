@@ -1,0 +1,118 @@
+"""Property-based invariants (hypothesis) — SURVEY §5's test-strategy
+upgrade: the reference established correctness by eyeball; here the
+algebraic contracts that make operators safe to run at 100 TB are
+checked over generated inputs, not one golden case.
+
+Each property is the exact reason an operator scales:
+- salted_agg is ONLY valid because sum/count/min/max are algebraic —
+  if the recombine step ever drifted from plain groupBy, hot-key
+  spreading would silently corrupt results.
+- zorder_key must be injective on its domain — a collision would merge
+  unrelated (a, b) cells and break row-group pruning guarantees.
+- asof_join must pick the latest quote ≤ event time — the invariant a
+  union+window implementation could silently violate on boundary ties.
+
+Examples are kept small and few: every example is a real Spark job.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+_SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+rows_strategy = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(-1000, 1000)),
+    min_size=1,
+    max_size=40,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=rows_strategy, n_salt=st.integers(2, 8))
+def test_salted_agg_matches_groupby_on_generated_data(spark, rows, n_salt):
+    from sales_data_pipeline_spark.operators.scale import salted_agg
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        (r.k): (r.sum_v, r.count_v, r.min_v, r.max_v)
+        for r in salted_agg(
+            df, ["k"], {"v": "sum"}, n_salt=n_salt
+        ).join(
+            salted_agg(df, ["k"], {"v": "count"}, n_salt=n_salt), "k"
+        ).join(
+            salted_agg(df, ["k"], {"v": "min"}, n_salt=n_salt), "k"
+        ).join(
+            salted_agg(df, ["k"], {"v": "max"}, n_salt=n_salt), "k"
+        ).collect()
+    }
+    want = {
+        r.k: (r.sum_v, r.count_v, r.min_v, r.max_v)
+        for r in df.groupBy("k")
+        .agg(
+            F.sum("v").alias("sum_v"),
+            F.count("v").alias("count_v"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 255), st.integers(0, 255)),
+        min_size=2,
+        max_size=60,
+        unique=True,
+    )
+)
+def test_zorder_key_is_injective(spark, pts):
+    from sales_data_pipeline_spark.operators.scale import zorder_key
+
+    df = spark.createDataFrame(pts, "a long, b long")
+    zs = [r.z for r in df.select(zorder_key("a", "b", bits=8).alias("z")).collect()]
+    assert len(set(zs)) == len(pts)
+    # and it IS the interleave: recompute driver-side
+    def interleave(a, b):
+        z = 0
+        for i in range(8):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert sorted(zs) == sorted(interleave(a, b) for a, b in pts)
+
+
+@settings(**_SETTINGS)
+@given(
+    events=st.lists(st.integers(0, 1000), min_size=1, max_size=25),
+    quotes=st.lists(st.integers(0, 1000), min_size=1, max_size=25, unique=True),
+)
+def test_asof_join_picks_latest_quote_at_or_before(spark, events, quotes):
+    from sales_data_pipeline_spark.operators.asof import asof_join
+
+    ev = spark.createDataFrame(
+        [(i, 1, float(t)) for i, t in enumerate(events)], "eid long, k long, t double"
+    ).select("eid", "k", F.timestamp_seconds("t").alias("ts"))
+    qt = spark.createDataFrame(
+        [(i, 1, float(t)) for i, t in enumerate(quotes)], "qid long, k long, qt double"
+    ).select("qid", "k", F.timestamp_seconds("qt").alias("qts"))
+    got = {
+        r.eid: r.qid_asof
+        for r in asof_join(
+            ev, qt, key="k", left_ts="ts", right_ts="qts", right_payload=["qid"]
+        ).collect()
+    }
+    for i, t in enumerate(events):
+        eligible = [(qt_, j) for j, qt_ in enumerate(quotes) if qt_ <= t]
+        want = max(eligible)[1] if eligible else None
+        assert got.get(i) == want, (i, t, got.get(i), want)
