@@ -45,3 +45,15 @@ def move_file(spark: SparkSession, src: str, dst_dir: str) -> str:
         fs.delete(dst_p, False)
     fs.rename(src_p, dst_p)
     return dst_p.toString()
+
+
+def delete_path(spark: SparkSession, path: str, recursive: bool = False) -> bool:
+    """Delete a file (or, with ``recursive``, a directory tree) — the
+    reference's S3Deleter / delete_local_file pair (aws_delete.py:11-23,
+    local_file_delete.py:5-19) as one FS-agnostic verb. Returns False if
+    the path did not exist (idempotent cleanup: re-runs after a partial
+    failure must not error on already-removed staging files)."""
+    _, fs, p = _fs(spark, path)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, recursive))

@@ -177,3 +177,15 @@ def test_strict_compat_marts_match_default(spark, cfg):
         a = a[cols].sort_values(cols).reset_index(drop=True)
         b = b[cols].sort_values(cols).reset_index(drop=True)
         assert a.equals(b), fn.__name__
+
+
+def test_delete_path_idempotent(spark, tmp_path):
+    from sales_data_pipeline_spark.pipeline.fs import delete_path, list_files
+
+    f = tmp_path / "landing" / "a.csv"
+    f.parent.mkdir()
+    f.write_text("x,y\n1,2\n")
+    assert delete_path(spark, str(f)) is True
+    assert list_files(spark, str(tmp_path / "landing")) == []
+    assert delete_path(spark, str(f)) is False  # second delete: no error
+    assert delete_path(spark, str(tmp_path / "landing"), recursive=True) is True
