@@ -38,6 +38,18 @@ def compare_frames(got: pd.DataFrame, want: pd.DataFrame) -> list[str]:
     if len(got) != len(want):
         problems.append(f"row count: engine={len(got)} oracle={len(want)}")
         return problems
+    # The driver hashes *typed* values, so an int64-vs-float64 drift that
+    # width-unification below would hide (e.g. an uncast DuckDB HUGEINT sum
+    # arriving as float64) must fail here too.
+    for c in sorted(got.columns):
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        if {gk, wk} == {"i", "f"} or {gk, wk} == {"u", "f"}:
+            problems.append(
+                f"column {c!r} dtype kind mismatch: engine={got[c].dtype} "
+                f"oracle={want[c].dtype} (cast the oracle, cf. CAST(... AS BIGINT))"
+            )
+    if problems:
+        return problems
     g, w = normalize_frame(got), normalize_frame(want)
     for c in g.columns:
         gv, wv = g[c].to_numpy(), w[c].to_numpy()
