@@ -161,19 +161,13 @@ def lsh_ann(
     recall measured against it in tests."""
     from pyspark.sql import Window
 
-    c_sig = srp_signatures(corpus, id_col, vec_col, n_tables, n_bits)
-    q_sig = srp_signatures(queries, id_col, vec_col, n_tables, n_bits)
-    c_buckets = c_sig.selectExpr(
-        "vid as neighbor_id",
-        f"stack({n_tables}, "
-        + ", ".join(f"{t}, t{t}" for t in range(n_tables))
-        + ") as (tbl, bucket)",
+    c_buckets = _bucket_stack(
+        srp_signatures(corpus, id_col, vec_col, n_tables, n_bits),
+        "neighbor_id", n_tables,
     )
-    q_buckets = q_sig.selectExpr(
-        "vid as query_id",
-        f"stack({n_tables}, "
-        + ", ".join(f"{t}, t{t}" for t in range(n_tables))
-        + ") as (tbl, bucket)",
+    q_buckets = _bucket_stack(
+        srp_signatures(queries, id_col, vec_col, n_tables, n_bits),
+        "query_id", n_tables,
     )
     candidates = (
         q_buckets.join(c_buckets, ["tbl", "bucket"], "inner")
@@ -195,6 +189,73 @@ def lsh_ann(
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
         F.col("rank") <= k
+    )
+
+
+def _bucket_stack(sig: DataFrame, out_id: str, n_tables: int) -> DataFrame:
+    """(vid, t0..tN) signatures → long (id, tbl, bucket) via stack()."""
+    return sig.selectExpr(
+        f"vid as {out_id}",
+        f"stack({n_tables}, "
+        + ", ".join(f"{t}, t{t}" for t in range(n_tables))
+        + ") as (tbl, bucket)",
+    )
+
+
+def embedding_neardup_lsh(
+    corpus: DataFrame,
+    threshold: float = 0.85,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 16,
+    n_bits: int = 8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Embedding near-dup pairs via SRP-LSH bucketing — the scale path
+    that replaces ``embedding_neardup_pairs``'s quadratic crossJoin.
+
+    Plan: per-table SRP bucket signatures (map-only, codegen) → bucket
+    self-collision join on (tbl, bucket) with id_a < id_b → distinct
+    candidate pairs → exact float64 cosine verify of candidates only.
+    Emitted pairs therefore ALWAYS satisfy sim ≥ threshold (precision
+    1.0 by construction — asserted as a subset-of-exact test); recall is
+    the probabilistic part: a pair at angle θ collides in one table with
+    probability (1-θ/π)^n_bits, in any of b tables 1-(1-p)^b.
+
+    Parameter regimes (the physics, not a tuning knob):
+    - near-dup proper (cos ≥ ~0.85): defaults n_bits=8, n_tables=16
+      give ≥ 97% recall at 0.85 and ~100% at 0.95, with 2^8 buckets/
+      table slicing the corpus so candidate volume stays ~N·E[bucket]
+      — sub-quadratic whenever buckets stay bounded. At larger N raise
+      n_bits ≈ log2(N) to keep buckets bounded.
+    - moderate similarity (cos ~0.4-0.6): per-bit collision drops to
+      ~0.63, so usable recall needs few bits + many tables
+      (n_bits=4, n_tables=16 → ~94% at 0.4) and bucketing no longer
+      buys asymptotic savings — that regime belongs to IVF cells
+      (data-adaptive) rather than data-oblivious hyperplanes.
+
+    Shuffles: one (tbl, bucket) exchange of N·n_tables signature rows,
+    then two id-keyed joins to re-fetch vectors for the verify — each
+    linear in candidates, never in N²."""
+    sig = srp_signatures(corpus, id_col, vec_col, n_tables, n_bits)
+    a = _bucket_stack(sig, "id_a", n_tables)
+    b = _bucket_stack(sig, "id_b", n_tables)
+    candidates = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("id_a"), as_double_array(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("id_b"), as_double_array(vec_col).alias("vb"))
+    sim: Column = cosine_similarity(F.col("va"), F.col("vb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        candidates.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
     )
 
 

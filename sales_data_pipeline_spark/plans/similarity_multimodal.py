@@ -26,6 +26,7 @@ from sales_data_pipeline_spark.operators.multimodal import (
 )
 from sales_data_pipeline_spark.operators.similarity import (
     cosine_topk,
+    embedding_neardup_lsh,
     embedding_neardup_pairs,
     ivf_topk,
 )
@@ -73,10 +74,29 @@ def q25_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-space near-dup pairs (cosine ≥ 0.4). Quadratic —
-    the exactness oracle for LSH-bucketed near-dup at scale."""
+    """Exact embedding-space near-dup pairs (cosine ≥ 0.4). Quadratic
+    crossJoin — kept as the EXACTNESS ORACLE for q52 at test scale; the
+    catalog's scale answer is q52_embedding_neardup_lsh (bucketed,
+    candidate-only verify)."""
     emb = table(spark, sf_dir, "embeddings")
     return embedding_neardup_pairs(emb, threshold=0.4)
+
+
+@query("q52_embedding_neardup_lsh")  # probabilistic recall: rows-only check
+def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE path for embedding near-dup: SRP-LSH bucket collisions →
+    exact cosine verify of candidates only (never N²). Precision is 1.0
+    by construction (every emitted pair is exact-verified ≥ t) and
+    asserted as a subset-of-q26 test; recall is probabilistic
+    (1-(1-(1-θ/π)^bits)^tables) so there is no SQL oracle — tests
+    assert recall ≥ 0.85 vs the exact q26 pairs on this corpus and
+    recall == 1.0 on planted cos≈0.999 near-dups with production
+    parameters. This corpus's pairs top out at cos≈0.51, so the query
+    runs the moderate-similarity configuration (n_bits=4, n_tables=16);
+    real near-dup corpora (cos ≥ 0.85) use the operator defaults where
+    bucketing is genuinely sub-quadratic (see operator docstring)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return embedding_neardup_lsh(emb, threshold=0.4, n_tables=16, n_bits=4)
 
 
 @query("q27_ann_ivf")  # probabilistic cell probing: rows-only check

@@ -16,6 +16,8 @@ from sales_data_pipeline_spark.operators.multimodal import (
 )
 from sales_data_pipeline_spark.operators.similarity import (
     cosine_topk,
+    embedding_neardup_lsh,
+    embedding_neardup_pairs,
     ivf_topk,
     lsh_ann,
 )
@@ -57,6 +59,43 @@ def test_srp_lsh_finds_planted_near_duplicates(spark, emb):
     top1 = {r.query_id: r.neighbor_id for r in hits}
     found = sum(1 for qid, nid in top1.items() if nid == qid - 1000)
     assert found >= 4, f"SRP-LSH missed planted near-dups: {top1}"
+
+
+def test_neardup_lsh_precision_and_recall_vs_exact(spark, emb):
+    """q52's contract vs its q26 oracle: every emitted pair must appear
+    in the exact result (precision 1.0 — candidates are exact-verified),
+    and bucketing must recover most exact pairs (recall bound from the
+    collision probability at this corpus's 0.4-0.51 sim range)."""
+    exact = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(emb, threshold=0.4).collect()}
+    approx = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_lsh(
+            emb, threshold=0.4, n_tables=16, n_bits=4
+        ).collect()
+    }
+    assert approx <= exact, f"false positives: {approx - exact}"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.85, f"LSH near-dup recall too low: {recall}"
+
+
+def test_neardup_lsh_planted_high_sim_recall(spark, emb):
+    """Production regime (operator defaults): planted cos≈0.999 pairs
+    must ALL surface — this is the 100 TB near-dup configuration."""
+    base = emb.limit(50).collect()
+    rows = [(r.vec_id, r.embedding) for r in base]
+    planted = [
+        (1000 + r.vec_id, [x * 1.001 + 0.001 for x in r.embedding])
+        for r in base[:5]
+    ]
+    corpus = spark.createDataFrame(
+        rows + planted, "vec_id long, embedding array<float>"
+    )
+    got = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_lsh(corpus, threshold=0.95).collect()
+    }
+    want = {(r.vec_id, 1000 + r.vec_id) for r in base[:5]}
+    assert want <= got, f"missed planted near-dups: {want - got}"
 
 
 def test_topk_matches_numpy(spark, emb):
