@@ -92,7 +92,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.6,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | None = 10_000,
     persist: bool = True,
 ) -> DataFrame:
     """All pairs with Jaccard(shingles_a, shingles_b) ≥ threshold — EXACT,
@@ -108,9 +108,15 @@ def ngram_jaccard_pairs(
     the join itself; survivors are verified exactly with one
     array_intersect over the full sets.
 
-    ``max_shingle_freq`` additionally drops prefix entries whose shingle
-    appears in more than that many docs — opt-in approximation for
-    stopword-run skew (a dropped shingle can cost candidate pairs).
+    ``max_shingle_freq`` drops prefix entries whose shingle appears in
+    more than that many docs — the skew guard that keeps one ubiquitous
+    shingle (a boilerplate/stopword run) from generating O(f²) candidate
+    pairs off a single join key. ON by default at 10k: a no-op below
+    10k docs (so test-scale results stay exactly exact), while at scale
+    it bounds the worst join key at ~10⁸ candidate pairs. The loss mode
+    is explicit: a pair is missed only if EVERY shared prefix shingle is
+    ubiquitous, i.e. docs composed entirely of boilerplate — set None to
+    recover strict exactness at quadratic-skew risk.
 
     ``persist`` caches the per-doc shingle sets (MEMORY_AND_DISK —
     spills, never OOMs): the subtree feeds the prefix index AND both

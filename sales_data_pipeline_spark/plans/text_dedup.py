@@ -219,6 +219,47 @@ def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_pairs(docs, max_hamming=3)
 
 
+def curate_corpus(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    quality_min: float = 0.5,
+    near_threshold: float = 0.8,
+    use_lsh: bool | None = None,
+    lsh_above_docs: int = 100_000,
+) -> DataFrame:
+    """Quality gate → exact dedup → near-dup drop; returns the kept rows
+    (all original columns + ``quality``).
+
+    The near-dup stage is regime-switched: below ``lsh_above_docs``
+    survivors it runs the EXACT PPJoin path (``ngram_jaccard_pairs``,
+    what the SQL oracle can verify); above it, ``minhash_lsh_pairs`` —
+    same output contract, sub-quadratic. ``use_lsh=None`` decides by
+    counting the post-gate survivors (one cheap map-only job; at 100 TB
+    the corpus size is known and callers pass use_lsh=True outright).
+    LSH recall < 1 only ever KEEPS extra docs (a missed pair is an
+    undropped doc), so the LSH keep-list is always a superset of the
+    exact keep-list — curation degrades toward keeping data, never
+    toward dropping good data."""
+    scored = (
+        docs.withColumn("quality", quality_score(text_col))
+        .withColumn("__fp", fingerprint(text_col))
+        .filter(F.col("quality") >= quality_min)
+    )
+    keep_ids = scored.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    kept = scored.join(keep_ids, id_col, "left_semi").drop("__fp")
+    if use_lsh is None:
+        use_lsh = kept.count() > lsh_above_docs
+    pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs
+    near = (
+        pair_fn(kept, id_col=id_col, text_col=text_col, threshold=near_threshold)
+        .select("doc_b")
+        .distinct()
+    )
+    return kept.join(near, kept[id_col] == near.doc_b, "left_anti")
+
+
 @query(
     "q33_corpus_curation",
     headline=True,
@@ -261,28 +302,18 @@ def q33_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
       1. quality gate  (quality_score ≥ 0.5 — cheap map, runs first so
          everything downstream sees fewer rows)
       2. exact dedup   (md5 fingerprint, keep min doc_id)
-      3. near-dup drop (exact shingle-Jaccard ≥ 0.8 among survivors,
-         drop the larger doc_id of each pair; at 100 TB swap in
-         minhash_lsh_pairs — identical interface, sub-quadratic)
+      3. near-dup drop (shingle-Jaccard ≥ 0.8 among survivors, drop the
+         larger doc_id of each pair) — regime-switched in curate_corpus:
+         exact PPJoin at test scale (oracle-verifiable), minhash_lsh_pairs
+         above 100k survivors (sub-quadratic; keep-list-superset safe)
 
     Output: the curated keep-list with per-doc quality. Stage order is
     the scale design: each stage shrinks the set the next (more
     expensive) stage touches."""
     docs = table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        "text",
-        quality_score("text").alias("quality"),
-        fingerprint("text").alias("fp"),
-    ).filter(F.col("quality") >= 0.5)
-    keep_ids = scored.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
-    kept = scored.join(keep_ids, "doc_id", "left_semi")
-    near = ngram_jaccard_pairs(kept, threshold=0.8).select("doc_b").distinct()
-    return (
-        kept.join(near, kept.doc_id == near.doc_b, "left_anti")
-        .select("doc_id", "lang", "source", F.round("quality", 9).alias("quality"))
+    kept = curate_corpus(docs, quality_min=0.5, near_threshold=0.8, use_lsh=False)
+    return kept.select(
+        "doc_id", "lang", "source", F.round("quality", 9).alias("quality")
     )
 
 

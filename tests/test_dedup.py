@@ -101,6 +101,52 @@ def test_short_doc_shingles_empty_not_descending(spark):
     assert out == []  # no shared 3-grams between the two docs
 
 
+def test_curate_corpus_lsh_mode_superset_safe(spark, docs):
+    """curate_corpus regime switch: the LSH keep-list must (a) contain
+    every doc the exact keep-list contains (missed pairs only UNDROP),
+    and (b) still drop planted verbatim-ish near-dups, which banded LSH
+    at J≈1 finds with probability ~1."""
+    from sales_data_pipeline_spark.plans.text_dedup import curate_corpus
+
+    base = docs.limit(30).collect()
+    # planted near-dups: copy with one trailing token appended -> J ≈ 1
+    planted = [
+        (10_000 + r.doc_id, r.lang, r.source, r.text + " extra")
+        for r in base[:5]
+        if len(r.text.split()) >= 25
+    ]
+    assert planted, "calibration: need docs long enough to pass the quality gate"
+    corpus = spark.createDataFrame(
+        [(r.doc_id, r.lang, r.source, r.text) for r in base] + planted,
+        "doc_id long, lang string, source string, text string",
+    )
+    exact_keep = {
+        r.doc_id for r in curate_corpus(corpus, use_lsh=False).collect()
+    }
+    lsh_keep = {r.doc_id for r in curate_corpus(corpus, use_lsh=True).collect()}
+    assert exact_keep <= lsh_keep
+    surviving_quality_ids = {
+        r.doc_id for r in curate_corpus(corpus, near_threshold=1.01).collect()
+    }  # threshold > 1 disables the near-dup stage -> quality+exact-dedup only
+    for pid, *_ in planted:
+        if pid in surviving_quality_ids and (pid - 10_000) in surviving_quality_ids:
+            assert pid not in lsh_keep, f"planted near-dup {pid} not dropped in LSH mode"
+
+
+def test_curate_corpus_auto_switch_counts_survivors(spark, docs):
+    """use_lsh=None picks the exact path under the doc-count threshold
+    and the LSH path above it (forced here with lsh_above_docs=1)."""
+    from sales_data_pipeline_spark.plans.text_dedup import curate_corpus
+
+    small = docs.limit(20)
+    auto_exact = {r.doc_id for r in curate_corpus(small).collect()}
+    explicit_exact = {r.doc_id for r in curate_corpus(small, use_lsh=False).collect()}
+    assert auto_exact == explicit_exact
+    auto_lsh = {r.doc_id for r in curate_corpus(small, lsh_above_docs=1).collect()}
+    explicit_lsh = {r.doc_id for r in curate_corpus(small, use_lsh=True).collect()}
+    assert auto_lsh == explicit_lsh
+
+
 def test_connected_components_transitive_chain(spark):
     """A~B~C~D chain collapses to one cluster labeled by its min node,
     disjoint pair stays separate, and results are deterministic."""
