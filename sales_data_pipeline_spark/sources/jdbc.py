@@ -8,8 +8,10 @@ fans out across executors; the writer defaults to idempotent modes
 instead of the reference's blind append (database_write.py:13,
 SURVEY §2j.7).
 
-No database ships in this environment, so these are exercised by unit
-tests only at the plan level (options wiring), not against a live DB.
+Exercised live against embedded Derby (ships in Spark's jars) in
+tests/test_jdbc.py: write→read round-trip, range-partitioned parallel
+pull, and idempotent-overwrite re-run — the full S3/S7 surface without
+needing a network database.
 """
 
 from __future__ import annotations
