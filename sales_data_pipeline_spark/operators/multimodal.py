@@ -4,11 +4,13 @@ The Spark-side design is the real deliverable here: media travels as a
 ``binary`` column with a metadata struct beside it; decode / feature
 extraction / frame sampling run as Arrow-batched pandas functions over
 ``mapInPandas`` (one Python process per partition, whole column batches
-— never row-at-a-time). The actual codec step is STUBBED (no
-image/audio libraries in this container): ``decode_media`` computes
-deterministic fake metadata from the bytes, and raises
-NotImplementedError if a real codec is requested, keeping the plumbing
-(schemas, batching, partitioning) fully real and testable.
+— never row-at-a-time). Codec support is tiered: ``codec="ppm"`` is a
+REAL pure-Python decoder (binary P6 netpbm — header parse incl.
+comments, raster decode, per-channel stats), proving the pipeline end
+to end without image libraries; ``codec="fake"`` derives deterministic
+metadata from raw bytes (the oracle-checkable stand-in for arbitrary
+media); compressed codecs (jpeg/png/...) raise NotImplementedError
+until their libraries exist in the runtime image.
 
 Scale notes: payload columns dominate I/O — always column-prune before
 a shuffle (select the id + payload only inside the UDF stage), size
@@ -48,12 +50,93 @@ def attach_binary_payload(
     )
 
 
-def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
-    """'Decode' payloads via mapInPandas (Arrow batches).
+PPM_DECODED_SCHEMA = (
+    "media_id long, width int, height int, maxval int, n_pixels long, "
+    "mean_r double, mean_g double, mean_b double, checksum string"
+)
 
-    codec='fake' derives deterministic metadata from the raw bytes
-    (byte length, md5 checksum, fake dimensions). Any real codec raises
-    until the decode libraries exist in the runtime image."""
+
+def _ppm_header(raw: bytes) -> tuple[int, int, int, int]:
+    """Parse a binary-PPM (P6) header: returns (width, height, maxval,
+    raster_offset). Handles arbitrary whitespace and '#' comments per
+    the netpbm spec; raises ValueError on malformed input."""
+    if raw[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM (magic={raw[:2]!r})")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(raw) and raw[pos : pos + 1].isspace():
+            pos += 1
+        if raw[pos : pos + 1] == b"#":
+            while pos < len(raw) and raw[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(raw) and not raw[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        vals.append(int(raw[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from raster
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not 0 < maxval < 65536:
+        raise ValueError(f"bad PPM dimensions {w}x{h} maxval={maxval}")
+    return w, h, maxval, pos
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Inverse of the decoder — builds a valid P6 image from raw RGB
+    bytes (len == width*height*3). Used by tests to generate
+    deterministic real images without any image library."""
+    if len(rgb) != width * height * 3:
+        raise ValueError("rgb length must be width*height*3")
+    return b"P6\n%d %d\n255\n" % (width, height) + rgb
+
+
+def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode payloads via mapInPandas (Arrow batches).
+
+    codec='ppm' REALLY decodes binary-P6 netpbm payloads (pure Python +
+    numpy — no image libraries needed): header fields, pixel count, and
+    per-channel means computed from the raster. codec='fake' derives
+    deterministic metadata from the raw bytes (byte length, md5
+    checksum, fake dimensions). Compressed codecs raise until their
+    libraries exist in the runtime image."""
+    if codec == "ppm":
+
+        def _decode_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib
+
+            import numpy as np
+
+            for pdf in batches:
+                rows = {k: [] for k in (
+                    "media_id", "width", "height", "maxval", "n_pixels",
+                    "mean_r", "mean_g", "mean_b", "checksum",
+                )}
+                for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                    raw = bytes(b)
+                    w, h, maxval, off = _ppm_header(raw)
+                    n = w * h
+                    px = np.frombuffer(raw, dtype=np.uint8, count=n * 3, offset=off)
+                    px = px.reshape(n, 3).astype(np.float64)
+                    rows["media_id"].append(mid)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["maxval"].append(maxval)
+                    rows["n_pixels"].append(n)
+                    rows["mean_r"].append(px[:, 0].mean())
+                    rows["mean_g"].append(px[:, 1].mean())
+                    rows["mean_b"].append(px[:, 2].mean())
+                    rows["checksum"].append(hashlib.md5(raw).hexdigest())
+                pdf_out = pd.DataFrame(rows)
+                for c, t in (("width", "int32"), ("height", "int32"),
+                             ("maxval", "int32"), ("n_pixels", "int64")):
+                    pdf_out[c] = pdf_out[c].astype(t)
+                yield pdf_out
+
+        return df.select("media_id", "payload").mapInPandas(
+            _decode_ppm, PPM_DECODED_SCHEMA
+        )
     if codec != "fake":
         raise NotImplementedError(
             f"codec {codec!r}: no media libraries in this runtime; "

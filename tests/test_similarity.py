@@ -150,3 +150,49 @@ def test_real_codec_raises(spark, sf_dir):
     media = attach_binary_payload(docs, "doc_id")
     with pytest.raises(NotImplementedError, match="jpeg"):
         decode_media(media, codec="jpeg")
+
+
+def _make_ppm(i: int, header_comment: bool = False) -> tuple[int, int, bytes, bytes]:
+    """Deterministic P6 image i: (width, height, rgb, encoded)."""
+    from sales_data_pipeline_spark.operators.multimodal import encode_ppm
+
+    w, h = 4 + i, 3 + i
+    rgb = bytes(
+        (x * 7 + y * 11 + c * 13 + i) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+    enc = encode_ppm(w, h, rgb)
+    if header_comment:
+        enc = enc.replace(b"P6\n", b"P6\n# deterministic test image\n", 1)
+    return w, h, rgb, enc
+
+
+def test_ppm_decode_matches_numpy_reference(spark):
+    """codec='ppm' is a REAL decoder: dimensions and per-channel means
+    must equal a numpy computation over the same generated rasters —
+    including a header with a '#' comment line."""
+    images = [_make_ppm(i, header_comment=(i == 2)) for i in range(4)]
+    media = spark.createDataFrame(
+        [(i, enc) for i, (_, _, _, enc) in enumerate(images)],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in decode_media(media, codec="ppm").collect()}
+    assert len(got) == 4
+    for i, (w, h, rgb, _) in enumerate(images):
+        px = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3).astype(np.float64)
+        r = got[i]
+        assert (r.width, r.height, r.maxval, r.n_pixels) == (w, h, 255, w * h)
+        assert r.mean_r == px[:, 0].mean()
+        assert r.mean_g == px[:, 1].mean()
+        assert r.mean_b == px[:, 2].mean()
+
+
+def test_ppm_decode_rejects_malformed(spark):
+    from sales_data_pipeline_spark.operators.multimodal import _ppm_header
+
+    with pytest.raises(ValueError, match="not a P6"):
+        _ppm_header(b"P5\n2 2\n255\n" + b"\0" * 4)
+    with pytest.raises(ValueError, match="truncated|invalid literal"):
+        _ppm_header(b"P6\n2")
