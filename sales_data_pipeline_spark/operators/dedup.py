@@ -123,7 +123,10 @@ def ngram_jaccard_pairs(
     verify sides, and Spark re-executes common subplans per consumer
     (only exchanges are reused). One materialization vs three is ~2×
     end-to-end; at 100 TB the same role is played by checkpointing the
-    sets to parquet once."""
+    sets to parquet once. CACHE OWNERSHIP: the cache lives until the
+    session ends or the caller clears it — long-lived sessions invoking
+    this repeatedly should ``spark.catalog.clearCache()`` between
+    batches (bench.py does) or pass persist=False."""
     sets = _shingle_sets(df, id_col, text_col, n).select(
         "doc", F.array_sort("sh").alias("sh")
     )
@@ -152,13 +155,19 @@ def ngram_jaccard_pairs(
         )
     )
     if max_shingle_freq is not None:
-        rare = (
+        # Hot-set ANTI-join, not rare-set inner join: shingles above the
+        # cap are few by definition (the whole point is that each one is
+        # pathological), so the blocklist broadcasts and the filter is a
+        # map-only pass over the index. The groupBy's shuffle carries one
+        # row per distinct shingle per map partition (partial agg), not
+        # the index itself.
+        hot = (
             idx.groupBy("shingle")
             .agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") <= max_shingle_freq)
+            .filter(F.col("df_") > max_shingle_freq)
             .select("shingle")
         )
-        idx = idx.join(rare, "shingle", "inner")
+        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
     a = idx.select(
         F.col("doc").alias("doc_a"),
         F.col("n_sh").alias("n_a"),
