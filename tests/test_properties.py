@@ -116,3 +116,30 @@ def test_asof_join_picks_latest_quote_at_or_before(spark, events, quotes):
         eligible = [(qt_, j) for j, qt_ in enumerate(quotes) if qt_ <= t]
         want = max(eligible)[1] if eligible else None
         assert got.get(i) == want, (i, t, got.get(i), want)
+
+
+@settings(**_SETTINGS)
+@given(
+    events=st.lists(st.integers(0, 1000), min_size=1, max_size=25),
+    quotes=st.lists(st.integers(0, 1000), min_size=1, max_size=25, unique=True),
+    bucket_s=st.sampled_from([1, 13, 100, 5000]),
+)
+def test_asof_salted_matches_plain(spark, events, quotes, bucket_s):
+    """coarse_bucket salting is a pure execution-strategy change: for any
+    timeline and any bucket size the result set must be identical to the
+    unsalted window."""
+    from sales_data_pipeline_spark.operators.asof import asof_join
+
+    ev = spark.createDataFrame(
+        [(i, 1, float(t)) for i, t in enumerate(events)], "eid long, k long, t double"
+    ).select("eid", "k", F.timestamp_seconds("t").alias("ts"))
+    qt = spark.createDataFrame(
+        [(i, 1, float(t)) for i, t in enumerate(quotes)], "qid long, k long, qt double"
+    ).select("qid", "k", F.timestamp_seconds("qt").alias("qts"))
+    kwargs = dict(key="k", left_ts="ts", right_ts="qts", right_payload=["qid"])
+    plain = {(r.eid, r.qid_asof) for r in asof_join(ev, qt, **kwargs).collect()}
+    salted = {
+        (r.eid, r.qid_asof)
+        for r in asof_join(ev, qt, coarse_bucket=bucket_s, **kwargs).collect()
+    }
+    assert salted == plain
