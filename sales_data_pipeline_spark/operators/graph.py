@@ -18,11 +18,12 @@ one cheap scalar per round, no row-level diff join.
 
 Scale notes (100 TB): every round is two shuffles keyed by node id —
 no step ever materializes a component's member list on one executor,
-so giant components don't straggle. Lineage is truncated each round
-with localCheckpoint (eager); without it the plan doubles per
-iteration and planning time, not data, becomes the bottleneck. On a
-real cluster prefer ``spark.sparkContext.setCheckpointDir`` +
-``checkpoint()`` for fault tolerance across executor loss.
+so giant components don't straggle. Lineage is truncated each round:
+pass ``checkpoint_dir`` on a real cluster for reliable checkpoints
+that survive executor loss (the iterate-then-lose-an-executor failure
+mode localCheckpoint cannot ride out); without it the default is
+eager ``localCheckpoint`` — fine in local mode, where losing an
+executor means losing the JVM anyway.
 """
 
 from __future__ import annotations
@@ -31,14 +32,37 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+class ConvergenceError(RuntimeError):
+    """Raised when iteration exhausts max_iter before the label fixpoint
+    — returning possibly-merged-incompletely clusters would silently
+    corrupt downstream dedup decisions."""
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, cluster) for every node in ``pairs``; cluster = min node
-    id of its connected component. Deterministic, order-independent."""
+    id of its connected component. Deterministic, order-independent.
+
+    ``checkpoint_dir`` switches per-round lineage truncation from
+    localCheckpoint (executor-local blocks) to reliable checkpoint()
+    files under that directory — required for fault tolerance on a
+    multi-executor cluster. Raises ConvergenceError if ``max_iter``
+    rounds pass without reaching the fixpoint (pointer jumping needs
+    ~log2(diameter) rounds; 25 covers any realistic dedup graph —
+    running out means the input is pathological, not that an
+    almost-right answer should be returned)."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
+
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
     edges = edges.persist()
@@ -46,6 +70,7 @@ def connected_components(
         F.col("u").alias("node"), F.col("u").alias("label")
     )
     prev_sum: int | None = None
+    converged = False
     for _ in range(max_iter):
         # min label over neighborhood (neighbors' labels via one join)
         nbr = (
@@ -69,10 +94,16 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
             ).alias("label"),
         )
-        labels = labels.localCheckpoint()
+        labels = _truncate(labels)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     edges.unpersist()
+    if not converged:
+        raise ConvergenceError(
+            f"connected_components: no fixpoint after {max_iter} rounds "
+            "(labels still decreasing); raise max_iter or inspect the input graph"
+        )
     return labels.select("node", F.col("label").alias("cluster"))

@@ -172,3 +172,40 @@ def test_connected_components_long_path_converges(spark):
     got = connected_components(pairs).collect()
     assert {r.cluster for r in got} == {0}
     assert len(got) == 65
+
+
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir mode (cluster fault tolerance) must produce the
+    same clusters as localCheckpoint mode, and actually write checkpoint
+    files under the given directory."""
+    import os
+
+    from sales_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 7), (7, 4), (4, 9), (11, 12)], "doc_a long, doc_b long"
+    )
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        r.node: r.cluster
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == {2: 2, 7: 2, 4: 2, 9: 2, 11: 11, 12: 11}
+    assert any(files for _, _, files in os.walk(ckpt)), "no checkpoint files written"
+
+
+def test_connected_components_raises_when_budget_exhausted(spark):
+    """Exhausting max_iter without a fixpoint must raise, not return
+    half-merged clusters."""
+    import pytest as _pytest
+
+    from sales_data_pipeline_spark.operators.graph import (
+        ConvergenceError,
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(ConvergenceError, match="no fixpoint"):
+        connected_components(pairs, max_iter=2)
