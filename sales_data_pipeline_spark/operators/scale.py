@@ -83,7 +83,17 @@ def salted_join(
     the modest side is replicated once per salt value (explode of a
     literal sequence — no extra shuffle of the skewed side beyond the
     join's own), and the join runs on (on, salt): hot-key rows spread
-    over n_salt reducers instead of one straggler."""
+    over n_salt reducers instead of one straggler.
+
+    Only join types where the replicated side never EMITS unmatched
+    rows are legal: for right/full outer (or semantics driven by the
+    modest side) every unmatched modest row would surface n_salt times."""
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would emit unmatched replicated rows "
+            f"n_salt times; allowed: {sorted(allowed)}"
+        )
     left = skewed.withColumn("__salt", _salt(skewed.columns, n_salt))
     right = modest.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))

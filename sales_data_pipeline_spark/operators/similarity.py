@@ -270,17 +270,20 @@ def train_centroids(
     n_cells: int = 16,
     sample_size: int = 10_000,
     iters: int = 10,
+    id_col: str = "vec_id",
 ) -> list[list[float]]:
     """Coarse quantizer: Lloyd's k-means on a driver-side sample.
 
-    Deterministic: the sample is the first ``sample_size`` rows in id
-    order and init is the first k of those — no RNG. At 100 TB the
+    Deterministic: the sample is the first ``sample_size`` rows in
+    ``id_col`` order (a real orderBy — a bare limit() is
+    partition-order dependent and would make centroids vary across
+    runs) and init is the first k of those — no RNG. At 100 TB the
     sample is still tiny (training needs ~100×n_cells vectors); the
     expensive part, assignment, stays distributed in ivf_topk."""
     import numpy as np
 
-    rows = corpus.select(vec_col).limit(sample_size).collect()
-    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(sample_size).collect()
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)
     # cosine k-means: operate on unit vectors
     x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
     cents = x[:n_cells].copy()
@@ -328,7 +331,7 @@ def ivf_topk(
     from pyspark.sql import Window
 
     cents = centroids if centroids is not None else train_centroids(
-        corpus, vec_col, n_cells
+        corpus, vec_col, n_cells, id_col=id_col
     )
     sims = _centroid_sims(vec_col, cents)
     # corpus: top-1 cell (array_max on (sim, cell) structs orders by sim)

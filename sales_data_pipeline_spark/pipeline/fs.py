@@ -20,6 +20,13 @@ def _fs(spark: SparkSession, path: str):
     return jvm, p.getFileSystem(conf), p
 
 
+def path_exists(spark: SparkSession, path: str) -> bool:
+    """FS-agnostic existence probe (distinguishes 'no state yet' from
+    'state unreadable' in pipeline.state.AuditState)."""
+    _, fs, p = _fs(spark, path)
+    return bool(fs.exists(p))
+
+
 def list_files(spark: SparkSession, directory: str, suffix: str = ".csv") -> list[str]:
     """Non-recursive file listing (the reference's S3Reader.list_files,
     aws_read.py:7-23, minus the download that followed it)."""

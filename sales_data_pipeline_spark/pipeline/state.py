@@ -72,10 +72,15 @@ class AuditState:
     # -- read side ----------------------------------------------------------
 
     def _log(self) -> DataFrame:
-        try:
-            return self.spark.read.schema(_SCHEMA).parquet(self.state_dir)
-        except Exception:
+        """Append-only log, or an empty frame ONLY when no log exists yet
+        (first run). A corrupt/unreadable state dir must propagate — an
+        empty answer there would skip the failed-run probe and re-process
+        quarantined work as if the audit trail were clean."""
+        from sales_data_pipeline_spark.pipeline.fs import path_exists
+
+        if not path_exists(self.spark, self.state_dir):
             return self.spark.createDataFrame([], _SCHEMA)
+        return self.spark.read.schema(_SCHEMA).parquet(self.state_dir)
 
     def current(self) -> DataFrame:
         """Latest-wins view: one row per file_name with its newest status."""

@@ -904,8 +904,9 @@ def q36_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact count-distinct is a full shuffle of every distinct value;
     the sketch is constant memory per group and merges associatively
     (partial aggregation works). No SQL oracle — DuckDB's approx
-    algorithm differs; tests bound the error vs the exact count
-    instead."""
+    algorithm differs; tests/test_plan_shapes.py::
+    test_q36_approx_distinct_within_rsd bounds the error vs the exact
+    count instead (the documented covering check for oracle=None)."""
     ev = table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
@@ -1451,9 +1452,11 @@ def q47_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded memory and MERGEABLE, so partial aggregation works and
     the shuffle carries one sketch per (partition, group) instead of
     every row — at 100 TB that is the only viable percentile plan.
-    No SQL oracle (DuckDB's approx algorithm differs); the test bounds
-    each sketch value against the exact percentile's neighborhood
-    instead."""
+    No SQL oracle (DuckDB's approx algorithm differs);
+    tests/test_plan_shapes.py::test_q47_approx_percentiles_bounded_error
+    bounds each sketch value against the exact percentile's
+    neighborhood instead (the documented covering check for
+    oracle=None)."""
     orders = table(spark, sf_dir, "orders")
     return orders.groupBy("o_orderpriority").agg(
         F.approx_percentile(

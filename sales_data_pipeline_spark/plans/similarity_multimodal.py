@@ -86,12 +86,12 @@ def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCALE path for embedding near-dup: SRP-LSH bucket collisions →
     exact cosine verify of candidates only (never N²). Precision is 1.0
-    by construction (every emitted pair is exact-verified ≥ t) and
-    asserted as a subset-of-q26 test; recall is probabilistic
-    (1-(1-(1-θ/π)^bits)^tables) so there is no SQL oracle — tests
-    assert recall ≥ 0.85 vs the exact q26 pairs on this corpus and
-    recall == 1.0 on planted cos≈0.999 near-dups with production
-    parameters. This corpus's pairs top out at cos≈0.51, so the query
+    by construction (every emitted pair is exact-verified ≥ t); recall
+    is probabilistic (1-(1-(1-θ/π)^bits)^tables) so there is no SQL
+    oracle — covering checks: tests/test_similarity.py::
+    test_neardup_lsh_precision_and_recall_vs_exact (subset of exact
+    q26 pairs + recall ≥ 0.85) and ::test_neardup_lsh_planted_high_sim_recall
+    (recall 1.0 on planted cos≈0.999 near-dups, production parameters). This corpus's pairs top out at cos≈0.51, so the query
     runs the moderate-similarity configuration (n_bits=4, n_tables=16);
     real near-dup corpora (cos ≥ 0.85) use the operator defaults where
     bucketing is genuinely sub-quadratic (see operator docstring)."""
@@ -105,8 +105,10 @@ def q27_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side sample, deterministic init), queries probe their 4
     nearest cells, exact cosine re-rank of candidates. The scale path
     for moderate-similarity top-k where SRP-LSH collision probability
-    collapses. No SQL oracle — cell recall is data-dependent; tests
-    measure recall vs q25 (≥0.7 at n_probe=4 on this corpus)."""
+    collapses. No SQL oracle — cell recall is data-dependent; the
+    covering check is tests/test_similarity.py::
+    test_ivf_recall_vs_bruteforce (recall ≥ 0.7 vs exact q25 at
+    n_probe=4 on this corpus)."""
     emb = table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return ivf_topk(emb, queries, k=_K, n_cells=16, n_probe=4)

@@ -204,8 +204,11 @@ def q23_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands × 4 rows) candidate generation, exact
     Jaccard verification of candidates only — the sub-quadratic near-dup
     path for 100 TB corpora. No SQL oracle: banded-LSH recall is
-    probabilistic (1-(1-t^r)^b); tests assert recall==1.0 on the planted
-    ≥0.95 pairs vs the exact operator."""
+    probabilistic (1-(1-t^r)^b); the covering checks are
+    tests/test_dedup.py::test_minhash_lsh_recall_on_strong_pairs
+    (recall 1.0 on planted ≥0.9 pairs vs the exact operator) and
+    ::test_lsh_jaccard_values_match_exact (emitted values bitwise
+    equal to the exact path)."""
     docs = table(spark, sf_dir, "documents")
     return minhash_lsh_pairs(docs, threshold=0.6)
 
@@ -214,7 +217,9 @@ def q23_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming ≤ 3) with 16-bit block
     pigeonhole candidate generation — constant-size signatures, linear
-    candidate cost. Verified against a pure-Python reference in tests."""
+    candidate cost. Covering checks (oracle=None):
+    tests/test_dedup.py::test_simhash_matches_python_reference and
+    ::test_simhash_near_pairs_symmetric_and_bounded."""
     docs = table(spark, sf_dir, "documents")
     return simhash_near_pairs(docs, max_hamming=3)
 

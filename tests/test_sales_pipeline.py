@@ -133,6 +133,23 @@ def test_failed_run_probe(spark, cfg):
     assert state.stale_active_files() == []
 
 
+def test_state_missing_dir_is_empty_but_corrupt_dir_raises(spark, tmp_path):
+    """'No state yet' reads as empty; an UNREADABLE state dir must
+    propagate — an empty answer there would silently skip the
+    failed-run probe."""
+    import pytest
+
+    fresh = AuditState(spark, str(tmp_path / "never_written"))
+    assert fresh.stale_active_files() == []
+
+    corrupt_dir = tmp_path / "corrupt_state"
+    corrupt_dir.mkdir()
+    (corrupt_dir / "part-00000.parquet").write_bytes(b"this is not parquet")
+    broken = AuditState(spark, str(corrupt_dir))
+    with pytest.raises(Exception, match="[Pp]arquet|magic|footer|FAILED_READ"):
+        broken.stale_active_files()
+
+
 def test_datewise_multifile_union(spark, cfg):
     """Datewise arrival (FIXTURES.md F2): one file per date; month
     bucketing spans files."""

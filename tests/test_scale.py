@@ -95,6 +95,17 @@ def test_salted_join_matches_plain_join(spark, skewed_df):
     assert salted == plain
 
 
+def test_salted_join_rejects_replication_unsafe_how(spark, skewed_df):
+    """right/full outer would emit each unmatched replicated-dim row
+    n_salt times — must be refused, not silently corrupted."""
+    import pytest
+
+    dim = spark.range(0, 100).select(F.col("id").alias("k"))
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(skewed_df, dim, "k", n_salt=8, how=how)
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     """Both sides bucketed by the join key ⇒ SortMergeJoin with zero
     Exchange operators — the shuffle was paid once at write time."""

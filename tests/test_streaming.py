@@ -68,6 +68,37 @@ def test_incremental_exactly_once_and_mart_parity(spark, tmp_path):
     assert total == want_total
 
 
+def test_incremental_extra_column_file_does_not_corrupt(spark, tmp_path):
+    """A 9-column file (trailing payment_mode) on the stream path: the
+    fixed contract schema drops the extra column positionally — values
+    of the 8 contract columns must come through byte-identical, not
+    shifted (the documented stream-path policy in read_sales_stream)."""
+    cfg = _mk_cfg(tmp_path)
+    (tmp_path / "in").mkdir()
+    customer, store, sales_team = dim_frames(spark)
+
+    write_sales_csv(tmp_path / "in" / "clean.csv", n=50, seed=11, date=dt.date(2023, 5, 4))
+    write_sales_csv(
+        tmp_path / "in" / "extra.csv", n=50, seed=11, date=dt.date(2023, 5, 4),
+        extra_payment_mode=True,
+    )
+    run_incremental(spark, cfg, customer, store, sales_team)
+
+    fact = spark.read.option("basePath", cfg.fact_dir).parquet(cfg.fact_dir)
+    rows = fact.collect()
+    assert len(rows) == 100
+    # generator invariants hold for EVERY row — any positional shift from
+    # the 9th column (e.g. payment_mode landing in total_cost) breaks them
+    from tests.fixtures import PRODUCTS, STORE_ROSTER
+
+    for r in rows:
+        assert r.total_cost is not None and r.price is not None
+        assert float(r.total_cost) == pytest.approx(float(r.price) * r.quantity)
+        assert float(r.price) == pytest.approx(PRODUCTS[r.product_name])
+        assert r.sales_person_id in STORE_ROSTER[r.store_id]
+        assert r.sales_date == dt.date(2023, 5, 4)
+
+
 def _write_events(spark, path: str, rows: list[tuple]) -> None:
     df = spark.createDataFrame(
         [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, et, v)
