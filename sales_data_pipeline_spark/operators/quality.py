@@ -1,0 +1,162 @@
+"""Corpus-quality operators beyond per-doc scoring: repetition signals,
+benchmark contamination, and deterministic stratified sampling.
+
+These are the filters large-scale pretraining pipelines layer on top of
+dedup (the Gopher/C4-style repetition gates, eval-set decontamination,
+and source rebalancing). All three are exact, oracle-checkable
+DataFrame compositions:
+
+- ``repetition_stats``: duplicate/top n-gram fractions per document.
+  Formulated as explode → two key-partitioned aggregations (map-side
+  combined), NOT a per-row nested loop: an expression-level
+  count-each-distinct-gram is O(len²) per doc, which dies on a 100k-
+  token document, while the explode path stays linear and spreads one
+  huge document's grams across reducers.
+- ``contamination``: distinct-shingle overlap of each corpus doc
+  against a benchmark set (the "is my training set leaking the eval
+  benchmark" check). Shingles travel as xxhash64 longs (8 bytes, not
+  ~30-char strings); the benchmark side aggregates to DISTINCT hashes
+  before the join, so the join's build side is the benchmark's
+  vocabulary, not its documents.
+- ``stratified_sample``: per-stratum keep-rates decided by a hex digit
+  of md5(id) — the same engine-portable determinism contract as
+  q44_training_split: the SAME row is kept on every run, partitioning,
+  and cluster size; rates are sixteenths (hex-digit buckets).
+
+Hash-vs-string note: Spark counts gram/shingle HASHES where the DuckDB
+oracles count the strings; results are equal unless xxhash64 collides
+within one document (~|S|²/2⁶⁵ — negligible, and the hash is the right
+shuffle representation at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.operators.text import tokens
+
+
+def _gram_hashes(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+    """(doc, gram) with MULTIPLICITY (one row per gram occurrence) —
+    repetition needs counts, unlike the distinct sets dedup uses."""
+    t = F.col("__t")
+    grams = F.when(F.size(t) < n, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.xxhash64(*[F.element_at(t, i + j) for j in range(n)]),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__t"))
+        .select("doc", F.explode_outer(grams).alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 2,
+) -> DataFrame:
+    """Per-document n-gram repetition signals (Gopher-style quality
+    gates): total / distinct / top-gram counts and the derived
+    duplicate-gram and top-gram fractions. Docs shorter than ``n``
+    tokens emit nothing (they have no n-grams to repeat).
+
+    Plan: explode grams → count per (doc, gram) → roll up per doc.
+    Both aggregations partial-aggregate map-side, so the shuffle
+    carries (doc, gram, partial_count), linear in corpus size."""
+    per_gram = (
+        _gram_hashes(df, id_col, text_col, n)
+        .groupBy("doc", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = F.sum("c").cast("bigint")
+    distinct = F.count(F.lit(1)).cast("bigint")
+    top = F.max("c").cast("bigint")
+    return (
+        per_gram.groupBy("doc")
+        .agg(total.alias("n_grams"), distinct.alias("n_distinct_grams"), top.alias("top_gram_count"))
+        .select(
+            F.col("doc").alias(id_col),
+            "n_grams",
+            "n_distinct_grams",
+            "top_gram_count",
+            ((F.col("n_grams") - F.col("n_distinct_grams")) / F.col("n_grams")).alias("dup_gram_frac"),
+            (F.col("top_gram_count") / F.col("n_grams")).alias("top_gram_frac"),
+        )
+    )
+
+
+def contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Distinct n-gram shingle overlap of every corpus doc against the
+    benchmark set: (doc, n_shingles, n_overlap, contamination_rate).
+    Zero-overlap docs are reported (rate 0.0) — decontamination needs
+    the full census, not just the hits.
+
+    Plan: per-doc DISTINCT shingle hashes on the corpus side; the
+    benchmark collapses to its distinct shingle vocabulary (one
+    aggregation) before the join, so join size is corpus-shingles ×
+    hit-rate. On a real cluster the vocabulary of a benchmark suite is
+    small enough to broadcast; Spark's AQE does that given its
+    post-aggregation size."""
+    from sales_data_pipeline_spark.operators.text import shingle_hashes_from_tokens
+
+    corpus_sh = (
+        corpus.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__t"))
+        .select("doc", shingle_hashes_from_tokens("__t", n).alias("sh"))
+        .select("doc", F.size("sh").cast("bigint").alias("n_shingles"),
+                F.explode_outer("sh").alias("shingle"))
+    )
+    bench_vocab = (
+        benchmark.select(tokens(text_col).alias("__t"))
+        .select(F.explode(shingle_hashes_from_tokens("__t", n)).alias("shingle"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = corpus_sh.join(bench_vocab, "shingle", "left")
+    return (
+        joined.groupBy("doc")
+        .agg(
+            F.max("n_shingles").alias("n_shingles"),
+            F.count("__hit").cast("bigint").alias("n_overlap"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            "n_overlap",
+            F.when(F.col("n_shingles") > 0, F.col("n_overlap") / F.col("n_shingles"))
+            .otherwise(F.lit(0.0))
+            .alias("contamination_rate"),
+        )
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates_16ths: dict[str, int],
+    default_16ths: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling: keep a row iff the last
+    hex digit of md5(id) falls below the stratum's rate (in sixteenths).
+    Engine-portable (md5 is bit-identical everywhere), stable under
+    re-runs/repartitioning, and map-only — the idiomatic replacement
+    for sampleBy(), whose output depends on partition order."""
+    for v in list(rates_16ths.values()) + [default_16ths]:
+        if not 0 <= v <= 16:
+            raise ValueError(f"rates are sixteenths, got {v}")
+    digit = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 32, 1), 16, 10).cast("int")
+    rate = F.lit(default_16ths)
+    for stratum, sixteenths in rates_16ths.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(sixteenths)).otherwise(rate)
+    return df.filter(digit < rate)

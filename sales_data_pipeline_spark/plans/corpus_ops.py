@@ -1,0 +1,107 @@
+"""Corpus-quality query catalog: repetition gates, eval-set
+decontamination, and stratified source rebalancing (operators/quality.py).
+
+All three are exact and fully oracle-checked — the Spark side counts
+xxhash64 gram/shingle hashes where DuckDB counts the strings, equal
+absent an intra-document 64-bit collision (~|S|²/2⁶⁵).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.catalog import table
+from sales_data_pipeline_spark.operators.quality import (
+    contamination,
+    repetition_stats,
+    stratified_sample,
+)
+from sales_data_pipeline_spark.plans.registry import query
+
+_BENCH_SOURCE = "src1"  # stands in for an eval-benchmark document set
+
+
+@query(
+    "q53_repetition_stats",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    g AS (
+      SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+    ),
+    counts AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+    SELECT doc_id,
+      CAST(SUM(c) AS BIGINT) AS n_grams,
+      COUNT(*) AS n_distinct_grams,
+      CAST(MAX(c) AS BIGINT) AS top_gram_count,
+      (CAST(SUM(c) AS BIGINT) - COUNT(*)) / CAST(SUM(c) AS BIGINT) AS dup_gram_frac,
+      CAST(MAX(c) AS BIGINT) / CAST(SUM(c) AS BIGINT) AS top_gram_frac
+    FROM counts GROUP BY doc_id
+    """,
+)
+def q53_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-2gram and
+    top-2gram fractions (the boilerplate/spam gates that run after
+    dedup). Explode → two map-side-combined aggregations — linear, and
+    a single pathological 100k-token document spreads across reducers
+    instead of exploding one row."""
+    docs = table(spark, sf_dir, "documents")
+    return repetition_stats(docs, n=2)
+
+
+@query(
+    "q54_contamination",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source, array_to_string(t[i:i+4], ' ') AS shingle
+      FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = '{_BENCH_SOURCE}'),
+    corpus AS (SELECT doc_id, shingle FROM sh WHERE source <> '{_BENCH_SOURCE}'),
+    stats AS (
+      SELECT c.doc_id, count(*) AS n_sh, count(b.shingle) AS n_ov
+      FROM corpus c LEFT JOIN bench b USING (shingle)
+      GROUP BY 1
+    )
+    SELECT d.doc_id,
+      CAST(COALESCE(s.n_sh, 0) AS BIGINT) AS n_shingles,
+      CAST(COALESCE(s.n_ov, 0) AS BIGINT) AS n_overlap,
+      CASE WHEN COALESCE(s.n_sh, 0) > 0 THEN COALESCE(s.n_ov, 0) / s.n_sh
+           ELSE 0.0 END AS contamination_rate
+    FROM (SELECT doc_id FROM documents WHERE source <> '{_BENCH_SOURCE}') d
+    LEFT JOIN stats s USING (doc_id)
+    """,
+)
+def q54_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-benchmark decontamination census: distinct 5-gram shingle
+    overlap of every non-benchmark doc against the benchmark source's
+    shingle vocabulary (aggregated to distinct hashes BEFORE the join —
+    build side is the benchmark vocabulary, broadcastable on a real
+    cluster). Zero-overlap docs are reported with rate 0.0."""
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == _BENCH_SOURCE)
+    corpus = docs.filter(F.col("source") != _BENCH_SOURCE)
+    return contamination(corpus, bench, n=5)
+
+
+@query(
+    "q55_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source FROM documents
+    WHERE CASE WHEN source = '{_BENCH_SOURCE}'
+      THEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('0','1','2','3')
+      ELSE substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) IN ('0','1') END
+    """,
+)
+def q55_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsampling (source rebalancing):
+    '{bench}' kept at 4/16, everything else at 2/16, decided by the
+    last hex digit of md5(doc_id) — same row kept on every run,
+    partitioning, and engine (md5 is bit-portable, unlike sampleBy).
+    Map-only: the filter rides the parquet scan."""
+    docs = table(spark, sf_dir, "documents")
+    return stratified_sample(
+        docs, strata_col="source", rates_16ths={_BENCH_SOURCE: 4}, default_16ths=2
+    ).select("doc_id", "lang", "source")

@@ -1,0 +1,85 @@
+"""Corpus-quality operators: repetition, contamination, stratified
+sampling — edge cases the oracle-parity sweep can't isolate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.operators.quality import (
+    contamination,
+    repetition_stats,
+    stratified_sample,
+)
+
+
+def test_repetition_stats_hand_case(spark):
+    """'a b a b a' → 2-grams [ab, ba, ab, ba]: 4 total, 2 distinct,
+    top count 2 → dup 0.5, top 0.5. A no-repeat doc scores 0.0; a doc
+    of one repeated token scores dup → 1-1/n."""
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "w x y z"), (3, "t t t t t"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in repetition_stats(df, n=2).collect()}
+    assert (got[1].n_grams, got[1].n_distinct_grams, got[1].top_gram_count) == (4, 2, 2)
+    assert got[1].dup_gram_frac == 0.5 and got[1].top_gram_frac == 0.5
+    assert got[2].dup_gram_frac == 0.0
+    assert (got[3].n_grams, got[3].n_distinct_grams) == (4, 1)
+    assert got[3].dup_gram_frac == 0.75
+    assert 4 not in got  # single-token doc has no 2-grams
+
+
+def test_contamination_counts_distinct_overlap(spark):
+    """Overlap counts DISTINCT shingles; repeats in either side must not
+    inflate; zero-overlap and too-short docs report rate 0.0."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps away from here now"),  # shares 1 5-gram
+            (2, "completely different words in this document here yes"),
+            (3, "tiny doc"),  # < 5 tokens → 0 shingles
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in contamination(corpus, bench, n=5).collect()}
+    assert got[1].n_overlap == 1 and got[1].n_shingles == 5
+    assert got[1].contamination_rate == pytest.approx(0.2)
+    assert got[2].n_overlap == 0 and got[2].contamination_rate == 0.0
+    assert got[3].n_shingles == 0 and got[3].contamination_rate == 0.0
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "big").otherwise("small").alias("source"),
+    )
+    kept = stratified_sample(df, "source", {"small": 8}, default_16ths=2)
+    again = stratified_sample(df, "source", {"small": 8}, default_16ths=2)
+    assert sorted(r.doc_id for r in kept.collect()) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    by_src = {
+        r.source: r.n
+        for r in kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # 1000 rows per stratum: small ≈ 8/16 = 500, big ≈ 2/16 = 125 (md5-uniform)
+    assert 400 < by_src["small"] < 600
+    assert 75 < by_src["big"] < 185
+    with pytest.raises(ValueError, match="sixteenths"):
+        stratified_sample(df, "source", {"small": 99}, default_16ths=2)
+
+
+def test_stratified_sample_stable_under_repartition(spark):
+    """The keep-set must not depend on physical layout (the sampleBy
+    failure mode this operator exists to avoid)."""
+    df = spark.range(0, 500).select(F.col("id").alias("doc_id"), F.lit("s").alias("src"))
+    a = {r.doc_id for r in stratified_sample(df, "src", {}, default_16ths=4).collect()}
+    b = {
+        r.doc_id
+        for r in stratified_sample(df.repartition(17), "src", {}, default_16ths=4).collect()
+    }
+    assert a == b
