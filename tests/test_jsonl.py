@@ -1,0 +1,62 @@
+"""JSONL source/sink: contract reads, corrupt-line routing, schema
+drift tolerance, compressed round-trip."""
+
+from __future__ import annotations
+
+import gzip
+import json
+
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from sales_data_pipeline_spark.sources.jsonl import read_jsonl, split_corrupt, write_jsonl
+
+DOC_CONTRACT = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+
+def _write_lines(path, lines):
+    path.write_text("\n".join(lines) + "\n")
+
+
+def test_jsonl_contract_read_and_corrupt_routing(spark, tmp_path):
+    f = tmp_path / "docs.jsonl"
+    _write_lines(
+        f,
+        [
+            json.dumps({"doc_id": 1, "text": "hello world", "lang": "en"}),
+            '{"doc_id": 2, "text": "broken',  # truncated JSON
+            json.dumps({"doc_id": 3, "text": "ok", "lang": "de", "extra_key": 42}),
+            json.dumps({"doc_id": 4, "lang": "en"}),  # missing text -> null
+        ],
+    )
+    clean, bad = split_corrupt(read_jsonl(spark, str(f), DOC_CONTRACT))
+    rows = {r.doc_id: r for r in clean.collect()}
+    assert set(rows) == {1, 3, 4}
+    assert rows[3].lang == "de"  # extra key ignored, contract cols intact
+    assert "extra_key" not in clean.columns
+    assert rows[4].text is None  # missing key -> null, not an error
+    bad_lines = [r.raw_line for r in bad.collect()]
+    assert bad_lines == ['{"doc_id": 2, "text": "broken']
+
+
+def test_jsonl_gzip_shard_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, f"doc {i} text", "en") for i in range(100)],
+        "doc_id long, text string, lang string",
+    )
+    out = str(tmp_path / "out")
+    write_jsonl(df, out, compression="gzip", shards=4)
+    import glob
+
+    parts = glob.glob(f"{out}/part-*.json.gz")
+    assert len(parts) == 4
+    with gzip.open(parts[0], "rt") as fh:  # genuinely gzip, one object per line
+        json.loads(fh.readline())
+    back, bad = split_corrupt(read_jsonl(spark, out, DOC_CONTRACT))
+    assert bad.count() == 0
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
