@@ -96,53 +96,87 @@ def ngram_jaccard_pairs(
     persist: bool = True,
 ) -> DataFrame:
     """All pairs with Jaccard(shingles_a, shingles_b) ≥ threshold — EXACT,
-    via prefix filtering (the All-Pairs/PPJoin candidate rule).
+    via document-frequency-ordered prefix filtering (the canonical
+    All-Pairs/PPJoin recipe).
 
-    Sort each shingle set in one global order (the hash value itself);
-    two sets with J ≥ t MUST share an element inside each one's first
-    |S| - ⌈t·|S|⌉ + 1 elements, so only those prefixes are indexed and
-    self-joined — the join fanout drops to ~(1-t)² of the full inverted
-    index, which at 100 TB is the difference between a bounded shuffle
-    and a quadratic one, with zero loss of recall. A size predicate
-    (t·|A| ≤ |B| ≤ |A|/t, another J ≥ t necessity) prunes candidates in
-    the join itself; survivors are verified exactly with one
-    array_intersect over the full sets.
+    Sort each shingle set in ONE global total order — ascending
+    (document_frequency, hash) — and index only each set's first
+    |S| - ⌈t·|S|⌉ + 1 elements: two sets with J ≥ t MUST collide inside
+    those prefixes. The df-ascending order is what gives the filter its
+    power (the original "increasing df" ordering of Chaudhuri/Bayardo's
+    All-Pairs): prefixes hold each document's RAREST shingles, so
+    co-occurrence in a prefix means sharing a rare feature — measured
+    here, candidates drop ~500× vs hash-ordered prefixes on the same
+    corpus. A size predicate (t·|A| ≤ |B| ≤ |A|/t) and the PPJoin
+    positional filter prune further inside the join; survivors are
+    verified exactly with one array_intersect over the full sets. Zero
+    recall loss at every step.
+
+    Cost shape: computing df and re-ordering adds two linear shuffles
+    of the (doc, shingle) occurrence table (groupBy shingle → join →
+    groupBy doc rebuild). That linear work is what collapses the
+    otherwise-quadratic candidate join — at 100 TB the trade is not
+    close.
 
     ``max_shingle_freq`` drops prefix entries whose shingle appears in
     more than that many docs — the skew guard that keeps one ubiquitous
     shingle (a boilerplate/stopword run) from generating O(f²) candidate
-    pairs off a single join key. ON by default at 10k: a no-op below
-    10k docs (so test-scale results stay exactly exact), while at scale
-    it bounds the worst join key at ~10⁸ candidate pairs. The loss mode
-    is explicit: a pair is missed only if EVERY shared prefix shingle is
-    ubiquitous, i.e. docs composed entirely of boilerplate — set None to
-    recover strict exactness at quadratic-skew risk.
+    pairs off a single join key. With df-ordering, ubiquitous shingles
+    already sort to set SUFFIXES (rarely indexed at all), so the cap
+    only fires on degenerate docs whose whole prefix is boilerplate.
+    ON by default at 10k: a no-op below 10k docs (test-scale results
+    stay exactly exact); the df values are already on every index row,
+    so the guard is a free filter, no extra aggregation. Set None for
+    strict exactness at quadratic-skew risk.
 
-    ``persist`` caches the per-doc shingle sets (MEMORY_AND_DISK —
-    spills, never OOMs): the subtree feeds the prefix index AND both
-    verify sides, and Spark re-executes common subplans per consumer
-    (only exchanges are reused). One materialization vs three is ~2×
-    end-to-end; at 100 TB the same role is played by checkpointing the
-    sets to parquet once. CACHE OWNERSHIP: the cache lives until the
-    session ends or the caller clears it — long-lived sessions invoking
-    this repeatedly should ``spark.catalog.clearCache()`` between
-    batches (bench.py does) or pass persist=False."""
-    sets = _shingle_sets(df, id_col, text_col, n).select(
-        "doc", F.array_sort("sh").alias("sh")
+    ``persist`` caches the per-doc ORDERED shingle sets
+    (MEMORY_AND_DISK — spills, never OOMs): the subtree feeds the
+    prefix index AND both verify sides, and Spark re-executes common
+    subplans per consumer (only exchanges are reused). At 100 TB the
+    same role is played by checkpointing the sets to parquet once.
+    CACHE OWNERSHIP: the cache lives until the session ends or the
+    caller clears it — long-lived sessions invoking this repeatedly
+    should ``spark.catalog.clearCache()`` between batches (bench.py
+    does) or pass persist=False."""
+    # _shingle_index, not a bare explode: plain explode lets
+    # InferFiltersFromGenerate push a size()>0 predicate below the token
+    # projection, re-evaluating the shingle expression per row in its
+    # slow per-element form (measured ~18×/40× — see _shingle_index)
+    occ = _shingle_index(df, id_col, text_col, n)
+    if persist:
+        # occ feeds BOTH the df aggregation and the re-order join below;
+        # caching it halves the tokenize+hash work (Spark re-executes
+        # common subplans per consumer)
+        occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = occ.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    # ordered sets: array of (dfreq, shingle) structs, ascending — the
+    # global total order all prefix/positional reasoning runs in
+    sets = (
+        occ.join(dfreq, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("dfreq"), F.col("shingle")))
+            ).alias("ord")
+        )
     )
     if persist:
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
-    n_sh = F.size("sh")
+    n_sh = F.size("ord")
     prefix_len = n_sh - F.ceil(n_sh * F.lit(threshold)).cast("int") + F.lit(1)
     # n_sh travels INSIDE the exploded struct, not as its own projected
     # column: join conditions on n_a/n_b infer isnotnull constraints,
     # and a plain column alias would let them push below the projection,
-    # re-inlining the whole shingle expression into the scan filter in
-    # its slow per-element form (same pathology as _shingle_index's
-    # explode_outer note — constraints cannot cross a Generate output).
+    # re-inlining the whole expression into the scan filter in its
+    # expensive per-element form (constraints cannot cross a Generate
+    # output, so the struct keeps them above the explode).
     prefix_entries = F.transform(
-        F.slice("sh", 1, F.greatest(prefix_len, F.lit(0))),
-        lambda s: F.struct(s.alias("shingle"), n_sh.alias("n_sh")),
+        F.slice("ord", 1, F.greatest(prefix_len, F.lit(0))),
+        lambda s: F.struct(
+            s.getField("shingle").alias("shingle"),
+            s.getField("dfreq").alias("dfreq"),
+            n_sh.alias("n_sh"),
+        ),
     )
     idx = (
         sets.select("doc", F.posexplode_outer(prefix_entries).alias("pos", "e"))
@@ -152,22 +186,12 @@ def ngram_jaccard_pairs(
             "pos",
             F.col("e.shingle").alias("shingle"),
             F.col("e.n_sh").alias("n_sh"),
+            F.col("e.dfreq").alias("dfreq"),
         )
     )
     if max_shingle_freq is not None:
-        # Hot-set ANTI-join, not rare-set inner join: shingles above the
-        # cap are few by definition (the whole point is that each one is
-        # pathological), so the blocklist broadcasts and the filter is a
-        # map-only pass over the index. The groupBy's shuffle carries one
-        # row per distinct shingle per map partition (partial agg), not
-        # the index itself.
-        hot = (
-            idx.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("df_"))
-            .filter(F.col("df_") > max_shingle_freq)
-            .select("shingle")
-        )
-        idx = idx.join(F.broadcast(hot), "shingle", "left_anti")
+        idx = idx.filter(F.col("dfreq") <= max_shingle_freq)
+    idx = idx.drop("dfreq")
     a = idx.select(
         F.col("doc").alias("doc_a"),
         F.col("n_sh").alias("n_a"),
@@ -208,8 +232,9 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b")
         .distinct()
     )
-    sa = sets.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sets.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    shingle_arr = F.transform(F.col("ord"), lambda s: s.getField("shingle"))
+    sa = sets.select(F.col("doc").alias("doc_a"), shingle_arr.alias("sh_a"))
+    sb = sets.select(F.col("doc").alias("doc_b"), shingle_arr.alias("sh_b"))
     n_common = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     jac = F.col("n_common") / (
         F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - F.col("n_common")

@@ -253,7 +253,19 @@ def curate_corpus(
         .filter(F.col("quality") >= quality_min)
     )
     keep_ids = scored.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
-    kept = scored.join(keep_ids, id_col, "left_semi").drop("__fp")
+    # persist: the near-dup operator walks this subtree several times
+    # (shingle occurrence pass, doc-frequency pass, verify sides) and
+    # the final anti-join walks it once more — without a materialization
+    # each walk recomputes quality + fingerprint + the semi-join.
+    # MEMORY_AND_DISK spills instead of OOMing; cache ownership follows
+    # the dedup operators' contract (session-scoped, cleared by caller).
+    from pyspark import StorageLevel
+
+    kept = (
+        scored.join(keep_ids, id_col, "left_semi")
+        .drop("__fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     if use_lsh is None:
         use_lsh = kept.count() > lsh_above_docs
     pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs
