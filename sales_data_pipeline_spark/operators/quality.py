@@ -140,6 +140,42 @@ def contamination(
     )
 
 
+def char_entropy(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Shannon entropy of the character distribution per document (bits
+    of surprise per char, natural log) — the classic cheap proxy for LM
+    perplexity in corpus filtering: machine-generated/degenerate text
+    (repeated chars, base64 blobs, template spam) sits at the entropy
+    extremes.
+
+    Plan: explode chars → (doc, char) counts → entropy fold — the same
+    linear two-aggregation shape as repetition_stats; the alphabet per
+    doc is ≤ a few hundred keys so the second aggregation is tiny.
+    Entropy is rounded (default 6 digits) because a float sum's
+    accumulation order varies with partitioning; 1e-15 noise must not
+    flip the oracle hash."""
+    ch = df.select(
+        F.col(id_col).alias("doc"), F.explode(F.split(text_col, "")).alias("c")
+    ).filter(F.col("c") != "")
+    cnt = ch.groupBy("doc", "c").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("doc").agg(F.sum("n").alias("t"))
+    p = F.col("n") / F.col("t")
+    return (
+        cnt.join(tot, "doc")
+        .groupBy("doc")
+        .agg(
+            F.round(-F.sum(p * F.log(p)), round_digits).alias("entropy"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            F.max("t").cast("bigint").alias("n_chars"),
+        )
+        .select(F.col("doc").alias(id_col), "n_chars", "n_distinct_chars", "entropy")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

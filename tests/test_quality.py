@@ -52,6 +52,24 @@ def test_contamination_counts_distinct_overlap(spark):
     assert got[3].n_shingles == 0 and got[3].contamination_rate == 0.0
 
 
+def test_char_entropy_extremes(spark):
+    """Degenerate text scores 0 (one symbol); uniform alphabet scores
+    ln(k); ordering matches the information content."""
+    import math
+
+    from sales_data_pipeline_spark.operators.quality import char_entropy
+
+    df = spark.createDataFrame(
+        [(1, "aaaaaaaa"), (2, "abcdefgh"), (3, "aabb")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in char_entropy(df).collect()}
+    assert got[1].entropy == 0.0 and got[1].n_distinct_chars == 1
+    assert got[2].entropy == round(math.log(8), 6)
+    assert got[3].entropy == round(math.log(2), 6)
+    assert got[2].n_chars == 8
+
+
 def test_stratified_sample_deterministic_and_rate_bounded(spark):
     df = spark.range(0, 2000).select(
         F.col("id").alias("doc_id"),
