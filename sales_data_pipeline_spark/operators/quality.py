@@ -152,25 +152,24 @@ def char_entropy(
     (repeated chars, base64 blobs, template spam) sits at the entropy
     extremes.
 
-    Plan: explode chars → (doc, char) counts → entropy fold — the same
-    linear two-aggregation shape as repetition_stats; the alphabet per
-    doc is ≤ a few hundred keys so the second aggregation is tiny.
-    Entropy is rounded (default 6 digits) because a float sum's
-    accumulation order varies with partitioning; 1e-15 noise must not
-    flip the oracle hash."""
+    Plan: explode chars → (doc, char) counts → one per-doc aggregation
+    using the closed form  H = ln(t) − (Σ n·ln n)/t  (algebraically
+    −Σ p·ln p, but needing no second pass for t) — the same linear
+    two-shuffle shape as repetition_stats, no join. Entropy is rounded
+    (default 6 digits) because a float sum's accumulation order varies
+    with partitioning; 1e-15 noise must not flip the oracle hash."""
     ch = df.select(
         F.col(id_col).alias("doc"), F.explode(F.split(text_col, "")).alias("c")
     ).filter(F.col("c") != "")
     cnt = ch.groupBy("doc", "c").agg(F.count(F.lit(1)).alias("n"))
-    tot = cnt.groupBy("doc").agg(F.sum("n").alias("t"))
-    p = F.col("n") / F.col("t")
+    t = F.sum("n").cast("double")
+    s = F.sum(F.col("n").cast("double") * F.log(F.col("n").cast("double")))
     return (
-        cnt.join(tot, "doc")
-        .groupBy("doc")
+        cnt.groupBy("doc")
         .agg(
-            F.round(-F.sum(p * F.log(p)), round_digits).alias("entropy"),
+            F.sum("n").cast("bigint").alias("n_chars"),
             F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
-            F.max("t").cast("bigint").alias("n_chars"),
+            F.round(F.log(t) - s / t, round_digits).alias("entropy"),
         )
         .select(F.col("doc").alias(id_col), "n_chars", "n_distinct_chars", "entropy")
     )

@@ -91,23 +91,24 @@ def q54_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q56_char_entropy",
     oracle="""
     WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
-    cnt AS (SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY 1, 2),
-    tot AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS t FROM cnt GROUP BY 1)
-    SELECT cnt.doc_id,
-      CAST(max(t) AS BIGINT) AS n_chars,
+    cnt AS (SELECT doc_id, c, count(*) AS n FROM ch WHERE c <> '' GROUP BY 1, 2)
+    SELECT doc_id,
+      CAST(sum(n) AS BIGINT) AS n_chars,
       COUNT(*) AS n_distinct_chars,
-      round(-sum((n / CAST(t AS DOUBLE)) * ln(n / CAST(t AS DOUBLE))), 6) AS entropy
-    FROM cnt JOIN tot USING (doc_id)
-    GROUP BY cnt.doc_id
+      round(ln(CAST(sum(n) AS DOUBLE))
+            - sum(CAST(n AS DOUBLE) * ln(CAST(n AS DOUBLE)))
+              / CAST(sum(n) AS DOUBLE), 6) AS entropy
+    FROM cnt GROUP BY doc_id
     """,
 )
 def q56_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Shannon entropy per document — the cheap
     perplexity proxy for filtering degenerate text (repeated chars,
-    base64 blobs, template spam sit at the extremes). Rounded to 6
-    digits: float accumulation order varies with partitioning and
-    1e-15 noise must not flip the oracle hash (measured cross-engine
-    max diff 1.8e-15 on this corpus)."""
+    base64 blobs, template spam sit at the extremes). Closed form
+    ln(t) − Σn·ln(n)/t: two shuffles, no join (plan-shape pinned).
+    Rounded to 6 digits: float accumulation order varies with
+    partitioning and 1e-15 noise must not flip the oracle hash
+    (measured cross-engine max diff 1.8e-15 on this corpus)."""
     docs = table(spark, sf_dir, "documents")
     return char_entropy(docs)
 

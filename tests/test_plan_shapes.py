@@ -56,9 +56,11 @@ def test_q02_single_shuffle(spark, sf_dir):
     window+distinct formulation the reference used costs two extra
     exchanges — this pins the rewrite."""
     plan = _plan(QUERIES["q02_customer_monthly_mart"].fn(spark, sf_dir))
-    # broadcast exchanges don't repartition; count only shuffle exchanges
-    n_shuffles = len(re.findall(r"Exchange hashpartitioning", plan))
-    assert n_shuffles <= 1, plan
+    # broadcast exchanges don't repartition; count only shuffle exchanges.
+    # Formatted mode prints "(n) Exchange" + "Arguments: hashpartitioning"
+    # on separate lines (the old inline pattern matched nothing — vacuous).
+    n_shuffles = len(re.findall(r"Arguments: hashpartitioning", plan))
+    assert n_shuffles == 1, plan
 
 
 def test_minhash_signatures_map_only(spark, sf_dir):
@@ -92,6 +94,50 @@ def test_streaming_free_operators_stay_in_codegen(spark, sf_dir):
         assert "EvalPython" not in plan, q
         # the '* ' operator prefix marks whole-stage-codegen in formatted mode
         assert "\n* " in plan or "+- * " in plan, q
+
+
+def test_q53_repetition_two_exchanges_partial_agg(spark, sf_dir):
+    """Repetition stats = explode → (doc,gram) agg → (doc) rollup:
+    exactly two shuffle exchanges, both fed by partial aggregation
+    (map-side combine is what keeps the gram shuffle linear-bounded)."""
+    plan = _plan(QUERIES["q53_repetition_stats"].fn(spark, sf_dir))
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 2, plan
+    assert "partial_count" in plan, plan
+
+
+def test_q54_contamination_broadcasts_benchmark_vocab(spark, sf_dir):
+    """The benchmark side must collapse to its distinct shingle
+    vocabulary and BROADCAST; the corpus side must not shuffle for the
+    overlap join, and the source predicate must reach the scan."""
+    plan = _plan(QUERIES["q54_contamination"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "PushedFilters" in plan and "src1" in plan, plan
+
+
+def test_q55_q56_stay_cheap(spark, sf_dir):
+    """Stratified sampling is a pure map (zero exchanges, filter at the
+    scan); entropy is the two-aggregation shape with no Python eval."""
+    plan55 = _plan(QUERIES["q55_stratified_sample"].fn(spark, sf_dir))
+    assert "Exchange" not in plan55, plan55
+    plan56 = _plan(QUERIES["q56_char_entropy"].fn(spark, sf_dir))
+    assert "EvalPython" not in plan56, plan56
+    assert len(re.findall(r"Arguments: hashpartitioning", plan56)) == 2, plan56
+
+
+def test_q22_shingle_sets_cached_once(spark, sf_dir):
+    """The ordered shingle sets feed the prefix index and both verify
+    sides; the executed plan must reference the SAME InMemoryRelation
+    (one materialization), and the occurrence pass likewise."""
+    from sales_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from sales_data_pipeline_spark.catalog import table as _table
+
+    spark.catalog.clearCache()
+    try:
+        docs = _table(spark, sf_dir, "documents")
+        plan = _plan(ngram_jaccard_pairs(docs, threshold=0.6))
+        assert plan.count("InMemoryTableScan") >= 3, plan
+    finally:
+        spark.catalog.clearCache()
 
 
 def test_q35_topk_avoids_global_sort(spark, sf_dir):
