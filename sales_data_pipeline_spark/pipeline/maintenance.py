@@ -1,0 +1,130 @@
+"""Table maintenance: small-file compaction for partitioned parquet.
+
+Streaming/incremental writers (streaming/incremental.py) and repeated
+batch appends accumulate many small files per partition; at 100 TB the
+resulting footer reads and task-per-file scheduling dominate scan cost
+long before data volume does. This compactor rewrites ONLY fragmented
+partitions, in place, using dynamic partition overwrite — untouched
+partitions keep their bytes and their mtimes (verified in tests), so a
+nightly compaction touches exactly the partitions the day's ingestion
+fragmented.
+
+Heuristic: a partition needs compaction when it holds more than
+``max_files`` data files or its mean file size is below
+``min_mean_bytes``. The rewrite coalesces to ⌈bytes/target⌉ files.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class PartitionStats:
+    partition: str  # relative dir, e.g. "sales_month=2023-03"
+    n_files: int
+    total_bytes: int
+
+    @property
+    def mean_bytes(self) -> float:
+        return self.total_bytes / self.n_files if self.n_files else 0.0
+
+
+def partition_file_stats(spark: SparkSession, root: str) -> list[PartitionStats]:
+    """Per-leaf-partition file counts/sizes via the Hadoop FS API (works
+    for local/hdfs/s3a alike; one listing pass, no data read)."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root_p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = root_p.getFileSystem(conf)
+    stats: dict[str, list[int]] = {}
+    it = fs.listFiles(root_p, True)  # recursive
+    root_uri = fs.makeQualified(root_p).toString().rstrip("/")
+    while it.hasNext():
+        f = it.next()
+        path = f.getPath().toString()
+        name = f.getPath().getName()
+        if not name.endswith(".parquet") or name.startswith(("_", ".")):
+            continue
+        rel = path[len(root_uri) + 1 :]
+        part = rel.rsplit("/", 1)[0] if "/" in rel else ""
+        stats.setdefault(part, []).append(int(f.getLen()))
+    return [
+        PartitionStats(part, len(sizes), sum(sizes))
+        for part, sizes in sorted(stats.items())
+    ]
+
+
+def fragmented_partitions(
+    stats: list[PartitionStats],
+    max_files: int = 8,
+    min_mean_bytes: int = 8 * 1024 * 1024,
+) -> list[PartitionStats]:
+    return [
+        s
+        for s in stats
+        if s.n_files > max_files or (s.n_files > 1 and s.mean_bytes < min_mean_bytes)
+    ]
+
+
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    partition_cols: list[str],
+    max_files: int = 8,
+    min_mean_bytes: int = 8 * 1024 * 1024,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> list[str]:
+    """Rewrite fragmented partitions of a partitioned parquet table to
+    ⌈bytes/target⌉ files each; returns the partition dirs rewritten.
+
+    The rewrite reads ONLY the fragmented partitions (partition-pruned
+    scan via the partition-column filter) and swaps them in with
+    dynamic partition overwrite — an idempotent, partition-local
+    operation: untouched partitions are never read or re-written.
+
+    File-count control: repartitioning by partition columns alone sends
+    each partition's rows to ONE task (one file — right for small
+    partitions, a straggler for big ones), so rows get a deterministic
+    content-hash salt in [0, k) with per-partition k = ⌈bytes/target⌉,
+    and the shuffle keys on (partition cols, salt)."""
+    frag = fragmented_partitions(
+        partition_file_stats(spark, root), max_files, min_mean_bytes
+    )
+    if not frag:
+        return []
+    # partition dir "a=1/b=2" -> tuple of values aligned with partition_cols
+    def _values(part: str) -> list[str]:
+        return [kv.split("=", 1)[1] for kv in part.split("/")]
+
+    df = spark.read.option("basePath", root).parquet(root)
+    data_cols = [c for c in df.columns if c not in partition_cols]
+    cond = None
+    salt_k = None
+    for s in frag:
+        this = None
+        for col, val in zip(partition_cols, _values(s.partition)):
+            c = F.col(col).cast("string") == val
+            this = c if this is None else (this & c)
+        cond = this if cond is None else (cond | this)
+        k = max(1, math.ceil(s.total_bytes / target_file_bytes))
+        salt_k = F.when(this, F.lit(k)) if salt_k is None else salt_k.when(this, F.lit(k))
+    salt = F.pmod(F.xxhash64(*data_cols), salt_k.otherwise(F.lit(1)))
+    total_out = sum(
+        max(1, math.ceil(s.total_bytes / target_file_bytes)) for s in frag
+    )
+    (
+        df.filter(cond)
+        .withColumn("__salt", salt)
+        .repartition(total_out, *partition_cols, "__salt")
+        .drop("__salt")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_cols)
+        .parquet(root)
+    )
+    return [s.partition for s in frag]

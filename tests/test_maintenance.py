@@ -1,0 +1,81 @@
+"""Small-file compaction: fragmented partitions get rewritten, healthy
+partitions keep their exact bytes, data survives bit-identical."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.pipeline.maintenance import (
+    compact_partitions,
+    fragmented_partitions,
+    partition_file_stats,
+)
+
+
+def _files(root, part):
+    return sorted(glob.glob(f"{root}/{part}/*.parquet"))
+
+
+def _build_table(spark, root):
+    """month=A fragmented (16 files), month=B healthy (1 file)."""
+    a = spark.range(0, 4000).select(
+        F.col("id"), F.lit("A").alias("month"), (F.col("id") * 2).alias("v")
+    )
+    a.repartition(16).write.partitionBy("month").mode("overwrite").parquet(root)
+    b = spark.range(4000, 8000).select(
+        F.col("id"), F.lit("B").alias("month"), (F.col("id") * 2).alias("v")
+    )
+    b.coalesce(1).write.partitionBy("month").mode("append").parquet(root)
+
+
+def test_stats_and_fragmentation_detection(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _build_table(spark, root)
+    stats = {s.partition: s for s in partition_file_stats(spark, root)}
+    assert stats["month=A"].n_files == 16
+    assert stats["month=B"].n_files == 1
+    frag = fragmented_partitions(list(stats.values()), max_files=8)
+    assert [s.partition for s in frag] == ["month=A"]
+
+
+def test_compact_rewrites_only_fragmented_and_preserves_data(spark, tmp_path):
+    root = str(tmp_path / "t")
+    _build_table(spark, root)
+    before = spark.read.parquet(root)
+    want = sorted(map(tuple, before.collect()))
+    b_files_before = {(f, os.path.getmtime(f)) for f in _files(root, "month=B")}
+
+    rewritten = compact_partitions(
+        spark, root, ["month"], max_files=8, target_file_bytes=1 << 30
+    )
+    assert rewritten == ["month=A"]
+    assert len(_files(root, "month=A")) == 1  # 16 -> ceil(bytes/1GB) = 1
+    # healthy partition untouched: same files, same mtimes
+    assert {(f, os.path.getmtime(f)) for f in _files(root, "month=B")} == b_files_before
+    got = sorted(map(tuple, spark.read.parquet(root).collect()))
+    assert got == want
+    # second run is a no-op (idempotent)
+    assert compact_partitions(spark, root, ["month"], max_files=8) == []
+
+
+def test_compact_splits_large_partition_to_target(spark, tmp_path):
+    """target_file_bytes smaller than the partition → k > 1 output files."""
+    root = str(tmp_path / "t2")
+    df = spark.range(0, 20000).select(
+        F.col("id"), F.lit("A").alias("month"),
+        F.md5(F.col("id").cast("string")).alias("payload"),
+    )
+    df.repartition(20).write.partitionBy("month").mode("overwrite").parquet(root)
+    stats = partition_file_stats(spark, root)
+    total = stats[0].total_bytes
+    target = total // 3  # expect ceil(total/target) in {3, 4}
+    rewritten = compact_partitions(
+        spark, root, ["month"], max_files=8, target_file_bytes=target
+    )
+    assert rewritten == ["month=A"]
+    n = len(_files(root, "month=A"))
+    assert 2 <= n <= 5, n
+    assert spark.read.parquet(root).count() == 20000
