@@ -293,8 +293,9 @@ def minhash_lsh_pairs(
     """Near-dup pairs via banded LSH, then EXACT Jaccard verification of
     candidates only. Output schema matches ngram_jaccard_pairs; the
     difference is recall (<1 with probability 1-(1-t^r)^b) and cost
-    (linear-ish vs quadratic).
-    """
+    (linear-ish vs quadratic). Cache ownership follows
+    ngram_jaccard_pairs' contract: the persisted shingle sets live until
+    the caller clears them (or pass persist=False)."""
     rows = num_perm // bands
     # one shingle pass feeds BOTH the signatures and the exact-verify
     # arrays below; persist so it materializes once
