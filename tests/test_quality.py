@@ -52,6 +52,55 @@ def test_contamination_counts_distinct_overlap(spark):
     assert got[3].n_shingles == 0 and got[3].contamination_rate == 0.0
 
 
+def test_repetition_stats_matches_python_reference_random_docs(spark):
+    """Property: counts agree with a pure-Python 2-gram counter on
+    random small-vocab docs (small vocab forces heavy repetition)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(42)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df, n=2).collect()}
+    for i, text in docs:
+        toks = text.split(" ")
+        grams = Counter(zip(toks, toks[1:]))
+        if not grams:
+            assert i not in got
+            continue
+        r = got[i]
+        assert r.n_grams == sum(grams.values())
+        assert r.n_distinct_grams == len(grams)
+        assert r.top_gram_count == max(grams.values())
+
+
+def test_contamination_matches_python_reference_random_docs(spark):
+    import random
+
+    rng = random.Random(43)
+    vocab = [f"w{j}" for j in range(12)]
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+    bench_docs = [(100 + i, mk(rng.randint(5, 20))) for i in range(5)]
+    corpus_docs = [(i, mk(rng.randint(1, 20))) for i in range(30)]
+    bench = spark.createDataFrame(bench_docs, "doc_id long, text string")
+    corpus = spark.createDataFrame(corpus_docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in contamination(corpus, bench, n=5).collect()}
+
+    def sh5(text):
+        t = text.split(" ")
+        return {tuple(t[i : i + 5]) for i in range(len(t) - 4)}
+
+    vocab_sh = set().union(*(sh5(t) for _, t in bench_docs))
+    for i, text in corpus_docs:
+        s = sh5(text)
+        assert got[i].n_shingles == len(s)
+        assert got[i].n_overlap == len(s & vocab_sh)
+
+
 def test_char_entropy_extremes(spark):
     """Degenerate text scores 0 (one symbol); uniform alphabet scores
     ln(k); ordering matches the information content."""
