@@ -49,7 +49,7 @@ def _time_bucket(ts: Column, dtype, coarse_bucket: int) -> Column:
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    key: str | list[str],
     left_ts: str,
     right_ts: str,
     right_payload: list[str],
@@ -59,11 +59,16 @@ def asof_join(
 ) -> DataFrame:
     """LEFT ASOF join: latest right row with right_ts ≤ left_ts per key.
 
-    ``strict=True`` uses right_ts < left_ts (excludes simultaneous
-    rows). Right payload columns come back as ``{col}{suffix}`` plus
-    ``{right_ts}{suffix}``. Ties on right_ts resolve to the row that
-    sorts last on the payload struct (deterministic). ``coarse_bucket``
-    (seconds for timestamp keys) salts hot keys — see module docstring."""
+    ``key`` may be one column or a composite list (e.g. [symbol, venue])
+    — composite keys pack into one struct internally, so the plan shape
+    (one window over one shuffle key) is identical. ``strict=True``
+    uses right_ts < left_ts (excludes simultaneous rows). Right payload
+    columns come back as ``{col}{suffix}`` plus ``{right_ts}{suffix}``.
+    Ties on right_ts resolve to the row that sorts last on the payload
+    struct (deterministic). ``coarse_bucket`` (seconds for timestamp
+    keys) salts hot keys — see module docstring."""
+    keys = [key] if isinstance(key, str) else list(key)
+    pack = F.struct(*[F.col(k) for k in keys]) if len(keys) > 1 else F.col(keys[0])
     # side flag orders right rows before left rows at equal timestamps
     # for the non-strict variant (so an equal-ts right row IS visible),
     # and after them for strict (so it is NOT).
@@ -72,7 +77,7 @@ def asof_join(
         F.col(right_ts).alias("__ts"), *[F.col(c) for c in right_payload]
     )
     r = right.select(
-        F.col(key).alias("__k"),
+        pack.alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(right_rank).alias("__side"),
         payload.alias("__p"),
@@ -80,7 +85,7 @@ def asof_join(
     )
     l_cols = [F.col(c) for c in left.columns]
     lf = left.select(
-        F.col(key).alias("__k"),
+        pack.alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(r.schema["__p"].dataType).alias("__p"),

@@ -88,6 +88,28 @@ def test_asof_salted_hot_key_property(spark):
     assert _rows(salted) == _rows(plain)
 
 
+def test_asof_composite_key(spark):
+    """Composite (k1, k2) keys: matches only within the exact pair, for
+    both the plain and salted paths."""
+    left = spark.createDataFrame(
+        [(1, 100, "x", _ts(10)), (2, 100, "y", _ts(10)), (3, 200, "x", _ts(10))],
+        "id long, k1 long, k2 string, t timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, "x", _ts(5), 1.0), (100, "y", _ts(6), 2.0), (200, "x", _ts(7), 3.0),
+         (100, "x", _ts(50), 9.0)],
+        "k1 long, k2 string, t timestamp, v double",
+    )
+    for bucket in (None, 7):
+        out = {
+            r.id: r.v_asof
+            for r in asof_join(
+                left, right, ["k1", "k2"], "t", "t", ["v"], coarse_bucket=bucket
+            ).collect()
+        }
+        assert out == {1: 1.0, 2: 2.0, 3: 3.0}, (bucket, out)
+
+
 def test_asof_salted_plan_has_bucketed_window_key(spark):
     """The in-bucket window must actually partition by (key, bucket) —
     the salt has to reach the exchange, not just the expression tree."""
