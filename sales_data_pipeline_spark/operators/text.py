@@ -83,6 +83,50 @@ def lang_id(col: Column | str, threshold: float = 0.03) -> Column:
     return F.when(ratio >= threshold, F.lit("en")).otherwise(F.lit("other"))
 
 
+# Tiny per-language function-word sets for the multi-language variant.
+# Real deployments load these from a linguistic resource; the plan shape
+# (per-language hit-ratio + deterministic argmax) is what matters.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": EN_STOPWORDS,
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une"),
+}
+
+
+def lang_id_multi(
+    col: Column | str,
+    lang_stopwords: dict[str, tuple[str, ...]] | None = None,
+    threshold: float = 0.03,
+) -> Column:
+    """Multi-language ID: per-language stopword-hit ratio, argmax with a
+    deterministic tie-break (higher ratio wins; equal ratios pick the
+    lexicographically FIRST language code), 'other' when the best ratio
+    is under ``threshold``.
+
+    For a handful of languages the ratios are pure codegen expressions
+    over one tokenization (literal IN-lists — each filter() pass is
+    JVM-side); at dozens of languages the same logic becomes explode +
+    broadcast-join against a (lang, word) table + groupBy argmax, the
+    shape the single-language docstring describes."""
+    langs = lang_stopwords or LANG_STOPWORDS
+    toks = tokens(col)
+    n = F.size(toks).cast("bigint")
+    scored = [
+        F.struct(
+            (F.size(F.filter(toks, lambda t: t.isin(*words))).cast("bigint") / n).alias("ratio"),
+            # negate the code ordering so array_max's (ratio, key) max
+            # picks the lexicographically FIRST code on ratio ties
+            F.lit(-i).alias("key"),
+            F.lit(code).alias("lang"),
+        )
+        for i, (code, words) in enumerate(sorted(langs.items()))
+    ]
+    best = F.array_max(F.array(*scored))
+    return F.when(best.getField("ratio") >= threshold, best.getField("lang")).otherwise(
+        F.lit("other")
+    )
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality score: length-band flag, lexical diversity,
     bounded stopword ratio — the standard cheap pre-filters in front of

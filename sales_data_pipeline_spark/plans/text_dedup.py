@@ -25,9 +25,11 @@ from sales_data_pipeline_spark.operators.dedup import (
 )
 from sales_data_pipeline_spark.operators.text import (
     EN_STOPWORDS,
+    LANG_STOPWORDS,
     bpe_token_count,
     fingerprint,
     lang_id,
+    lang_id_multi,
     quality_score,
     rolling_hash,
     stopword_count,
@@ -109,6 +111,43 @@ def q18_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         (stopword_count("text") / token_count("text")).alias("stop_ratio"),
         lang_id("text").alias("lang_pred"),
     )
+
+
+def _in_list(words: tuple[str, ...]) -> str:
+    return "(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+@query(
+    "q57_lang_id_multi",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    r AS (
+      SELECT doc_id,
+        len(list_filter(toks, x -> x IN {_in_list(LANG_STOPWORDS["de"])}))
+          / len(toks) AS r_de,
+        len(list_filter(toks, x -> x IN {_in_list(LANG_STOPWORDS["en"])}))
+          / len(toks) AS r_en,
+        len(list_filter(toks, x -> x IN {_in_list(LANG_STOPWORDS["fr"])}))
+          / len(toks) AS r_fr
+      FROM t
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(r_de, r_en, r_fr) < 0.03 THEN 'other'
+           WHEN r_de = greatest(r_de, r_en, r_fr) THEN 'de'
+           WHEN r_en = greatest(r_de, r_en, r_fr) THEN 'en'
+           ELSE 'fr' END AS lang_pred
+    FROM r
+    """,
+)
+def q57_lang_id_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-language ID: per-language function-word hit ratios over ONE
+    tokenization, deterministic argmax (ratio desc, language code asc on
+    ties), 'other' under threshold. Pure codegen for a handful of
+    languages; the dozens-of-languages shape is explode + broadcast
+    (lang, word) join + groupBy argmax (same semantics, tested here
+    against this expression form's oracle)."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_multi("text").alias("lang_pred"))
 
 
 @query(

@@ -119,6 +119,25 @@ def test_char_entropy_extremes(spark):
     assert got[2].n_chars == 8
 
 
+def test_lang_id_multi_argmax_and_ties(spark):
+    from sales_data_pipeline_spark.operators.text import lang_id_multi
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is of the house and the dog"),   # en
+            (2, "der hund ist nicht die katze und der"),  # de
+            (3, "le chat est la maison et le chien"),     # fr
+            (4, "xyz qqq zzz www rrr ttt yyy uuu"),       # none -> other
+            (5, "the der"),  # en ratio == de ratio -> lexicographically first = de
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.pred for r in df.select(
+        "doc_id", lang_id_multi("text").alias("pred")
+    ).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "other", 5: "de"}
+
+
 def test_stratified_sample_deterministic_and_rate_bounded(spark):
     df = spark.range(0, 2000).select(
         F.col("id").alias("doc_id"),
