@@ -12,6 +12,17 @@ fragmented.
 Heuristic: a partition needs compaction when it holds more than
 ``max_files`` data files or its mean file size is below
 ``min_mean_bytes``. The rewrite coalesces to ⌈bytes/target⌉ files.
+
+Scope note: compaction is per LEAF partition — it never merges rows
+across partition values. For the incremental fact store
+(``ingest_batch=N/sales_month=M``) that means a fragmented micro-batch
+leaf consolidates, but many one-file batch dirs for the same month do
+NOT merge: collapsing ``ingest_batch`` values would break the
+batch-keyed retry-overwrite idempotency contract
+(streaming/incremental.py) unless the consolidator coordinates with
+the stream's checkpoint (safe only for batch ids the offset log has
+committed) — that coordination is a table-format (Delta/Iceberg
+rewrite + snapshot) job, deliberately out of scope here.
 """
 
 from __future__ import annotations

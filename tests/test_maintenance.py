@@ -61,6 +61,47 @@ def test_compact_rewrites_only_fragmented_and_preserves_data(spark, tmp_path):
     assert compact_partitions(spark, root, ["month"], max_files=8) == []
 
 
+def test_compact_streaming_fact_store(spark, tmp_path):
+    """End-to-end with the incremental pipeline: micro-batches fragment
+    the fact store (one writer task per file per batch dir); compaction
+    over the nested (ingest_batch, sales_month) layout consolidates
+    without changing a row."""
+    import datetime as dt
+
+    from sales_data_pipeline_spark.streaming.incremental import (
+        IncrementalConfig,
+        run_incremental,
+    )
+    from tests.fixtures import dim_frames, write_sales_csv
+
+    cfg = IncrementalConfig(
+        input_dir=str(tmp_path / "in"),
+        fact_dir=str(tmp_path / "fact"),
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=3,  # one micro-batch ingests all three files
+    )
+    (tmp_path / "in").mkdir()
+    customer, store, sales_team = dim_frames(spark)
+    for i in range(3):  # same month -> 3 writer tasks -> 3 files in one leaf
+        write_sales_csv(
+            tmp_path / "in" / f"part{i}.csv", n=80, seed=i, date=dt.date(2023, 5, 4)
+        )
+    run_incremental(spark, cfg, customer, store, sales_team)
+
+    before = sorted(
+        map(tuple, spark.read.option("basePath", cfg.fact_dir).parquet(cfg.fact_dir).collect())
+    )
+    rewritten = compact_partitions(
+        spark, cfg.fact_dir, ["ingest_batch", "sales_month"], max_files=1
+    )
+    assert rewritten  # the multi-file micro-batch leaf was fragmented
+    after_df = spark.read.option("basePath", cfg.fact_dir).parquet(cfg.fact_dir)
+    assert sorted(map(tuple, after_df.collect())) == before
+    for part in rewritten:
+        assert len(_files(cfg.fact_dir, part)) == 1
+
+
 def test_compact_splits_large_partition_to_target(spark, tmp_path):
     """target_file_bytes smaller than the partition → k > 1 output files."""
     root = str(tmp_path / "t2")
