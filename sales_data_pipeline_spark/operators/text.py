@@ -74,6 +74,52 @@ def rolling_hash(col: Column | str) -> Column:
     )
 
 
+def kgram_hashes(col: Column | str, k: int = 8) -> Column:
+    """Per-position character k-gram hashes: first 8 hex digits of
+    md5(k-gram) as bigint — md5 makes the values engine-portable (the
+    DuckDB oracle computes the identical numbers). Empty array for
+    texts shorter than k (a bare sequence(1, n-k+1) would DESCEND for
+    short texts and emit garbage positions)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    gram_hash = lambda i: F.conv(  # noqa: E731
+        F.substring(F.md5(c.substr(i, F.lit(k))), 1, 8), 16, 10
+    ).cast("bigint")
+    return F.when(n < k, F.array().cast("array<bigint>")).otherwise(
+        F.transform(idx, gram_hash)
+    )
+
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 8, w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme, robust
+    variant): hash every char k-gram, slide a w-window over the hash
+    stream, keep each window's MINIMUM — guaranteeing any shared
+    substring of length ≥ k+w-1 contributes at least one common
+    fingerprint between two documents, while storing ~1/w of the
+    hashes. Output: (id, fp: sorted distinct minima array).
+
+    The hash array is PROJECTED before the window pass (two references
+    to an inline expression would re-evaluate the whole k-gram pipeline
+    per window position — the same multi-reference pathology
+    shingle_hashes_from_tokens documents)."""
+    h_df = df.select(
+        F.col(id_col).alias("doc"), kgram_hashes(text_col, k).alias("__h")
+    )
+    m = F.size("__h")
+    wins = F.when(m < w, F.array().cast("array<bigint>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), m - (w - 1)),
+            lambda j: F.array_min(F.slice("__h", j, w)),
+        )
+    )
+    return h_df.select(
+        F.col("doc").alias(id_col),
+        F.array_sort(F.array_distinct(wins)).alias("fp"),
+    )
+
+
 def lang_id(col: Column | str, threshold: float = 0.03) -> Column:
     """N-gram-free language heuristic: stopword-hit ratio ≥ threshold → 'en'.
 

@@ -35,6 +35,7 @@ from sales_data_pipeline_spark.operators.text import (
     stopword_count,
     token_count,
     unique_token_count,
+    winnow_fingerprints,
 )
 from sales_data_pipeline_spark.plans.registry import query
 
@@ -370,6 +371,83 @@ def q33_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = curate_corpus(docs, quality_min=0.5, near_threshold=0.8, use_lsh=False)
     return kept.select(
         "doc_id", "lang", "source", F.round("quality", 9).alias("quality")
+    )
+
+
+@query(
+    "q58_winnow_fingerprints",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+        [ ('0x'||substr(md5(substr(text, i, 8)), 1, 8))::UBIGINT::BIGINT
+          for i in range(1, greatest(length(text) - 8 + 1, 0) + 1) ] AS hs
+      FROM documents
+    ),
+    wins AS (
+      SELECT doc_id,
+        CASE WHEN len(hs) >= 4 THEN
+          list_sort(list_distinct(
+            [ list_min(hs[j:j+3]) for j in range(1, len(hs) - 4 + 1 + 1) ]))
+        ELSE [] END AS fp
+      FROM h
+    )
+    SELECT doc_id,
+      CAST(len(fp) AS BIGINT) AS n_fp,
+      md5(array_to_string(fp, ',')) AS fp_checksum
+    FROM wins
+    """,
+)
+def q58_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (MOSS scheme): per-window minima of char
+    8-gram hashes, windows of 4 — any shared substring of length ≥ 11
+    chars guarantees a common fingerprint, at ~1/4 the storage of full
+    hashing. The driver-checkable shape is (count, md5-of-the-sorted-
+    set): scalar columns that hash identically across engines, proving
+    the full fingerprint SET matches, not just its size. Map-only."""
+    docs = table(spark, sf_dir, "documents")
+    fp = winnow_fingerprints(docs, k=8, w=4)
+    return fp.select(
+        "doc_id",
+        F.size("fp").cast("bigint").alias("n_fp"),
+        F.md5(F.concat_ws(",", F.transform("fp", lambda x: x.cast("string")))).alias(
+            "fp_checksum"
+        ),
+    )
+
+
+@query(
+    "q59_group_split",
+    oracle="""
+    WITH tagged AS (
+      SELECT source,
+        CASE
+          WHEN substr(md5(source), 32, 1) IN ('e', 'f') THEN
+            CASE WHEN substr(md5(source), 32, 1) = 'e' THEN 'val' ELSE 'test' END
+          ELSE 'train'
+        END AS split,
+        length(text) AS n_chars
+      FROM documents
+    )
+    SELECT source, split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM tagged GROUP BY source, split
+    """,
+)
+def q59_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP-leakage-safe train/val/test split: the md5 digit is taken
+    over the GROUP key (source), not the row id, so every document of a
+    source lands in the same split — near-duplicate documents within
+    one source can never straddle train and eval (the leakage q44's
+    per-doc split cannot prevent). Same determinism contract as q44:
+    bit-portable, stable under re-runs/partitioning. The one-split-per-
+    source invariant is asserted in tests."""
+    docs = table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("source")), 32, 1)
+    split = F.when(digit == "e", "val").when(digit == "f", "test").otherwise("train")
+    return (
+        docs.select("source", split.alias("split"), F.length("text").alias("n_chars"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
     )
 
 

@@ -119,6 +119,46 @@ def test_char_entropy_extremes(spark):
     assert got[2].n_chars == 8
 
 
+def test_winnowing_guarantee_shared_substring(spark):
+    """The winnowing contract: two docs sharing a substring of length
+    ≥ k+w-1 (here 11) MUST share at least one fingerprint; a doc pair
+    with no shared 8-gram shares none."""
+    from sales_data_pipeline_spark.operators.text import winnow_fingerprints
+
+    shared = "abcdefghijklmnop"  # 16 chars >> 11
+    df = spark.createDataFrame(
+        [
+            (1, "XXXX" + shared + "YYYY"),
+            (2, "QQ" + shared + "RRRRRR"),
+            (3, "zyxwvutsrq0987654321"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: set(r.fp) for r in winnow_fingerprints(df, k=8, w=4).collect()}
+    assert fps[1] & fps[2], "shared substring produced no common fingerprint"
+    assert not (fps[1] & fps[3])
+    assert all(len(v) > 0 for v in fps.values())
+
+
+def test_winnowing_short_doc_empty(spark):
+    from sales_data_pipeline_spark.operators.text import winnow_fingerprints
+
+    df = spark.createDataFrame([(1, "short"), (2, "elevenchars")], "doc_id long, text string")
+    got = {r.doc_id: list(r.fp) for r in winnow_fingerprints(df, k=8, w=4).collect()}
+    assert got[1] == []  # < k chars: no k-grams at all
+    assert len(got[2]) >= 1  # 11 chars = k+w-1: exactly one window
+
+
+def test_group_split_no_source_straddles_splits(spark, sf_dir):
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    rows = QUERIES["q59_group_split"].fn(spark, sf_dir).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_source.values()), by_source
+
+
 def test_lang_id_multi_argmax_and_ties(spark):
     from sales_data_pipeline_spark.operators.text import lang_id_multi
 
