@@ -103,7 +103,12 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
     The hash array is PROJECTED before the window pass (two references
     to an inline expression would re-evaluate the whole k-gram pipeline
     per window position — the same multi-reference pathology
-    shingle_hashes_from_tokens documents)."""
+    shingle_hashes_from_tokens documents).
+
+    Hash choice: md5-per-k-gram is O(k) per position, picked because the
+    DuckDB oracle reproduces it bit-for-bit. Production winnowing swaps
+    in the O(1)-per-position rolling polynomial (rolling_hash's update
+    rule) — identical plan shape, no oracle portability."""
     h_df = df.select(
         F.col(id_col).alias("doc"), kgram_hashes(text_col, k).alias("__h")
     )
