@@ -1598,3 +1598,78 @@ def q51_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "tok")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q60 — sequential funnel (ordered milestone progression per user)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q60_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+      CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+                WHEN c.t_click IS NOT NULL THEN 2
+                ELSE 1 END AS BIGINT) AS stage_reached
+    FROM v
+    LEFT JOIN c USING (user_id)
+    LEFT JOIN p USING (user_id)
+    """,
+)
+def q60_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential funnel: first view → first click STRICTLY AFTER it →
+    first purchase strictly after that, per user — order matters (a
+    purchase before the click does not count), which plain per-type
+    min() aggregation cannot express. Three stage aggregations, each
+    filtered by the previous stage's timestamp; every shuffle is keyed
+    on user_id so AQE/exchange reuse keeps the chain to one partitioning.
+    The standard product-analytics primitive (conversion funnels) on the
+    events stream table."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .otherwise(1)
+        .cast("bigint")
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("stage_reached"))
+    )
