@@ -175,6 +175,67 @@ def char_entropy(
     )
 
 
+def remove_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 4,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet/RefinedWeb paragraph-
+    dedup shape, with deterministic fixed-size token chunks standing in
+    for paragraphs): drop every chunk whose text occurs in ≥ ``min_docs``
+    DISTINCT documents — headers, footers, license blocks, template spam
+    — then reassemble each document from its surviving chunks in order.
+
+    Output per input doc (docs whose every chunk was boilerplate are
+    kept with empty clean text — the caller decides whether to drop
+    them): (id, n_chunks, n_kept, n_dropped, clean_text).
+
+    Plan — three shuffles, each linear in corpus size:
+      1. chunk frequency: inline(chunks) → groupBy(md5(chunk)) with
+         map-side-combined countDistinct; chunks travel as 16-byte md5
+         keys, not full text.
+      2. tag: shuffle-join chunks against the frequency table on the
+         md5 key (at real scale the boilerplate side can instead be
+         filtered to n_docs ≥ min_docs first and broadcast — it is the
+         small side by construction — leaving a left_anti broadcast
+         join; AQE picks that up from post-aggregation size).
+      3. reassemble: ONE groupBy(doc) — collect_list skips nulls, so a
+         when()-guarded struct collects only surviving chunks while
+         count(*) still sees all of them; array_sort for deterministic
+         order, concat_ws. No second per-doc aggregation, no window, no
+         per-doc Python."""
+    from sales_data_pipeline_spark.operators.text import token_chunks
+
+    chunks = df.select(
+        F.col(id_col).alias("doc"),
+        F.inline(token_chunks(text_col, size=chunk_size)),
+    ).select("doc", "chunk_id", "chunk", F.md5("chunk").alias("k"))
+    freq = chunks.groupBy("k").agg(F.count_distinct("doc").alias("n_docs"))
+    tagged = chunks.join(freq, "k")
+    kept_struct = F.when(
+        F.col("n_docs") < min_docs, F.struct("chunk_id", "chunk")
+    )
+    return (
+        tagged.groupBy("doc")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.collect_list(kept_struct).alias("__kept"),
+        )
+        .select(
+            F.col("doc").alias(id_col),
+            "n_chunks",
+            F.size("__kept").cast("bigint").alias("n_kept"),
+            (F.col("n_chunks") - F.size("__kept")).cast("bigint").alias("n_dropped"),
+            F.concat_ws(
+                " ",
+                F.transform(F.array_sort("__kept"), lambda x: x["chunk"]),
+            ).alias("clean_text"),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

@@ -54,6 +54,38 @@ def bpe_token_count(col: Column | str) -> Column:
     return F.size(F.regexp_extract_all(c, F.lit(BPE_PRETOKEN_PATTERN), 0)).cast("bigint")
 
 
+def token_chunks(col: Column | str, size: int, stride: int | None = None) -> Column:
+    """Fixed-stride token chunking — the context-window/RAG primitive:
+    split a document into ``size``-token chunks starting every
+    ``stride`` tokens (stride < size ⇒ overlapping windows; default
+    stride = size ⇒ disjoint). Returns
+    ``array<struct<chunk_id bigint, chunk string, n_tokens bigint>>``
+    where chunk_id is the 0-based window index and n_tokens the actual
+    chunk length (the tail chunk may be short).
+
+    Pure expression (sequence/filter/transform/slice — all codegen), so
+    chunking 100 TB is a map stage bounded by the scan. Combined with
+    ``F.inline`` it yields one row per chunk without any shuffle."""
+    if size <= 0 or (stride is not None and stride <= 0):
+        raise ValueError(f"size and stride must be positive, got {size}/{stride}")
+    stride = stride or size
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    n = F.size(toks)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)),
+        lambda s: s < n,
+    )
+    return F.transform(
+        starts,
+        lambda s, i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            F.concat_ws(" ", F.slice(toks, s + 1, size)).alias("chunk"),
+            F.size(F.slice(toks, s + 1, size)).cast("bigint").alias("n_tokens"),
+        ),
+    )
+
+
 # 2^50-scale prime: acc < M keeps acc*31+c < 2^63 (no Java overflow,
 # no DuckDB BIGINT overflow error) so both engines roll identically.
 ROLLING_HASH_MOD = 1_125_899_906_842_589

@@ -15,9 +15,11 @@ from sales_data_pipeline_spark.catalog import table
 from sales_data_pipeline_spark.operators.quality import (
     char_entropy,
     contamination,
+    remove_boilerplate,
     repetition_stats,
     stratified_sample,
 )
+from sales_data_pipeline_spark.operators.text import token_chunks
 from sales_data_pipeline_spark.plans.registry import query
 
 _BENCH_SOURCE = "src1"  # stands in for an eval-benchmark document set
@@ -132,3 +134,60 @@ def q55_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(
         docs, strata_col="source", rates_16ths={_BENCH_SOURCE: 4}, default_16ths=2
     ).select("doc_id", "lang", "source")
+
+
+@query(
+    "q61_token_chunks",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS start FROM t)
+    SELECT doc_id,
+      start // 8 AS chunk_id,
+      array_to_string(list_slice(toks, start + 1, start + 16), ' ') AS chunk,
+      CAST(len(list_slice(toks, start + 1, start + 16)) AS BIGINT) AS n_tokens
+    FROM s
+    """,
+)
+def q61_token_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for retrieval / training-example prep:
+    16-token windows every 8 tokens (50% overlap, the standard RAG
+    stride), one row per chunk with its 0-based window index and actual
+    length. Pure expression work (sequence/slice/inline) — chunking is
+    a map stage bounded by the scan, no shuffle at any scale."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.inline(token_chunks("text", size=16, stride=8))
+    )
+
+
+@query(
+    "q62_boilerplate_removal",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 4)) AS start FROM t),
+    c AS (SELECT doc_id, start // 4 AS chunk_id,
+                 array_to_string(list_slice(toks, start + 1, start + 4), ' ') AS chunk
+          FROM s),
+    f AS (SELECT chunk, count(DISTINCT doc_id) AS n_docs FROM c GROUP BY 1),
+    tagged AS (SELECT c.doc_id, c.chunk_id, c.chunk, f.n_docs
+               FROM c JOIN f USING (chunk))
+    SELECT doc_id,
+      COUNT(*) AS n_chunks,
+      CAST(sum(CASE WHEN n_docs < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+      coalesce(string_agg(CASE WHEN n_docs < 2 THEN chunk END, ' ' ORDER BY chunk_id), '')
+        AS clean_text
+    FROM tagged GROUP BY doc_id
+    """,
+)
+def q62_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb-style corpus boilerplate removal with
+    deterministic 4-token chunks standing in for paragraphs: any chunk
+    text occurring in ≥2 distinct documents (headers, footers, license
+    blocks — 11% of this corpus's chunks) is dropped everywhere, and
+    documents are reassembled from their surviving chunks in order.
+    Three linear shuffles (md5-key frequency agg, tag join, one
+    conditional per-doc reassembly agg) — see
+    operators/quality.py remove_boilerplate for the 100 TB plan notes."""
+    docs = table(spark, sf_dir, "documents")
+    return remove_boilerplate(docs, chunk_size=4, min_docs=2)

@@ -269,3 +269,20 @@ def test_partitioned_write_then_read_prunes_partitions(spark, sf_dir, tmp_path):
     # and the filter really prunes: only 1995-03 files are read
     files = [r[0] for r in df.select(F.input_file_name()).distinct().collect()]
     assert files and all("sales_month=1995-03" in f for f in files), files[:3]
+
+
+def test_q61_chunking_map_only(spark, sf_dir):
+    """Chunking is pure expression work — zero exchanges at any scale."""
+    plan = _plan(QUERIES["q61_token_chunks"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_q62_boilerplate_three_linear_shuffles(spark, sf_dir):
+    """Frequency agg + tag join + one reassembly agg: exactly three
+    hash-partitioned exchanges, all fed by partial aggregation or an
+    md5-key join — the CCNet shape that stays linear at 100 TB."""
+    plan = _plan(QUERIES["q62_boilerplate_removal"].fn(spark, sf_dir))
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 3, plan
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan

@@ -209,3 +209,82 @@ def test_stratified_sample_stable_under_repartition(spark):
         for r in stratified_sample(df.repartition(17), "src", {}, default_16ths=4).collect()
     }
     assert a == b
+
+
+def test_token_chunks_shapes(spark):
+    """Disjoint chunks partition the token stream exactly (concat of
+    chunks == original text); overlapping stride emits a window every
+    stride tokens with the tail short; chunk_id is the window index."""
+    from sales_data_pipeline_spark.operators.text import token_chunks
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    disjoint = {
+        r.doc_id: r.ch
+        for r in df.select("doc_id", token_chunks("text", size=3).alias("ch")).collect()
+    }
+    assert [(c.chunk_id, c.chunk, c.n_tokens) for c in disjoint[1]] == [
+        (0, "a b c", 3),
+        (1, "d e f", 3),
+        (2, "g", 1),
+    ]
+    assert " ".join(c.chunk for c in disjoint[1]) == "a b c d e f g"
+    assert [(c.chunk, c.n_tokens) for c in disjoint[2]] == [("x", 1)]
+    # split('') yields [''] — one empty chunk, same as the DuckDB oracle
+    assert [c.chunk for c in disjoint[3]] == [""]
+
+    overlap = (
+        df.filter("doc_id = 1")
+        .select(token_chunks("text", size=4, stride=2).alias("ch"))
+        .collect()[0]
+        .ch
+    )
+    assert [(c.chunk_id, c.chunk) for c in overlap] == [
+        (0, "a b c d"),
+        (1, "c d e f"),
+        (2, "e f g"),
+        (3, "g"),
+    ]
+
+    with pytest.raises(ValueError):
+        token_chunks("text", size=0)
+
+
+def test_remove_boilerplate_planted(spark):
+    """A license header planted in 3 docs disappears from all of them;
+    unique chunks survive in order; an all-boilerplate doc is kept with
+    empty clean text."""
+    from sales_data_pipeline_spark.operators.quality import remove_boilerplate
+
+    header = "mit license do not remove"  # 5 tokens -> one 5-token chunk... use size 5
+    rows = [
+        (1, header + " alpha beta gamma delta epsilon"),
+        (2, header + " one two three four five"),
+        (3, header),  # nothing but boilerplate
+        (4, "totally unique document body here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r
+        for r in remove_boilerplate(df, chunk_size=5, min_docs=2).collect()
+    }
+    assert len(got) == 4  # every input doc reported
+    assert got[1].clean_text == "alpha beta gamma delta epsilon"
+    assert got[2].clean_text == "one two three four five"
+    assert (got[3].n_chunks, got[3].n_kept, got[3].clean_text) == (1, 0, "")
+    assert got[4].clean_text == "totally unique document body here"
+    assert got[1].n_dropped == 1 and got[4].n_dropped == 0
+
+
+def test_remove_boilerplate_reassembly_order(spark):
+    """Surviving chunks reassemble by chunk_id regardless of which
+    chunks were dropped in between."""
+    from sales_data_pipeline_spark.operators.quality import remove_boilerplate
+
+    # 2-token chunks; "BP BP" planted between unique chunks in both docs
+    rows = [(1, "u1 u2 BP BP u3 u4"), (2, "v1 v2 BP BP v3 v4")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in remove_boilerplate(df, chunk_size=2, min_docs=2).collect()}
+    assert got[1].clean_text == "u1 u2 u3 u4"
+    assert got[2].clean_text == "v1 v2 v3 v4"
