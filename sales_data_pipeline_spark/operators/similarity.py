@@ -361,3 +361,42 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
         F.col("rank") <= k
     )
+
+
+def group_centroids(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Mean-pooled centroid per group — the embedding aggregation
+    behind cluster labeling, per-source drift monitoring, and IVF-style
+    seeding: (group, n_vecs, centroid array<double>).
+
+    Plan: posexplode to (group, pos, val) → ONE (group, pos) average
+    (map-side combined: the shuffle carries (group, pos, sum, count),
+    i.e. dim × |groups| rows, not the corpus) → per-group reassembly
+    sorting by position. At 100 TB the corpus is touched once, map-only,
+    and everything after the first shuffle is negligible.
+
+    Averages are float64 and rounded (default 6 digits): a float sum's
+    accumulation order varies with partitioning, and 1e-15 noise must
+    not break reproducibility (same contract as char_entropy)."""
+    exploded = df.select(
+        F.col(group_col).alias("grp"),
+        F.posexplode(as_double_array(vec_col)).alias("pos", "val"),
+    )
+    per_pos = exploded.groupBy("grp", "pos").agg(
+        F.round(F.avg("val"), round_digits).alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return (
+        per_pos.groupBy("grp")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda x: x["c"]
+            ).alias("centroid"),
+        )
+        .select(F.col("grp").alias(group_col), "n_vecs", "centroid")
+    )

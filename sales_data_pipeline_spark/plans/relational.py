@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from sales_data_pipeline_spark.catalog import table
 from sales_data_pipeline_spark.operators.asof import asof_join
 from sales_data_pipeline_spark.operators.range_join import range_join
+from sales_data_pipeline_spark.operators.merge import scd2_merge
 from sales_data_pipeline_spark.plans.registry import query
 
 # Narrow decimal casts for multiplication chains: (12,2)*(4,2) stays well
@@ -1673,3 +1674,50 @@ def q60_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("stage_reached"))
     )
+
+
+@query(
+    "q63_scd2_merge",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey, c_name, c_nationkey, round(c_acctbal + 100.0, 2) AS c_acctbal,
+             c_mktsegment
+      FROM customer WHERE c_custkey % 7 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NewCustomer#' || CAST(c_custkey AS VARCHAR),
+             c_nationkey, 0.0, c_mktsegment
+      FROM customer WHERE c_custkey % 13 = 0
+    )
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           0 AS version, (c_custkey % 7 <> 0) AS is_current
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+           1 AS version, TRUE AS is_current
+    FROM changes
+    """,
+)
+def q63_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History-keeping MERGE of a CDC batch into the customer dimension
+    (the reference's JDBC sink truncates + rewrites the whole mart per
+    run — reference database_write.py; at 100 TB you apply a small
+    change batch instead). Batch = +100.00 balance for every 7th key
+    (updates) plus re-keyed inserts for every 13th. Superseded rows are
+    closed out (is_current=false), all history retained with version
+    numbers. Plan: ONE broadcast left join against the distinct change
+    keys + union — the base table is read once and never shuffled
+    (operators/merge.py scd2_merge)."""
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    updates = base.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2)
+    )
+    inserts = base.filter(F.col("c_custkey") % 13 == 0).select(
+        (F.col("c_custkey") + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NewCustomer#"), F.col("c_custkey").cast("string")).alias("c_name"),
+        "c_nationkey",
+        F.lit(0.0).alias("c_acctbal"),
+        "c_mktsegment",
+    )
+    return scd2_merge(base, updates.unionByName(inserts), keys=["c_custkey"])

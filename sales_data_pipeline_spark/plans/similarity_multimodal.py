@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.catalog import table
+from sales_data_pipeline_spark.operators.similarity import group_centroids
 from sales_data_pipeline_spark.operators.multimodal import (
     attach_binary_payload,
     decode_media,
@@ -156,3 +157,31 @@ def q29_frame_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("frame_no") == 0, F.octet_length("frame_bytes"))
         ).cast("bigint").alias("first_frame_len"),
     )
+
+
+@query(
+    "q64_label_centroids",
+    oracle="""
+    WITH e AS (
+      SELECT label, unnest(embedding) AS val,
+             generate_subscripts(embedding, 1) - 1 AS pos
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+      CAST(count(*) AS BIGINT) AS n_vecs,
+      round(avg(CAST(val AS DOUBLE)), 6) AS c
+    FROM e GROUP BY label, pos
+    """,
+)
+def q64_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-pooled centroid per label (cluster labeling / per-source
+    embedding-drift monitoring / IVF seeding), emitted long-form
+    (label, pos, n_vecs, c) so the oracle compares scalars. The corpus
+    is scanned once map-only; the shuffle carries (label, pos, partial
+    sum/count) — dim × |labels| rows, independent of corpus size
+    (operators/similarity.py group_centroids)."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = group_centroids(emb, group_col="label")
+    return cents.select(
+        "label", "n_vecs", F.posexplode("centroid").alias("pos", "c")
+    ).select("label", "pos", "n_vecs", "c")

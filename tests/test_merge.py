@@ -1,0 +1,79 @@
+"""MERGE/upsert operators: latest-wins and SCD2 semantics, and the
+no-base-shuffle plan contract (the whole point at 100 TB)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.operators.merge import merge_upsert, scd2_merge
+
+
+def _base(spark):
+    return spark.createDataFrame(
+        [(1, "alice", 10.0), (2, "bob", 20.0), (3, "carol", 30.0)],
+        "id long, name string, bal double",
+    )
+
+
+def _changes(spark):
+    return spark.createDataFrame(
+        [(2, "bob", 99.0), (4, "dan", 5.0)], "id long, name string, bal double"
+    )
+
+
+def test_merge_upsert_latest_wins(spark):
+    got = {r.id: r for r in merge_upsert(_base(spark), _changes(spark), ["id"]).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert got[2].bal == 99.0  # updated
+    assert got[1].bal == 10.0 and got[3].bal == 30.0  # untouched
+    assert got[4].name == "dan"  # inserted
+
+
+def test_scd2_merge_keeps_history(spark):
+    rows = scd2_merge(_base(spark), _changes(spark), ["id"]).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.id, []).append(r)
+    # superseded base row closed out, change row current
+    v2 = {r.version: r for r in by_key[2]}
+    assert v2[0].is_current is False and v2[0].bal == 20.0
+    assert v2[1].is_current is True and v2[1].bal == 99.0
+    # untouched base rows stay current at version 0
+    assert [(r.version, r.is_current) for r in by_key[1]] == [(0, True)]
+    # insert appears only as version 1, current
+    assert [(r.version, r.is_current) for r in by_key[4]] == [(1, True)]
+    assert len(rows) == 5  # 3 base + 2 changes, nothing dropped
+
+
+def _plan(df):
+    sc = df.sparkSession.sparkContext
+    return sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_merge_never_shuffles_base(spark):
+    """Both merges must resolve to broadcast joins of the change keys.
+    merge_upsert is fully shuffle-free (anti joins ignore build-side
+    duplicates — no distinct needed); scd2_merge's single exchange is
+    the distinct over the SMALL change batch, never the base."""
+    upsert = _plan(merge_upsert(_base(spark), _changes(spark), ["id"]))
+    assert "Arguments: hashpartitioning" not in upsert, upsert
+    assert "BroadcastHashJoin" in upsert, upsert
+
+    scd2 = _plan(scd2_merge(_base(spark), _changes(spark), ["id"]))
+    shuffles = re.findall(r"Arguments: hashpartitioning\((\w+)", scd2)
+    assert shuffles == ["id"], scd2  # only the change-key distinct
+    assert "BroadcastHashJoin" in scd2, scd2
+
+
+def test_group_centroids_hand_case(spark):
+    from sales_data_pipeline_spark.operators.similarity import group_centroids
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 2.0]), ("a", [3.0, 6.0]), ("b", [5.0, 5.0])],
+        "label string, embedding array<double>",
+    )
+    got = {r.label: r for r in group_centroids(df, "label").collect()}
+    assert got["a"].n_vecs == 2 and got["a"].centroid == [2.0, 4.0]
+    assert got["b"].n_vecs == 1 and got["b"].centroid == [5.0, 5.0]
