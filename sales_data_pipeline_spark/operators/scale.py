@@ -167,3 +167,57 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_total",
+    n_buckets: int | None = None,
+) -> DataFrame:
+    """Global running total — ``SUM(v) OVER (ORDER BY k)`` — without the
+    single-partition window trap: a global-ordered window with no
+    PARTITION BY forces every row through ONE reducer, the canonical
+    way a correct-on-60k-rows plan dies at 100 TB.
+
+    Two-phase parallel scan instead:
+      1. bin rows into contiguous ranges of the order key (linear
+         binning over [min, max] — right for dense keys like ids;
+         substitute quantile boundaries if the key space is skewed) and
+         running-sum WITHIN each bucket: one hash exchange, all buckets
+         in parallel.
+      2. prefix-sum the per-bucket totals — ``n_buckets`` rows, so the
+         single-partition window is applied only to a trivially small
+         relation — and broadcast-join the resulting offsets back.
+
+    The order key must be unique (ties make a running sum ill-defined);
+    callers pass a rowid-like column. Output = input + ``out_col``."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    n_buckets = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
+    if lo is None:  # empty input: just type out_col correctly
+        return df.withColumn(out_col, F.lit(None).cast("bigint"))
+    width = max((int(hi) - int(lo) + n_buckets) // n_buckets, 1)
+    bucket = F.floor((F.col(order_col) - F.lit(int(lo))) / F.lit(width)).cast("int")
+
+    w_in = Window.partitionBy("__b").orderBy(order_col)
+    inner = df.withColumn("__b", bucket).withColumn(
+        "__run", F.sum(value_col).over(w_in)
+    )
+    totals = (
+        df.select(bucket.alias("__b"), F.col(value_col).alias("__v"))
+        .groupBy("__b")
+        .agg(F.sum("__v").alias("__tot"))
+    )
+    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__b", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off")
+    )
+    return (
+        inner.join(F.broadcast(offsets), "__b")
+        .withColumn(out_col, F.col("__run") + F.col("__off"))
+        .drop("__b", "__run", "__off")
+    )

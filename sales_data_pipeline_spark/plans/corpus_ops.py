@@ -19,7 +19,8 @@ from sales_data_pipeline_spark.operators.quality import (
     repetition_stats,
     stratified_sample,
 )
-from sales_data_pipeline_spark.operators.text import token_chunks
+from sales_data_pipeline_spark.operators.scale import distributed_prefix_sum
+from sales_data_pipeline_spark.operators.text import token_chunks, token_count
 from sales_data_pipeline_spark.plans.registry import query
 
 _BENCH_SOURCE = "src1"  # stands in for an eval-benchmark document set
@@ -191,3 +192,43 @@ def q62_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/quality.py remove_boilerplate for the 100 TB plan notes."""
     docs = table(spark, sf_dir, "documents")
     return remove_boilerplate(docs, chunk_size=4, min_docs=2)
+
+
+@query(
+    "q65_sequence_packing",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+        CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, n_tokens, cum_tokens,
+      CAST((cum_tokens - n_tokens) // 512 AS BIGINT) AS seq_id
+    FROM c
+    """,
+)
+def q65_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing: concatenate the corpus in doc_id
+    order and cut every 512 tokens — each document is assigned the
+    training sequence its first token lands in. The running token total
+    is the interesting part at scale: SUM OVER (ORDER BY) with no
+    PARTITION BY funnels 100 TB through ONE reducer, so this uses the
+    two-phase distributed prefix-sum (bucket-local running sums + tiny
+    prefix-summed bucket offsets, operators/scale.py) — the oracle IS
+    the naive global window, proving the decomposition exact."""
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", token_count("text").alias("n_tokens"))
+    cum = distributed_prefix_sum(sized, "doc_id", "n_tokens", out_col="cum_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        "cum_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(512))
+        .cast("bigint")
+        .alias("seq_id"),
+    )

@@ -165,3 +165,56 @@ def test_zorder_partitions_are_2d_local(spark):
         aw = max(c[0] for c in chunk) - min(c[0] for c in chunk) + 1
         bw = max(c[1] for c in chunk) - min(c[1] for c in chunk) + 1
         assert aw * bw == 64, (q, aw, bw)  # exactly one 8×8 quadrant
+
+
+def test_distributed_prefix_sum_matches_naive_window(spark):
+    """Two-phase scan == global-window running sum, on ids with gaps
+    and across bucket boundaries."""
+    import random
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from sales_data_pipeline_spark.operators.scale import distributed_prefix_sum
+
+    rng = random.Random(7)
+    rows = [(i * 3 + rng.randint(0, 1), rng.randint(0, 50)) for i in range(0, 400)]
+    df = spark.createDataFrame(rows, "k long, v long").repartition(13)
+    got = {
+        r.k: r.cs
+        for r in distributed_prefix_sum(df, "k", "v", "cs", n_buckets=7).collect()
+    }
+    want = {
+        r.k: r.cs
+        for r in df.withColumn(
+            "cs", F.sum("v").over(Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0))
+        ).collect()
+    }
+    assert got == want
+
+
+def test_distributed_prefix_sum_empty_and_single(spark):
+    from sales_data_pipeline_spark.operators.scale import distributed_prefix_sum
+
+    empty = spark.createDataFrame([], "k long, v long")
+    assert distributed_prefix_sum(empty, "k", "v").count() == 0
+    one = spark.createDataFrame([(5, 9)], "k long, v long")
+    assert distributed_prefix_sum(one, "k", "v", "cs").collect()[0].cs == 9
+
+
+def test_prefix_sum_big_side_never_single_partition(spark):
+    """The data-path window must run per bucket (hashpartitioning on the
+    bucket id); exactly one SinglePartition exchange exists and it feeds
+    the n_buckets-row offsets relation, not the data."""
+    import re as _re
+
+    from sales_data_pipeline_spark.operators.scale import distributed_prefix_sum
+
+    df = spark.range(0, 10_000).withColumnRenamed("id", "k").withColumn(
+        "v", (F.col("k") % 17).cast("long")
+    )
+    out = distributed_prefix_sum(df, "k", "v", "cs", n_buckets=32)
+    plan = out.sparkSession.sparkContext._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(__b" in plan, plan
+    assert len(_re.findall(r"Arguments: SinglePartition", plan)) == 1, plan
