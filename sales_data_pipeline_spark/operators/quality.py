@@ -256,3 +256,26 @@ def stratified_sample(
     for stratum, sixteenths in rates_16ths.items():
         rate = F.when(F.col(strata_col) == stratum, F.lit(sixteenths)).otherwise(rate)
     return df.filter(digit < rate)
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Importance sampling by a per-row weight in [0,1] (DCLM/DsDm-style
+    quality-weighted data selection): keep a row iff a deterministic
+    uniform draw falls below its weight, so keep-probability equals the
+    weight exactly. The draw is the first 13 hex digits of md5(id) —
+    13 hex = 52 bits, exactly representable in a double, giving
+    u ∈ [0,1) that is bit-identical across engines, runs, partitionings
+    and cluster sizes (the same contract as stratified_sample, which
+    this generalizes from per-stratum constants to per-row weights).
+    Map-only: the filter rides the scan."""
+    u = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10).cast(
+            "double"
+        )
+        / float(16**13)
+    )
+    return df.filter(u < F.col(weight_col))

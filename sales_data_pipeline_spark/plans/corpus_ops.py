@@ -16,11 +16,12 @@ from sales_data_pipeline_spark.operators.quality import (
     char_entropy,
     contamination,
     remove_boilerplate,
+    weighted_sample,
     repetition_stats,
     stratified_sample,
 )
 from sales_data_pipeline_spark.operators.scale import distributed_prefix_sum
-from sales_data_pipeline_spark.operators.text import token_chunks, token_count
+from sales_data_pipeline_spark.operators.text import quality_score, token_chunks, token_count
 from sales_data_pipeline_spark.plans.registry import query
 
 _BENCH_SOURCE = "src1"  # stands in for an eval-benchmark document set
@@ -231,4 +232,81 @@ def q65_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor((F.col("cum_tokens") - F.col("n_tokens")) / F.lit(512))
         .cast("bigint")
         .alias("seq_id"),
+    )
+
+
+_QUALITY_SQL = """
+      (CASE WHEN len(string_split(text,' ')) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END) * 0.4
+      + (len(list_distinct(string_split(text,' '))) / len(string_split(text,' '))) * 0.3
+      + least(len(list_filter(string_split(text,' '),
+                x -> x IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+              / len(string_split(text,' ')) * 10.0, 1.0) * 0.3
+"""
+
+
+@query(
+    "q66_weighted_sample",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, ({_QUALITY_SQL}) AS quality FROM documents
+    )
+    SELECT doc_id, source, quality FROM scored
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT::DOUBLE
+          / 4503599627370496.0 < quality
+    """,
+)
+def q66_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted importance sampling (DCLM-style data selection):
+    each document survives with probability exactly equal to its [0,1]
+    quality score, decided by a deterministic md5-derived uniform
+    (13 hex digits = 52 bits, exact in a double) — bit-identical across
+    engines, runs and partitionings. Map-only; the filter rides the
+    scan (operators/quality.py weighted_sample)."""
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id", "source", quality_score("text").alias("quality")
+    )
+    return weighted_sample(scored, weight_col="quality")
+
+
+@query(
+    "q67_token_budget_selection",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        CAST(round(({_QUALITY_SQL}) * 1e9) AS BIGINT) AS q9
+      FROM documents
+    ),
+    k AS (SELECT *, (1000000000 - q9) * 10000000 + doc_id AS ok FROM t),
+    c AS (
+      SELECT doc_id, q9, n_tokens,
+        CAST(SUM(n_tokens) OVER (ORDER BY ok
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+      FROM k
+    )
+    SELECT doc_id, q9, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 15000
+    """,
+)
+def q67_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data selection (take the BEST documents until the
+    training budget is spent): rank by quality descending, accumulate
+    token counts, keep while the running total fits 15k tokens. The
+    ordering key packs (quality desc, doc_id) into one bigint —
+    (1e9 − round(quality·1e9))·1e7 + doc_id (ids < 1e7 here; a real
+    deployment widens the packing) — so the running total reuses the
+    two-phase distributed prefix-sum: no single-partition window even
+    though the selection order is global."""
+    docs = table(spark, sf_dir, "documents")
+    q9 = F.round(quality_score("text") * 1e9).cast("bigint")
+    sized = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        q9.alias("q9"),
+    ).withColumn(
+        "ok", (F.lit(1000000000).cast("bigint") - F.col("q9")) * 10000000 + F.col("doc_id")
+    )
+    cum = distributed_prefix_sum(sized, "ok", "n_tokens", out_col="cum_tokens")
+    return cum.filter(F.col("cum_tokens") <= 15000).select(
+        "doc_id", "q9", "n_tokens", "cum_tokens"
     )

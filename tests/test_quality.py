@@ -288,3 +288,18 @@ def test_remove_boilerplate_reassembly_order(spark):
     got = {r.doc_id: r for r in remove_boilerplate(df, chunk_size=2, min_docs=2).collect()}
     assert got[1].clean_text == "u1 u2 u3 u4"
     assert got[2].clean_text == "v1 v2 v3 v4"
+
+
+def test_weighted_sample_exact_semantics(spark):
+    """weight 0 keeps nothing, 1 keeps everything; fractional weights
+    keep a stable, re-run-identical subset at roughly the right rate."""
+    from sales_data_pipeline_spark.operators.quality import weighted_sample
+
+    df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    assert weighted_sample(df.withColumn("w", F.lit(0.0)), "w").count() == 0
+    assert weighted_sample(df.withColumn("w", F.lit(1.0)), "w").count() == 2000
+    half = df.withColumn("w", F.lit(0.5))
+    a = sorted(r.doc_id for r in weighted_sample(half, "w").collect())
+    b = sorted(r.doc_id for r in weighted_sample(half.repartition(7), "w").collect())
+    assert a == b  # deterministic under repartitioning
+    assert 850 <= len(a) <= 1150  # ~Binomial(2000, .5), ±>6σ slack
