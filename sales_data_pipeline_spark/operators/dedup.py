@@ -24,6 +24,30 @@ All pure DataFrame ops — hashing via xxhash64 (JVM), no Python UDFs.
 from __future__ import annotations
 
 from pyspark import StorageLevel
+
+# Persisted intermediates (shingle occurrence tables / ordered sets)
+# registered here so long-lived sessions can release them without
+# nuking unrelated caches with catalog.clearCache(). Ownership contract:
+# caches live until release_caches() / session end / caller clearCache.
+_CACHED: list = []
+
+
+def _persist(df):
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _CACHED.append(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every intermediate the dedup operators have cached in
+    this session; returns how many were released. Callers that invoke
+    the pair operators repeatedly (services, notebooks) call this
+    between batches instead of the blunter spark.catalog.clearCache()."""
+    n = len(_CACHED)
+    for df in _CACHED:
+        df.unpersist()
+    _CACHED.clear()
+    return n
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -136,8 +160,8 @@ def ngram_jaccard_pairs(
     same role is played by checkpointing the sets to parquet once.
     CACHE OWNERSHIP: the cache lives until the session ends or the
     caller clears it — long-lived sessions invoking this repeatedly
-    should ``spark.catalog.clearCache()`` between batches (bench.py
-    does) or pass persist=False."""
+    should call ``release_caches()`` between batches (targeted; bench.py
+    uses the blunter clearCache) or pass persist=False."""
     # _shingle_index, not a bare explode: plain explode lets
     # InferFiltersFromGenerate push a size()>0 predicate below the token
     # projection, re-evaluating the shingle expression per row in its
@@ -147,7 +171,7 @@ def ngram_jaccard_pairs(
         # occ feeds BOTH the df aggregation and the re-order join below;
         # caching it halves the tokenize+hash work (Spark re-executes
         # common subplans per consumer)
-        occ = occ.persist(StorageLevel.MEMORY_AND_DISK)
+        occ = _persist(occ)
     dfreq = occ.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
     # ordered sets: array of (dfreq, shingle) structs, ascending — the
     # global total order all prefix/positional reasoning runs in
@@ -161,7 +185,7 @@ def ngram_jaccard_pairs(
         )
     )
     if persist:
-        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+        sets = _persist(sets)
     n_sh = F.size("ord")
     prefix_len = n_sh - F.ceil(n_sh * F.lit(threshold)).cast("int") + F.lit(1)
     # n_sh travels INSIDE the exploded struct, not as its own projected
@@ -295,13 +319,14 @@ def minhash_lsh_pairs(
     difference is recall (<1 with probability 1-(1-t^r)^b) and cost
     (linear-ish vs quadratic). Cache ownership follows
     ngram_jaccard_pairs' contract: the persisted shingle sets live until
-    the caller clears them (or pass persist=False)."""
+    the caller calls ``release_caches()`` / clears them (or pass
+    persist=False)."""
     rows = num_perm // bands
     # one shingle pass feeds BOTH the signatures and the exact-verify
     # arrays below; persist so it materializes once
     sets = _shingle_sets(df, id_col, text_col, n)
     if persist:
-        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+        sets = _persist(sets)
     sig = _signatures_from_sets(sets, num_perm)
     band_arr = F.array(
         *[

@@ -299,13 +299,9 @@ def curate_corpus(
     # each walk recomputes quality + fingerprint + the semi-join.
     # MEMORY_AND_DISK spills instead of OOMing; cache ownership follows
     # the dedup operators' contract (session-scoped, cleared by caller).
-    from pyspark import StorageLevel
+    from sales_data_pipeline_spark.operators.dedup import _persist
 
-    kept = (
-        scored.join(keep_ids, id_col, "left_semi")
-        .drop("__fp")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    kept = _persist(scored.join(keep_ids, id_col, "left_semi").drop("__fp"))
     if use_lsh is None:
         use_lsh = kept.count() > lsh_above_docs
     pair_fn = minhash_lsh_pairs if use_lsh else ngram_jaccard_pairs

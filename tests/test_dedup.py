@@ -209,3 +209,26 @@ def test_connected_components_raises_when_budget_exhausted(spark):
     )
     with _pytest.raises(ConvergenceError, match="no fixpoint"):
         connected_components(pairs, max_iter=2)
+
+
+def test_release_caches_frees_persisted_intermediates(spark, sf_dir):
+    """The pair operators register their persisted shingle intermediates;
+    release_caches() unpersists them all so long-lived sessions don't
+    accumulate cached blocks (and don't need the blunt clearCache)."""
+    from sales_data_pipeline_spark.catalog import table
+    from sales_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_caches,
+    )
+
+    release_caches()  # start clean
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+    docs = table(spark, sf_dir, "documents")
+    ngram_jaccard_pairs(docs, threshold=0.6).count()
+    assert jsc.getPersistentRDDs().size() > before
+    assert release_caches() >= 2  # occurrence table + ordered sets
+    # back to where we started — only OUR registered intermediates are
+    # released (unrelated caches, e.g. graph checkpoints, are not ours)
+    assert jsc.getPersistentRDDs().size() <= before
+    assert release_caches() == 0  # idempotent
