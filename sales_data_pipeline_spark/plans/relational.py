@@ -1721,3 +1721,52 @@ def q63_scd2_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
     )
     return scd2_merge(base, updates.unionByName(inserts), keys=["c_custkey"])
+
+
+@query(
+    "q68_retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+    ),
+    first AS (SELECT user_id, min(d) AS cohort FROM act GROUP BY 1),
+    m AS (
+      SELECT f.cohort, CAST(a.d - f.cohort AS BIGINT) AS offset_days,
+             count(DISTINCT a.user_id) AS n_users
+      FROM act a JOIN first f USING (user_id) GROUP BY 1, 2
+    )
+    SELECT CAST(cohort AS VARCHAR) AS cohort_date, offset_days, n_users,
+      CAST(n_users AS DOUBLE)
+        / MAX(CASE WHEN offset_days = 0 THEN n_users END)
+          OVER (PARTITION BY cohort) AS retention
+    FROM m
+    """,
+)
+def q68_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention-cohort matrix: users grouped by first-seen day,
+    counted on each later active day, with retention as a fraction of
+    the cohort's day-0 size. All shuffles are linear and keyed
+    (user-day distinct → per-user min → user join → cohort/offset agg);
+    the day-0 normalizer is a window over the TINY cohort×offset matrix,
+    never over events."""
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    ).distinct()
+    first = act.groupBy("user_id").agg(F.min("d").alias("cohort"))
+    m = (
+        act.join(first, "user_id")
+        .groupBy("cohort", F.datediff("d", "cohort").cast("bigint").alias("offset_days"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+    day0 = F.max(F.when(F.col("offset_days") == 0, F.col("n_users"))).over(
+        Window.partitionBy("cohort")
+    )
+    return m.select(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_date"),
+        "offset_days",
+        "n_users",
+        (F.col("n_users").cast("double") / day0).alias("retention"),
+    )

@@ -203,3 +203,50 @@ def _write_events_with_ids(spark, path: str, rows: list[tuple]) -> None:
         "event_id long, ts timestamp, user_id long, event_type string, value double",
     )
     df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def test_corpus_map_operators_run_on_streams(spark, tmp_path):
+    """token_chunks / quality_score / weighted_sample are pure
+    expressions, so the SAME operator code runs under Structured
+    Streaming with no changes — the batch/stream unification that makes
+    the curation pipeline incremental. Stream results must equal the
+    batch run over the same files."""
+    from sales_data_pipeline_spark.operators.quality import weighted_sample
+    from sales_data_pipeline_spark.operators.text import quality_score, token_chunks
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 7 + j) % 13}" for j in range(30))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    docs.coalesce(1).write.parquet(str(src / "batch1"))
+
+    def curate(df):
+        scored = df.select(
+            "doc_id",
+            F.inline(token_chunks("text", size=8)),
+            quality_score("text").alias("quality"),
+        )
+        return weighted_sample(scored, weight_col="quality")
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src / "*")
+    )
+    q = (
+        curate(stream)
+        .writeStream.format("memory")
+        .queryName("curated_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.chunk_id): r.chunk
+        for r in spark.sql("SELECT * FROM curated_stream").collect()
+    }
+    want = {
+        (r.doc_id, r.chunk_id): r.chunk
+        for r in curate(spark.read.parquet(str(src / "*"))).collect()
+    }
+    assert got == want and len(got) > 0
