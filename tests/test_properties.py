@@ -143,3 +143,51 @@ def test_asof_salted_matches_plain(spark, events, quotes, bucket_s):
         for r in asof_join(ev, qt, coarse_bucket=bucket_s, **kwargs).collect()
     }
     assert salted == plain
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 10_000), st.integers(0, 500)),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],  # prefix-sum requires a unique order key
+    ),
+    n_buckets=st.integers(2, 9),
+)
+def test_prefix_sum_decomposition_is_exact(spark, rows, n_buckets):
+    """distributed_prefix_sum's bucket-local + offset decomposition must
+    equal the sequential running sum for ANY key distribution (sparse,
+    clustered, adversarial) and ANY bucket count — the invariant that
+    lets q65 avoid the single-partition window."""
+    from sales_data_pipeline_spark.operators.scale import distributed_prefix_sum
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    got = {
+        r.k: r.cs for r in distributed_prefix_sum(df, "k", "v", "cs", n_buckets).collect()
+    }
+    acc, want = 0, {}
+    for k, v in sorted(rows):
+        acc += v
+        want[k] = acc
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    toks=st.lists(st.sampled_from(["a", "bb", "ccc", "dd", "e"]), min_size=1, max_size=30),
+    size=st.integers(1, 8),
+)
+def test_token_chunks_partition_reconstruction(spark, toks, size):
+    """Disjoint chunking must PARTITION the token stream: chunks
+    concatenate back to the original text, lengths sum to the token
+    count, and every chunk except the tail is exactly `size` tokens."""
+    from sales_data_pipeline_spark.operators.text import token_chunks
+
+    text = " ".join(toks)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = df.select(token_chunks("text", size=size).alias("ch")).collect()[0].ch
+    assert " ".join(c.chunk for c in chunks) == text
+    assert sum(c.n_tokens for c in chunks) == len(toks)
+    assert all(c.n_tokens == size for c in chunks[:-1])
+    assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
