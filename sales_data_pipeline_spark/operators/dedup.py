@@ -81,6 +81,34 @@ def exact_dedup(
     )
 
 
+def incremental_dedup(
+    new_docs: DataFrame,
+    seen_fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fp_col: str = "fp",
+) -> DataFrame:
+    """Dedup a NEW ingestion batch against an already-curated corpus —
+    the continuous-crawl pattern: never re-scan 100 TB of history, keep
+    only its fingerprint index (~16 bytes/doc). Two stages:
+
+      1. within-batch exact dedup (min-id representative per content
+         fingerprint — same contract as exact_dedup);
+      2. anti join of the survivors' fingerprints against
+         ``seen_fingerprints`` (one column ``fp_col``).
+
+    Both shuffles are keyed by the 128-bit fingerprint and linear. At
+    scale, write the history index bucketed by ``fp_col``
+    (operators/scale.write_bucketed): the anti join then reads history
+    exchange-free, so ingesting a batch shuffles ONLY the batch.
+    Returns the surviving new rows (all original columns)."""
+    batch = new_docs.withColumn("__fp", fingerprint(text_col))
+    keep = batch.groupBy("__fp").agg(F.min(id_col).alias(id_col)).select(id_col)
+    survivors = batch.join(keep, id_col, "left_semi")
+    history = seen_fingerprints.select(F.col(fp_col).alias("__fp"))
+    return survivors.join(history, "__fp", "left_anti").drop("__fp")
+
+
 # ---------------------------------------------------------------------------
 # exact n-gram Jaccard (inverted index)
 # ---------------------------------------------------------------------------

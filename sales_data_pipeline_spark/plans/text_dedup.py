@@ -493,3 +493,37 @@ def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs).select(
         F.col("node").alias("doc"), "cluster"
     )
+
+
+@query(
+    "q69_incremental_dedup",
+    oracle="""
+    WITH hist AS (
+      SELECT DISTINCT md5(trim(text)) AS fp FROM documents WHERE source = 'src1'
+    ),
+    batch AS (
+      SELECT doc_id, source, md5(trim(text)) AS fp
+      FROM documents WHERE source <> 'src1'
+    ),
+    keep AS (SELECT fp, min(doc_id) AS doc_id FROM batch GROUP BY 1)
+    SELECT b.doc_id, b.source FROM batch b
+    JOIN keep k ON b.doc_id = k.doc_id
+    WHERE NOT EXISTS (SELECT 1 FROM hist h WHERE h.fp = b.fp)
+    """,
+)
+def q69_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-ingestion dedup: treat source 'src1' as the already-
+    curated corpus (only its fingerprint INDEX is consulted — never the
+    text) and dedup the remaining sources against it and within
+    themselves. The shape that matters at 100 TB: history participates
+    as 16-byte fingerprints, ideally bucketed so batch ingestion
+    shuffles only the batch (operators/dedup.py incremental_dedup)."""
+    from sales_data_pipeline_spark.operators.dedup import incremental_dedup
+    from sales_data_pipeline_spark.operators.text import fingerprint as _fp
+
+    docs = table(spark, sf_dir, "documents")
+    history_index = docs.filter(F.col("source") == "src1").select(
+        _fp("text").alias("fp")
+    ).distinct()
+    batch = docs.filter(F.col("source") != "src1")
+    return incremental_dedup(batch, history_index).select("doc_id", "source")

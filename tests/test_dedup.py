@@ -232,3 +232,26 @@ def test_release_caches_frees_persisted_intermediates(spark, sf_dir):
     # released (unrelated caches, e.g. graph checkpoints, are not ours)
     assert jsc.getPersistentRDDs().size() <= before
     assert release_caches() == 0  # idempotent
+
+
+def test_incremental_dedup_planted(spark):
+    """A batch doc whose text already exists in history is dropped; a
+    batch-internal duplicate keeps only its min id; fresh docs pass."""
+    from sales_data_pipeline_spark.operators.dedup import incremental_dedup
+    from sales_data_pipeline_spark.operators.text import fingerprint
+
+    history_docs = spark.createDataFrame(
+        [(100, "already seen text")], "doc_id long, text string"
+    )
+    hist = history_docs.select(fingerprint("text").alias("fp"))
+    batch = spark.createDataFrame(
+        [
+            (1, "already seen text"),      # dup vs history -> dropped
+            (2, "fresh content alpha"),    # kept
+            (3, "fresh content alpha"),    # batch-internal dup -> dropped
+            (4, "fresh content beta"),     # kept
+        ],
+        "doc_id long, text string",
+    )
+    got = sorted(r.doc_id for r in incremental_dedup(batch, hist).collect())
+    assert got == [2, 4]
