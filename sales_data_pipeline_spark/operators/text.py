@@ -86,6 +86,25 @@ def token_chunks(col: Column | str, size: int, stride: int | None = None) -> Col
     )
 
 
+def paragraph_chunks(col: Column | str, delim: str = "\n\n") -> Column:
+    """Delimiter-based segmentation in the same
+    ``array<struct<chunk_id, chunk, n_tokens>>`` shape as token_chunks,
+    so corpus-level operators (remove_boilerplate) swap segmenters
+    freely: real web corpora dedup PARAGRAPHS (CCNet splits on blank
+    lines); fixed token windows are the fallback when documents carry no
+    structure. Whitespace-trimmed, empty segments dropped, chunk_id is
+    the original paragraph position. Pure codegen map."""
+    c = F.col(col) if isinstance(col, str) else col
+    segs = F.transform(
+        F.split(c, delim, -1), lambda s, i: F.struct(
+            i.cast("bigint").alias("chunk_id"),
+            F.trim(s).alias("chunk"),
+            F.size(F.split(F.trim(s), " ")).cast("bigint").alias("n_tokens"),
+        )
+    )
+    return F.filter(segs, lambda x: x["chunk"] != "")
+
+
 # 2^50-scale prime: acc < M keeps acc*31+c < 2^63 (no Java overflow,
 # no DuckDB BIGINT overflow error) so both engines roll identically.
 ROLLING_HASH_MOD = 1_125_899_906_842_589
