@@ -250,3 +250,45 @@ def test_corpus_map_operators_run_on_streams(spark, tmp_path):
         for r in curate(spark.read.parquet(str(src / "*"))).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_corpus_stream_incremental_dedup_across_batches(spark, tmp_path):
+    """Cross-shard duplicates are curated exactly once: a doc arriving
+    again in a LATER shard (after the first was processed) is dropped by
+    the fingerprint index; re-running the stream with no new shards
+    changes nothing; within-shard dups keep min id."""
+    import json as _json
+
+    from sales_data_pipeline_spark.streaming.corpus import (
+        CorpusStreamConfig,
+        read_curated,
+        run_corpus_stream,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    cfg = CorpusStreamConfig(
+        input_dir=str(src),
+        curated_dir=str(tmp_path / "curated"),
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    def shard(name, rows):
+        with open(src / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    shard("a.jsonl", [(1, "doc one"), (2, "doc two"), (3, "doc two")])  # 3 dups 2
+    run_corpus_stream(spark, cfg)
+    got = sorted(r.doc_id for r in read_curated(spark, cfg).collect())
+    assert got == [1, 2]
+
+    shard("b.jsonl", [(4, "doc one"), (5, "doc three")])  # 4 dups history
+    run_corpus_stream(spark, cfg)
+    got = sorted(r.doc_id for r in read_curated(spark, cfg).collect())
+    assert got == [1, 2, 5]
+
+    run_corpus_stream(spark, cfg)  # no new shards -> no change
+    got = sorted(r.doc_id for r in read_curated(spark, cfg).collect())
+    assert got == [1, 2, 5]
