@@ -310,3 +310,154 @@ def q67_token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cum.filter(F.col("cum_tokens") <= 15000).select(
         "doc_id", "q9", "n_tokens", "cum_tokens"
     )
+
+
+@query(
+    "q70_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+    df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+        round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS term_rank
+      FROM scored
+    )
+    SELECT doc_id, term, tf, tfidf, CAST(term_rank AS BIGINT) AS term_rank
+    FROM ranked WHERE term_rank <= 3
+    """,
+)
+def q70_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf
+    ln((N+1)/(df+1)), rounded 6 digits — ln's last-ulp can differ
+    across libm implementations, same contract as q56's entropy).
+    Plan: (doc,term) counts and per-term doc frequencies are two
+    map-side-combined aggregations over the exploded tokens; N is one
+    scalar job; ranking is a per-doc window (keyed, never global).
+    Deterministic ties via (tfidf desc, term asc) row_number."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.groupBy("term").agg(F.count_distinct("doc_id").alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        F.round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("term_rank") <= 3)
+        .select("doc_id", "term", "tf", "tfidf", "term_rank")
+    )
+
+
+@query(
+    "q71_source_js_divergence",
+    oracle="""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    c AS (SELECT source, term, count(*) AS n FROM toks GROUP BY 1, 2),
+    t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1),
+    p AS (SELECT c.source, c.term, c.n / CAST(t.tot AS DOUBLE) AS pr
+          FROM c JOIN t USING (source)),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+        count(*) AS n_shared_terms,
+        sum(a.pr) AS mass_a, sum(b.pr) AS mass_b,
+        sum(a.pr * ln(2.0 * a.pr / (a.pr + b.pr))
+            + b.pr * ln(2.0 * b.pr / (a.pr + b.pr))) AS core
+      FROM p a JOIN p b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b
+      FROM (SELECT DISTINCT source FROM documents) a
+      JOIN (SELECT DISTINCT source FROM documents) b ON a.source < b.source
+    )
+    SELECT p.source_a, p.source_b,
+      CAST(coalesce(s.n_shared_terms, 0) AS BIGINT) AS n_shared_terms,
+      round(0.5 * coalesce(s.core, 0.0)
+            + 0.5 * ln(2.0) * ((1.0 - coalesce(s.mass_a, 0.0))
+                               + (1.0 - coalesce(s.mass_b, 0.0))), 6)
+        AS js_divergence
+    FROM pairs p LEFT JOIN shared s
+      ON p.source_a = s.source_a AND p.source_b = s.source_b
+    """,
+)
+def q71_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between every two sources'
+    token distributions — the drift/contamination diagnostic run when a
+    new crawl source joins the mix. Decomposition keeps it join-shaped:
+    shared terms contribute the usual 0.5·Σ(p·ln(2p/(p+q)) + …); terms
+    EXCLUSIVE to one side contribute exactly 0.5·ln2·(exclusive mass),
+    recovered as 1 − Σ_shared p — so no outer vocab×pairs grid is ever
+    built; pairs with NO shared terms come from a tiny source-pair
+    relation and report the JS maximum ln 2 explicitly. Shuffles: two keyed aggs for the distributions, one term-keyed
+    self-join, one pair-keyed agg. Rounded 6 (ln/accumulation noise)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("term"))
+    c = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("source").agg(F.sum("n").alias("tot"))
+    p = c.join(t, "source").select(
+        "source", "term", (F.col("n") / F.col("tot").cast("double")).alias("pr")
+    )
+    a = p.select(
+        F.col("source").alias("source_a"), "term", F.col("pr").alias("pa")
+    )
+    b = p.select(
+        F.col("source").alias("source_b"), "term", F.col("pr").alias("pb")
+    )
+    pa, pb = F.col("pa"), F.col("pb")
+    shared = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shared_terms"),
+            F.sum("pa").alias("mass_a"),
+            F.sum("pb").alias("mass_b"),
+            F.sum(
+                pa * F.log(2.0 * pa / (pa + pb)) + pb * F.log(2.0 * pb / (pa + pb))
+            ).alias("core"),
+        )
+    )
+    import math
+
+    srcs = docs.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("source_a"))
+        .join(srcs.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    full = pairs.join(shared, ["source_a", "source_b"], "left")
+    return full.select(
+        "source_a",
+        "source_b",
+        F.coalesce("n_shared_terms", F.lit(0).cast("bigint")).alias("n_shared_terms"),
+        F.round(
+            0.5 * F.coalesce("core", F.lit(0.0))
+            + 0.5
+            * math.log(2.0)
+            * (
+                (1.0 - F.coalesce("mass_a", F.lit(0.0)))
+                + (1.0 - F.coalesce("mass_b", F.lit(0.0)))
+            ),
+            6,
+        ).alias("js_divergence"),
+    )

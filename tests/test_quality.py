@@ -330,3 +330,33 @@ def test_remove_boilerplate_paragraph_mode(spark):
 
     with pytest.raises(ValueError):
         remove_boilerplate(df, segmenter="sentences")
+
+
+def test_js_divergence_bounds(spark, tmp_path):
+    """Identical sources → JS 0; fully disjoint vocabularies → ln 2
+    (the JS maximum); the exclusive-mass decomposition must recover the
+    disjoint case even though the shared join emits NO rows for it —
+    regression guard for the no-outer-grid formulation."""
+    import math
+
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    rows = [
+        (1, "x y z x", "same_a", "en"),
+        (2, "x y z x", "same_b", "en"),
+        (3, "p q r s", "disj_a", "en"),
+        (4, "t u v w", "disj_b", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    sf = str(tmp_path)
+    df.write.parquet(f"{sf}/documents.parquet")
+    got = {
+        (r.source_a, r.source_b): r.js_divergence
+        for r in QUERIES["q71_source_js_divergence"].fn(spark, sf).collect()
+    }
+    assert got[("same_a", "same_b")] == 0.0
+    # fully-disjoint vocabularies: zero shared terms, explicit JS = ln 2
+    assert got[("disj_a", "disj_b")] == round(math.log(2.0), 6)
+    assert len(got) == 6  # every source pair reported
+    for js in got.values():
+        assert 0.0 <= js <= round(math.log(2.0), 6) + 1e-9
