@@ -1,0 +1,100 @@
+"""Training-set assembly: deterministic global shuffle into shards and
+domain-mixture reweighting.
+
+The last mile of a pretraining data pipeline — after curation the corpus
+must be (a) shuffled and cut into shard files a data loader can stream,
+and (b) mixed across domains/sources at prescribed rates. Both are
+formulated so the result is bit-identical across runs, partitionings and
+cluster sizes (the same md5 determinism contract as
+operators/quality.py's samplers — never ``rand()``, never
+``monotonically_increasing_id``, both of which are partition-order
+dependent).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def shard_assignment(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic global shuffle + shard split: every row gets
+    (shard, pos) such that reading shards in order of ``pos`` yields an
+    md5-random permutation of the corpus — the "shuffle once at write
+    time so the trainer streams sequentially" pattern.
+
+    The 52-bit key ``h = md5(id)[:13 hex]`` drives BOTH the shard
+    (``h mod n_shards``) and the within-shard order (``h``, ties broken
+    by id) — one hash, uniform shards, reproducible everywhere.
+
+    Plan: map (hash) + ONE keyed window per shard partition. There is
+    deliberately no global row_number: ordering is per-shard, so the
+    sort parallelizes across ``n_shards`` reducers instead of funneling
+    the corpus through one. For 100 TB pick n_shards in the thousands
+    (shard files of a few GB) — the window key keeps every reducer's
+    slice bounded. Writing then uses
+    ``repartition(n_shards, "shard").sortWithinPartitions("pos")`` so
+    each shard lands as one sorted file with no extra shuffle."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10).cast(
+        "bigint"
+    )
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", (F.col("__h") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .drop("__h")
+    )
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str = "source",
+    size_col: str | None = None,
+    target_shares: dict[str, float] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-domain sampling weights to hit a target mixture (the static
+    DoReMi/Pile-style domain reweighting table a sampler consumes):
+    (domain, n_rows, n_units, unit_share, target_share, mix_weight)
+    where ``mix_weight = target_share / unit_share`` — the factor by
+    which a uniform-over-units sampler must over/under-sample each
+    domain. ``size_col`` weighs rows (e.g. token counts); omitted, every
+    row counts 1. ``target_shares`` defaults to uniform over the
+    domains present; missing domains get 0 (excluded from training).
+
+    Plan: one map-side-combined groupBy collapses the corpus to one row
+    per domain BEFORE any global work; the share normalization is a
+    window over that domain-count-sized result (dozens of rows at any
+    corpus scale — the single-partition window is over the aggregate,
+    never the data)."""
+    unit = F.col(size_col) if size_col else F.lit(1)
+    agg = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(unit).cast("bigint").alias("n_units"),
+    )
+    everything = Window.partitionBy()
+    share = F.col("n_units").cast("double") / F.sum(F.col("n_units").cast("double")).over(
+        everything
+    )
+    if target_shares is None:
+        target = F.lit(1.0) / F.count(F.lit(1)).over(everything)
+    else:
+        target = F.lit(0.0)
+        for d, s in target_shares.items():
+            target = F.when(F.col("domain") == d, F.lit(float(s))).otherwise(target)
+    return agg.select(
+        "domain",
+        "n_rows",
+        "n_units",
+        F.round(share, round_digits).alias("unit_share"),
+        F.round(target, round_digits).alias("target_share"),
+        F.round(target / share, round_digits).alias("mix_weight"),
+    )

@@ -47,6 +47,71 @@ def merge_upsert(
     return keep.unionByName(changes)
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare_cols: Sequence[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Keyed diff of two snapshots of the same table — the CDC census
+    that answers "what changed between yesterday's and today's load":
+    every key classified as ``added`` / ``removed`` / ``changed`` /
+    ``unchanged``, with the exact list of differing columns (NULL-safe
+    comparison, so NULL→value and value→NULL both count as changes).
+
+    Output: keys, ``status``, ``changed_cols`` (comma-joined in
+    ``compare_cols`` order), and ``{c}_old`` / ``{c}_new`` for every
+    compared column (the CDC payload downstream appliers need).
+
+    Plan: ONE full-outer shuffle join on the key — unavoidable, since
+    adds and removes both require the unmatched sides. At 100 TB the
+    two snapshots are successive loads of the same table: store them
+    bucketed by the key and the exchange disappears entirely
+    (operators/scale.py bucketed-join pattern); the classification
+    itself is pure post-join expression work."""
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys and c in old.columns]
+    o = old.select(
+        *keys,
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *keys,
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    j = o.join(n, list(keys), "full_outer")
+    diffs = F.filter(
+        F.array(
+            *[
+                F.when(
+                    ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c)
+                )
+                for c in compare_cols
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    out = j.select(
+        *keys,
+        status.alias("status"),
+        F.when(status == "changed", F.concat_ws(",", diffs))
+        .otherwise(F.lit(""))
+        .alias("changed_cols"),
+        *[F.col(f"__o_{c}").alias(f"{c}_old") for c in compare_cols],
+        *[F.col(f"__n_{c}").alias(f"{c}_new") for c in compare_cols],
+    )
+    return out if include_unchanged else out.filter(F.col("status") != "unchanged")
+
+
 def scd2_merge(
     base: DataFrame,
     changes: DataFrame,

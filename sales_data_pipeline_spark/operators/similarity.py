@@ -400,3 +400,44 @@ def group_centroids(
         )
         .select(F.col("grp").alias(group_col), "n_vecs", "centroid")
     )
+
+
+def quantized_dupe_groups(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: float = 2.0,
+) -> DataFrame:
+    """Embedding near-dup detection by grid quantization: floor each
+    dimension into a coarse cell (``floor(x * scale)``) and group rows
+    whose ENTIRE quantized vector is identical — the cheapest useful
+    embedding dedup (near-identical vectors land in the same cell;
+    complementary to SRP-LSH, which catches pairs a cell boundary
+    splits). Output: (id, canonical_id = min id in group, group_size)
+    for every row in a group of >= 2.
+
+    Determinism: floats widen to float64 before scaling; floor is exact
+    and engine-portable (unlike round, whose tie rule varies), so the
+    signature is bit-identical across engines/runs/partitionings.
+
+    Plan: map (quantize) + ONE hash shuffle on the signature + window.
+    The signature travels as a compact CSV string here so the DuckDB
+    oracle can reproduce it byte-for-byte; a production run at 100 TB
+    swaps in xxhash64 of the quantized array (8-byte shuffle key, same
+    grouping — collision odds ~n^2/2^65). Linear; no pairwise compare
+    anywhere."""
+    from pyspark.sql import Window
+
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("bigint"),
+    )
+    sig = F.concat_ws(",", F.transform(q, lambda v: v.cast("string")))
+    w = Window.partitionBy("__sig")
+    return (
+        df.select(F.col(id_col), sig.alias("__sig"))
+        .withColumn("canonical_id", F.min(id_col).over(w))
+        .withColumn("group_size", F.count(F.lit(1)).over(w).cast("bigint"))
+        .filter(F.col("group_size") >= 2)
+        .select(id_col, "canonical_id", "group_size")
+    )

@@ -1,0 +1,314 @@
+"""Data-governance & training-set-assembly catalog: PII redaction,
+snapshot CDC diff, embedding-quantization dedup, shard shuffling, and
+domain-mixture weights.
+
+The driver's synthetic corpus contains no real PII, so q72 injects
+deterministic PII substrings derived from driver columns (doc_id,
+source) IDENTICALLY on the Spark and oracle sides — the operator under
+test is the detection/redaction, not the injection. Same idea for q73:
+the two "snapshots" are deterministic edits of the orders table so the
+diff has known adds/removes/changes to find.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.catalog import table
+from sales_data_pipeline_spark.operators.assemble import mixture_weights, shard_assignment
+from sales_data_pipeline_spark.operators.merge import snapshot_diff
+from sales_data_pipeline_spark.operators.redact import redact_pii
+from sales_data_pipeline_spark.operators.similarity import quantized_dupe_groups
+from sales_data_pipeline_spark.operators.text import token_count
+from sales_data_pipeline_spark.plans.registry import query
+
+# --- q72: PII redaction ---------------------------------------------------
+
+_PII_INJECT_SQL = """
+      text
+      || CASE WHEN doc_id % 3 = 0
+           THEN ' contact user' || doc_id || '@' || source || '.example.com'
+           ELSE '' END
+      || CASE WHEN doc_id % 5 = 0
+           THEN ' call 555-' || printf('%03d', doc_id % 1000)
+                || '-' || printf('%04d', doc_id % 10000)
+           ELSE '' END
+      || CASE WHEN doc_id % 7 = 0
+           THEN ' from 10.' || (doc_id % 256) || '.'
+                || ((doc_id // 256) % 256) || '.' || (doc_id % 100)
+           ELSE '' END
+      || CASE WHEN doc_id % 11 = 0
+           THEN ' ssn 123-45-' || printf('%04d', doc_id % 10000)
+           ELSE '' END
+"""
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PHONE_RE = r"\b\d{3}-\d{3}-\d{4}\b"
+_SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+def _pii_injected(docs: DataFrame) -> DataFrame:
+    """documents.text with deterministic PII appended for a known
+    subset of docs (mirrors _PII_INJECT_SQL exactly)."""
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@"),
+                F.col("source"),
+                F.lit(".example.com"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.format_string(
+                " call 555-%03d-%04d",
+                (did % 1000).cast("int"),
+                (did % 10000).cast("int"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.format_string(
+                " from 10.%d.%d.%d",
+                (did % 256).cast("int"),
+                (F.floor(did / 256) % 256).cast("int"),
+                (did % 100).cast("int"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 11 == 0,
+            F.format_string(" ssn 123-45-%04d", (did % 10000).cast("int")),
+        ).otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", injected.alias("text"))
+
+
+@query(
+    "q72_pii_redaction",
+    oracle=f"""
+    WITH inj AS (SELECT doc_id, {_PII_INJECT_SQL} AS text FROM documents)
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '{_EMAIL_RE}')) AS BIGINT) AS n_email,
+      CAST(len(regexp_extract_all(text, '{_IP_RE}')) AS BIGINT) AS n_ip,
+      CAST(len(regexp_extract_all(text, '{_PHONE_RE}')) AS BIGINT) AS n_phone,
+      CAST(len(regexp_extract_all(text, '{_SSN_RE}')) AS BIGINT) AS n_ssn,
+      CAST(len(regexp_extract_all(text, '{_EMAIL_RE}'))
+         + len(regexp_extract_all(text, '{_IP_RE}'))
+         + len(regexp_extract_all(text, '{_PHONE_RE}'))
+         + len(regexp_extract_all(text, '{_SSN_RE}')) AS BIGINT) AS n_pii,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        '{_EMAIL_RE}', '<EMAIL>', 'g'),
+        '{_IP_RE}', '<IP>', 'g'),
+        '{_PHONE_RE}', '<PHONE>', 'g'),
+        '{_SSN_RE}', '<SSN>', 'g') AS clean_text
+    FROM inj
+    """,
+)
+def q72_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction census over the corpus: per-doc match
+    counts for email / IPv4 / phone / SSN patterns and the fully
+    redacted text. The corpus is synthetic, so known PII is injected
+    deterministically from (doc_id, source) on BOTH engine sides; the
+    operator under test (operators/redact.py) is regexp_count +
+    chained regexp_replace — codegen-only, map-only, patterns held to
+    the Java-regex ∩ RE2 dialect so the oracle is bit-comparable."""
+    docs = table(spark, sf_dir, "documents")
+    return redact_pii(_pii_injected(docs))
+
+
+# --- q73: snapshot diff / CDC ----------------------------------------------
+
+
+@query(
+    "q73_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 3
+    ),
+    new AS (
+      SELECT o_orderkey,
+        CASE WHEN o_orderkey % 9 = 0 THEN 'X' ELSE o_orderstatus END AS o_orderstatus,
+        CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+             ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 10 <> 7
+    ),
+    j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        CASE WHEN o.o_orderkey IS NULL THEN 'added'
+             WHEN n.o_orderkey IS NULL THEN 'removed'
+             WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+               OR o.o_totalprice IS DISTINCT FROM n.o_totalprice THEN 'changed'
+             ELSE 'unchanged' END AS status,
+        concat_ws(',',
+          CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                AND o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+               THEN 'o_orderstatus' END,
+          CASE WHEN o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                AND o.o_totalprice IS DISTINCT FROM n.o_totalprice
+               THEN 'o_totalprice' END) AS changed_cols,
+        o.o_orderstatus AS o_orderstatus_old,
+        o.o_totalprice AS o_totalprice_old,
+        n.o_orderstatus AS o_orderstatus_new,
+        n.o_totalprice AS o_totalprice_new
+      FROM old o FULL JOIN new n USING (o_orderkey)
+    )
+    SELECT * FROM j WHERE status <> 'unchanged'
+    """,
+)
+def q73_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC diff between two snapshots of the orders table (snapshots
+    are deterministic edits of the driver table: keys ending in 3 are
+    new, keys ending in 7 were deleted, every 5th price bumped, every
+    9th status flipped): full-outer keyed join classifying every key as
+    added/removed/changed with the exact changed-column list and
+    old/new payloads (operators/merge.py snapshot_diff)."""
+    orders = table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    old = orders.filter(k % 10 != 3).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(k % 10 != 7).select(
+        "o_orderkey",
+        F.when(k % 9 == 0, F.lit("X")).otherwise(F.col("o_orderstatus")).alias(
+            "o_orderstatus"
+        ),
+        F.when(k % 5 == 0, F.col("o_totalprice") + 1.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(
+        old, new, ["o_orderkey"], compare_cols=["o_orderstatus", "o_totalprice"]
+    )
+
+
+# --- q74: embedding quantization dedup --------------------------------------
+
+
+@query(
+    "q74_embedding_quant_dedup",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000,
+             list_transform(embedding::DOUBLE[], x -> x + 0.001)
+      FROM embeddings WHERE vec_id % 4 = 0
+    ),
+    q AS (
+      SELECT vec_id,
+        array_to_string(
+          list_transform(v, x -> CAST(floor(x * 2.0) AS BIGINT)), ',') AS sig
+      FROM base
+    ),
+    g AS (
+      SELECT vec_id,
+        min(vec_id) OVER (PARTITION BY sig) AS canonical_id,
+        CAST(count(*) OVER (PARTITION BY sig) AS BIGINT) AS group_size
+      FROM q
+    )
+    SELECT vec_id, canonical_id, group_size FROM g WHERE group_size >= 2
+    """,
+)
+def q74_embedding_quant_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup groups by grid quantization: floor each
+    dimension into a half-unit cell and group identical quantized
+    vectors — linear map + one hash shuffle, no pairwise compare
+    (operators/similarity.py quantized_dupe_groups). This corpus has no
+    natural high-cosine pairs (max ≈0.51), so known near-identical
+    copies are injected deterministically from driver rows (every 4th
+    vector, +0.001 per element) identically on both engine sides; a
+    copy whose perturbation crosses a cell boundary in ANY dimension
+    legitimately escapes its group — that boundary-splitting is the
+    documented limitation SRP-LSH (q52) covers. Complements LSH:
+    cell-interior dups cost one groupBy here."""
+    emb = table(spark, sf_dir, "embeddings")
+    as_double = F.transform("embedding", lambda x: x.cast("double"))
+    base = emb.select("vec_id", as_double.alias("v"))
+    dups = emb.filter(F.col("vec_id") % 4 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") + 0.001).alias("v"),
+    )
+    return quantized_dupe_groups(base.unionByName(dups), vec_col="v", scale=2.0)
+
+
+# --- q75: shard assignment ---------------------------------------------------
+
+
+@query(
+    "q75_shard_assignment",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT AS hk
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(hk % 8 AS INT) AS shard,
+      CAST(row_number() OVER (PARTITION BY hk % 8 ORDER BY hk, doc_id) AS BIGINT)
+        AS pos
+    FROM h
+    """,
+)
+def q75_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle into 8 training shards: one 52-bit
+    md5 key drives both shard choice and within-shard order, windows
+    run per shard (never a global row_number), so at 100 TB the sort
+    parallelizes across the shard count
+    (operators/assemble.py shard_assignment)."""
+    docs = table(spark, sf_dir, "documents")
+    return shard_assignment(docs, n_shards=8).select("doc_id", "shard", "pos")
+
+
+# --- q76: domain mixture weights ---------------------------------------------
+
+_MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
+
+
+@query(
+    "q76_mixture_weights",
+    oracle=f"""
+    WITH agg AS (
+      SELECT source AS domain,
+        CAST(count(*) AS BIGINT) AS n_rows,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_units
+      FROM documents GROUP BY 1
+    )
+    SELECT domain, n_rows, n_units,
+      round(CAST(n_units AS DOUBLE) / sum(CAST(n_units AS DOUBLE)) OVER (), 6)
+        AS unit_share,
+      round(CASE domain WHEN 'src0' THEN {_MIX_TARGETS["src0"]}
+                        WHEN 'src1' THEN {_MIX_TARGETS["src1"]}
+                        WHEN 'src2' THEN {_MIX_TARGETS["src2"]}
+                        WHEN 'src3' THEN {_MIX_TARGETS["src3"]}
+                        ELSE 0.0 END, 6) AS target_share,
+      round(CASE domain WHEN 'src0' THEN {_MIX_TARGETS["src0"]}
+                        WHEN 'src1' THEN {_MIX_TARGETS["src1"]}
+                        WHEN 'src2' THEN {_MIX_TARGETS["src2"]}
+                        WHEN 'src3' THEN {_MIX_TARGETS["src3"]}
+                        ELSE 0.0 END
+            / (CAST(n_units AS DOUBLE) / sum(CAST(n_units AS DOUBLE)) OVER ()), 6)
+        AS mix_weight
+    FROM agg
+    """,
+)
+def q76_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture reweighting table (static DoReMi/Pile-style):
+    per-source token counts vs a prescribed target mixture → the
+    over/under-sampling factor a mixture sampler applies per domain.
+    Sources absent from the target map (src4) weight to 0 — excluded
+    from training. One map-side-combined groupBy collapses the corpus
+    to |domains| rows before any global normalization
+    (operators/assemble.py mixture_weights)."""
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select("source", token_count("text").alias("n_tokens"))
+    return mixture_weights(
+        sized, domain_col="source", size_col="n_tokens", target_shares=_MIX_TARGETS
+    )

@@ -1,0 +1,186 @@
+"""Governance & training-set-assembly operators: PII redaction,
+snapshot diff, quantized embedding dedup, shard assignment, mixture
+weights — hand cases and invariants the oracle-parity sweep can't
+isolate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sales_data_pipeline_spark.operators.assemble import (
+    mixture_weights,
+    shard_assignment,
+)
+from sales_data_pipeline_spark.operators.merge import snapshot_diff
+from sales_data_pipeline_spark.operators.redact import redact_pii
+from sales_data_pipeline_spark.operators.similarity import quantized_dupe_groups
+
+
+# --- redact_pii --------------------------------------------------------------
+
+
+def test_redact_pii_hand_case(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jo.smith+x@corp.example.org or 555-123-4567 ok"),
+            (2, "server 192.168.1.254 and ssn 123-45-6789"),
+            (3, "no pii here at all"),
+            (4, "two mails a@b.io c@d.co plus 10.0.0.1"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (got[1].n_email, got[1].n_phone) == (1, 1)
+    assert got[1].clean_text == "mail me at <EMAIL> or <PHONE> ok"
+    assert (got[2].n_ip, got[2].n_ssn) == (1, 1)
+    assert got[2].clean_text == "server <IP> and ssn <SSN>"
+    assert got[3].n_pii == 0 and got[3].clean_text == "no pii here at all"
+    assert (got[4].n_email, got[4].n_ip, got[4].n_pii) == (2, 1, 3)
+
+
+def test_redact_pii_disjoint_patterns(spark):
+    """A phone (3-3-4) must not double-count as an SSN (3-2-4) and vice
+    versa; an IPv4 quad is neither."""
+    df = spark.createDataFrame(
+        [(1, "call 555-123-4567 ssn 987-65-4321 host 1.2.3.4")],
+        "doc_id long, text string",
+    )
+    r = redact_pii(df).collect()[0]
+    assert (r.n_phone, r.n_ssn, r.n_ip, r.n_email) == (1, 1, 1, 0)
+    assert r.n_pii == 3
+    assert r.clean_text == "call <PHONE> ssn <SSN> host <IP>"
+
+
+def test_redact_pii_is_map_only(spark):
+    """No Exchange anywhere — redaction rides the scan."""
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("a@b.co x").alias("text")
+    )
+    plan = redact_pii(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# --- snapshot_diff -----------------------------------------------------------
+
+
+def _snap(spark, rows):
+    return spark.createDataFrame(rows, "k long, status string, price double")
+
+
+def test_snapshot_diff_classifies_all_four(spark):
+    old = _snap(spark, [(1, "A", 10.0), (2, "B", 20.0), (3, "C", 30.0), (5, None, 50.0)])
+    new = _snap(spark, [(1, "A", 10.0), (2, "B", 25.0), (4, "D", 40.0), (5, "E", 50.0)])
+    got = {
+        r.k: r
+        for r in snapshot_diff(
+            old, new, ["k"], compare_cols=["status", "price"], include_unchanged=True
+        ).collect()
+    }
+    assert got[1].status == "unchanged" and got[1].changed_cols == ""
+    assert got[2].status == "changed" and got[2].changed_cols == "price"
+    assert got[3].status == "removed"
+    assert got[4].status == "added"
+    # NULL -> value is a change (null-safe compare)
+    assert got[5].status == "changed" and got[5].changed_cols == "status"
+    assert got[2].price_old == 20.0 and got[2].price_new == 25.0
+
+
+def test_snapshot_diff_excludes_unchanged_by_default(spark):
+    old = _snap(spark, [(1, "A", 10.0), (2, "B", 20.0)])
+    new = _snap(spark, [(1, "A", 10.0), (2, "B", 21.0)])
+    got = snapshot_diff(old, new, ["k"]).collect()
+    assert [r.k for r in got] == [2]
+    assert got[0].changed_cols == "price"
+
+
+# --- quantized_dupe_groups ---------------------------------------------------
+
+
+def test_quantized_dupes_groups_and_boundaries(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [0.10, 0.20]),  # cell (0,0)
+            (2, [0.11, 0.21]),  # same cell -> dup of 1
+            (3, [0.10, 0.55]),  # 0.55*2=1.1 -> cell (0,1): boundary split
+            (4, [-0.10, 0.20]),  # -0.2 -> floor -1: sign matters
+            (5, [0.12, 0.22]),  # same cell as 1,2
+        ],
+        "vec_id long, v array<double>",
+    )
+    got = {r.vec_id: r for r in quantized_dupe_groups(df, vec_col="v", scale=2.0).collect()}
+    assert set(got) == {1, 2, 5}
+    assert all(r.canonical_id == 1 and r.group_size == 3 for r in got.values())
+
+
+def test_quantized_dupes_no_false_groups(spark):
+    df = spark.createDataFrame(
+        [(1, [0.9, 0.9]), (2, [-0.9, 0.9]), (3, [0.9, -0.9])],
+        "vec_id long, v array<double>",
+    )
+    assert quantized_dupe_groups(df, vec_col="v", scale=2.0).count() == 0
+
+
+# --- shard_assignment --------------------------------------------------------
+
+
+def test_shard_assignment_partition_invariance(spark):
+    """(shard, pos) must be identical under different input
+    partitionings — the md5 contract."""
+    df = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: (r.shard, r.pos) for r in shard_assignment(df, n_shards=4).collect()}
+    b = {
+        r.doc_id: (r.shard, r.pos)
+        for r in shard_assignment(df.repartition(13), n_shards=4).collect()
+    }
+    assert a == b
+
+
+def test_shard_assignment_positions_are_dense(spark):
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    rows = shard_assignment(df, n_shards=4).collect()
+    assert len(rows) == 100 and len({r.doc_id for r in rows}) == 100
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= {0, 1, 2, 3}
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+
+
+def test_shard_assignment_rejects_bad_count(spark):
+    df = spark.range(1).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError):
+        shard_assignment(df, n_shards=0)
+
+
+# --- mixture_weights ---------------------------------------------------------
+
+
+def test_mixture_weights_math(spark):
+    df = spark.createDataFrame(
+        [("a", 30), ("a", 30), ("b", 20), ("c", 20)],
+        "source string, n_tokens long",
+    )
+    got = {
+        r.domain: r
+        for r in mixture_weights(
+            df, size_col="n_tokens", target_shares={"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    # units: a=60, b=20, c=20, total 100
+    assert got["a"].n_rows == 2 and got["a"].n_units == 60
+    assert got["a"].unit_share == pytest.approx(0.6)
+    assert got["a"].mix_weight == pytest.approx(0.5 / 0.6, abs=1e-6)
+    assert got["b"].mix_weight == pytest.approx(0.5 / 0.2, abs=1e-6)
+    # domain absent from targets is excluded (weight 0)
+    assert got["c"].target_share == 0.0 and got["c"].mix_weight == 0.0
+
+
+def test_mixture_weights_uniform_default(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 30)], "source string, n_tokens long"
+    )
+    got = {r.domain: r for r in mixture_weights(df, size_col="n_tokens").collect()}
+    assert got["a"].target_share == pytest.approx(0.5)
+    assert got["a"].mix_weight == pytest.approx(0.5 / 0.25, abs=1e-6)
