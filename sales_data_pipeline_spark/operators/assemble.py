@@ -98,3 +98,37 @@ def mixture_weights(
         F.round(target, round_digits).alias("target_share"),
         F.round(target / share, round_digits).alias("mix_weight"),
     )
+
+
+def domain_cap(
+    df: DataFrame,
+    domain_col: str = "source",
+    cap: int = 20,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain document cap (the Common-Crawl-style guard against
+    one domain dominating the corpus): keep at most ``cap`` rows per
+    domain, chosen by md5(id) order — a deterministic uniform sample of
+    each domain, not "whichever rows arrived first" (head-of-scan bias,
+    partition-order dependent). Adds ``cap_rank`` (1-based position in
+    the domain's md5 order) to surviving rows.
+
+    Plan: map (hash) + one keyed window per domain. A domain with
+    billions of rows makes its window partition hot; at that scale cap
+    FIRST with a cheap per-partition pre-filter (any partition holds at
+    most ``cap`` survivors, so two-phase capping works: rank within
+    (domain, salt) then re-rank the ≤ cap·n_salt survivors — the same
+    two-phase shape as operators/scale.py salted_agg). This corpus's
+    domains are bounded, so the direct window is the right plan here."""
+    if cap < 1:
+        raise ValueError(f"cap must be >= 1, got {cap}")
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 13), 16, 10).cast(
+        "bigint"
+    )
+    w = Window.partitionBy(domain_col).orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("cap_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("cap_rank") <= cap)
+        .drop("__h")
+    )

@@ -312,3 +312,149 @@ def q76_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_weights(
         sized, domain_col="source", size_col="n_tokens", target_shares=_MIX_TARGETS
     )
+
+
+# --- q77: table profiling ------------------------------------------------------
+
+_PROFILE_BLOCK = """
+      SELECT '{c}' AS col_name,
+        count(*) AS n_rows,
+        CAST(sum(CASE WHEN {expr} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+        CAST(min({expr}) AS VARCHAR) AS min_val,
+        CAST(max({expr}) AS VARCHAR) AS max_val
+      FROM orders
+"""
+
+_PROFILE_COLS = {
+    "o_orderkey": "o_orderkey",
+    "o_custkey": "o_custkey",
+    "o_orderstatus": "o_orderstatus",
+    "o_totalprice": "CAST(o_totalprice AS DECIMAL(12,2))",
+    "o_orderdate": "date_trunc('second', o_orderdate)",
+    "o_orderpriority": "o_orderpriority",
+}
+
+
+@query(
+    "q77_table_profile",
+    oracle=" UNION ALL ".join(
+        _PROFILE_BLOCK.format(c=c, expr=e) for c, e in _PROFILE_COLS.items()
+    ),
+)
+def q77_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass data-quality profile of the orders table: per column
+    (n_rows, n_null, n_distinct, min, max) — the load-time drift check
+    a lake pipeline runs on every batch (operators/profile.py). Exact
+    cardinalities here (single Expand pass, hash-matchable); the
+    100 TB interactive path is exact_distinct=False (HLL, no Expand).
+    Money is profiled as decimal and timestamps second-truncated so
+    min/max strings are engine-portable (float/sub-second formatting
+    is not)."""
+    from sales_data_pipeline_spark.operators.profile import profile_table
+
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(12,2)").alias("o_totalprice"),
+        F.date_trunc("second", F.col("o_orderdate")).alias("o_orderdate"),
+        "o_orderpriority",
+    )
+    return profile_table(orders)
+
+
+# --- q78: per-domain cap ---------------------------------------------------
+
+
+@query(
+    "q78_domain_cap",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, source,
+        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT AS hk
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id, source,
+        CAST(row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS BIGINT)
+          AS cap_rank
+      FROM h
+    )
+    SELECT doc_id, source, cap_rank FROM r WHERE cap_rank <= 20
+    """,
+)
+def q78_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap: at most 20 docs per source, chosen by
+    md5(doc_id) order — a deterministic uniform per-domain sample, not
+    head-of-scan bias (operators/assemble.py domain_cap). The guard
+    that stops one crawl domain from dominating the training mix."""
+    from sales_data_pipeline_spark.operators.assemble import domain_cap
+
+    docs = table(spark, sf_dir, "documents")
+    return domain_cap(docs, cap=20).select("doc_id", "source", "cap_rank")
+
+
+# --- q79: split-leakage audit -------------------------------------------------
+
+
+@query(
+    "q79_split_leakage",
+    oracle="""
+    WITH tagged AS (
+      SELECT doc_id, md5(trim(text)) AS fp,
+        CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) = 'e' THEN 'val'
+             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 32, 1) = 'f' THEN 'test'
+             ELSE 'train' END AS split
+      FROM documents
+    ),
+    train_fp AS (SELECT DISTINCT fp FROM tagged WHERE split = 'train'),
+    ev AS (
+      SELECT t.split, t.doc_id, (tf.fp IS NOT NULL) AS leaked
+      FROM tagged t LEFT JOIN train_fp tf USING (fp)
+      WHERE t.split <> 'train'
+    )
+    SELECT split,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(CASE WHEN leaked THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+      round(sum(CASE WHEN leaked THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+        AS leak_rate
+    FROM ev GROUP BY split
+    """,
+)
+def q79_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-leakage audit: how many val/test documents share a content
+    fingerprint (md5 of trimmed text, q20's contract) with ANY train
+    document — the check that a random split did not leak duplicated
+    content across the train/eval boundary. Composition of the q44 md5
+    split and q20 fingerprints: the train side collapses to DISTINCT
+    fingerprints before the join (broadcastable at benchmark scale is
+    wrong here — train is the BIG split — but the join key is an
+    md5, so the shuffle is uniform by construction); one keyed agg
+    finishes it."""
+    docs = table(spark, sf_dir, "documents")
+    digit = F.substring(F.md5(F.col("doc_id").cast("string")), 32, 1)
+    tagged = docs.select(
+        "doc_id",
+        F.md5(F.trim(F.col("text"))).alias("fp"),
+        F.when(digit == "e", F.lit("val"))
+        .when(digit == "f", F.lit("test"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+    train_fp = (
+        tagged.filter(F.col("split") == "train")
+        .select("fp")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    ev = tagged.filter(F.col("split") != "train").join(train_fp, "fp", "left")
+    return ev.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.coalesce(F.sum(F.col("__hit")), F.lit(0)).cast("bigint").alias("n_leaked"),
+        F.round(
+            F.coalesce(F.sum(F.col("__hit")), F.lit(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("leak_rate"),
+    )

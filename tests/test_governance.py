@@ -184,3 +184,89 @@ def test_mixture_weights_uniform_default(spark):
     got = {r.domain: r for r in mixture_weights(df, size_col="n_tokens").collect()}
     assert got["a"].target_share == pytest.approx(0.5)
     assert got["a"].mix_weight == pytest.approx(0.5 / 0.25, abs=1e-6)
+
+
+# --- profile_table -----------------------------------------------------------
+
+
+def test_profile_table_hand_case(spark):
+    from sales_data_pipeline_spark.operators.profile import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", None), (3, None, 1.5), (3, "b", 1.5)],
+        "k long, s string, v double",
+    )
+    got = {r.col_name: r for r in profile_table(df).collect()}
+    assert set(got) == {"k", "s", "v"}
+    assert all(r.n_rows == 4 for r in got.values())
+    assert (got["k"].n_null, got["k"].n_distinct) == (0, 3)
+    assert (got["s"].n_null, got["s"].n_distinct) == (1, 2)  # distinct excludes NULL
+    assert (got["v"].n_null, got["v"].n_distinct) == (1, 2)
+    assert (got["k"].min_val, got["k"].max_val) == ("1", "3")
+    assert (got["s"].min_val, got["s"].max_val) == ("a", "b")
+    assert got["v"].min_val == "1.5"  # numeric min, not lexicographic
+
+
+def test_profile_table_single_job(spark):
+    """The whole profile is ONE aggregation: exactly one output stage,
+    no join, no union of per-column scans."""
+    from sales_data_pipeline_spark.operators.profile import profile_table
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("m"), F.lit("x").alias("s")
+    )
+    plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan and "Join" not in plan
+
+
+def test_profile_table_approx_mode_runs(spark):
+    from sales_data_pipeline_spark.operators.profile import profile_table
+
+    df = spark.range(1000).select(F.col("id"), (F.col("id") % 10).alias("m"))
+    got = {r.col_name: r for r in profile_table(df, exact_distinct=False).collect()}
+    # HLL default rsd 5%: 10 distinct must be within a wide band
+    assert 8 <= got["m"].n_distinct <= 12
+    plan = (
+        profile_table(df, exact_distinct=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Expand" not in plan  # approx path never expands rows
+
+
+def test_profile_table_rejects_empty_cols(spark):
+    from sales_data_pipeline_spark.operators.profile import profile_table
+
+    with pytest.raises(ValueError):
+        profile_table(spark.range(1), cols=[])
+
+
+# --- domain_cap ---------------------------------------------------------------
+
+
+def test_domain_cap_caps_and_is_partition_invariant(spark):
+    from sales_data_pipeline_spark.operators.assemble import domain_cap
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).cast("string").alias("source")
+    )
+    got = domain_cap(df, cap=10).collect()
+    by_dom: dict[str, set[int]] = {}
+    for r in got:
+        by_dom.setdefault(r.source, set()).add(r.doc_id)
+        assert 1 <= r.cap_rank <= 10
+    assert all(len(v) == 10 for v in by_dom.values())
+    again = domain_cap(df.repartition(17), cap=10).collect()
+    assert {(r.doc_id, r.cap_rank) for r in again} == {
+        (r.doc_id, r.cap_rank) for r in got
+    }
+
+
+def test_domain_cap_keeps_small_domains_whole(spark):
+    from sales_data_pipeline_spark.operators.assemble import domain_cap
+
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny")], "doc_id long, source string"
+    )
+    assert domain_cap(df, cap=10).count() == 2
