@@ -1770,3 +1770,236 @@ def q68_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_users",
         (F.col("n_users").cast("double") / day0).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q80 — correlated EXISTS / NOT EXISTS (decorrelated subquery surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q80_exists_correlated",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE c_acctbal > 9000
+      AND EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 2 * c.c_acctbal)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderstatus = 'F'
+                        AND o.o_totalprice < 1000)
+    """,
+)
+def q80_exists_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS with an inequality correlation
+    (o_totalprice > 2*c_acctbal) — the subquery surface the reference
+    never touches (its only subquery-ish op is the staging-table
+    DISTINCT probe, reference src/main/transformations/main.py:59-63).
+    Expressed through spark.sql to exercise the engine's SQL front end;
+    Catalyst decorrelates both predicates into a left-semi and a
+    left-anti hash join on o_custkey — exactly the plan one would hand
+    write, with the inequality evaluated as a non-equi join residual.
+    Scale note: both joins shuffle on the key (or broadcast the
+    filtered orders side under AQE); no nested-loop re-execution per
+    outer row, which is what makes correlated EXISTS safe at 100 TB."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer c
+        WHERE c_acctbal > 9000
+          AND EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 2 * c.c_acctbal)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F'
+                            AND o.o_totalprice < 1000)
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q81 — INTERSECT / EXCEPT set algebra
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q81_set_algebra",
+    oracle="""
+    (SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+     INTERSECT
+     SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F')
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def q81_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT — the set operations SURVEY §2g records as
+    absent from the reference (it has only the positional union).
+    Customers with both open and filled orders, minus anyone with a
+    jumbo order. Spark executes each as a distinct-preserving hash
+    semi/anti join (one shuffle per operand on the compare key); the
+    DataFrame calls are intersect() and subtract(), whose DISTINCT
+    output semantics match the SQL operators exactly — exceptAll/
+    intersectAll are the bag variants, deliberately not used here so
+    the oracle's set semantics hold."""
+    orders = table(spark, sf_dir, "orders")
+    open_c = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    filled_c = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    jumbo_c = orders.filter(F.col("o_totalprice") > 300000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return open_c.intersect(filled_c).subtract(jumbo_c)
+
+
+# ---------------------------------------------------------------------------
+# q82 — GROUPING SETS + grouping_id (completes rollup/cube family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q82_grouping_sets",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+      CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def q82_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS with grouping_id — the third member of
+    the multi-granularity family (q16 rollup, q37 cube). Unlike rollup,
+    the set list here is arbitrary: (flag,status), (flag), () but NOT
+    (status), which no rollup/cube spelling can produce. Spark compiles
+    it to a single Expand (3 replicas of each input row) + ONE keyed
+    shuffle — the same single-pass shape the plan-shape tests pin for
+    q37; grouping_id() disambiguates real NULL groups from subtotal
+    rows. Bit order (first grouping column = most significant bit) is
+    identical in Spark and the oracle's GROUPING()."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        ).agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            _dec_sum("l_extendedprice", _PRICE, "revenue"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q83 — UNPIVOT / melt (wide → long reshaping)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q83_unpivot_stats",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderstatus,
+        CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+        ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+              / COUNT(*), 6) AS avg_price,
+        CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'min_price' AS stat, min_price AS value FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'avg_price' AS stat, avg_price AS value FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'max_price' AS stat, max_price AS value FROM wide
+    """,
+)
+def q83_unpivot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): per-status price stats computed wide, reshaped
+    long — the inverse of q32's pivot, closing the reshape pair. The
+    avg is an exact decimal sum over a double divide (rounded), so both
+    engines agree bitwise. Spark's unpivot is a zero-shuffle Expand on
+    an already-tiny aggregate; at scale the pattern matters on wide
+    metric tables (hundreds of stat columns → one (entity, stat, value)
+    stream) where Expand's row replication is still map-side only."""
+    wide = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.min("o_totalprice").cast("double").alias("min_price"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_price"),
+            F.max("o_totalprice").cast("double").alias("max_price"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["min_price", "avg_price", "max_price"],
+        variableColumnName="stat",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q84 — lead + first/last over explicit unbounded frames
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q84_order_timeline",
+    oracle="""
+    SELECT
+      o_custkey AS custkey,
+      o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      CAST(date_diff('day', CAST(o_orderdate AS DATE),
+           CAST(LEAD(o_orderdate) OVER w AS DATE)) AS BIGINT) AS days_to_next,
+      CAST(FIRST_VALUE(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      ) AS DOUBLE) AS first_price,
+      CAST(LAST_VALUE(o_totalprice) OVER (
+        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      ) AS DOUBLE) AS last_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def q84_order_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order timeline: lead() for inter-order gaps plus
+    first_value/last_value over an explicit UNBOUNDED..UNBOUNDED frame —
+    the navigation functions q38/q46 (lag, last ignorenulls) left
+    uncovered, and the one frame spelling where Spark's default
+    (UNBOUNDED PRECEDING..CURRENT ROW) silently gives the wrong
+    last_value if unstated. One window sort serves all three functions
+    (same partition + order spec), so the whole query is a single
+    shuffle on o_custkey; days_to_next is NULL on each customer's final
+    order, by design."""
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    orders = table(spark, sf_dir, "orders")
+    return orders.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate"))
+        .cast("bigint")
+        .alias("days_to_next"),
+        F.first("o_totalprice").over(wfull).cast("double").alias("first_price"),
+        F.last("o_totalprice").over(wfull).cast("double").alias("last_price"),
+    )

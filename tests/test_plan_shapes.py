@@ -286,3 +286,40 @@ def test_q62_boilerplate_three_linear_shuffles(spark, sf_dir):
     assert len(re.findall(r"Arguments: hashpartitioning", plan)) == 3, plan
     assert "EvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q80_exists_decorrelates_to_hash_joins(spark, sf_dir):
+    """Correlated EXISTS/NOT EXISTS must decorrelate into semi/anti hash
+    joins — a nested-loop re-execution per outer row would be quadratic
+    at scale."""
+    plan = _plan(QUERIES["q80_exists_correlated"].fn(spark, sf_dir))
+    assert re.search(r"LeftSemi|ExistenceJoin", plan), plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+    # inequality correlation must not force a nested loop over orders
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_q82_grouping_sets_single_pass(spark, sf_dir):
+    """Arbitrary grouping sets compile to ONE Expand + one keyed
+    shuffle, like q37's cube — not one scan per set."""
+    plan = _plan(QUERIES["q82_grouping_sets"].fn(spark, sf_dir))
+    assert "Expand" in plan, plan
+    assert _n_exchanges(plan) == 1, plan
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+    assert n_scans == 1, "grouping sets must not rescan"
+
+
+def test_q83_unpivot_is_map_side(spark, sf_dir):
+    """Unpivot reshapes with Expand/Generate after the aggregate —
+    no extra shuffle beyond the groupBy's own exchange."""
+    plan = _plan(QUERIES["q83_unpivot_stats"].fn(spark, sf_dir))
+    assert _n_exchanges(plan) <= 1, plan
+
+
+def test_q84_one_window_sort_serves_all_functions(spark, sf_dir):
+    """lead + first_value + last_value share one partition/order spec →
+    one shuffle on o_custkey, one sort."""
+    plan = _plan(QUERIES["q84_order_timeline"].fn(spark, sf_dir))
+    assert "Window" in plan, plan
+    assert _n_exchanges(plan) == 1, plan
