@@ -290,3 +290,48 @@ def weighted_sample(
         / float(16**13)
     )
     return df.filter(u < F.col(weight_col))
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    max_overlap: int = 0,
+) -> DataFrame:
+    """Benchmark decontamination REMOVAL: drop every corpus doc whose
+    distinct n-gram overlap with the benchmark set exceeds
+    ``max_overlap`` (default: any shared n-gram disqualifies — the
+    strict eval-hygiene setting). Complement of ``contamination``,
+    which only reports the census; training pipelines run the census
+    for monitoring and this operator for the actual cut.
+
+    Plan: corpus shingles explode → semi-join the (distinct, broadcast-
+    sized) benchmark vocabulary → per-doc overlap count → anti-join the
+    offenders against the corpus. All shuffles keyed and linear; the
+    corpus rows themselves only move through the final anti-join, and
+    docs with zero overlapping shingles never appear on its build side.
+    Returns the surviving corpus rows unchanged (schema-preserving)."""
+    from sales_data_pipeline_spark.operators.text import (
+        shingle_hashes_from_tokens,
+        tokens,
+    )
+
+    corpus_sh = (
+        corpus.select(F.col(id_col).alias("__doc"), tokens(text_col).alias("__t"))
+        .select("__doc", F.explode(shingle_hashes_from_tokens("__t", n)).alias("shingle"))
+    )
+    bench_vocab = (
+        benchmark.select(tokens(text_col).alias("__t"))
+        .select(F.explode(shingle_hashes_from_tokens("__t", n)).alias("shingle"))
+        .distinct()
+    )
+    offenders = (
+        corpus_sh.join(bench_vocab, "shingle", "left_semi")
+        .groupBy("__doc")
+        .agg(F.count(F.lit(1)).alias("__n_overlap"))
+        .filter(F.col("__n_overlap") > max_overlap)
+        .select(F.col("__doc").alias(id_col))
+    )
+    return corpus.join(offenders, id_col, "left_anti")

@@ -441,3 +441,172 @@ def quantized_dupe_groups(
         .filter(F.col("group_size") >= 2)
         .select(id_col, "canonical_id", "group_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed k-means (Lloyd's) and SemDeDup-style semantic dedup
+# ---------------------------------------------------------------------------
+
+
+def kmeans_clusters(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 4,
+) -> DataFrame:
+    """Distributed spherical k-means (Lloyd's): cluster every vector, at
+    any corpus size. Contrast train_centroids (IVF's coarse quantizer),
+    which trains on a bounded driver-side SAMPLE because IVF only needs
+    approximate cells; here the E-step (assignment) and the M-step's
+    aggregation both run distributed over the full corpus — the only
+    driver-side state is the k×dim centroid matrix itself (a few KB),
+    collected once per iteration. That is the standard scalable k-means
+    shape: per iteration ONE map over the corpus (broadcast centroids as
+    literals, pure codegen cosine) + ONE keyed shuffle of (cell, dim)
+    partial sums, nothing quadratic anywhere.
+
+    Deterministic contract (reproducible across runs, partitionings and
+    engines): init = the first k vectors in id order; cosine in float64
+    over unit-normalized vectors; M-step mean accumulated per dimension
+    by Spark's exact-order-independent decimal? no — double sums over a
+    shuffle ARE order-dependent in the last bits, so partial sums are
+    aggregated per (cell, dim) with Kahan-free plain doubles but the
+    assignment uses similarities rounded to 9 digits, making label
+    flips from last-bit noise unobservable in practice; the pytest
+    reference (same init, same iteration count) asserts exact label
+    equality at test scale. Ties in the argmax go to the LOWEST cell
+    (matching numpy argmax).
+
+    Returns (id_col, cluster int, sim double) — sim is the cosine to
+    the winning centroid from the final assignment pass.
+    """
+    import numpy as np
+
+    init_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    cents = np.asarray([r[1] for r in init_rows], dtype=np.float64)
+    cents = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+    # project the norm ONCE, then divide — an inline l2_norm inside the
+    # transform lambda would re-evaluate the O(dim) norm per element
+    # (O(dim²)/row; same Catalyst re-inlining trap the shingle pipeline
+    # documents at shingle_hashes_from_tokens)
+
+    def assign(cent_mat: np.ndarray) -> DataFrame:
+        # struct(sim, -cell) so array_max's lexicographic tie-break
+        # picks the LOWEST cell index, matching the numpy reference.
+        cent_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in cent_mat]
+        )
+        sims = F.transform(
+            cent_lit,
+            lambda c, i: F.struct(
+                F.round(dot_product("__unit", c), 9).alias("sim"),
+                (-i).alias("negcell"),
+            ),
+        )
+        best = F.array_max(sims)
+        return (
+            corpus.select(F.col(id_col), "__unit_src")
+            .withColumn("__unit", F.col("__unit_src"))
+            .select(
+                id_col,
+                "__unit",
+                (-best["negcell"]).cast("int").alias("cluster"),
+                best["sim"].alias("sim"),
+            )
+        )
+
+    corpus = (
+        corpus.select(id_col, as_double_array(vec_col).alias("__vd"))
+        .withColumn("__n", F.greatest(l2_norm(F.col("__vd")), F.lit(1e-12)))
+        .withColumn(
+            "__unit_src", F.transform(F.col("__vd"), lambda x: x / F.col("__n"))
+        )
+        .select(id_col, "__unit_src")
+    )
+    assigned = None
+    for _ in range(max(iters, 1)):
+        assigned = assign(cents)
+        # M-step: distributed per-(cell, dim) mean of unit vectors; only
+        # the k×dim result crosses to the driver.
+        stats = (
+            assigned.select("cluster", F.posexplode("__unit").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        sums = {}
+        for r in stats:
+            sums.setdefault(r["cluster"], {})[r["pos"]] = (r["s"], r["n"])
+        for c, dims in sums.items():
+            vec = np.array([dims[p][0] / dims[p][1] for p in sorted(dims)])
+            nrm = np.linalg.norm(vec)
+            if nrm > 1e-12:
+                new[c] = vec / nrm
+        cents = new
+    # final E-step against the CONVERGED centroids — the in-loop
+    # assignment fed the M-step and is one update stale
+    assigned = assign(cents)
+    return assigned.select(id_col, "cluster", "sim")
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 4,
+    threshold: float = 0.97,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    method): k-means-cluster the embedding space, then drop any vector
+    with a LOWER-id neighbor at cosine >= threshold INSIDE its cluster.
+    Clustering is what makes semantic dedup tractable at 100 TB: the
+    pairwise compare is confined to each cluster, so cost is
+    sum(|cluster|^2) instead of N^2 — operators choose k proportional
+    to corpus size (k ~ N/20k) to bound cluster width; boundary pairs
+    split across clusters are the method's documented recall loss.
+
+    Returns the SURVIVORS: (id_col, cluster) — one row per kept vector.
+    Dropped == has at least one kept-or-dropped lower-id near-neighbor
+    in-cluster (SemDeDup's greedy keep-lowest rule, chain-insensitive).
+    """
+    assigned = kmeans_clusters(corpus, id_col, vec_col, k=k, iters=iters)
+    # pre-normalize ONCE so the per-pair compare is a bare dot product —
+    # norms recomputed inside the pair join would cost O(dim) × n_pairs
+    # twice over
+    vecs = (
+        corpus.select(F.col(id_col), as_double_array(vec_col).alias("__vd"))
+        .withColumn("__n", F.greatest(l2_norm(F.col("__vd")), F.lit(1e-12)))
+        .select(
+            id_col,
+            F.transform(F.col("__vd"), lambda x: x / F.col("__n")).alias("__v"),
+        )
+        .join(assigned.select(id_col, "cluster"), id_col)
+    )
+    a = vecs.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__ida"),
+        F.col("__v").alias("__va"),
+    )
+    b = vecs.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__idb"),
+        F.col("__v").alias("__vb"),
+    )
+    sim = dot_product("__va", "__vb")
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(F.round(sim, 9) >= threshold)
+        .select(F.col("__idb").alias(id_col))
+        .distinct()
+    )
+    return (
+        vecs.join(dropped, id_col, "left_anti")
+        .select(id_col, "cluster")
+    )

@@ -8,7 +8,7 @@ absent an intra-document 64-bit collision (~|S|²/2⁶⁵).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.catalog import table
@@ -460,4 +460,93 @@ def q71_source_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("js_divergence"),
+    )
+
+
+@query(
+    "q87_decontaminated_corpus",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, source, array_to_string(t[i:i+4], ' ') AS shingle
+      FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+    ),
+    bench AS (SELECT DISTINCT shingle FROM sh WHERE source = '{_BENCH_SOURCE}'),
+    dropped AS (
+      SELECT DISTINCT s.doc_id
+      FROM sh s JOIN bench b USING (shingle)
+      WHERE s.source <> '{_BENCH_SOURCE}'
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    LEFT JOIN dropped x USING (doc_id)
+    WHERE d.source <> '{_BENCH_SOURCE}' AND x.doc_id IS NULL
+    """,
+)
+def q87_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination REMOVAL — the enforcement half of
+    q54's census: every non-benchmark doc sharing ANY distinct word
+    5-gram with the benchmark source is cut, survivors pass through
+    schema-intact (operators/quality.py decontaminate). The offender
+    set is built from a semi-join against the benchmark's distinct
+    shingle vocabulary (broadcast-sized in practice) and applied as an
+    anti-join — corpus text never shuffles, only (doc_id, shingle)
+    hashes do."""
+    from sales_data_pipeline_spark.operators.quality import decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == _BENCH_SOURCE)
+    corpus = docs.filter(F.col("source") != _BENCH_SOURCE)
+    return decontaminate(corpus, bench, n=5).select("doc_id", "source", "n_chars")
+
+
+@query(
+    "q89_seq_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    b AS (
+      SELECT doc_id, n_tok,
+        CAST(length(bin(CAST(n_tok AS BIGINT))) - 1 AS BIGINT) AS bucket
+      FROM t WHERE n_tok >= 1
+    )
+    SELECT bucket,
+      CAST(2 ** bucket AS BIGINT) AS bucket_lo,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS frac_docs
+    FROM b GROUP BY bucket
+    """,
+)
+def q89_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length distribution in power-of-two buckets — the
+    context-window planning histogram (how much of the corpus fits in
+    4k/8k/32k tokens; what packing efficiency to expect, q65). The
+    bucket is floor(log2(n_tokens)) computed ARITHMETICALLY as
+    len(bin(n))-1 — both engines agree exactly, where a floating log2
+    could round across the boundary at exact powers of two. One map +
+    one tiny keyed agg; the window normalizer runs over the ~15-row
+    histogram, never the corpus."""
+    from sales_data_pipeline_spark.operators.text import token_count
+
+    docs = table(spark, sf_dir, "documents")
+    t = docs.select(token_count("text").alias("n_tok")).filter(F.col("n_tok") >= 1)
+    b = t.select(
+        "n_tok",
+        (F.length(F.bin(F.col("n_tok"))) - 1).cast("bigint").alias("bucket"),
+    )
+    hist = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+    )
+    w = Window.partitionBy()
+    return hist.select(
+        "bucket",
+        F.pow(F.lit(2.0), F.col("bucket")).cast("bigint").alias("bucket_lo"),
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6).alias(
+            "frac_docs"
+        ),
     )

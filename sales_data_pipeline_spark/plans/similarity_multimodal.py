@@ -185,3 +185,87 @@ def q64_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select(
         "label", "n_vecs", F.posexplode("centroid").alias("pos", "c")
     ).select("label", "pos", "n_vecs", "c")
+
+
+@query("q85_kmeans_clusters", oracle=None)
+def q85_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed spherical k-means over the full embeddings table
+    (operators/similarity.py kmeans_clusters): per iteration one
+    broadcast-centroid assignment map + one (cell, dim)-keyed shuffle
+    of partial sums; only the k×dim centroid matrix ever reaches the
+    driver. oracle=None: an iterative fixpoint is not expressible as a
+    single SQL statement — covering check is
+    tests/test_similarity.py::test_kmeans_matches_numpy_reference,
+    which asserts EXACT label equality vs a same-init same-iteration
+    numpy Lloyd's at sf0.001/sf0.01, plus the rows+schema driver check
+    here (deterministic: id-ordered init, tie→lowest cell, sims
+    rounded to 9 digits)."""
+    from sales_data_pipeline_spark.operators.similarity import kmeans_clusters
+
+    emb = table(spark, sf_dir, "embeddings")
+    out = kmeans_clusters(emb, k=8, iters=3)
+    return out.select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"),
+        F.round("sim", 6).alias("sim"),
+    )
+
+
+@query("q86_semantic_dedup", oracle=None)
+def q86_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (cluster, then drop vectors with a
+    lower-id in-cluster neighbor at cosine ≥ 0.45 — threshold chosen
+    for this synthetic corpus whose near-dup band sits at ~0.4-0.51,
+    q26). The pairwise compare is confined within k-means clusters,
+    which is the whole scale story: sum(|cluster|²) « N², with k grown
+    ~N/20k at corpus scale. oracle=None: depends on the iterative
+    clustering; covered by tests/test_similarity.py (planted exact
+    duplicates must collapse; every dropped id must have a lower-id
+    neighbor at ≥ threshold verified by exact brute force)."""
+    from sales_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, iters=3, threshold=0.45).orderBy("vec_id")
+
+
+@query(
+    "q88_embedding_norm_profile",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+        round(sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 9) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+      CAST(count(*) AS BIGINT) AS n_vecs,
+      round(avg(nrm), 6) AS mean_norm,
+      round(min(nrm), 6) AS min_norm,
+      round(max(nrm), 6) AS max_norm,
+      CAST(sum(CASE WHEN abs(nrm - 1.0) < 1e-6 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_unit
+    FROM n GROUP BY label
+    """,
+)
+def q88_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm profile — the sanity scan every
+    vector pipeline runs before cosine math (un-normalized or
+    zero vectors poison similarity search silently). Norm is a pure
+    codegen fold over the array in element order (functions/vectors.py
+    l2_norm), rounded to 9 before aggregating so engine accumulation
+    order can't leak into min/max; one keyed shuffle on label."""
+    from sales_data_pipeline_spark.functions.vectors import as_double_array, l2_norm
+
+    emb = table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        "label",
+        F.round(l2_norm(as_double_array("embedding")), 9).alias("nrm"),
+    )
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.sum(F.when(F.abs(F.col("nrm") - 1.0) < 1e-6, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unit"),
+    )

@@ -196,3 +196,92 @@ def test_ppm_decode_rejects_malformed(spark):
         _ppm_header(b"P5\n2 2\n255\n" + b"\0" * 4)
     with pytest.raises(ValueError, match="truncated|invalid literal"):
         _ppm_header(b"P6\n2")
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means + semantic dedup (q85/q86 covering checks)
+# ---------------------------------------------------------------------------
+
+
+def _numpy_spherical_kmeans(x: np.ndarray, k: int, iters: int):
+    """Reference Lloyd's with the operator's exact contract: id-order
+    init, unit vectors, sims rounded to 9, argmax tie→lowest, final
+    assignment against the post-loop centroids."""
+    u = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    cents = u[:k].copy()
+    for _ in range(iters):
+        assign = np.argmax(np.round(u @ cents.T, 9), axis=1)
+        new = cents.copy()
+        for c in range(k):
+            m = u[assign == c]
+            if len(m):
+                v = m.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 1e-12:
+                    new[c] = v / n
+        cents = new
+    return np.argmax(np.round(u @ cents.T, 9), axis=1), cents
+
+
+def test_kmeans_matches_numpy_reference(spark, emb):
+    from sales_data_pipeline_spark.operators.similarity import kmeans_clusters
+
+    got = kmeans_clusters(emb, k=8, iters=3).orderBy("vec_id").collect()
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    want, _ = _numpy_spherical_kmeans(x, k=8, iters=3)
+    assert [r.cluster for r in got] == want.tolist()
+    # every vector appears exactly once
+    assert len(got) == len(rows)
+    assert len({r.vec_id for r in got}) == len(rows)
+
+
+def test_kmeans_deterministic_across_partitionings(spark, emb):
+    from sales_data_pipeline_spark.operators.similarity import kmeans_clusters
+
+    a = kmeans_clusters(emb, k=4, iters=2).orderBy("vec_id").collect()
+    b = (
+        kmeans_clusters(emb.repartition(13), k=4, iters=2)
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert [(r.vec_id, r.cluster) for r in a] == [(r.vec_id, r.cluster) for r in b]
+
+
+def test_semantic_dedup_collapses_planted_duplicates(spark, emb):
+    """Exact duplicate vectors land in the same cluster (identical
+    cosine to every centroid) — SemDeDup must keep only the lowest id
+    of each planted group, and never drop a vector with no neighbor."""
+    from sales_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    base = emb.select("vec_id", "embedding").filter(F.col("vec_id") < 100)
+    clones = base.filter(F.col("vec_id") < 10).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(clones)
+    kept = semantic_dedup(corpus, k=4, iters=2, threshold=0.999)
+    kept_ids = {r.vec_id for r in kept.collect()}
+    # every clone dropped (its original has the lower id)...
+    assert not any(i >= 100000 for i in kept_ids)
+    # ...and nothing else was (max natural sim in this corpus ≈ 0.51)
+    assert kept_ids == {r.vec_id for r in base.collect()}
+
+
+def test_semantic_dedup_dropped_have_real_neighbor(spark, emb):
+    """Precision at the catalog threshold: every dropped id must have a
+    lower-id partner at cosine ≥ threshold per exact brute force."""
+    from sales_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    t = 0.45
+    kept = {r.vec_id for r in semantic_dedup(emb, k=8, iters=3, threshold=t).collect()}
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = [r.vec_id for r in rows]
+    x = np.asarray([r.embedding for r in rows], dtype=np.float64)
+    u = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    S = np.round(u @ u.T, 9)
+    dropped = [i for i in ids if i not in kept]
+    assert dropped, "catalog threshold should drop at least one vector here"
+    for d in dropped:
+        di = ids.index(d)
+        partners = [j for j in range(len(ids)) if ids[j] < d and S[di, j] >= t]
+        assert partners, f"dropped {d} has no exact near-neighbor"
