@@ -470,3 +470,108 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) — substring-level duplication
+# ---------------------------------------------------------------------------
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Split each document into content-defined chunks (rsync/FastCDC
+    family, public technique): a chunk boundary falls AFTER every
+    position i whose ``window``-byte context hashes into the cut class
+    (here: first hex digit of the hash == '0', expected chunk length
+    16·window... i.e. 1/16 cut probability). Because boundaries depend
+    only on LOCAL content, an insertion early in a document shifts every
+    byte offset but re-synchronizes the chunk stream a window later —
+    exactly what fixed-stride chunking (token_chunks) cannot do, and
+    why CDC is the primitive for substring-level dedup of boilerplate
+    shared across documents.
+
+    Returns (id, chunk_seq, chunk, chunk_hash) — one row per chunk, in
+    document order. Pure codegen: positions via sequence+filter,
+    slicing via transform+substring; no UDFs, no shuffle (map-only).
+
+    ``hash_fn``: 'md5' (default) keeps the boundary rule byte-portable
+    to the DuckDB oracle; 'xxhash64' is the production fast path (same
+    plan, ~an order cheaper per window — use at 100 TB where the
+    boundary hash dominates scan cost). Window hashing is O(len·window)
+    per doc either way; a true gear/rolling hash is O(len) and worth a
+    native fn if this op ever dominates a profile."""
+    t = F.col(text_col)
+    length = F.length(t)
+    if hash_fn == "md5":
+        cut = lambda i: F.substring(F.md5(F.substring(t, i, window)), 1, 1) == "0"  # noqa: E731
+    elif hash_fn == "xxhash64":
+        cut = lambda i: (F.xxhash64(F.substring(t, i, window)) % 16) == 0  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_fn {hash_fn!r}")
+    positions = F.when(
+        length >= window,
+        F.filter(F.sequence(F.lit(1), length - window + 1), cut),
+    ).otherwise(F.array().cast("array<int>"))
+    cuts = F.array_sort(
+        F.array_distinct(
+            F.concat(
+                F.array(F.lit(1)),
+                F.transform(positions, lambda p: p + window),
+                F.array(length + 1),
+            )
+        )
+    )
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("__cuts")) - 1),
+            lambda j: F.substring(
+                t,
+                F.element_at(F.col("__cuts"), j),
+                F.element_at(F.col("__cuts"), j + 1)
+                - F.element_at(F.col("__cuts"), j),
+            ),
+        ),
+        lambda c: F.length(c) > 0,
+    )
+    exploded = (
+        df.select(F.col(id_col), t.alias(text_col))
+        .withColumn("__cuts", cuts)
+        .select(id_col, F.posexplode(chunks).alias("chunk_seq", "chunk"))
+    )
+    return exploded.select(
+        id_col,
+        F.col("chunk_seq").cast("bigint").alias("chunk_seq"),
+        "chunk",
+        F.md5(F.col("chunk")).alias("chunk_hash"),
+    )
+
+
+def duplicated_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    min_docs: int = 2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Cross-document duplicated chunk census over cdc_chunks: every
+    chunk whose content occurs in >= min_docs distinct documents, with
+    its spread and occurrence counts — the substring-level analogue of
+    exact_dedup (whole doc) and remove_boilerplate (fixed paragraphs).
+    ONE keyed shuffle on chunk_hash; chunk text itself never shuffles
+    (only the 16-byte hash + counts)."""
+    ch = cdc_chunks(df, id_col, text_col, window=window, hash_fn=hash_fn)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.min(F.length("chunk")).cast("bigint").alias("chunk_len"),
+            F.count_distinct(F.col(id_col)).cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )

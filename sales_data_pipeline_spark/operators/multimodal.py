@@ -240,3 +240,139 @@ def sample_frames(df: DataFrame, frame_size: int = 256, stride: int = 2) -> Data
             )
 
     return df.select("media_id", "payload").mapInPandas(_frames, FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# audio: real RIFF/WAVE PCM16 codec (pure Python — no audio libraries)
+# ---------------------------------------------------------------------------
+
+WAV_DECODED_SCHEMA = (
+    "media_id long, n_channels int, sample_rate int, bits int, n_samples long, "
+    "duration_s double, rms double, zcr double, peak int, checksum string"
+)
+
+
+def encode_wav(sample_rate: int, samples) -> bytes:
+    """Minimal valid RIFF/WAVE file: PCM (fmt 1), mono, 16-bit LE.
+    Inverse of the decoder; used by tests/queries to generate
+    deterministic real audio without any audio library."""
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    data = b"data" + struct.pack("<I", len(pcm)) + pcm
+    return hdr + fmt + data
+
+
+def _wav_parse(raw: bytes):
+    """Parse RIFF/WAVE: walk chunks, require PCM fmt + 16-bit; returns
+    (n_channels, sample_rate, bits, int16 sample array). Raises
+    ValueError on anything malformed — decode errors must be loud, not
+    silently-zero rows."""
+    import struct
+
+    import numpy as np
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError(f"not a RIFF/WAVE file (magic={raw[:4]!r})")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (clen,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("truncated fmt chunk")
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _, _, bits = fmt
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    samples = np.frombuffer(data, dtype="<i2")
+    return n_channels, sample_rate, bits, samples
+
+
+def decode_wav(df: DataFrame) -> DataFrame:
+    """REAL audio decode + feature extraction over mapInPandas: parses
+    the RIFF container, then computes the standard cheap audio features
+    (duration, RMS energy, zero-crossing rate, peak amplitude) from the
+    PCM samples. Same Arrow-batched shape as the image path; the
+    features are exact integer/√rational arithmetic so they are
+    oracle-reproducible from the generating formula."""
+
+    def _decode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import hashlib
+
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "n_channels", "sample_rate", "bits", "n_samples",
+                "duration_s", "rms", "zcr", "peak", "checksum",
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(b)
+                n_ch, sr, bits, s = _wav_parse(raw)
+                n = len(s)
+                s64 = s.astype(np.int64)
+                sumsq = int((s64 * s64).sum())
+                rms = float((sumsq / n) ** 0.5) if n else 0.0
+                if n > 1:
+                    prod = s64[:-1] * s64[1:]
+                    zcr = float((prod < 0).sum() / (n - 1))
+                else:
+                    zcr = 0.0
+                rows["media_id"].append(mid)
+                rows["n_channels"].append(n_ch)
+                rows["sample_rate"].append(sr)
+                rows["bits"].append(bits)
+                rows["n_samples"].append(n)
+                rows["duration_s"].append(round(n / sr, 6) if sr else 0.0)
+                rows["rms"].append(round(rms, 6))
+                rows["zcr"].append(round(zcr, 6))
+                rows["peak"].append(int(np.abs(s64).max()) if n else 0)
+                rows["checksum"].append(hashlib.md5(raw).hexdigest())
+            out = pd.DataFrame(rows)
+            for c, t in (("n_channels", "int32"), ("sample_rate", "int32"),
+                         ("bits", "int32"), ("n_samples", "int64"),
+                         ("peak", "int32")):
+                out[c] = out[c].astype(t)
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(_decode, WAV_DECODED_SCHEMA)
+
+
+def synth_wav_payloads(
+    df: DataFrame, id_col: str = "doc_id", sample_rate: int = 8000
+) -> DataFrame:
+    """Deterministic synthetic audio attached per row: sample i of row
+    id is ((id*7919 + i*31) % 65536) - 32768, n_samples = 100 + id%50 —
+    arithmetic simple enough that a SQL oracle can recompute the
+    decoded features independently, which is what upgrades the WAV
+    codec from 'tested' to 'oracle-checked'. Generation runs in the
+    same Arrow-batched shape real ingestion would (mapInPandas)."""
+
+    def _gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                n = 100 + mid % 50
+                i = np.arange(n, dtype=np.int64)
+                s = ((mid * 7919 + i * 31) % 65536) - 32768
+                ids.append(mid)
+                payloads.append(encode_wav(sample_rate, s))
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(_gen, "media_id long, payload binary")

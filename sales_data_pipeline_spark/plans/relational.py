@@ -2003,3 +2003,40 @@ def q84_order_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(wfull).cast("double").alias("first_price"),
         F.last("o_totalprice").over(wfull).cast("double").alias("last_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q92 — correlated scalar subquery (premium-vs-type-average)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q92_scalar_subquery",
+    oracle="""
+    SELECT p_partkey, p_name, p_type, p_retailprice,
+           round((SELECT avg(p2.p_retailprice) FROM part p2
+                  WHERE p2.p_type = p.p_type), 6) AS type_avg
+    FROM part p
+    WHERE p_retailprice > 1.02 * (SELECT avg(p2.p_retailprice) FROM part p2
+                                 WHERE p2.p_type = p.p_type)
+    """,
+)
+def q92_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated SCALAR subquery in both predicate and projection —
+    parts priced >2% above their type's average (TPC-H Q17's shape).
+    Completes the subquery surface with q80's EXISTS forms. Catalyst
+    decorrelates the scalar agg into one per-type aggregate joined back
+    to the fact — the per-type average is computed ONCE, not per outer
+    row, which is the property that keeps correlated scalars viable at
+    100 TB (and what the plan would lose as a nested re-execution)."""
+    table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name, p_type, p_retailprice,
+               round((SELECT avg(p2.p_retailprice) FROM part p2
+                      WHERE p2.p_type = p.p_type), 6) AS type_avg
+        FROM part p
+        WHERE p_retailprice > 1.02 * (SELECT avg(p2.p_retailprice) FROM part p2
+                                     WHERE p2.p_type = p.p_type)
+        """
+    )

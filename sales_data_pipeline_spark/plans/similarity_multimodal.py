@@ -269,3 +269,52 @@ def q88_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_unit"),
     )
+
+
+@query(
+    "q91_audio_decode",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, i,
+             ((doc_id * 7919 + i * 31) % 65536) - 32768 AS v
+      FROM documents, unnest(range(0, 100 + doc_id % 50)) AS u(i)
+    ),
+    p AS (
+      SELECT doc_id, i, v,
+             lead(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv
+      FROM s
+    )
+    SELECT doc_id AS media_id,
+      CAST(1 AS INTEGER) AS n_channels,
+      CAST(8000 AS INTEGER) AS sample_rate,
+      CAST(16 AS INTEGER) AS bits,
+      CAST(count(*) AS BIGINT) AS n_samples,
+      round(count(*) / 8000.0, 6) AS duration_s,
+      round(sqrt(sum(v * v) / CAST(count(*) AS DOUBLE)), 6) AS rms,
+      round(sum(CASE WHEN v * nv < 0 THEN 1 ELSE 0 END)
+            / CAST(count(*) - 1 AS DOUBLE), 6) AS zcr,
+      CAST(max(abs(v)) AS INTEGER) AS peak
+    FROM p GROUP BY doc_id
+    """,
+)
+def q91_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, oracle-checked end to end: deterministic PCM16
+    WAV files are synthesized per doc (operators/multimodal.py
+    synth_wav_payloads — sample i = ((id·7919+i·31) mod 65536) − 32768),
+    then decoded by the real RIFF parser (decode_wav) into duration /
+    RMS / zero-crossing / peak features. The oracle recomputes the same
+    features straight from the generating arithmetic, so a parser bug
+    anywhere (chunk walk, fmt validation, LE int16 raster) breaks the
+    hash — this is the audio analogue of the PPM image codec (q28),
+    upgraded from numpy-ref-tested to oracle-checked. Both stages are
+    Arrow-batched mapInPandas over pruned (id, payload) columns; at
+    100 TB the synth stage is replaced by real payload scan, same
+    plumbing."""
+    from sales_data_pipeline_spark.operators.multimodal import (
+        decode_wav,
+        synth_wav_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    wavs = synth_wav_payloads(docs, sample_rate=8000)
+    return decode_wav(wavs).drop("checksum")

@@ -527,3 +527,55 @@ def q69_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     batch = docs.filter(F.col("source") != "src1")
     return incremental_dedup(batch, history_index).select("doc_id", "source")
+
+
+@query(
+    "q90_duplicated_cdc_chunks",
+    oracle="""
+    WITH t AS (SELECT doc_id, text, length(text) AS L FROM documents),
+    p AS (
+      SELECT doc_id, i
+      FROM t, unnest(range(1, greatest(L - 8 + 1, 0) + 1)) AS u(i)
+      WHERE substr(md5(substr(text, i, 8)), 1, 1) = '0'
+    ),
+    cuts AS (
+      SELECT doc_id, 1 AS c FROM t
+      UNION
+      SELECT doc_id, i + 8 AS c FROM p
+      UNION
+      SELECT doc_id, L + 1 AS c FROM t
+    ),
+    ordered AS (
+      SELECT doc_id, c,
+             lead(c) OVER (PARTITION BY doc_id ORDER BY c) AS nxt
+      FROM cuts
+    ),
+    chunks AS (
+      SELECT o.doc_id, substr(d.text, o.c, o.nxt - o.c) AS chunk
+      FROM ordered o JOIN t d USING (doc_id)
+      WHERE o.nxt IS NOT NULL AND o.nxt > o.c
+    )
+    SELECT md5(chunk) AS chunk_hash,
+      CAST(min(length(chunk)) AS BIGINT) AS chunk_len,
+      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      CAST(count(*) AS BIGINT) AS n_occurrences
+    FROM chunks
+    GROUP BY md5(chunk)
+    HAVING count(DISTINCT doc_id) >= 2
+    """,
+)
+def q90_duplicated_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication census via content-defined chunking
+    (operators/dedup.py cdc_chunks): boundaries fall where an 8-byte
+    window's hash lands in the cut class, so shared boilerplate chunks
+    align across documents regardless of byte offset — the dedup level
+    between whole-document fingerprints (q21) and n-gram near-dup
+    (q22): it finds EXACT shared substrings inside otherwise-different
+    docs, robust to insertions (fixed-stride chunking shifts out of
+    alignment; CDC re-synchronizes one window after any edit). Map-only
+    chunking + ONE shuffle of (16-byte hash, counts); chunk text never
+    leaves the map side."""
+    from sales_data_pipeline_spark.operators.dedup import duplicated_chunks
+
+    docs = table(spark, sf_dir, "documents")
+    return duplicated_chunks(docs, window=8, min_docs=2)

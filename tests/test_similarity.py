@@ -285,3 +285,69 @@ def test_semantic_dedup_dropped_have_real_neighbor(spark, emb):
         di = ids.index(d)
         partners = [j for j in range(len(ids)) if ids[j] < d and S[di, j] >= t]
         assert partners, f"dropped {d} has no exact near-neighbor"
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (q91 covering checks)
+# ---------------------------------------------------------------------------
+
+
+def test_wav_roundtrip_matches_numpy(spark):
+    from sales_data_pipeline_spark.operators.multimodal import (
+        _wav_parse,
+        decode_wav,
+        encode_wav,
+    )
+
+    rng = np.random.RandomState(7)
+    cases = {
+        1: rng.randint(-32768, 32768, size=257).astype(np.int16),
+        2: np.zeros(5, dtype=np.int16),
+        3: np.array([-32768, 32767, 0, -1, 1], dtype=np.int16),
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(encode_wav(8000, v))) for k, v in cases.items()],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r for r in decode_wav(df).collect()}
+    for k, v in cases.items():
+        r = got[k]
+        assert r.n_samples == len(v)
+        assert r.sample_rate == 8000 and r.bits == 16 and r.n_channels == 1
+        v64 = v.astype(np.int64)
+        assert r.rms == round(float(np.sqrt((v64 * v64).sum() / len(v))), 6)
+        assert r.peak == int(np.abs(v64).max())
+        # parser agrees with its own encoder byte-for-byte
+        _, _, _, parsed = _wav_parse(bytes(encode_wav(8000, v)))
+        assert np.array_equal(parsed, v)
+
+
+def test_wav_odd_data_chunk_word_alignment(spark):
+    """RIFF chunks are word-aligned: a chunk placed before 'data' with
+    an odd length must not desynchronize the walk."""
+    import struct
+
+    from sales_data_pipeline_spark.operators.multimodal import _wav_parse, encode_wav
+
+    base = encode_wav(8000, np.array([1, -2, 3], dtype=np.int16))
+    # splice an odd-length LIST chunk between fmt and data
+    fmt_end = 12 + 8 + 16
+    odd = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # pad byte
+    raw = base[:fmt_end] + odd + base[fmt_end:]
+    raw = raw[:4] + struct.pack("<I", len(raw) - 8) + raw[8:]
+    _, sr, _, samples = _wav_parse(raw)
+    assert sr == 8000 and np.array_equal(samples, [1, -2, 3])
+
+
+def test_wav_rejects_malformed(spark):
+    from sales_data_pipeline_spark.operators.multimodal import _wav_parse, encode_wav
+
+    with pytest.raises(ValueError):
+        _wav_parse(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        _wav_parse(b"nonsense")
+    # 8-bit / non-PCM formats are refused, not silently misread
+    good = bytearray(encode_wav(8000, np.array([0, 1], dtype=np.int16)))
+    good[20] = 3  # audio_format = 3 (IEEE float)
+    with pytest.raises(ValueError):
+        _wav_parse(bytes(good))
