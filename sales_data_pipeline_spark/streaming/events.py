@@ -186,3 +186,65 @@ def dedup_stream(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, key: str = "user_id") -> DataFrame:
+    """Stream-static join: enrich each event with a (batch) dimension —
+    the streaming face of the batch star joins (operators/enrich.py).
+    The static side is re-planned per micro-batch (so a dim refresh is
+    picked up without restarting the query) and broadcast when small:
+    no stream-side state, no watermark needed — the required shape for
+    dimension enrichment at any stream rate. Left join: an event whose
+    key is missing from the dim must pass through with nulls, not be
+    silently dropped (quarantine is a downstream policy decision)."""
+    return events.join(F.broadcast(dim), key, "left")
+
+
+def purchase_attribution_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked STREAM-STREAM join: attribute each purchase to the
+    view events of the same user within the preceding hour. Both sides
+    carry watermarks and the join condition bounds event-time distance,
+    which is what lets Spark expire buffered state (an unbounded
+    stream-stream join would buffer both streams forever). State per
+    side ≈ rate × (watermark + attribution window). Inner join: a
+    purchase with no prior view in-window produces no attribution row —
+    the batch counterpart of this exact semantics is q30's as-of join
+    (operators/asof.py) with its window restriction."""
+    v = (
+        views.select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+            F.col("value").alias("view_value"),
+        ).withWatermark("view_ts", watermark)
+    )
+    p = (
+        purchases.select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        ).withWatermark("purchase_ts", watermark)
+    )
+    return p.join(
+        v,
+        F.expr(
+            f"""
+            p_user = v_user AND
+            view_ts <= purchase_ts AND
+            view_ts >= purchase_ts - INTERVAL {attribution_window}
+            """
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "purchase_value",
+        "view_ts",
+        "view_value",
+    )

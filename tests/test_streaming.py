@@ -292,3 +292,71 @@ def test_corpus_stream_incremental_dedup_across_batches(spark, tmp_path):
     run_corpus_stream(spark, cfg)  # no new shards -> no change
     got = sorted(r.doc_id for r in read_curated(spark, cfg).collect())
     assert got == [1, 2, 5]
+
+
+def test_enrich_stream_static_broadcast_join(spark, tmp_path):
+    """Stream-static enrichment: every event picks up its dim row; keys
+    missing from the dim pass through with nulls (left join)."""
+    from sales_data_pipeline_spark.streaming.events import enrich_stream
+
+    src = tmp_path / "ev_enrich"
+    _write_events_with_ids(spark, str(src / "f1"), [
+        (1, 0, 1, "click", 1.0), (2, 60, 2, "view", 2.0), (3, 90, 99, "click", 3.0),
+    ])
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id long, segment string"
+    )
+    stream = read_event_stream(spark, str(src))
+    q = (
+        enrich_stream(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.event_id: r.segment for r in spark.sql("SELECT * FROM enriched").collect()}
+    assert got == {1: "gold", 2: "silver", 3: None}
+
+
+def test_purchase_attribution_stream_stream_join(spark, tmp_path):
+    """Watermarked stream-stream join: purchases attribute to same-user
+    views within the preceding hour — views outside the window or from
+    other users must not match."""
+    from sales_data_pipeline_spark.streaming.events import (
+        purchase_attribution_stream,
+    )
+
+    src = tmp_path / "ev_attr"
+    _write_events_with_ids(spark, str(src / "f1"), [
+        # user 1: views at t=0s and t=300s; purchase at t=600s → 2 matches
+        (10, 0, 1, "view", 1.0),
+        (11, 300, 1, "view", 2.0),
+        (12, 600, 1, "purchase", 50.0),
+        # user 2: view 2h BEFORE purchase → outside window, no match
+        (20, 0, 2, "view", 3.0),
+        (21, 7800, 2, "purchase", 70.0),
+        # user 3: purchase with no views at all
+        (30, 100, 3, "purchase", 90.0),
+    ])
+    ev = read_event_stream(spark, str(src))
+    out = purchase_attribution_stream(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+        attribution_window="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("attributed")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_attr"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM attributed").collect()
+    pairs = sorted((r.purchase_id, r.view_ts.second + r.view_ts.minute * 60) for r in rows)
+    assert pairs == [(12, 0), (12, 300)], rows
+    assert all(r.user_id == 1 for r in rows)
