@@ -2040,3 +2040,202 @@ def q92_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      WHERE p2.p_type = p.p_type)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# q93 — customer order-count distribution (outer-join histogram, TPC-H Q13)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q93_order_count_distribution",
+    oracle="""
+    SELECT n_orders, CAST(count(*) AS BIGINT) AS n_customers
+    FROM (
+      SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY n_orders
+    """,
+)
+def q93_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many customers placed 0, 1, 2, … orders (TPC-H Q13's shape):
+    LEFT join so order-less customers land in the 0 bucket —
+    count(o_orderkey) counts non-null keys only, which is exactly the
+    outer-join-aware count an inner join would silently get wrong. Two
+    keyed aggregations; the second runs over |customers| rows and the
+    histogram is bounded by max order count. The first shuffle is the
+    only one proportional to the fact table."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("bigint").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — supplier diversity per brand (count distinct + NOT IN)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q94_brand_supplier_diversity",
+    oracle="""
+    SELECT p_brand,
+      CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+      CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand NOT IN ('Brand#13', 'Brand#21')
+    GROUP BY p_brand
+    """,
+)
+def q94_brand_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct suppliers serving each part brand, excluding a blocked
+    brand list (TPC-H Q16's shape): exact COUNT(DISTINCT) beside a
+    plain count in one aggregation (Spark expands it to a two-phase
+    distinct-then-count internally — still a single logical pass), and
+    a NOT IN literal list that must reach the part scan as a pushed
+    filter. At 100 TB swap approx_count_distinct in for the exact
+    distinct when ±2% is tolerable (q36's trade)."""
+    li = table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = (
+        table(spark, sf_dir, "part")
+        .select("p_partkey", "p_brand")
+        .filter(~F.col("p_brand").isin("Brand#13", "Brand#21"))
+    )
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count_distinct("l_suppkey").cast("bigint").alias("n_suppliers"),
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — first supplier per part (min_by / arg_min ordered-analytic agg)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q95_first_supplier_per_part",
+    oracle="""
+    SELECT l_partkey AS partkey,
+      CAST(arg_min(l_suppkey, l_orderkey * 8 + l_linenumber) AS BIGINT)
+        AS first_suppkey,
+      CAST(min(l_orderkey * 8 + l_linenumber) AS BIGINT) AS first_line_ord,
+      CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    GROUP BY l_partkey
+    """,
+)
+def q95_first_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/arg_min — the 'value at the extremum' aggregate: the
+    supplier on each part's earliest order line, where the ordering key
+    (orderkey·8 + linenumber) is UNIQUE per line so the answer is
+    deterministic in both engines (min_by over a tied key is
+    engine-arbitrary — never use it with non-unique orderings). ONE
+    aggregation replaces the window+rank+filter detour (q50's shape)
+    when only the extremum row's value is wanted: no sort, half the
+    shuffle width."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias("line_ord"),
+    )
+    return li.groupBy(F.col("l_partkey").alias("partkey")).agg(
+        F.min_by("l_suppkey", "line_ord").cast("bigint").alias("first_suppkey"),
+        F.min("line_ord").cast("bigint").alias("first_line_ord"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96 — FILTER-clause aggregates (conditional aggregation surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q96_filtered_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+      CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+           FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS filled_revenue,
+      round(count(*) FILTER (WHERE o_orderstatus = 'F')
+            / CAST(count(*) AS DOUBLE), 6) AS filled_rate
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q96_filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI FILTER-clause aggregation — several differently-predicated
+    aggregates in ONE pass over the fact (the alternative, one scan per
+    predicate unioned back, multiplies reads by the metric count).
+    Exercised through the SQL front end; Catalyst compiles each FILTER
+    into a conditional accumulator inside the same hash aggregate, so
+    the plan is identical to q10's when/otherwise spelling — one scan,
+    one shuffle."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+          CAST(count(*) AS BIGINT) AS n_orders,
+          CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_filled,
+          CAST(COALESCE(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS filled_revenue,
+          round(count(*) FILTER (WHERE o_orderstatus = 'F')
+                / CAST(count(*) AS DOUBLE), 6) AS filled_rate
+        FROM orders GROUP BY o_orderpriority
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97 — quarter-over-quarter revenue growth (calendar truncation + lag)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q97_qoq_growth",
+    oracle="""
+    WITH q AS (
+      SELECT date_trunc('quarter', o_orderdate) AS qtr,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(qtr, '%Y-%m') AS quarter,
+      CAST(rev AS DOUBLE) AS revenue,
+      round(CAST(rev AS DOUBLE)
+            / CAST(lag(rev) OVER (ORDER BY qtr) AS DOUBLE) - 1, 6) AS qoq_growth
+    FROM q
+    """,
+)
+def q97_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter revenue growth: calendar-quarter truncation
+    (date_trunc, the F4/F5 month-bucket family extended to quarters) +
+    lag over the QUARTER AGGREGATE — the unpartitioned window runs over
+    ~n_quarters rows, never the fact, so the single-partition window
+    sort that would be a 100 TB killer on raw data is a no-op here
+    (same discipline as q68's cohort normalizer). First quarter's
+    growth is NULL by definition."""
+    orders = table(spark, sf_dir, "orders")
+    q = orders.groupBy(
+        F.date_trunc("quarter", F.col("o_orderdate")).alias("qtr")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("qtr")
+    return q.select(
+        F.date_format("qtr", "yyyy-MM").alias("quarter"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.lag(F.col("rev").cast("double")).over(w)
+            - 1,
+            6,
+        ).alias("qoq_growth"),
+    )
