@@ -76,3 +76,122 @@ def profile_table(
         ]
     )
     return row.select(F.inline(structs))
+
+
+# ---------------------------------------------------------------------------
+# declarative expectations (Deequ/Great-Expectations-shaped)
+# ---------------------------------------------------------------------------
+
+# expectation tuple forms:
+#   ("not_null", col)
+#   ("unique", col)                       — no value occurs twice (nulls ignored)
+#   ("accepted_values", col, (v1, v2,…))
+#   ("range", col, lo, hi)                — lo <= col <= hi (nulls not counted)
+#   ("row_count_min", n)
+
+
+def check_expectations(df: DataFrame, expectations: Sequence[tuple]) -> DataFrame:
+    """Evaluate declarative data-quality expectations in as few passes
+    as the mix allows: every per-ROW expectation (not_null /
+    accepted_values / range / row_count_min) compiles to a conditional
+    counter inside ONE df.agg() — a single scan however many
+    expectations are declared; each `unique` adds one keyed aggregation
+    (count>1 groups) because uniqueness is inherently a grouped
+    question. Output, one row per expectation:
+    (expectation, column, n_violations, status 'pass'|'fail').
+
+    This is the load-gate companion to profile_table: profiling
+    OBSERVES drift, expectations ENFORCE the contract (the engine's
+    analogue of the reference's file-level header checks, generalized
+    to row-level rules — reference src/main/transformations/main.py
+    quarantines whole files on missing columns only)."""
+    row_aggs: list = [F.count(F.lit(1)).cast("bigint").alias("__n_rows")]
+    row_specs: list[tuple[str, str, object]] = []  # (kind, col, agg_alias)
+    uniques: list[str] = []
+    for i, exp in enumerate(expectations):
+        kind = exp[0]
+        alias = f"__e{i}"
+        if kind == "not_null":
+            _, c = exp
+            row_aggs.append(
+                F.coalesce(F.sum(F.col(c).isNull().cast("bigint")), F.lit(0))
+                .cast("bigint").alias(alias)
+            )
+            row_specs.append((kind, c, alias))
+        elif kind == "accepted_values":
+            _, c, vals = exp
+            bad = (~F.col(c).isin(*vals)) & F.col(c).isNotNull()
+            row_aggs.append(
+                F.coalesce(F.sum(bad.cast("bigint")), F.lit(0))
+                .cast("bigint").alias(alias)
+            )
+            row_specs.append((kind, c, alias))
+        elif kind == "range":
+            _, c, lo, hi = exp
+            bad = ((F.col(c) < lo) | (F.col(c) > hi)) & F.col(c).isNotNull()
+            row_aggs.append(
+                F.coalesce(F.sum(bad.cast("bigint")), F.lit(0))
+                .cast("bigint").alias(alias)
+            )
+            row_specs.append((kind, c, alias))
+        elif kind == "row_count_min":
+            _, n = exp
+            row_specs.append((kind, str(n), None))
+        elif kind == "unique":
+            _, c = exp
+            uniques.append(c)
+        else:
+            raise ValueError(f"unknown expectation {kind!r}")
+
+    one = df.agg(*row_aggs)
+    parts: list[DataFrame] = []
+    # all per-row rules come out of the ONE aggregate row via a single
+    # explode — building one SELECT per rule instead would let the
+    # optimizer prune/replan the shared agg per union branch, turning
+    # one scan into |rules| scans (measured: it does)
+    structs = []
+    for kind, c, alias in row_specs:
+        if kind == "row_count_min":
+            viol = (
+                F.when(F.col("__n_rows") < int(c), F.lit(1))
+                .otherwise(0)
+                .cast("bigint")
+            )
+        else:
+            viol = F.col(alias)
+        structs.append(
+            F.struct(
+                F.lit(kind).alias("expectation"),
+                F.lit(c).alias("column"),
+                viol.alias("n_violations"),
+            )
+        )
+    if structs:
+        parts.append(
+            one.select(F.explode(F.array(*structs)).alias("__r")).select("__r.*")
+        )
+    for c in uniques:
+        dup = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(c)
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .filter(F.col("__cnt") > 1)
+            .agg(
+                F.coalesce(F.sum(F.col("__cnt")), F.lit(0))
+                .cast("bigint")
+                .alias("n_violations")
+            )
+            .select(
+                F.lit("unique").alias("expectation"),
+                F.lit(c).alias("column"),
+                "n_violations",
+            )
+        )
+        parts.append(dup)
+    from functools import reduce
+
+    report = reduce(DataFrame.unionByName, parts)
+    return report.withColumn(
+        "status",
+        F.when(F.col("n_violations") == 0, F.lit("pass")).otherwise(F.lit("fail")),
+    )

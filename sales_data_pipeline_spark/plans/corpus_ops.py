@@ -550,3 +550,68 @@ def q89_seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac_docs"
         ),
     )
+
+
+@query(
+    "q98_countmin_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    cells AS (
+      SELECT r, ((('0x' || substr(md5(r || ':' || tok), 1, 13))::UBIGINT) % 1024)
+               AS bucket,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM toks, unnest([0, 1, 2, 3]) AS u(r)
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS true_cnt
+      FROM toks GROUP BY tok ORDER BY true_cnt DESC, tok LIMIT 20
+    ),
+    lookups AS (
+      SELECT t.tok, t.true_cnt, u.r,
+             ((('0x' || substr(md5(u.r || ':' || t.tok), 1, 13))::UBIGINT) % 1024)
+               AS bucket
+      FROM top t, unnest([0, 1, 2, 3]) AS u(r)
+    )
+    SELECT l.tok, min(l.true_cnt) AS true_cnt,
+           CAST(min(COALESCE(c.cnt, 0)) AS BIGINT) AS est_cnt,
+           CAST(min(COALESCE(c.cnt, 0)) - min(l.true_cnt) AS BIGINT) AS overcount
+    FROM lookups l LEFT JOIN cells c ON l.r = c.r AND l.bucket = c.bucket
+    GROUP BY l.tok
+    """,
+)
+def q98_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimation (operators/sketch.py),
+    fully deterministic and therefore ORACLE-CHECKED — rare for a
+    sketch: the md5-derived hash family is engine-portable, so DuckDB
+    rebuilds the identical 4×1024 sketch and the identical min-of-cells
+    estimates. Output: the exact top-20 tokens (q51) with their true
+    and estimated counts and the CM overcount (always ≥ 0 — asserted
+    as the CM guarantee in tests). The sketch aggregation's shuffle is
+    bounded by d×w×partitions no matter the corpus size; the estimate
+    join broadcasts the d×w sketch — the bounded-memory answer to
+    'what are the hot tokens' when the exact vocabulary itself is too
+    big to keep."""
+    from sales_data_pipeline_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split("text", " ")).alias("tok"))
+    sketch = countmin_sketch(toks, "tok", depth=4, width=1024)
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_cnt"))
+        .orderBy(F.col("true_cnt").desc(), "tok")
+        .limit(20)
+    )
+    est = countmin_estimate(sketch, top.select("tok"), "tok", depth=4, width=1024)
+    return top.join(est, "tok").select(
+        "tok",
+        "true_cnt",
+        F.col("est").alias("est_cnt"),
+        (F.col("est") - F.col("true_cnt")).cast("bigint").alias("overcount"),
+    )

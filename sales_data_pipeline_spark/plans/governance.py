@@ -458,3 +458,64 @@ def q79_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("leak_rate"),
     )
+
+
+@query(
+    "q99_expectations_report",
+    oracle="""
+    WITH base AS (SELECT * FROM orders),
+    rep AS (
+      SELECT 'not_null' AS expectation, 'o_custkey' AS "column",
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_violations
+      FROM base
+      UNION ALL
+      SELECT 'accepted_values', 'o_orderstatus',
+        CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+                       AND o_orderstatus NOT IN ('O','F','P')
+                 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT 'range', 'o_totalprice',
+        CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+                       AND (o_totalprice < 0 OR o_totalprice > 200000)
+                 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT 'row_count_min', '1000',
+        CAST(CASE WHEN count(*) < 1000 THEN 1 ELSE 0 END AS BIGINT)
+      FROM base
+      UNION ALL
+      SELECT 'unique', 'o_orderkey',
+        CAST(COALESCE((SELECT sum(c) FROM (
+          SELECT count(*) AS c FROM base WHERE o_orderkey IS NOT NULL
+          GROUP BY o_orderkey HAVING count(*) > 1
+        )), 0) AS BIGINT)
+    )
+    SELECT expectation, "column", n_violations,
+      CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM rep
+    """,
+)
+def q99_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate (operators/profile.py
+    check_expectations): five contract rules over orders evaluated in
+    one scan (all per-row rules fold into a single agg; uniqueness adds
+    its one keyed pass). The range rule is deliberately tight enough to
+    FAIL on this data — the report must demonstrate violation counting,
+    not just green checkmarks. This generalizes the reference's
+    file-level header gate (main.py quarantine branch) to row-level
+    enforced contracts."""
+    from sales_data_pipeline_spark.operators.profile import check_expectations
+
+    orders = table(spark, sf_dir, "orders")
+    return check_expectations(
+        orders,
+        [
+            ("not_null", "o_custkey"),
+            ("accepted_values", "o_orderstatus", ("O", "F", "P")),
+            ("range", "o_totalprice", 0, 200000),
+            ("row_count_min", 1000),
+            ("unique", "o_orderkey"),
+        ],
+    )

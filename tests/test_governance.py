@@ -270,3 +270,68 @@ def test_domain_cap_keeps_small_domains_whole(spark):
         [(1, "tiny"), (2, "tiny")], "doc_id long, source string"
     )
     assert domain_cap(df, cap=10).count() == 2
+
+
+def test_check_expectations_counts_planted_violations(spark):
+    from sales_data_pipeline_spark.operators.profile import check_expectations
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10.0),
+            (2, "B", -5.0),    # range violation
+            (2, "A", 20.0),    # duplicate id (2 rows in the dup group)
+            (None, "Z", 30.0), # null id + bad status
+        ],
+        "id long, status string, amount double",
+    )
+    rep = {
+        (r.expectation, r.column): (r.n_violations, r.status)
+        for r in check_expectations(
+            df,
+            [
+                ("not_null", "id"),
+                ("unique", "id"),
+                ("accepted_values", "status", ("A", "B")),
+                ("range", "amount", 0, 100),
+                ("row_count_min", 10),
+            ],
+        ).collect()
+    }
+    assert rep[("not_null", "id")] == (1, "fail")
+    assert rep[("unique", "id")] == (2, "fail")         # both rows of id=2
+    assert rep[("accepted_values", "status")] == (1, "fail")
+    assert rep[("range", "amount")] == (1, "fail")
+    assert rep[("row_count_min", "10")] == (1, "fail")
+    # all-clean frame passes everything
+    clean = spark.createDataFrame([(1, "A", 1.0), (2, "B", 2.0)],
+                                  "id long, status string, amount double")
+    statuses = {r.status for r in check_expectations(
+        clean,
+        [("not_null", "id"), ("unique", "id"), ("row_count_min", 1)],
+    ).collect()}
+    assert statuses == {"pass"}
+
+
+def test_check_expectations_row_rules_single_scan(spark, sf_dir):
+    """Every per-row expectation folds into ONE aggregation over ONE
+    scan — adding rules must not add passes."""
+    import re as _re
+
+    from sales_data_pipeline_spark.catalog import table as _table
+    from sales_data_pipeline_spark.operators.profile import check_expectations
+
+    orders = _table(spark, sf_dir, "orders")
+    rep = check_expectations(
+        orders,
+        [
+            ("not_null", "o_custkey"),
+            ("accepted_values", "o_orderstatus", ("O", "F", "P")),
+            ("range", "o_totalprice", 0, 200000),
+            ("row_count_min", 1000),
+        ],
+    )
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        rep._jdf.queryExecution(), "formatted"
+    )
+    n_scans = len(_re.findall(r"^\(\d+\) Scan parquet", plan, flags=_re.M))
+    assert n_scans == 1, plan

@@ -360,3 +360,54 @@ def test_js_divergence_bounds(spark, tmp_path):
     assert len(got) == 6  # every source pair reported
     for js in got.values():
         assert 0.0 <= js <= round(math.log(2.0), 6) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch (q98 covering checks)
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_never_undercounts_and_bounds_error(spark, sf_dir):
+    """CM guarantees: estimate >= true count always; expected overcount
+    <= 2N/w per row pair (Markov) — assert a loose 5x slack bound."""
+    from sales_data_pipeline_spark.catalog import table
+    from sales_data_pipeline_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+
+    toks = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+    )
+    n_total = toks.count()
+    sketch = countmin_sketch(toks, "tok", depth=4, width=1024)
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("true_cnt"))
+    est = countmin_estimate(sketch, truth.select("tok"), "tok", depth=4, width=1024)
+    j = truth.join(est, "tok").collect()
+    assert all(r.est >= r.true_cnt for r in j), "CM undercounted"
+    mean_over = sum(r.est - r.true_cnt for r in j) / len(j)
+    assert mean_over <= 5 * 2 * n_total / 1024, mean_over
+
+
+def test_countmin_sketch_is_mergeable(spark, sf_dir):
+    """Sketch(A ∪ B) == cellwise Sketch(A) + Sketch(B) — the property
+    that makes map-side partial aggregation correct."""
+    from sales_data_pipeline_spark.catalog import table
+    from sales_data_pipeline_spark.operators.sketch import countmin_sketch
+
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("tok")
+    )
+    a = toks.filter(F.col("doc_id") % 2 == 0).select("tok")
+    b = toks.filter(F.col("doc_id") % 2 == 1).select("tok")
+    merged = (
+        countmin_sketch(a, "tok").unionByName(countmin_sketch(b, "tok"))
+        .groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = countmin_sketch(toks.select("tok"), "tok")
+    diff = merged.join(whole, ["row", "bucket"], "full").filter(
+        F.coalesce(merged["cnt"], F.lit(0)) != F.coalesce(whole["cnt"], F.lit(0))
+    )
+    assert diff.count() == 0
