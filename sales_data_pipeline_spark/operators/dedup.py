@@ -45,7 +45,9 @@ def release_caches() -> int:
     between batches instead of the blunter spark.catalog.clearCache()."""
     n = len(_CACHED)
     for df in _CACHED:
-        df.unpersist()
+        # blocking: callers (and tests) may count persistent RDDs right
+        # after; the default async unpersist leaves a timing window
+        df.unpersist(blocking=True)
     _CACHED.clear()
     return n
 from pyspark.sql import Column, DataFrame

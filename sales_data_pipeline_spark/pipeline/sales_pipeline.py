@@ -42,6 +42,11 @@ class PipelineConfig:
     state_dir: str
     extras_mode: str = "json"  # "concat" = reference bit-compat
     strict_compat: bool = False  # window+distinct mart replication
+    # mart sink format: any Spark columnar batch format ("parquet",
+    # "orc"). Both support partitionBy + dynamic partition overwrite +
+    # predicate pushdown; parquet is the default lake choice, orc the
+    # Hive-ecosystem one.
+    mart_format: str = "parquet"
 
 
 @dataclass
@@ -101,13 +106,13 @@ def run_pipeline(
     #    idempotent per partition instead of append-duplicating
     #    (SURVEY §2j.7).
     result.customer_mart_path = f"{cfg.output_dir}/customers_data_mart"
-    customer_monthly_mart(enriched, cfg.strict_compat).write.mode("overwrite").parquet(
-        result.customer_mart_path
-    )
+    customer_monthly_mart(enriched, cfg.strict_compat).write.mode("overwrite").format(
+        cfg.mart_format
+    ).save(result.customer_mart_path)
     result.sales_team_mart_path = f"{cfg.output_dir}/sales_team_data_mart"
     sales_team_mart(enriched, cfg.strict_compat).write.mode("overwrite").partitionBy(
         "sales_month", "store_id"
-    ).parquet(result.sales_team_mart_path)
+    ).format(cfg.mart_format).save(result.sales_team_mart_path)
     fact.unpersist()
 
     # 8. post-commit: archive inputs, flip state to 'I' (main.py:403-448)

@@ -615,3 +615,57 @@ def q98_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est").alias("est_cnt"),
         (F.col("est") - F.col("true_cnt")).cast("bigint").alias("overcount"),
     )
+
+
+@query(
+    "q100_dataset_card",
+    oracle="""
+    WITH per_doc AS (
+      SELECT doc_id, lang, source,
+             len(string_split(text, ' ')) AS n_tok,
+             n_chars
+      FROM documents
+    )
+    SELECT lang, source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+      CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      CAST(min(n_tok) AS BIGINT) AS min_tokens,
+      CAST(max(n_tok) AS BIGINT) AS max_tokens,
+      round(sum(n_tok) / CAST(count(*) AS DOUBLE), 6) AS mean_tokens,
+      round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS doc_share,
+      round(sum(n_tok) / CAST(sum(sum(n_tok)) OVER () AS DOUBLE), 6)
+        AS token_share
+    FROM per_doc GROUP BY lang, source
+    """,
+)
+def q100_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset datasheet: per (lang, source) cell — doc/token/char
+    totals, token-length extremes and means, and each cell's share of
+    the corpus by docs and by tokens. This is the summary table a
+    training-data release publishes (and the input to q76's mixture
+    reweighting). One map + one keyed agg; the share normalizers are
+    windows over the |langs|×|sources| result, never the corpus."""
+    docs = table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "lang", "source", token_count("text").alias("n_tok"), "n_chars"
+    )
+    agg = per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+        F.min("n_tok").cast("bigint").alias("min_tokens"),
+        F.max("n_tok").cast("bigint").alias("max_tokens"),
+        F.round(F.sum("n_tok") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "mean_tokens"
+        ),
+    )
+    w = Window.partitionBy()
+    return agg.select(
+        "lang", "source", "n_docs", "n_tokens", "n_chars",
+        "min_tokens", "max_tokens", "mean_tokens",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(w).cast("double"), 6)
+        .alias("doc_share"),
+        F.round(F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double"), 6)
+        .alias("token_share"),
+    )

@@ -222,6 +222,10 @@ def test_release_caches_frees_persisted_intermediates(spark, sf_dir):
     )
 
     release_caches()  # start clean
+    # foreign leftovers with the SAME logical subtree would be
+    # substituted by the CacheManager and mask our persist calls —
+    # clear everything so the relative counts below are ours alone
+    spark.catalog.clearCache()
     jsc = spark.sparkContext._jsc.sc()
     before = jsc.getPersistentRDDs().size()
     docs = table(spark, sf_dir, "documents")

@@ -206,3 +206,45 @@ def test_delete_path_idempotent(spark, tmp_path):
     assert list_files(spark, str(tmp_path / "landing")) == []
     assert delete_path(spark, str(f)) is False  # second delete: no error
     assert delete_path(spark, str(tmp_path / "landing"), recursive=True) is True
+
+
+def test_orc_mart_format_parity_and_pruning(spark, tmp_path):
+    """mart_format='orc' must produce marts identical to the parquet
+    run, and ORC partitioned reads must prune like parquet (the format
+    knob changes encoding, never semantics or the pruning story)."""
+    import re
+
+    from tests.fixtures import dim_frames as _dims
+
+    customer, store, team = _dims(spark)
+    results = {}
+    for fmt in ("parquet", "orc"):
+        base = tmp_path / fmt
+        (base / "in").mkdir(parents=True)
+        c = PipelineConfig(
+            input_dir=str(base / "in"),
+            quarantine_dir=str(base / "err"),
+            processed_dir=str(base / "done"),
+            output_dir=str(base / "out"),
+            state_dir=str(base / "state"),
+            mart_format=fmt,
+        )
+        write_sales_csv(_in(c) / "sales1.csv", n=300, seed=11)
+        res = run_pipeline(spark, c, customer, store, team)
+        mart = spark.read.format(fmt).option("basePath", res.sales_team_mart_path).load(
+            res.sales_team_mart_path
+        )
+        results[fmt] = sorted(map(tuple, mart.collect()))
+    assert results["parquet"] == results["orc"]
+
+    # partition pruning reaches the ORC scan
+    orc_path = str(tmp_path / "orc" / "out" / "sales_team_data_mart")
+    df = (
+        spark.read.format("orc").option("basePath", orc_path).load(orc_path)
+        .filter(F.col("store_id") == 121)
+    )
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
+    assert m and "store_id" in m.group(1), plan
