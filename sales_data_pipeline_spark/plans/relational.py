@@ -2239,3 +2239,172 @@ def q97_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qoq_growth"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q101 — disjunctive multi-clause predicate (TPC-H Q19's shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q101_disjunctive_predicates",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q101_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Disjunction of per-brand conjunctive clauses (TPC-H Q19): the
+    predicate mixes columns from BOTH join sides, so no clause can be
+    fully pushed — but Catalyst derives and pushes the single-side
+    residuals (p_brand IN (...) to the part scan, l_quantity's overall
+    1..30 envelope to the lineitem scan) before evaluating the full
+    disjunction at the join. That derived-envelope pushdown is the
+    difference between scanning 3 brands' parts and all of them at
+    100 TB."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(clause).agg(
+        F.sum(
+            F.col("l_extendedprice").cast(_PRICE)
+            * (F.lit(1) - F.col("l_discount").cast(_RATE))
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q102 — promo revenue share per month (TPC-H Q14's shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q102_promo_share",
+    oracle="""
+    SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS ship_month,
+      round(100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+              THEN CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))
+              ELSE 0 END) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                   * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 6)
+        AS promo_share_pct,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1
+    """,
+)
+def q102_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share per ship month (TPC-H Q14 generalized from
+    one month to a trend): a LIKE-prefixed conditional numerator over
+    the same decimal-exact revenue expression as the denominator, in
+    ONE aggregation — the share-of-total-within-group pattern without
+    any window or self-join. The part side carries only (partkey,
+    type); at scale that projection is what keeps the build side
+    broadcastable."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice").cast(_PRICE) * (
+        F.lit(1) - F.col("l_discount").cast(_RATE)
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias(
+                "ship_month"
+            )
+        )
+        .agg(
+            F.round(
+                F.lit(100.0) * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double"),
+                6,
+            ).alias("promo_share_pct"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q103 — brand revenue share per year (TPC-H Q8's shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q103_brand_share_by_year",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, p_brand,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT ship_year, p_brand,
+      CAST(rev AS DOUBLE) AS revenue,
+      round(CAST(rev AS DOUBLE)
+            / CAST(SUM(rev) OVER (PARTITION BY ship_year) AS DOUBLE), 6)
+        AS year_share
+    FROM r
+    """,
+)
+def q103_brand_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each brand's share of yearly revenue (TPC-H Q8's market-share
+    shape): aggregate to (year, brand) FIRST, then a window over the
+    tiny aggregate computes the yearly normalizer — the fact table is
+    touched by exactly one keyed shuffle, and the share window sorts
+    |years|×|brands| rows, not lineitems. Decimal-exact sums keep the
+    shares identical across partitionings."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    rev = F.col("l_extendedprice").cast(_PRICE) * (
+        F.lit(1) - F.col("l_discount").cast(_RATE)
+    )
+    r = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+            "p_brand",
+        )
+        .agg(F.sum(rev).alias("rev"))
+    )
+    w = Window.partitionBy("ship_year")
+    return r.select(
+        "ship_year",
+        "p_brand",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
+        ).alias("year_share"),
+    )

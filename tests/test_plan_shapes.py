@@ -323,3 +323,13 @@ def test_q84_one_window_sort_serves_all_functions(spark, sf_dir):
     plan = _plan(QUERIES["q84_order_timeline"].fn(spark, sf_dir))
     assert "Window" in plan, plan
     assert _n_exchanges(plan) == 1, plan
+
+
+def test_q101_disjunction_residuals_pushed_to_both_scans(spark, sf_dir):
+    """The Q19-shaped OR-of-ANDs mixes join sides; Catalyst must still
+    derive and push each side's residual disjunction into its scan
+    (brand/size clauses to part, quantity ranges to lineitem)."""
+    plan = _plan(QUERIES["q101_disjunctive_predicates"].fn(spark, sf_dir))
+    pushed = re.findall(r"PushedFilters: \[(.*?)\]", plan)
+    assert any("p_brand" in p and "Or(" in p for p in pushed), pushed
+    assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
