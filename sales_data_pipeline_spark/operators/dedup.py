@@ -528,18 +528,25 @@ def cdc_chunks(
             )
         )
     )
-    chunks = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.size(F.col("__cuts")) - 1),
-            lambda j: F.substring(
-                t,
-                F.element_at(F.col("__cuts"), j),
-                F.element_at(F.col("__cuts"), j + 1)
-                - F.element_at(F.col("__cuts"), j),
+    # guard the degenerate cut list (empty text → cuts == [1]):
+    # sequence(1, 0) DESCENDS in Spark ([1, 0]) instead of returning
+    # empty, which would index past the array — the classic
+    # sequence(start > stop) trap
+    chunks = F.when(
+        F.size(F.col("__cuts")) >= 2,
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("__cuts")) - 1),
+                lambda j: F.substring(
+                    t,
+                    F.element_at(F.col("__cuts"), j),
+                    F.element_at(F.col("__cuts"), j + 1)
+                    - F.element_at(F.col("__cuts"), j),
+                ),
             ),
+            lambda c: F.length(c) > 0,
         ),
-        lambda c: F.length(c) > 0,
-    )
+    ).otherwise(F.array().cast("array<string>"))
     exploded = (
         df.select(F.col(id_col), t.alias(text_col))
         .withColumn("__cuts", cuts)

@@ -2408,3 +2408,59 @@ def q103_brand_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.sum("rev").over(w).cast("double"), 6
         ).alias("year_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q104 — ordered collection: top event paths (array_agg ORDER BY surface)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q104_top_event_paths",
+    oracle="""
+    WITH paths AS (
+      SELECT user_id,
+        array_to_string(list_slice(
+          list(event_type ORDER BY ts, event_id), 1, 5), '>') AS path
+      FROM events GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def q104_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most common opening event sequences (first 5 events per user) —
+    the path-analysis shape behind funnel discovery. The ordered
+    collection is the point: collect_list's order is partition-
+    nondeterministic, so the list is collected as (ts, event_id, type)
+    structs and sort_array'd — giving SQL's array_agg(... ORDER BY)
+    semantics deterministically (event_id breaks timestamp ties). The
+    per-user collect is one keyed shuffle; the path histogram and
+    top-20 are TakeOrderedAndProject over |users| rows. At 100 TB the
+    slice-to-5 bounds each group's payload before the histogram — never
+    collect unbounded event lists."""
+    ev = table(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(F.col("evs"), lambda e: e["event_type"]), 1, 5
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(20)
+    )

@@ -191,3 +191,42 @@ def test_token_chunks_partition_reconstruction(spark, toks, size):
     assert sum(c.n_tokens for c in chunks) == len(toks)
     assert all(c.n_tokens == size for c in chunks[:-1])
     assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking: lossless on ARBITRARY text (q90's operator)
+# ---------------------------------------------------------------------------
+
+texts_strategy = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)),  # no lone surrogates
+        min_size=0,
+        max_size=300,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(**_SETTINGS)
+@given(texts=texts_strategy)
+def test_cdc_chunks_lossless_on_arbitrary_unicode(spark, texts):
+    """Reassembly identity must hold for ANY unicode document — empty
+    strings, whitespace runs, multi-byte code points, text shorter than
+    the hash window. Chunking that drops or duplicates a single
+    character corrupts the corpus silently."""
+    from sales_data_pipeline_spark.operators.dedup import cdc_chunks
+
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    ch = cdc_chunks(df)
+    rebuilt = {
+        r.doc_id: r.rebuilt
+        for r in ch.orderBy("doc_id", "chunk_seq")
+        .groupBy("doc_id")
+        .agg(F.concat_ws("", F.collect_list("chunk")).alias("rebuilt"))
+        .collect()
+    }
+    for i, t in enumerate(texts):
+        assert rebuilt.get(i, "") == t, (i, t, rebuilt.get(i, ""))
