@@ -343,6 +343,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     threshold: float = 0.6,
     persist: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs via banded LSH, then EXACT Jaccard verification of
     candidates only. Output schema matches ngram_jaccard_pairs; the
@@ -350,7 +351,19 @@ def minhash_lsh_pairs(
     (linear-ish vs quadratic). Cache ownership follows
     ngram_jaccard_pairs' contract: the persisted shingle sets live until
     the caller calls ``release_caches()`` / clears them (or pass
-    persist=False)."""
+    persist=False).
+
+    ``max_bucket_size`` is the bucket-skew guard for adversarial
+    corpora: a mega-cluster of near-identical documents puts its whole
+    cluster into ONE (band, bucket) key, and the candidate self-join
+    emits O(cluster²) pairs off that single key — the LSH analogue of
+    the shingle-frequency skew ngram_jaccard_pairs caps. Buckets larger
+    than the cap are dropped from candidate generation (one extra
+    same-keyed window, no extra shuffle). The documented trade: pairs
+    WITHIN an over-cap bucket may be missed in that band (other bands
+    usually still catch them); run exact_dedup first so identical-doc
+    storms never reach LSH — then real corpora essentially never
+    trip the cap. None (default) = off, exact r1-compatible output."""
     rows = num_perm // bands
     # one shingle pass feeds BOTH the signatures and the exact-verify
     # arrays below; persist so it materializes once
@@ -367,6 +380,15 @@ def minhash_lsh_pairs(
     buckets = sig.select(
         F.col("doc"), F.posexplode(band_arr).alias("band", "bucket")
     )
+    if max_bucket_size is not None:
+        from pyspark.sql import Window
+
+        bw = Window.partitionBy("band", "bucket")
+        buckets = (
+            buckets.withColumn("__bsize", F.count(F.lit(1)).over(bw))
+            .filter(F.col("__bsize") <= max_bucket_size)
+            .drop("__bsize")
+        )
     left = buckets.select(F.col("doc").alias("doc_a"), "band", "bucket")
     right = buckets.select(F.col("doc").alias("doc_b"), "band", "bucket")
     candidates = (

@@ -318,3 +318,32 @@ def test_cdc_xxhash_fast_path_same_shape(spark, docs):
     )
     joined = sample.select("doc_id", "text").join(rebuilt, "doc_id", "left")
     assert joined.filter(F.col("rebuilt") != F.col("text")).count() == 0
+
+
+def test_lsh_bucket_cap_bounds_adversarial_mega_cluster(spark, docs):
+    """A storm of near-identical docs lands whole in single (band,
+    bucket) keys; the cap must drop those buckets (bounding the
+    candidate join) while pairs among ordinary docs are unaffected."""
+    base = docs.limit(30).select("doc_id", "text")
+    storm = spark.range(200).select(
+        (F.col("id") + 500000).alias("doc_id"),
+        F.concat(F.lit("identical boilerplate text repeated many times over "
+                       "and over again for the storm cluster documents here"),
+                 F.lit(" tail")).alias("text"),
+    )
+    corpus = base.unionByName(storm)
+    uncapped = minhash_lsh_pairs(corpus, threshold=0.6, persist=False)
+    capped = minhash_lsh_pairs(
+        corpus, threshold=0.6, persist=False, max_bucket_size=50
+    )
+    n_uncapped = uncapped.count()
+    n_capped = capped.count()
+    # the storm contributes ~200*199/2 pairs uncapped; capped must kill them
+    assert n_uncapped >= 199 * 100
+    assert n_capped < 1000
+    # pairs among the ORDINARY docs are identical with and without cap
+    ord_un = {(r.doc_a, r.doc_b) for r in uncapped.filter(
+        (F.col("doc_a") < 500000) & (F.col("doc_b") < 500000)).collect()}
+    ord_cap = {(r.doc_a, r.doc_b) for r in capped.filter(
+        (F.col("doc_a") < 500000) & (F.col("doc_b") < 500000)).collect()}
+    assert ord_un == ord_cap
