@@ -43,24 +43,31 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # The driver has shipped `ts` in three parquet encodings across
-        # rounds: TIMESTAMP(NANOS) (surfaced as long nanos via
-        # nanosAsLong), TIMESTAMP_NTZ (isAdjustedToUTC=false micros),
-        # and plain TIMESTAMP. Normalize all three to session-tz
-        # TIMESTAMP (session tz is UTC, session.py) so downstream
-        # epoch math (unix_micros) sees the same instants DuckDB does
-        # when it treats the naive value as UTC.
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+        df = normalize_event_ts(df)
+    return df
 
-        dt = df.schema["ts"].dataType
-        if isinstance(dt, LongType):
-            # long nanos → truncate to micros (what DuckDB/Arrow do).
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        elif isinstance(dt, TimestampNTZType):
-            # NTZ → LTZ: interpret the naive value in the session tz
-            # (UTC), matching the oracle's epoch() semantics.
-            df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize an event-time column to session-tz TIMESTAMP.
+
+    The driver has shipped ``events.ts`` in three parquet encodings
+    across rounds: TIMESTAMP(NANOS) (surfaced as long nanos via the
+    nanosAsLong conf), TIMESTAMP_NTZ (isAdjustedToUTC=false micros),
+    and plain TIMESTAMP. All three collapse to session-tz TIMESTAMP
+    (session tz is UTC, session.py) so downstream epoch math
+    (unix_micros) sees the same instants DuckDB does when it treats
+    the naive value as UTC."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        # long nanos → truncate to micros (what DuckDB/Arrow do).
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    elif isinstance(dt, TimestampNTZType):
+        # NTZ → LTZ: interpret the naive value in the session tz (UTC),
+        # matching the oracle's epoch() semantics.
+        df = df.withColumn(col, F.col(col).cast(TimestampType()))
     return df
 
 
