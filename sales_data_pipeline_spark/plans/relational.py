@@ -2464,3 +2464,102 @@ def q104_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_users").desc(), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# q105/q106 — scalar function toolkit parity (strings, numerics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q105_string_toolkit",
+    oracle="""
+    SELECT c_custkey,
+      upper(c_name) AS up,
+      lower(c_name) AS lo,
+      CAST(length(c_name) AS BIGINT) AS len,
+      reverse(c_name) AS rev,
+      substr(c_name, 1, 8) AS pre,
+      lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+      replace(c_name, '#', '-') AS repl,
+      CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+      regexp_extract(c_name, '[0-9]+') AS digits,
+      repeat('*', CAST(c_custkey % 4 AS INTEGER)) AS stars,
+      concat(left(c_name, 4), '…', right(c_name, 3)) AS abbrev
+    FROM customer
+    """,
+)
+def q105_string_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function parity sweep over customer names — one projection
+    exercising the everyday string surface (case, length, reverse,
+    substring, pad, replace, find, regex extract, repeat, left/right)
+    with the DuckDB oracle agreeing byte-for-byte. All codegen
+    expressions; functions chosen for identical cross-engine semantics
+    (regexp_extract held to a dialect-neutral pattern; instr is
+    1-based/0-if-absent in both)."""
+    cust = table(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.upper(name).alias("up"),
+        F.lower(name).alias("lo"),
+        F.length(name).cast("bigint").alias("len"),
+        F.reverse(name).alias("rev"),
+        F.substring(name, 1, 8).alias("pre"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.replace(name, F.lit("#"), F.lit("-")).alias("repl"),
+        F.instr(name, "#").cast("bigint").alias("hash_pos"),
+        F.regexp_extract(name, "[0-9]+", 0).alias("digits"),
+        F.repeat(F.lit("*"), (F.col("c_custkey") % 4).cast("int")).alias("stars"),
+        F.concat(
+            F.substring(name, 1, 4), F.lit("…"), name.substr(F.length(name) - 2, F.lit(3))
+        ).alias("abbrev"),
+    )
+
+
+@query(
+    "q106_numeric_toolkit",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+      round(abs(l_extendedprice - 1000.0), 6) AS dist_from_1k,
+      CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+      CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+      round(sqrt(l_extendedprice), 6) AS sq,
+      round(ln(l_extendedprice + 1), 6) AS logn,
+      round(log10(l_extendedprice + 1), 6) AS log_ten,
+      round(pow(l_discount, 2), 6) AS disc_sq,
+      CAST(sign(l_extendedprice - 1000.0) AS BIGINT) AS above_1k,
+      round(greatest(l_extendedprice, l_quantity * 100), 6) AS gr,
+      round(least(l_extendedprice, l_quantity * 100), 6) AS le,
+      COALESCE(nullif(CAST(l_quantity AS BIGINT), 0), -1) AS qty_or_sentinel,
+      CAST(l_quantity AS BIGINT) % 7 AS qty_mod
+    FROM lineitem
+    WHERE l_orderkey % 50 = 0
+    """,
+)
+def q106_numeric_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric/conditional function parity sweep over lineitem (sampled
+    by orderkey mod to keep the compare bounded): abs/floor/ceil/sqrt/
+    ln/log10/pow/sign/greatest/least/nullif/coalesce/mod, each rounded
+    where IEEE library differences could reach the last bit. Pure
+    map-stage expressions; the WHERE mod-filter pushes to the scan."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 50 == 0)
+    price = F.col("l_extendedprice")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(price - 1000.0), 6).alias("dist_from_1k"),
+        F.floor(price).cast("bigint").alias("fl"),
+        F.ceil(price).cast("bigint").alias("ce"),
+        F.round(F.sqrt(price), 6).alias("sq"),
+        F.round(F.log(price + 1), 6).alias("logn"),
+        F.round(F.log10(price + 1), 6).alias("log_ten"),
+        F.round(F.pow("l_discount", F.lit(2)), 6).alias("disc_sq"),
+        F.signum(price - 1000.0).cast("bigint").alias("above_1k"),
+        F.round(F.greatest(price, F.col("l_quantity") * 100), 6).alias("gr"),
+        F.round(F.least(price, F.col("l_quantity") * 100), 6).alias("le"),
+        F.coalesce(
+            F.nullif(F.col("l_quantity").cast("bigint"), F.lit(0)), F.lit(-1)
+        ).alias("qty_or_sentinel"),
+        (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
+    )
