@@ -2563,3 +2563,72 @@ def q106_numeric_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_or_sentinel"),
         (F.col("l_quantity").cast("bigint") % 7).alias("qty_mod"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q107 — recursive CTE (calendar expansion + gap-filled revenue)
+# ---------------------------------------------------------------------------
+
+_Q107_SQL = """
+WITH RECURSIVE months(m) AS (
+  SELECT CAST('1995-01-01' AS DATE)
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+  WHERE m < CAST('2001-08-01' AS DATE)
+),
+rev AS (
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+         SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS r
+  FROM orders GROUP BY 1
+)
+SELECT CAST(year(m) AS BIGINT) AS y, CAST(month(m) AS BIGINT) AS mo,
+       CAST(COALESCE(r, 0) AS DOUBLE) AS revenue,
+       CAST(CASE WHEN r IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_gap
+FROM months LEFT JOIN rev USING (m)
+"""
+
+
+@query("q107_recursive_calendar", oracle=_Q107_SQL)
+def q107_recursive_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through the engine's SQL front end (new in Spark
+    4's parser): the calendar spine is generated by the recursion — one
+    row per month over the data's span — then left-joined to monthly
+    revenue so silent gap months surface explicitly (the reporting
+    cousin of q46's sequence()-based gap fill; the recursive form is
+    the portable SQL spelling). The recursion produces ~80 rows on the
+    driver-side plan — recursion depth is bounded by the date span,
+    never data volume, which is the only way a recursive CTE is safe at
+    scale."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_Q107_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q108 — correlated LATERAL subquery (per-group top-k without windows)
+# ---------------------------------------------------------------------------
+
+_Q108_SQL = """
+SELECT n.n_name AS nation, top.c_custkey, top.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_custkey, c_acctbal FROM customer
+  WHERE c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_custkey
+  LIMIT 2
+) top
+"""
+
+
+@query("q108_lateral_topk", oracle=_Q108_SQL)
+def q108_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with ORDER BY + LIMIT — per-nation
+    top-2 customers expressed as a lateral join instead of q09's
+    window+rank. Completes the subquery family (q80 EXISTS, q92
+    scalar, this one table-valued). Deterministic tie-break on
+    c_custkey. Catalyst decorrelates the lateral into a join +
+    per-group ranking rather than re-running the subquery per outer
+    row — same plan class as the window form, so it scales the same
+    way."""
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    return spark.sql(_Q108_SQL)
