@@ -669,3 +669,101 @@ def q100_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_tokens") / F.sum("n_tokens").over(w).cast("double"), 6)
         .alias("token_share"),
     )
+
+
+_RAG_QUERY_TEXT = "the quick brown fox"
+_RAG_DIM = 8
+
+
+def _hash_embed_sql(expr: str) -> str:
+    """DuckDB spelling of the deterministic hash embedding: component j
+    of embed(s) = ((md5-52bit(j:s)) % 2000)/1000 - 1  ∈ [-1, 1)."""
+    comps = ", ".join(
+        f"((('0x' || substr(md5('{j}:' || {expr}), 1, 13))::UBIGINT % 2000)"
+        f" / 1000.0 - 1)"
+        for j in range(_RAG_DIM)
+    )
+    return f"[{comps}]"
+
+
+@query(
+    "q109_rag_retrieval",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 8)) AS start FROM t),
+    chunks AS (
+      SELECT doc_id, start // 8 AS chunk_id,
+             array_to_string(list_slice(toks, start + 1, start + 16), ' ')
+               AS chunk
+      FROM s
+    ),
+    embedded AS (
+      SELECT doc_id, chunk_id, chunk,
+             {_hash_embed_sql('chunk')}::DOUBLE[] AS emb
+      FROM chunks
+    ),
+    q AS (SELECT {_hash_embed_sql(f"'{_RAG_QUERY_TEXT}'")}::DOUBLE[] AS qv),
+    scored AS (
+      SELECT doc_id, chunk_id, chunk,
+             round(list_cosine_similarity(emb, qv), 9) AS sim
+      FROM embedded, q
+    )
+    SELECT doc_id, chunk_id, chunk, round(sim, 6) AS sim
+    FROM scored ORDER BY sim DESC, doc_id, chunk_id LIMIT 5
+    """,
+)
+def q109_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end RAG index+retrieve over the corpus, oracle-checked:
+    chunk every document into 16-token windows (q61's chunker), embed
+    each chunk with a deterministic hash embedding (md5-derived
+    components standing in for a model — portable arithmetic, so
+    DuckDB re-derives identical vectors), and return the top-5 chunks
+    by cosine to the embedded query string. The pipeline shape is the
+    real one (chunk map → embed map → broadcast query → global top-k
+    via TakeOrderedAndProject); swapping the hash embedding for a model
+    UDF changes one projection, nothing else. Sims rounded to 9 before
+    ranking so accumulation-order noise can't flip ranks (q25's
+    discipline)."""
+    from sales_data_pipeline_spark.functions.vectors import cosine_similarity
+
+    docs = table(spark, sf_dir, "documents")
+    chunks = docs.select(
+        "doc_id", F.inline(token_chunks("text", size=16, stride=8))
+    ).select("doc_id", "chunk_id", "chunk")
+
+    def hash_embed(col: F.Column):
+        comps = [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{j}:"), col)), 1, 13
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                % 2000
+            )
+            / 1000.0
+            - 1
+            for j in range(_RAG_DIM)
+        ]
+        return F.array(*comps)
+
+    embedded = chunks.withColumn("emb", hash_embed(F.col("chunk")))
+    # query vector: same formula over the literal query text, computed
+    # as Catalyst expressions so engine arithmetic matches exactly
+    embedded = embedded.withColumn("qv", hash_embed(F.lit(_RAG_QUERY_TEXT)))
+    scored = embedded.select(
+        "doc_id",
+        "chunk_id",
+        "chunk",
+        # rank on the 9-digit sim (same key the oracle sorts on — a
+        # 6-digit tie must not let the engines pick different top-5
+        # members), surface the 6-digit one
+        F.round(cosine_similarity("emb", "qv"), 9).alias("sim9"),
+    )
+    return (
+        scored.orderBy(F.col("sim9").desc(), "doc_id", "chunk_id")
+        .limit(5)
+        .select("doc_id", "chunk_id", "chunk", F.round("sim9", 6).alias("sim"))
+    )

@@ -519,3 +519,33 @@ def q99_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("unique", "o_orderkey"),
         ],
     )
+
+
+@query(
+    "q110_k_anonymity",
+    oracle="""
+    WITH combos AS (
+      SELECT c_mktsegment, c_nationkey, CAST(count(*) AS BIGINT) AS group_size
+      FROM customer GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, c_nationkey, group_size,
+      CAST(CASE WHEN group_size < 5 THEN 1 ELSE 0 END AS BIGINT) AS below_k
+    FROM combos
+    """,
+)
+def q110_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (public privacy notion,
+    Sweeney 2002): every (mktsegment, nationkey) combination with its
+    group size and a below-k flag (k=5) — combinations identifying
+    fewer than k individuals are re-identification risks that a release
+    pipeline must generalize or suppress (the privacy sibling of q72's
+    PII redaction: q72 scrubs direct identifiers, this measures
+    indirect ones). One keyed aggregation; the flag is free."""
+    cust = table(spark, sf_dir, "customer")
+    combos = cust.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("group_size")
+    )
+    return combos.withColumn(
+        "below_k",
+        F.when(F.col("group_size") < 5, 1).otherwise(0).cast("bigint"),
+    )
