@@ -1,0 +1,178 @@
+"""Command-line driver: the runnable face of the engine library.
+
+The reference is executed as a script (python src/main/transformations/
+main.py, top-to-bottom side effects); here the same capability is an
+explicit CLI over the library API, safe to invoke from cron/Airflow or
+spark-submit:
+
+  python -m sales_data_pipeline_spark pipeline --input-dir ... --output-dir ...
+  python -m sales_data_pipeline_spark incremental --input-dir ... --output-dir ...
+  python -m sales_data_pipeline_spark query q01_pricing_summary --sf-dir ...
+  python -m sales_data_pipeline_spark list
+  python -m sales_data_pipeline_spark compact --table-dir ... --partition-cols k1,k2
+
+Dimension tables for the sales pipeline default to the seed frames the
+tests use (tests/fixtures.py mirrors the reference's seeded MySQL dims);
+point --dims-dir at parquet dims for real runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from sales_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name=app)
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _load_dims(spark, dims_dir: str | None):
+    if dims_dir:
+        return tuple(
+            spark.read.parquet(f"{dims_dir}/{t}")
+            for t in ("customer", "store", "sales_team")
+        )
+    try:
+        from tests.fixtures import dim_frames
+    except ImportError as ex:  # deployed without the test fixtures
+        raise SystemExit(
+            "--dims-dir is required outside the dev checkout "
+            "(seed dims live in tests/fixtures.py)"
+        ) from ex
+    return dim_frames(spark)
+
+
+def _cmd_pipeline(args) -> int:
+    from sales_data_pipeline_spark.pipeline import PipelineConfig, run_pipeline
+
+    spark = _spark("sales-pipeline")
+    cfg = PipelineConfig(
+        input_dir=args.input_dir,
+        quarantine_dir=args.quarantine_dir or f"{args.output_dir}/_quarantine",
+        processed_dir=args.processed_dir or f"{args.output_dir}/_processed",
+        output_dir=args.output_dir,
+        state_dir=args.state_dir or f"{args.output_dir}/_state",
+        mart_format=args.format,
+    )
+    customer, store, team = _load_dims(spark, args.dims_dir)
+    res = run_pipeline(spark, cfg, customer, store, team)
+    print(
+        json.dumps(
+            {
+                "accepted": [p.rsplit("/", 1)[-1] for p in res.accepted_files],
+                "quarantined": {
+                    k.rsplit("/", 1)[-1]: v for k, v in res.quarantined_files.items()
+                },
+                "n_fact_rows": res.n_fact_rows,
+                "customer_mart": res.customer_mart_path,
+                "sales_team_mart": res.sales_team_mart_path,
+            }
+        )
+    )
+    return 0
+
+
+def _cmd_incremental(args) -> int:
+    from sales_data_pipeline_spark.streaming.incremental import (
+        IncrementalConfig,
+        run_incremental,
+    )
+
+    spark = _spark("sales-incremental")
+    cfg = IncrementalConfig(
+        input_dir=args.input_dir,
+        fact_dir=args.fact_dir or f"{args.output_dir}/_fact",
+        output_dir=args.output_dir,
+        checkpoint_dir=args.checkpoint_dir or f"{args.output_dir}/_checkpoint",
+    )
+    customer, store, team = _load_dims(spark, args.dims_dir)
+    run_incremental(spark, cfg, customer, store, team)
+    print(json.dumps({"output_dir": cfg.output_dir, "fact_dir": cfg.fact_dir}))
+    return 0
+
+
+def _cmd_query(args) -> int:
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    if args.name not in QUERIES:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark(f"query-{args.name}")
+    df = QUERIES[args.name].fn(spark, args.sf_dir)
+    df.show(args.rows, truncate=not args.wide)
+    return 0
+
+
+def _cmd_list(args) -> int:
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    for name, q in sorted(QUERIES.items()):
+        kind = "oracle" if q.oracle else "rows-only"
+        head = " headline" if q.headline else ""
+        print(f"{name}\t{kind}{head}")
+    return 0
+
+
+def _cmd_compact(args) -> int:
+    from sales_data_pipeline_spark.pipeline.maintenance import compact_partitions
+
+    spark = _spark("compact")
+    rewritten = compact_partitions(
+        spark,
+        args.table_dir,
+        partition_cols=args.partition_cols.split(","),
+        max_files=args.max_files,
+    )
+    print(json.dumps({"rewritten_partitions": rewritten}))
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="sales_data_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("pipeline", help="run the batch sales ETL")
+    sp.add_argument("--input-dir", required=True)
+    sp.add_argument("--output-dir", required=True)
+    sp.add_argument("--quarantine-dir")
+    sp.add_argument("--processed-dir")
+    sp.add_argument("--state-dir")
+    sp.add_argument("--dims-dir")
+    sp.add_argument("--format", default="parquet", choices=["parquet", "orc"])
+    sp.set_defaults(fn=_cmd_pipeline)
+
+    si = sub.add_parser("incremental", help="run the streaming incremental ETL")
+    si.add_argument("--input-dir", required=True)
+    si.add_argument("--output-dir", required=True)
+    si.add_argument("--fact-dir")
+    si.add_argument("--checkpoint-dir")
+    si.add_argument("--dims-dir")
+    si.set_defaults(fn=_cmd_incremental)
+
+    sq = sub.add_parser("query", help="run one catalog query and show rows")
+    sq.add_argument("name")
+    sq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    sq.add_argument("--rows", type=int, default=20)
+    sq.add_argument("--wide", action="store_true")
+    sq.set_defaults(fn=_cmd_query)
+
+    sl = sub.add_parser("list", help="list catalog queries")
+    sl.set_defaults(fn=_cmd_list)
+
+    sc = sub.add_parser("compact", help="compact small files in a partitioned table")
+    sc.add_argument("--table-dir", required=True)
+    sc.add_argument("--partition-cols", required=True, help="comma-separated")
+    sc.add_argument("--max-files", type=int, default=8)
+    sc.set_defaults(fn=_cmd_compact)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
