@@ -2632,3 +2632,53 @@ def q108_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
     return spark.sql(_Q108_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q111 — sequential recurrence (EMA) as a codegen fold, no UDF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q111_user_value_ema",
+    oracle="""
+    SELECT user_id,
+      CAST(count(*) AS BIGINT) AS n_events,
+      round(list_reduce(list(value ORDER BY ts, event_id)::DOUBLE[],
+                        (acc, x) -> acc * 0.8 + x * 0.2), 6) AS ema
+    FROM events GROUP BY user_id
+    """,
+)
+def q111_user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of each user's event values
+    — an inherently SEQUENTIAL recurrence (ema ← 0.8·ema + 0.2·x),
+    which has no windowed-aggregate form. Expressed as a higher-order
+    fold: collect the user's values in deterministic (ts, event_id)
+    order, then F.aggregate folds the recurrence left-to-right inside
+    whole-stage codegen — the pattern that keeps per-key sequential
+    algorithms (EMAs, state machines, compound interest) OUT of Python
+    UDFs. Both engines fold in identical order with the first value as
+    seed, so doubles agree bitwise before the 6-digit round. Scale
+    bound: the collected list is per-user event count — for unbounded
+    histories switch to the streaming sessionizer's stateful form."""
+    ev = table(spark, sf_dir, "events")
+    ordered = (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "value"))
+            ).alias("evs"),
+        )
+        .withColumn(
+            "vals", F.transform(F.col("evs"), lambda e: e["value"])
+        )
+    )
+    ema = F.aggregate(
+        F.slice(F.col("vals"), 2, F.size(F.col("vals")) - 1),
+        F.element_at(F.col("vals"), 1),
+        lambda acc, x: acc * F.lit(0.8) + x * F.lit(0.2),
+    )
+    return ordered.select(
+        "user_id", "n_events", F.round(ema, 6).alias("ema")
+    )
