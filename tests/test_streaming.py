@@ -360,3 +360,56 @@ def test_purchase_attribution_stream_stream_join(spark, tmp_path):
     pairs = sorted((r.purchase_id, r.view_ts.second + r.view_ts.minute * 60) for r in rows)
     assert pairs == [(12, 0), (12, 300)], rows
     assert all(r.user_id == 1 for r in rows)
+
+
+def test_streaming_countmin_converges_to_batch_sketch(spark, tmp_path):
+    """The sketch folded over micro-batches must equal the one-shot
+    batch sketch over the same corpus (mergeability under streaming),
+    and estimates from it must never undercount."""
+    import json as _json
+
+    from sales_data_pipeline_spark.operators.sketch import (
+        countmin_estimate,
+        countmin_sketch,
+    )
+    from sales_data_pipeline_spark.streaming.heavy_hitters import (
+        HeavyHitterConfig,
+        read_sketch,
+        run_heavy_hitters,
+    )
+
+    src = tmp_path / "shards"
+    src.mkdir()
+    docs = [
+        (1, "alpha beta alpha gamma"),
+        (2, "beta beta delta"),
+        (3, "alpha gamma gamma gamma"),
+        (4, "epsilon alpha beta"),
+    ]
+    for shard, rows in ((1, docs[:2]), (2, docs[2:])):
+        with open(src / f"s{shard}.jsonl", "w") as f:
+            for i, t in rows:
+                f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    cfg = HeavyHitterConfig(
+        input_dir=str(src),
+        sketch_dir=str(tmp_path / "sketch"),
+        checkpoint_dir=str(tmp_path / "ckpt_hh"),
+        max_files_per_trigger=1,  # force 2 micro-batches
+    )
+    run_heavy_hitters(spark, cfg)
+
+    streamed = read_sketch(spark, cfg)
+    whole = spark.createDataFrame(docs, "doc_id long, text string")
+    batch = countmin_sketch(
+        whole.select(F.explode(F.split("text", " ")).alias("tok")), "tok"
+    )
+    diff = streamed.join(batch, ["row", "bucket"], "full").filter(
+        F.coalesce(streamed["cnt"], F.lit(0)) != F.coalesce(batch["cnt"], F.lit(0))
+    )
+    assert diff.count() == 0
+
+    truth = {"alpha": 4, "beta": 4, "gamma": 4, "delta": 1, "epsilon": 1}
+    qdf = spark.createDataFrame([(t,) for t in truth], "tok string")
+    est = {r.tok: r.est for r in countmin_estimate(streamed, qdf, "tok").collect()}
+    for tok, n in truth.items():
+        assert est[tok] >= n
