@@ -2682,3 +2682,110 @@ def q111_user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ordered.select(
         "user_id", "n_events", F.round(ema, 6).alias("ema")
     )
+
+
+# ---------------------------------------------------------------------------
+# q112 — interval self-join (repeat purchases within 7 days)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q112_repeat_purchases",
+    oracle="""
+    SELECT o1.o_custkey AS custkey,
+      CAST(count(*) AS BIGINT) AS n_repeat_pairs,
+      CAST(min(date_diff('day', CAST(o1.o_orderdate AS DATE),
+                         CAST(o2.o_orderdate AS DATE))) AS BIGINT) AS min_gap_days
+    FROM orders o1 JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey
+     AND o2.o_orderkey <> o1.o_orderkey
+     AND o2.o_orderdate > o1.o_orderdate
+     AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o1.o_custkey
+    """,
+)
+def q112_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase detection: ordered pairs of same-customer orders
+    at most 7 days apart — the interval SELF-join (equi on customer,
+    band predicate on time). Spark shuffles both sides once on
+    o_custkey and evaluates the band as a join residual, so cost is
+    Σ per-customer-orders² bounded by the band width — the same
+    key-then-band shape as q30's as-of join and q34's range join, here
+    in self-join form. Customers with no close pair simply don't
+    appear (inner semantics)."""
+    orders = table(spark, sf_dir, "orders")
+    o1 = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderdate").alias("d1"),
+    )
+    o2 = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderdate").alias("d2"),
+    )
+    pairs = o1.join(o2, "custkey").filter(
+        (F.col("k2") != F.col("k1"))
+        & (F.col("d2") > F.col("d1"))
+        & (F.col("d2") <= F.col("d1") + F.expr("INTERVAL 7 DAY"))
+    )
+    return pairs.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_repeat_pairs"),
+        F.min(F.datediff(F.col("d2"), F.col("d1"))).cast("bigint").alias(
+            "min_gap_days"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113 — hopping (sliding) windows in batch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q113_hopping_windows",
+    oracle="""
+    WITH cand AS (
+      SELECT event_id, value, ts, event_type,
+             unnest([time_bucket(INTERVAL 30 MINUTES, ts),
+                     time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES])
+               AS w_start
+      FROM events
+    )
+    SELECT strftime(w_start, '%Y-%m-%d %H:%M') AS window_start,
+      event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      round(sum(value), 6) AS total_value
+    FROM cand
+    WHERE ts >= w_start AND ts < w_start + INTERVAL 60 MINUTES
+    GROUP BY w_start, event_type
+    """,
+)
+def q113_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping windows (1 h length, 30 min slide) over the events table
+    in BATCH: every event lands in exactly two overlapping windows —
+    Spark's F.window(slide=...) produces the per-window replication as
+    an Expand, the oracle replicates it with an explicit 2-bucket
+    unnest. The batch counterpart of streaming/events.py's tumbling
+    rollup generalized to overlapping frames (trend smoothing, rate
+    alarms). Map-side expansion ×(length/slide), ONE keyed shuffle —
+    the expansion factor, not the window length, is what costs at
+    100 TB, so keep length/slide small."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "60 minutes", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
