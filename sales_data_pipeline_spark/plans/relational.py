@@ -2789,3 +2789,59 @@ def q113_hopping_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q114 — array algebra toolkit (set ops over token arrays)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q114_array_toolkit",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+        string_split(o_orderpriority, '-') AS a,
+        string_split(o_orderstatus || '-' || o_orderpriority, '-') AS b
+      FROM orders WHERE o_orderkey % 100 = 0
+    )
+    SELECT o_orderkey,
+      CAST(len(a) AS BIGINT) AS len_a,
+      CAST(len(list_distinct(list_concat(a, b))) AS BIGINT) AS n_union,
+      CAST(len(list_distinct(list_filter(a, x -> list_contains(b, x))))
+        AS BIGINT) AS n_intersect,
+      CAST(len(list_distinct(list_filter(a, x -> NOT list_contains(b, x))))
+        AS BIGINT) AS n_except,
+      array_to_string(list_sort(list_distinct(a)), '|') AS sorted_a,
+      CAST(list_contains(a, 'URGENT') AS BIGINT) AS has_urgent,
+      a[1] AS first_elem,
+      a[-1] AS last_elem
+    FROM t
+    """,
+)
+def q114_array_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-algebra surface over token arrays: union/intersect/except
+    cardinalities (array_union / array_intersect / array_except),
+    sorted distinct serialization, membership, first/last element —
+    the collection vocabulary the similarity/dedup operators build on,
+    here exposed as first-class query surface with the oracle doing the
+    same algebra via DuckDB list functions. All map-side codegen; the
+    mod-filter rides the scan."""
+    t = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.split("o_orderpriority", "-").alias("a"),
+        F.split(
+            F.concat_ws("-", "o_orderstatus", "o_orderpriority"), "-"
+        ).alias("b"),
+    )
+    return t.select(
+        "o_orderkey",
+        F.size("a").cast("bigint").alias("len_a"),
+        F.size(F.array_union("a", "b")).cast("bigint").alias("n_union"),
+        F.size(F.array_intersect("a", "b")).cast("bigint").alias("n_intersect"),
+        F.size(F.array_except("a", "b")).cast("bigint").alias("n_except"),
+        F.concat_ws("|", F.array_sort(F.array_distinct("a"))).alias("sorted_a"),
+        F.array_contains("a", "URGENT").cast("bigint").alias("has_urgent"),
+        F.element_at("a", 1).alias("first_elem"),
+        F.element_at("a", -1).alias("last_elem"),
+    )
