@@ -2845,3 +2845,112 @@ def q114_array_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("a", 1).alias("first_elem"),
         F.element_at("a", -1).alias("last_elem"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q115 — distinct count over a moving window (collect_set workaround)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q115_rolling_distinct_types",
+    oracle="""
+    SELECT event_id, user_id,
+      CAST(len(list_distinct(list(event_type)
+        OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))) AS BIGINT)
+        AS distinct_types_10
+    FROM events
+    """,
+)
+def q115_rolling_distinct_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT COUNT over a moving window — which neither engine
+    permits directly (COUNT(DISTINCT) OVER is unsupported SQL): the
+    standard workaround collects the frame and dedups it
+    (size(array_distinct(collect_list() over frame))). Behavioral
+    variety per user's last 10 events — an engagement-breadth signal.
+    The frame bound (ROWS 9 PRECEDING) is what bounds memory: each row
+    carries at most 10 collected elements through the window sort, so
+    the pattern is safe at scale ONLY with an explicit finite frame —
+    an unbounded frame would buffer whole partitions."""
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.size(F.array_distinct(F.collect_list("event_type").over(w)))
+        .cast("bigint")
+        .alias("distinct_types_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q116 — null semantics suite (null-safe equality, IS DISTINCT FROM, ordering)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q116_null_semantics",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+        nullif(o_orderstatus, 'P') AS maybe_status,
+        CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END
+          AS maybe_price
+      FROM orders WHERE o_orderkey % 20 = 0
+    )
+    SELECT
+      COALESCE(maybe_status, '<null>') AS status_bucket,
+      CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(count(maybe_price) AS BIGINT) AS n_price_known,
+      CAST(sum(CASE WHEN maybe_status IS NOT DISTINCT FROM NULL
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_null_status,
+      CAST(sum(CASE WHEN maybe_price IS DISTINCT FROM o_totalprice
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_price_nulled,
+      round(CAST(avg(maybe_price) AS DOUBLE), 6) AS avg_known_price
+    FROM t GROUP BY maybe_status
+    """,
+)
+def q116_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-semantics suite: grouping BY a nullable key (NULL forms its
+    own group in both engines), count(col) vs count(*) null skipping,
+    IS [NOT] DISTINCT FROM (Spark's <=> null-safe equality), and
+    avg over a partly-null column (nulls excluded from both sum and
+    divisor). These are the semantics data bugs hide behind — pinned
+    byte-for-byte against the oracle. Map + one keyed agg."""
+    t = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 20 == 0)
+        .select(
+            "o_orderkey",
+            "o_totalprice",
+            F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("maybe_status"),
+            F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))
+            .alias("maybe_price"),
+        )
+    )
+    return t.groupBy("maybe_status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("maybe_price").cast("bigint").alias("n_price_known"),
+        F.sum(
+            F.col("maybe_status").eqNullSafe(F.lit(None)).cast("bigint")
+        ).cast("bigint").alias("n_null_status"),
+        F.sum(
+            (~F.col("maybe_price").eqNullSafe(F.col("o_totalprice"))).cast(
+                "bigint"
+            )
+        ).cast("bigint").alias("n_price_nulled"),
+        F.round(F.avg("maybe_price"), 6).alias("avg_known_price"),
+    ).select(
+        F.coalesce(F.col("maybe_status"), F.lit("<null>")).alias("status_bucket"),
+        "n_rows",
+        "n_price_known",
+        "n_null_status",
+        "n_price_nulled",
+        "avg_known_price",
+    )
