@@ -68,12 +68,18 @@ def sales_team_mart(enriched: DataFrame, strict_compat: bool = False) -> DataFra
     rank_w = Window.partitionBy("store_id", "sales_month").orderBy(
         F.col("total_sales").desc()
     )
+    # decimal×decimal keeps the 1% exact: total_sales(10,2) × 0.01(3,2)
+    # → (.,4) with no binary-float detour, so the final HALF_UP cast
+    # rounds the true value — a double multiply diverges at .xx5 ties
+    import decimal as _decimal
+
+    one_pct = F.lit(_decimal.Decimal("0.01"))
     return (
         totals.withColumn("rnk", F.rank().over(rank_w))
         .withColumn(
             "incentive",
             F.when(
-                F.col("rnk") == 1, (F.col("total_sales") * F.lit(0.01)).cast(_MONEY_OUT)
+                F.col("rnk") == 1, (F.col("total_sales") * one_pct).cast(_MONEY_OUT)
             ).otherwise(F.lit(0).cast(_MONEY_OUT)),
         )
         .drop("rnk")

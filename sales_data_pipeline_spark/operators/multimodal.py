@@ -336,9 +336,13 @@ def decode_wav(df: DataFrame) -> DataFrame:
                 rows["sample_rate"].append(sr)
                 rows["bits"].append(bits)
                 rows["n_samples"].append(n)
-                rows["duration_s"].append(round(n / sr, 6) if sr else 0.0)
-                rows["rms"].append(round(rms, 6))
-                rows["zcr"].append(round(zcr, 6))
+                # RAW doubles — rounding is the consuming query's
+                # concern: Python's round() is banker's (half-to-even)
+                # and disagrees with SQL round at exact binary ties
+                # (zcr = 1/128 bit q91 at sf0.1)
+                rows["duration_s"].append(n / sr if sr else 0.0)
+                rows["rms"].append(rms)
+                rows["zcr"].append(zcr)
                 rows["peak"].append(int(np.abs(s64).max()) if n else 0)
                 rows["checksum"].append(hashlib.md5(raw).hexdigest())
             out = pd.DataFrame(rows)

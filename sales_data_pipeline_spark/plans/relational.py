@@ -148,17 +148,19 @@ def q02_customer_monthly_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         s_nationkey AS store_id,
         l_suppkey   AS sales_person_id,
         strftime(l_shipdate, '%Y-%m') AS sales_month,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_sales
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS dec_total
       FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
       GROUP BY 1, 2, 3
     )
     SELECT
-      store_id, sales_person_id, sales_month, total_sales,
+      store_id, sales_person_id, sales_month,
+      CAST(dec_total AS DOUBLE) AS total_sales,
       CAST(RANK() OVER (PARTITION BY store_id, sales_month
-                        ORDER BY total_sales DESC) AS BIGINT) AS rnk,
+                        ORDER BY dec_total DESC) AS BIGINT) AS rnk,
       CASE WHEN RANK() OVER (PARTITION BY store_id, sales_month
-                             ORDER BY total_sales DESC) = 1
-           THEN ROUND(total_sales * 0.01, 2) ELSE 0.0 END AS incentive
+                             ORDER BY dec_total DESC) = 1
+           THEN CAST(ROUND(dec_total * 0.01, 2) AS DOUBLE)
+           ELSE 0.0 END AS incentive
     FROM totals
     """,
 )
@@ -180,17 +182,28 @@ def q03_team_incentive_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_suppkey").alias("sales_person_id"),
             F.date_format("l_shipdate", "yyyy-MM").alias("sales_month"),
         )
-        .agg(_dec_sum("l_extendedprice", _PRICE, "total_sales"))
+        .agg(F.sum(F.col("l_extendedprice").cast(_PRICE)).alias("_dec_total"))
     )
     w = Window.partitionBy("store_id", "sales_month").orderBy(F.col("total_sales").desc())
+    # incentive in EXACT decimal: a double round diverges across engines
+    # at .xx5 ties (Spark rounds the shortest decimal string, DuckDB the
+    # binary value — bit one row at sf0.1); decimal×decimal is exact and
+    # both engines round decimals half-away-from-zero.
+    import decimal as _decimal
+
     return (
-        totals.withColumn("rnk", F.rank().over(w).cast("bigint"))
+        totals.withColumn("total_sales", F.col("_dec_total").cast("double"))
+        .withColumn("rnk", F.rank().over(w).cast("bigint"))
         .withColumn(
             "incentive",
-            F.when(F.col("rnk") == 1, F.round(F.col("total_sales") * 0.01, 2)).otherwise(
-                F.lit(0.0)
-            ),
+            F.when(
+                F.col("rnk") == 1,
+                F.round(
+                    F.col("_dec_total") * F.lit(_decimal.Decimal("0.01")), 2
+                ).cast("double"),
+            ).otherwise(F.lit(0.0)),
         )
+        .drop("_dec_total")
     )
 
 

@@ -317,4 +317,13 @@ def q91_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     wavs = synth_wav_payloads(docs, sample_rate=8000)
-    return decode_wav(wavs).drop("checksum")
+    decoded = decode_wav(wavs).drop("checksum")
+    # round HERE (F.round = half-up, matching the oracle), not in the
+    # decoder: Python's banker's round diverges at exact binary ties
+    return decoded.select(
+        "media_id", "n_channels", "sample_rate", "bits", "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        "peak",
+    )

@@ -315,7 +315,8 @@ def test_wav_roundtrip_matches_numpy(spark):
         assert r.n_samples == len(v)
         assert r.sample_rate == 8000 and r.bits == 16 and r.n_channels == 1
         v64 = v.astype(np.int64)
-        assert r.rms == round(float(np.sqrt((v64 * v64).sum() / len(v))), 6)
+        # RAW feature contract (rounding is the query's concern)
+        assert r.rms == float((int((v64 * v64).sum()) / len(v)) ** 0.5)
         assert r.peak == int(np.abs(v64).max())
         # parser agrees with its own encoder byte-for-byte
         _, _, _, parsed = _wav_parse(bytes(encode_wav(8000, v)))
