@@ -333,3 +333,45 @@ def test_q101_disjunction_residuals_pushed_to_both_scans(spark, sf_dir):
     pushed = re.findall(r"PushedFilters: \[(.*?)\]", plan)
     assert any("p_brand" in p and "Or(" in p for p in pushed), pushed
     assert any("l_quantity" in p and "Or(" in p for p in pushed), pushed
+
+
+def test_q93_fact_shuffles_once(spark, sf_dir):
+    """Outer-join histogram: only the first aggregation is proportional
+    to the fact; two keyed exchanges total (join/agg key, histogram
+    key — the broadcast of customer does not repartition)."""
+    plan = _plan(QUERIES["q93_order_count_distribution"].fn(spark, sf_dir))
+    assert _n_exchanges(plan) <= 3, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q95_minby_is_single_aggregation(spark, sf_dir):
+    """min_by replaces the window+rank+filter detour: no Window/Sort
+    operator anywhere — one hash aggregate."""
+    plan = _plan(QUERIES["q95_first_supplier_per_part"].fn(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_q102_q103_part_side_broadcasts(spark, sf_dir):
+    """The pruned part projection must broadcast — shuffling lineitem
+    against part would be the 100 TB mistake."""
+    for q in ("q102_promo_share", "q103_brand_share_by_year"):
+        plan = _plan(QUERIES[q].fn(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q
+
+
+def test_q113_hopping_expand_single_shuffle(spark, sf_dir):
+    """Sliding windows replicate map-side (Expand/Explode), then ONE
+    keyed shuffle — not one pass per overlapping window."""
+    plan = _plan(QUERIES["q113_hopping_windows"].fn(spark, sf_dir))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M))
+    assert n_scans == 1, plan
+    assert _n_exchanges(plan) == 1, plan
+
+
+def test_q109_topk_no_global_sort(spark, sf_dir):
+    """RAG retrieval's final top-5 must be TakeOrderedAndProject, not a
+    global rangepartitioning sort of every chunk."""
+    plan = _plan(QUERIES["q109_rag_retrieval"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Arguments: rangepartitioning" not in plan, plan
