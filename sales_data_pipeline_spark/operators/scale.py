@@ -221,3 +221,53 @@ def distributed_prefix_sum(
         .withColumn(out_col, F.col("__run") + F.col("__off"))
         .drop("__b", "__run", "__off")
     )
+
+
+def skew_report(
+    df: DataFrame,
+    key_cols: list[str],
+    top_k: int = 5,
+) -> DataFrame:
+    """Key-distribution diagnostic for a prospective join/aggregation
+    key: per top-``top_k`` heaviest key, its row count and share of the
+    table, beside the table-wide totals (n_rows, n_keys, mean rows/key)
+    — the numbers that decide whether to salt (operators/scale.py
+    salted_agg/salted_join), broadcast, or AQE-skew-split before
+    shuffling on that key at 100 TB. Rule of thumb the report enables:
+    max_share × n_rows ≫ rows-per-task ⇒ the hottest key alone
+    overflows one reducer ⇒ salt by ~⌈max_share · n_partitions⌉.
+
+    One keyed aggregation + a top-k over the (small) key-count table;
+    emitted long-form, one row per heavy key, totals repeated (the
+    driver-friendly shape — no second result set)."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_rows"))
+    totals = counts.agg(
+        F.sum("key_rows").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    from pyspark.sql import Window
+
+    # the global window runs over the LIMITed top-k rows only
+    w = Window.orderBy(F.col("key_rows").desc(), *key_cols)
+    top = (
+        counts.orderBy(F.col("key_rows").desc(), *key_cols)
+        .limit(top_k)
+        .withColumn("key_rank", F.row_number().over(w).cast("bigint"))
+    )
+    key_str = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("key_rank"),
+            key_str.alias("key"),
+            F.col("key_rows").cast("bigint").alias("key_rows"),
+            F.round(F.col("key_rows") / F.col("n_rows").cast("double"), 6).alias(
+                "key_share"
+            ),
+            "n_rows",
+            "n_keys",
+            F.round(F.col("n_rows") / F.col("n_keys").cast("double"), 6).alias(
+                "mean_rows_per_key"
+            ),
+        )
+    )

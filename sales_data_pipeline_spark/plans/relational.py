@@ -2967,3 +2967,117 @@ def q116_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_price_nulled",
         "avg_known_price",
     )
+
+
+# ---------------------------------------------------------------------------
+# q117 — join-key skew diagnostic report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q117_skew_report",
+    oracle="""
+    WITH counts AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS key_rows
+      FROM orders GROUP BY o_custkey
+    ),
+    totals AS (
+      SELECT CAST(sum(key_rows) AS BIGINT) AS n_rows,
+             CAST(count(*) AS BIGINT) AS n_keys
+      FROM counts
+    ),
+    top AS (
+      SELECT o_custkey, key_rows,
+        CAST(row_number() OVER (ORDER BY key_rows DESC, o_custkey) AS BIGINT)
+          AS key_rank
+      FROM counts ORDER BY key_rows DESC, o_custkey LIMIT 5
+    )
+    SELECT key_rank, CAST(o_custkey AS VARCHAR) AS key, key_rows,
+      round(key_rows / CAST(n_rows AS DOUBLE), 6) AS key_share,
+      n_rows, n_keys,
+      round(n_rows / CAST(n_keys AS DOUBLE), 6) AS mean_rows_per_key
+    FROM top, totals
+    """,
+)
+def q117_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic (operators/scale.py skew_report): the
+    top-5 heaviest o_custkey values with their table share, beside the
+    table totals — the measurement that decides salt/broadcast/AQE
+    before shuffling on a key at 100 TB (q40 is the cure; this is the
+    diagnosis). One keyed agg + top-k; totals broadcast back onto the
+    5-row report."""
+    from sales_data_pipeline_spark.operators.scale import skew_report
+
+    orders = table(spark, sf_dir, "orders")
+    return skew_report(orders, ["o_custkey"], top_k=5)
+
+
+# ---------------------------------------------------------------------------
+# q118 — multi-touch attribution (fan-out join + per-group normalization)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q118_multitouch_attribution",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts, value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    touched AS (
+      SELECT p.purchase_id, p.user_id, p.p_value, v.view_id,
+             CAST(count(*) OVER (PARTITION BY p.purchase_id) AS BIGINT)
+               AS n_touches
+      FROM p JOIN v
+        ON p.user_id = v.user_id
+       AND v.v_ts <= p.p_ts
+       AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT view_id,
+      CAST(count(*) AS BIGINT) AS n_purchases_touched,
+      round(sum(p_value / n_touches), 6) AS attributed_value
+    FROM touched GROUP BY view_id
+    """,
+)
+def q118_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value splits
+    evenly across the user's views in the preceding hour, then credit
+    re-aggregates per view — the fan-out band join (q112's shape)
+    composed with a per-purchase window normalizer BEFORE the final
+    keyed agg. The batch twin of the streaming attribution join
+    (streaming/events.py purchase_attribution_stream), extended with
+    the credit split every marketing mart actually wants. Purchases
+    with zero in-window views drop out (inner join) — their value is
+    unattributable by definition."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    )
+    touched = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = touched.withColumn(
+        "n_touches", F.count(F.lit(1)).over(w).cast("bigint")
+    )
+    return credited.groupBy("view_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases_touched"),
+        F.round(F.sum(F.col("p_value") / F.col("n_touches")), 6).alias(
+            "attributed_value"
+        ),
+    )
