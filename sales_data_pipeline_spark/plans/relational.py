@@ -3081,3 +3081,82 @@ def q118_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_value"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — SCD2 point-in-time lookup (dimension as-of a fact's version)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q119_scd2_point_in_time",
+    oracle="""
+    WITH changes AS (
+      SELECT c_custkey, round(c_acctbal + 100.0, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 7 = 0
+    ),
+    hist AS (
+      SELECT c_custkey, c_acctbal, 0 AS version FROM customer
+      UNION ALL
+      SELECT c_custkey, c_acctbal, 1 AS version FROM changes
+    ),
+    eff AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+        CASE WHEN o_orderdate < '1999-01-01' THEN 0 ELSE 1 END AS eff_version
+      FROM orders
+    ),
+    ranked AS (
+      SELECT e.o_orderkey, e.o_custkey, e.eff_version,
+             h.version AS dim_version, h.c_acctbal,
+             row_number() OVER (PARTITION BY e.o_orderkey
+                                ORDER BY h.version DESC) AS rn
+      FROM eff e JOIN hist h ON e.o_custkey = h.c_custkey
+      WHERE h.version <= e.eff_version
+    )
+    SELECT o_orderkey, o_custkey,
+      CAST(eff_version AS BIGINT) AS eff_version,
+      CAST(dim_version AS BIGINT) AS dim_version,
+      c_acctbal AS acctbal_asof
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q119_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against SCD2 history — the read
+    side of q63's MERGE: each order resolves its customer's balance
+    AS OF the order's effective version (greatest dim version ≤ the
+    fact's), via join + version filter + latest-per-fact row_number.
+    This is how a warehouse answers 'what did the dimension say when
+    the fact happened' without mutating history. With version counts
+    bounded (SCD2 rows per key ≈ change rate), the fan-out is small and
+    the single row_number window runs keyed by fact — one shuffle on
+    custkey, one on orderkey."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    changes = cust.filter(F.col("c_custkey") % 7 == 0).withColumn(
+        "c_acctbal", F.round(F.col("c_acctbal") + 100.0, 2)
+    )
+    hist = cust.withColumn("version", F.lit(0)).unionByName(
+        changes.withColumn("version", F.lit(1))
+    )
+    orders = table(spark, sf_dir, "orders")
+    eff = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(F.col("o_orderdate") < "1999-01-01", 0).otherwise(1).alias(
+            "eff_version"
+        ),
+    )
+    j = eff.join(hist, eff.o_custkey == hist.c_custkey).filter(
+        F.col("version") <= F.col("eff_version")
+    )
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("eff_version").cast("bigint").alias("eff_version"),
+            F.col("version").cast("bigint").alias("dim_version"),
+            F.col("c_acctbal").alias("acctbal_asof"),
+        )
+    )
