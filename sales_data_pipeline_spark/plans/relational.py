@@ -3160,3 +3160,90 @@ def q119_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_acctbal").alias("acctbal_asof"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — co-occurrence / lift (market-basket association on event types)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q120_type_affinity",
+    oracle="""
+    WITH ut AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    n AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM events),
+    type_counts AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ut GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b, p.n_both,
+      ca.n AS n_a, cb.n AS n_b,
+      round(p.n_both / CAST(n.n_users AS DOUBLE), 6) AS support,
+      round((p.n_both * n.n_users) / (CAST(ca.n AS DOUBLE) * cb.n), 6) AS lift
+    FROM pairs p
+    JOIN type_counts ca ON p.type_a = ca.event_type
+    JOIN type_counts cb ON p.type_b = cb.event_type
+    CROSS JOIN n
+    """,
+)
+def q120_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association over event types: for every unordered
+    type pair, the users exhibiting both (support) and the lift
+    P(a∧b)/(P(a)·P(b)) — the co-occurrence analysis behind
+    recommendations and anomaly dashboards. The self-join runs on the
+    DISTINCT (user, type) set — |users|×|types| at most, NOT raw events
+    — and the per-type/global marginals broadcast back onto the pair
+    table; with a bounded type vocabulary the pair space is
+    |types|²/2, independent of event volume. That distinct-first
+    reduction is the difference between this and a quadratic
+    event-level join at 100 TB."""
+    ev = table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_users")
+    )
+    type_counts = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    a = ut.select(F.col("user_id"), F.col("event_type").alias("type_a"))
+    b = ut.select(F.col("user_id"), F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ca = type_counts.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a")
+    )
+    cb = type_counts.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_both") / F.col("n_users").cast("double"), 6).alias(
+                "support"
+            ),
+            F.round(
+                (F.col("n_both") * F.col("n_users"))
+                / (F.col("n_a").cast("double") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
