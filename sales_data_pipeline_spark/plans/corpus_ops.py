@@ -767,3 +767,167 @@ def q109_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .select("doc_id", "chunk_id", "chunk", F.round("sim9", 6).alias("sim"))
     )
+
+
+@query(
+    "q121_bigram_perplexity",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+    big AS (
+      SELECT doc_id, source, t[i] AS a, t[i+1] AS b
+      FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+    ),
+    lm_bi AS (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS c_ab
+      FROM big WHERE source = '{_BENCH_SOURCE}' GROUP BY a, b
+    ),
+    lm_uni AS (
+      SELECT a, CAST(count(*) AS BIGINT) AS c_a
+      FROM big WHERE source = '{_BENCH_SOURCE}' GROUP BY a
+    ),
+    v AS (SELECT CAST(count(DISTINCT a) AS BIGINT) AS vocab FROM lm_uni),
+    scored AS (
+      SELECT g.doc_id,
+             ln((COALESCE(lb.c_ab, 0) + 1.0)
+                / (COALESCE(lu.c_a, 0) + v.vocab)) AS lp
+      FROM big g
+      LEFT JOIN lm_bi lb ON g.a = lb.a AND g.b = lb.b
+      LEFT JOIN lm_uni lu ON g.a = lu.a
+      CROSS JOIN v
+    )
+    SELECT doc_id,
+      CAST(count(*) AS BIGINT) AS n_bigrams,
+      round(-avg(lp), 6) AS neg_avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q121_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL language-model perplexity scoring (CCNet-style quality
+    stage, public recipe): train an add-1-smoothed bigram LM on the
+    benchmark source's documents, score EVERY document by its negative
+    average token log-probability — low = in-domain fluent text, high =
+    out-of-domain/garbage; the standard cut for corpus filtering, a
+    step beyond q56's character-entropy proxy. The LM is two count
+    tables (bigram, unigram) + a vocab scalar: all three are
+    aggregates of the benchmark slice, broadcast onto the corpus
+    bigram stream — the corpus itself shuffles only for its per-doc
+    average. exp() of the score is the perplexity; left as a log so
+    the oracle compares linear-scale doubles."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("t")
+    )
+    big = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size("t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.struct(
+                        F.element_at("t", i).alias("a"),
+                        F.element_at("t", i + 1).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+        ).alias("g"),
+    ).select("doc_id", "source", F.col("g.a").alias("a"), F.col("g.b").alias("b"))
+    lm_src = big.filter(F.col("source") == _BENCH_SOURCE)
+    lm_bi = lm_src.groupBy("a", "b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_ab")
+    )
+    lm_uni = lm_src.groupBy("a").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_a")
+    )
+    vocab = lm_uni.agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    lp = F.log(
+        (F.coalesce(F.col("c_ab"), F.lit(0)) + 1.0)
+        / (F.coalesce(F.col("c_a"), F.lit(0)) + F.col("vocab"))
+    )
+    scored = (
+        big.join(F.broadcast(lm_bi), ["a", "b"], "left")
+        .join(F.broadcast(lm_uni), "a", "left")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.round(-F.avg("lp"), 6).alias("neg_avg_logprob"),
+    )
+
+
+@query(
+    "q122_url_census",
+    oracle="""
+    WITH inj AS (
+      SELECT doc_id,
+        text
+        || CASE WHEN doc_id % 4 = 0
+             THEN ' see https://www.' || source || (doc_id % 5) || '.example.org/p/'
+                  || doc_id
+             ELSE '' END
+        || CASE WHEN doc_id % 6 = 0
+             THEN ' and http://cdn' || (doc_id % 3) || '.example.net/a'
+             ELSE '' END AS text
+      FROM documents
+    ),
+    urls AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[^ ]+')) AS url
+      FROM inj
+    )
+    SELECT regexp_extract(url, '://([^/ ]+)', 1) AS domain,
+      CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      CAST(count(*) AS BIGINT) AS n_urls
+    FROM urls GROUP BY 1
+    """,
+)
+def q122_url_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL extraction + per-domain census — the web-corpus hygiene scan
+    feeding q78's domain caps (which domains dominate; what to block).
+    The synthetic corpus carries no URLs, so deterministic ones are
+    injected from (doc_id, source) identically on both engine sides
+    (q72's injection discipline); the operator under test is the
+    regex extraction pipeline: regexp_extract_all over the codegen
+    path, domain parse, two-level aggregation. Patterns held to the
+    Java∩RE2 dialect."""
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" see https://www."),
+                F.col("source"),
+                (did % 5).cast("string"),
+                F.lit(".example.org/p/"),
+                did.cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 6 == 0,
+            F.concat(
+                F.lit(" and http://cdn"),
+                (did % 3).cast("string"),
+                F.lit(".example.net/a"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(injected, F.lit(r"https?://[^ ]+"), 0)
+        ).alias("url"),
+    )
+    return (
+        urls.select(
+            "doc_id",
+            F.regexp_extract("url", r"://([^/ ]+)", 1).alias("domain"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_urls"),
+        )
+    )
