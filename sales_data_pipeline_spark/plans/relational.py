@@ -3247,3 +3247,61 @@ def q120_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q123 — join-cardinality prediction (size the explosion before running it)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q123_join_cardinality",
+    oracle="""
+    WITH co AS (
+      SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS c_orders
+      FROM orders GROUP BY 1
+    ),
+    cc AS (
+      SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS c_cust
+      FROM customer GROUP BY 1
+    ),
+    j AS (SELECT co.k, c_orders, c_cust FROM co JOIN cc USING (k))
+    SELECT
+      CAST(sum(c_orders * c_cust) AS BIGINT) AS predicted_join_rows,
+      CAST(count(*) AS BIGINT) AS n_matching_keys,
+      CAST(max(c_orders * c_cust) AS BIGINT) AS max_key_contribution,
+      round(max(c_orders * c_cust)
+            / CAST(sum(c_orders * c_cust) AS DOUBLE), 6) AS top_key_share
+    FROM j
+    """,
+)
+def q123_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict a join's output size WITHOUT running it:
+    |A ⋈ B| = Σ_k c_A(k)·c_B(k) over the two key-count tables — plus
+    the hottest key's contribution (the q117 skew story applied to a
+    JOIN: one key supplying most of the output predicts a straggler
+    task). The count tables are each one keyed aggregation over single
+    columns — at 100 TB this costs two column scans instead of
+    materializing a possibly-exploding join, which is exactly the check
+    to run before an unfamiliar key join. The oracle verifies the
+    arithmetic; a test verifies the prediction equals the REAL join's
+    count."""
+    co = (
+        table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_orders"))
+    )
+    cc = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_custkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_cust"))
+    )
+    contrib = F.col("c_orders") * F.col("c_cust")
+    return co.join(cc, "k").agg(
+        F.sum(contrib).cast("bigint").alias("predicted_join_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_matching_keys"),
+        F.max(contrib).cast("bigint").alias("max_key_contribution"),
+        F.round(
+            F.max(contrib) / F.sum(contrib).cast("double"), 6
+        ).alias("top_key_share"),
+    )

@@ -218,3 +218,18 @@ def test_prefix_sum_big_side_never_single_partition(spark):
     )
     assert "hashpartitioning(__b" in plan, plan
     assert len(_re.findall(r"Arguments: SinglePartition", plan)) == 1, plan
+
+
+def test_join_cardinality_prediction_matches_real_join(spark, sf_dir):
+    """q123's Σ c_A(k)·c_B(k) must equal the actual join's row count."""
+    from sales_data_pipeline_spark.catalog import table as _table
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    predicted = (
+        QUERIES["q123_join_cardinality"].fn(spark, sf_dir).collect()[0]
+        .predicted_join_rows
+    )
+    orders = _table(spark, sf_dir, "orders")
+    cust = _table(spark, sf_dir, "customer")
+    real = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
+    assert predicted == real
