@@ -931,3 +931,54 @@ def q122_url_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_urls"),
         )
     )
+
+
+@query(
+    "q124_weighted_topk_sample",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source,
+        len(string_split(text, ' ')) AS weight,
+        (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT
+          / 4503599627370496.0) AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, source, weight,
+             round(pow(u, 1.0 / weight), 9) AS k
+      FROM w WHERE weight >= 1
+    )
+    SELECT doc_id, source, CAST(weight AS BIGINT) AS weight, k
+    FROM keyed ORDER BY k DESC, doc_id LIMIT 50
+    """,
+)
+def q124_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via exponential keys
+    (Efraimidis–Spirakis 2006, public algorithm): each doc draws a
+    deterministic uniform u from md5(doc_id), computes key u^(1/w)
+    (w = token count), and the global top-k keys ARE a weighted sample
+    without replacement — the one-pass distributed answer to 'sample
+    50 docs proportional to length' that a naive cumulative-sum scheme
+    (inherently sequential) can't give. Map + TakeOrderedAndProject:
+    no shuffle beyond the top-k. Keys rounded to 9 before ranking and
+    tie-broken by doc_id so both engines pick the identical set."""
+    docs = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double")
+        / F.lit(float(2**52))
+    )
+    w = token_count("text")
+    keyed = docs.select(
+        "doc_id",
+        "source",
+        w.alias("weight"),
+        F.round(F.pow(u, 1.0 / w), 9).alias("k"),
+    ).filter(F.col("weight") >= 1)
+    return (
+        keyed.select(
+            "doc_id", "source", F.col("weight").cast("bigint").alias("weight"), "k"
+        )
+        .orderBy(F.col("k").desc(), "doc_id")
+        .limit(50)
+    )

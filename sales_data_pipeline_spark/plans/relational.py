@@ -3305,3 +3305,43 @@ def q123_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(contrib) / F.sum(contrib).cast("double"), 6
         ).alias("top_key_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — statistical aggregate surface (stddev/variance/corr/covar)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q125_stats_toolkit",
+    oracle="""
+    SELECT l_returnflag,
+      CAST(count(*) AS BIGINT) AS n,
+      round(stddev_samp(l_extendedprice), 6) AS price_stddev,
+      round(var_samp(l_quantity), 6) AS qty_var,
+      round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+      round(covar_samp(l_quantity, l_extendedprice), 6) AS qty_price_covar
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q125_stats_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per return flag: sample stddev/variance
+    and quantity↔price Pearson correlation / sample covariance — the
+    distribution-monitoring aggregates (drift alarms, anomaly
+    baselines) the profiling scorecard (q77) stops short of. All four
+    are single-pass mergeable aggregates (Welford-style partial
+    states), so they cost the same one keyed shuffle as a plain sum —
+    no per-group collection anywhere. Rounded to 6: the online merge
+    order perturbs last bits across partitionings/engines."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_corr"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 6).alias(
+            "qty_price_covar"
+        ),
+    )
