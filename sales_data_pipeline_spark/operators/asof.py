@@ -154,3 +154,83 @@ def asof_join(
         *[F.col(f"__last.{c}").alias(f"{c}{suffix}") for c in right_payload],
     )
     return out
+
+
+def _negated(df: DataFrame, ts_col: str, out_col: str) -> DataFrame:
+    """Project the time axis negated (timestamps → −micros, numerics →
+    −value) so a BACKWARD as-of on the negated axis is a FORWARD as-of
+    on the real one."""
+    dtype = df.schema[ts_col].dataType
+    if isinstance(dtype, TimestampType):
+        return df.withColumn(out_col, -F.unix_micros(F.col(ts_col)))
+    return df.withColumn(out_col, -F.col(ts_col))
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    key: str | list[str],
+    left_id: str,
+    left_ts: str,
+    right_ts: str,
+    right_payload: list[str],
+    suffix: str = "_asof",
+    coarse_bucket: int | None = None,
+) -> DataFrame:
+    """NEAREST as-of join (pandas merge_asof direction='nearest'
+    semantics): each left row attaches the right row with the smallest
+    |right_ts − left_ts| in its key group, from either side; ties
+    (equidistant prior and following rows) prefer the PRIOR row —
+    deterministic and matching the backward join's bias. Composed from
+    two runs of the one-shuffle backward machinery: the forward pass is
+    a backward as-of on the NEGATED time axis (timestamps negate as
+    −micros), then the two candidates are compared per left row.
+
+    ``left_id`` must be a unique left key — it re-aligns the two
+    passes' outputs (3 keyed shuffles total: backward, forward, the
+    id join; each individually skew-guardable via ``coarse_bucket``).
+    """
+    back = asof_join(
+        left, right, key, left_ts, right_ts, right_payload,
+        strict=False, suffix="__b", coarse_bucket=coarse_bucket,
+    )
+    lneg = _negated(left, left_ts, "__lnt")
+    rneg = _negated(right, right_ts, "__rnt")
+    fwd = asof_join(
+        lneg, rneg, key, "__lnt", "__rnt",
+        [*right_payload, right_ts],
+        strict=False, suffix="__f", coarse_bucket=coarse_bucket,
+    ).drop("__lnt")
+
+    dtype = left.schema[left_ts].dataType
+    if isinstance(dtype, TimestampType):
+        lt = F.unix_micros(F.col(left_ts))
+        bt = F.unix_micros(F.col(f"{right_ts}__b"))
+        ft = F.unix_micros(F.col(f"{right_ts}__f"))
+    else:
+        lt = F.col(left_ts)
+        bt = F.col(f"{right_ts}__b")
+        ft = F.col(f"{right_ts}__f")
+    b_keep = [f"{right_ts}__b"] + [f"{c}__b" for c in right_payload]
+    f_keep = [f"{right_ts}__f"] + [f"{c}__f" for c in right_payload]
+    j = back.join(
+        fwd.select(left_id, *f_keep), left_id, "left"
+    )
+    back_dist = lt - bt
+    fwd_dist = ft - lt
+    use_back = F.col(f"{right_ts}__b").isNotNull() & (
+        F.col(f"{right_ts}__f").isNull() | (back_dist <= fwd_dist)
+    )
+    out_cols = [F.col(c) for c in left.columns]
+    out_cols.append(
+        F.when(use_back, F.col(f"{right_ts}__b"))
+        .otherwise(F.col(f"{right_ts}__f"))
+        .alias(f"{right_ts}{suffix}")
+    )
+    for c in right_payload:
+        out_cols.append(
+            F.when(use_back, F.col(f"{c}__b"))
+            .otherwise(F.col(f"{c}__f"))
+            .alias(f"{c}{suffix}")
+        )
+    return j.select(*out_cols)

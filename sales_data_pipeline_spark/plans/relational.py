@@ -3345,3 +3345,77 @@ def q125_stats_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qty_price_covar"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q126 — nearest-event join (as-of, direction = nearest)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q126_nearest_view",
+    oracle="""
+    WITH p AS (
+      SELECT event_id, user_id, ts, value FROM events
+      WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT user_id, ts AS view_ts, value AS view_value FROM events
+      WHERE event_type = 'view'
+    ),
+    ranked AS (
+      SELECT p.event_id, p.user_id, p.ts, p.value,
+             v.view_ts, v.view_value,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY abs(epoch_us(p.ts) - epoch_us(v.view_ts)),
+                        CASE WHEN v.view_ts <= p.ts THEN 0 ELSE 1 END
+             ) AS rn
+      FROM p LEFT JOIN v USING (user_id)
+    )
+    SELECT event_id, user_id,
+      strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+      value AS purchase_value,
+      strftime(view_ts, '%Y-%m-%d %H:%M:%S.%f') AS view_ts,
+      view_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def q126_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event enrichment: each purchase attaches the same user's
+    closest view by absolute time distance, before OR after (sensor-
+    fusion / nearest-context semantics — pandas merge_asof
+    direction='nearest', exact-equivalence-tested against pandas in
+    tests/test_asof.py). q30 is the backward-only form; this composes
+    two runs of that one-shuffle machinery (forward = backward on the
+    negated time axis) + an id re-join — no quadratic per-user compare,
+    unlike the oracle's rank-over-all-pairs formulation, which is the
+    exactness check only. Equidistant ties prefer the prior view."""
+    from sales_data_pipeline_spark.operators.asof import asof_join_nearest
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    )
+    out = asof_join_nearest(
+        p, v,
+        key="user_id",
+        left_id="event_id",
+        left_ts="ts",
+        right_ts="view_ts",
+        right_payload=["view_value"],
+        suffix="",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
+        "view_value",
+    )

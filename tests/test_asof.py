@@ -120,3 +120,63 @@ def test_asof_salted_plan_has_bucketed_window_key(spark):
     window_lines = [ln for ln in plan.split("\n") if "Window" in ln and "__last_in" in ln]
     assert window_lines, plan
     assert all("__b" in ln for ln in window_lines), window_lines[0]
+
+
+def test_asof_nearest_matches_pandas_merge_asof(spark):
+    """asof_join_nearest == pandas merge_asof(direction='nearest') on
+    generated tie-free data (ties carry our own documented prior-wins
+    rule, tested separately)."""
+    import numpy as np
+    import pandas as pd
+
+    from sales_data_pipeline_spark.operators.asof import asof_join_nearest
+
+    rng = np.random.RandomState(11)
+    # left at even offsets, right at odd offsets -> |delta| never ties
+    left_pd = pd.DataFrame({
+        "eid": range(40),
+        "key": rng.randint(0, 3, 40),
+        "t": np.sort(rng.choice(np.arange(0, 4000, 2), 40, replace=False)),
+    })
+    right_pd = pd.DataFrame({
+        "key": rng.randint(0, 3, 30),
+        "rt": np.sort(rng.choice(np.arange(1, 4001, 2), 30, replace=False)),
+        "val": rng.randint(0, 1000, 30).astype("float64"),
+    })
+    want = pd.merge_asof(
+        left_pd.sort_values("t"),
+        right_pd.sort_values("rt"),
+        left_on="t", right_on="rt", by="key", direction="nearest",
+    ).set_index("eid")
+
+    left = spark.createDataFrame(left_pd)
+    right = spark.createDataFrame(right_pd)
+    got = {
+        r.eid: (r.rt_asof, r.val_asof)
+        for r in asof_join_nearest(
+            left, right, key="key", left_id="eid",
+            left_ts="t", right_ts="rt", right_payload=["val"],
+        ).collect()
+    }
+    for eid in left_pd["eid"]:
+        w_rt = want.loc[eid, "rt"]
+        w_val = want.loc[eid, "val"]
+        g_rt, g_val = got[eid]
+        if pd.isna(w_rt):
+            assert g_rt is None, (eid, g_rt)
+        else:
+            assert g_rt == w_rt and g_val == w_val, (eid, g_rt, w_rt)
+
+
+def test_asof_nearest_tie_prefers_prior(spark):
+    from sales_data_pipeline_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame([(1, 1, 100)], "eid long, key long, t long")
+    right = spark.createDataFrame(
+        [(1, 90, 7.0), (1, 110, 9.0)], "key long, rt long, val double"
+    )
+    (row,) = asof_join_nearest(
+        left, right, key="key", left_id="eid",
+        left_ts="t", right_ts="rt", right_payload=["val"],
+    ).collect()
+    assert row.rt_asof == 90 and row.val_asof == 7.0  # equidistant → prior
