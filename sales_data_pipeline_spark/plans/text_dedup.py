@@ -579,3 +579,60 @@ def q90_duplicated_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return duplicated_chunks(docs, window=8, min_docs=2)
+
+
+@query(
+    "q127_neardup_triangles",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      JOIN sizes sa ON sa.doc_id = a.doc_id
+      JOIN sizes sb ON sb.doc_id = b.doc_id
+      GROUP BY 1, 2, sa.n_sh, sb.n_sh
+      HAVING count(*) / CAST(sa.n_sh + sb.n_sh - count(*) AS DOUBLE) >= 0.5
+    ),
+    tri AS (
+      SELECT e1.doc_a AS x, e1.doc_b AS y, e2.doc_b AS z
+      FROM pairs e1
+      JOIN pairs e2 ON e1.doc_b = e2.doc_a
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    nodes AS (
+      SELECT x AS node FROM tri
+      UNION ALL SELECT y FROM tri
+      UNION ALL SELECT z FROM tri
+    )
+    SELECT node AS doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY node
+    """,
+)
+def q127_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the near-dup similarity graph (Jaccard ≥
+    0.5 pairs): per document, how many closed triples it participates
+    in — triangles are the transitivity evidence that near-dup PAIRS
+    form real duplicate CLUSTERS (q49's connected components can chain
+    A–B–C without A–C; triangles can't), and triangle density is the
+    standard cohesion metric before trusting cluster-level dedup
+    decisions. Distributed shape: with edges canonically a<b, each
+    triangle (x<y<z) is counted exactly once by joining wedge
+    (x,y)+(y,z) against closing edge (x,z) — two keyed self-joins on
+    the EDGE list (bounded by pair count, never docs²), then one
+    explode+agg for per-node counts."""
+    from sales_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    e1 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+    e2 = edges.select(F.col("doc_a").alias("y"), F.col("doc_b").alias("z"))
+    e3 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return nodes.groupBy(F.col("node").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
