@@ -107,3 +107,63 @@ def connected_components(
             "(labels still decreasing); raise max_iter or inspect the input graph"
         )
     return labels.select("node", F.col("label").alias("cluster"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    damping: float = 0.85,
+    iters: int = 10,
+    undirected: bool = True,
+) -> DataFrame:
+    """PageRank (Brin & Page 1998, public algorithm) as a DataFrame
+    iteration — the second iterative graph operator beside
+    connected_components, sharing its scale shape: per iteration ONE
+    join (rank × out-degree contribution) + ONE keyed aggregation, no
+    driver-side state beyond the loop counter. Degrees are computed
+    once and re-joined; dangling nodes (no out-edges) can't exist in
+    the undirected near-dup graph, so no dangling-mass correction is
+    needed there (documented limitation for directed inputs: dangling
+    mass is dropped, ranks still order correctly).
+
+    Deterministic: init 1/N for all nodes, fixed iteration count,
+    double arithmetic over keyed aggregations (sum order may perturb
+    last bits across partitionings — consumers round, as q128 does).
+    Returns (node, rank)."""
+    if undirected:
+        fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        rev = edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+        e = fwd.unionByName(rev)
+    else:
+        e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.persist()
+    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    n_nodes = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    base = (1.0 - damping) / n_nodes
+    for _ in range(iters):
+        contribs = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(deg, "src")
+            .select("dst", (F.col("rank") / F.col("out_deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0)))
+                .alias("rank"),
+            )
+            # truncate lineage per round (same discipline as
+            # connected_components): an un-checkpointed loop builds a
+            # 2·iters-join plan that analysis alone chokes on
+            .localCheckpoint(eager=True)
+        )
+    out = ranks
+    e.unpersist()
+    nodes.unpersist()
+    return out

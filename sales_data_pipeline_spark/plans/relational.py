@@ -3419,3 +3419,67 @@ def q126_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("view_ts"),
         "view_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# q129 — built-in session windows (gap-merged sessions, batch form)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q129_session_windows",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+        sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+      strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+      strftime(max(ts) + INTERVAL 30 MINUTES,
+               '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+      CAST(count(*) AS BIGINT) AS n_events,
+      round(sum(value), 6) AS total_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+)
+def q129_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in SESSION windows in batch (F.session_window, 30-minute
+    gap): Spark merges per-user events whose gaps stay under the
+    threshold into one window whose end = last event + gap. The oracle
+    rebuilds the identical sessions from first principles (q15's
+    lag-flag + running sum), so this query is ALSO the proof that the
+    engine's three sessionization forms — q15's window algebra, the
+    streaming applyInPandasWithState operator, and this built-in —
+    agree on the same semantics. One keyed shuffle; state never
+    materializes beyond the aggregation."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+    )

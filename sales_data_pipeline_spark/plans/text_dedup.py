@@ -636,3 +636,26 @@ def q127_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nodes.groupBy(F.col("node").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+@query("q128_neardup_pagerank", oracle=None)
+def q128_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup similarity graph: which
+    documents sit at the CENTER of duplication neighborhoods — the
+    canonical-representative signal when a dedup cluster keeps one doc
+    (keep the hub, not a periphery variant; complements q49's min-id
+    rule with a content-aware choice). oracle=None: a 10-iteration
+    fixpoint isn't one SQL statement; covering checks in
+    tests/test_dedup.py assert exact equality against a pure-Python
+    reference on the same edges, rank-sum ≈ 1 conservation, and
+    hub-ranks-highest on a planted star graph. Deterministic: fixed
+    init/iterations, rounded output."""
+    from sales_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from sales_data_pipeline_spark.operators.graph import pagerank
+
+    docs = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    pr = pagerank(edges, iters=10)
+    return pr.select(
+        F.col("node").alias("doc_id"), F.round("rank", 9).alias("rank")
+    ).orderBy("doc_id")

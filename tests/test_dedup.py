@@ -347,3 +347,55 @@ def test_lsh_bucket_cap_bounds_adversarial_mega_cluster(spark, docs):
     ord_cap = {(r.doc_a, r.doc_b) for r in capped.filter(
         (F.col("doc_a") < 500000) & (F.col("doc_b") < 500000)).collect()}
     assert ord_un == ord_cap
+
+
+# ---------------------------------------------------------------------------
+# pagerank (q128 covering checks)
+# ---------------------------------------------------------------------------
+
+
+def _py_pagerank(edges, damping=0.85, iters=10):
+    """Pure-Python reference with the operator's exact contract
+    (undirected, init 1/N, no dangling correction)."""
+    und = set()
+    for a, b in edges:
+        und.add((a, b))
+        und.add((b, a))
+    nodes = sorted({s for s, _ in und})
+    out_deg = {}
+    for s, _ in und:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    n = len(nodes)
+    rank = {v: 1.0 / n for v in nodes}
+    base = (1.0 - damping) / n
+    for _ in range(iters):
+        mass = {v: 0.0 for v in nodes}
+        for s, d in und:
+            mass[d] += rank[s] / out_deg[s]
+        rank = {v: base + damping * mass[v] for v in nodes}
+    return rank
+
+
+def test_pagerank_matches_python_reference(spark):
+    from sales_data_pipeline_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (10, 11)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.rank for r in pagerank(df, iters=10).collect()}
+    want = _py_pagerank(edges)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+    # probability mass conserved (no dangling nodes in undirected form)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_star_hub_ranks_highest(spark):
+    from sales_data_pipeline_spark.operators.graph import pagerank
+
+    star = [(0, i) for i in range(1, 9)]
+    df = spark.createDataFrame(star, "doc_a long, doc_b long")
+    ranks = {r.node: r.rank for r in pagerank(df, iters=10).collect()}
+    assert ranks[0] == max(ranks.values())
+    leaves = [v for k, v in ranks.items() if k != 0]
+    assert max(leaves) - min(leaves) < 1e-12  # symmetric leaves tie
