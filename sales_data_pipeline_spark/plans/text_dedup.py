@@ -649,13 +649,15 @@ def q128_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_dedup.py assert exact equality against a pure-Python
     reference on the same edges, rank-sum ≈ 1 conservation, and
     hub-ranks-highest on a planted star graph. Deterministic: fixed
-    init/iterations, rounded output."""
+    init/iterations, rounded output. 6 iterations: rank ORDER is stable
+    well before values converge, and each checkpointed round is a real
+    job on the driver's virgin-session shuffle width."""
     from sales_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
     from sales_data_pipeline_spark.operators.graph import pagerank
 
     docs = table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    pr = pagerank(edges, iters=10)
+    pr = pagerank(edges, iters=6)
     return pr.select(
         F.col("node").alias("doc_id"), F.round("rank", 9).alias("rank")
     ).orderBy("doc_id")
