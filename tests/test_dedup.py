@@ -221,20 +221,27 @@ def test_release_caches_frees_persisted_intermediates(spark, sf_dir):
         release_caches,
     )
 
+    from pyspark import StorageLevel
+
+    from sales_data_pipeline_spark.operators import dedup as _dedup
+
     release_caches()  # start clean
     # foreign leftovers with the SAME logical subtree would be
     # substituted by the CacheManager and mask our persist calls —
-    # clear everything so the relative counts below are ours alone
+    # clear everything so the registry below is ours alone. (Do NOT
+    # assert on sc.getPersistentRDDs() totals: the async ContextCleaner
+    # collects other tests' stale localCheckpoint RDDs at arbitrary
+    # times and the global count races it — bit two full-suite runs.)
     spark.catalog.clearCache()
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
     docs = table(spark, sf_dir, "documents")
     ngram_jaccard_pairs(docs, threshold=0.6).count()
-    assert jsc.getPersistentRDDs().size() > before
-    assert release_caches() >= 2  # occurrence table + ordered sets
-    # back to where we started — only OUR registered intermediates are
-    # released (unrelated caches, e.g. graph checkpoints, are not ours)
-    assert jsc.getPersistentRDDs().size() <= before
+    registered = list(_dedup._CACHED)
+    assert len(registered) >= 2  # occurrence table + ordered sets
+    for df in registered:
+        assert df.storageLevel != StorageLevel.NONE, "registered but not persisted"
+    assert release_caches() == len(registered)
+    for df in registered:
+        assert df.storageLevel == StorageLevel.NONE, "release left it cached"
     assert release_caches() == 0  # idempotent
 
 
