@@ -549,3 +549,69 @@ def q110_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "below_k",
         F.when(F.col("group_size") < 5, 1).otherwise(0).cast("bigint"),
     )
+
+
+@query(
+    "q130_forget_report",
+    oracle="""
+    WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    o AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_subjects_with_orders
+      FROM orders JOIN del ON o_custkey = c_custkey
+    ),
+    l AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_lineitems
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN del ON o_custkey = c_custkey
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM del) AS n_subjects,
+      o.n_subjects_with_orders,
+      o.n_orders,
+      l.n_lineitems,
+      (SELECT CAST(count(*) AS BIGINT) FROM customer) - (SELECT count(*) FROM del)
+        AS n_customers_after
+    FROM o, l
+    """,
+)
+def q130_forget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact report: for a deletion set of data
+    subjects (custkey % 97 — stands in for an erasure-request batch),
+    every row the cascade must touch — their orders, the order lines
+    reachable through the key chain, and the post-delete customer
+    count. A compliance pipeline runs THIS before the destructive
+    anti-join delete (the delete itself is the same joins with
+    left_anti + dynamic partition overwrite, q73/q63's write
+    machinery). The deletion set is tiny → both probe joins broadcast
+    it; lineitem is reached only through the orders join, never
+    scanned against customers directly."""
+    cust = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    dele = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    o = orders.join(
+        F.broadcast(dele), orders.o_custkey == dele.c_custkey
+    )
+    o_stats = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.count_distinct("o_custkey").cast("bigint").alias(
+            "n_subjects_with_orders"
+        ),
+    )
+    l_stats = li.join(
+        o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_lineitems"))
+    n_del = dele.count()
+    n_cust = cust.count()
+    return (
+        o_stats.crossJoin(l_stats)
+        .select(
+            F.lit(n_del).cast("bigint").alias("n_subjects"),
+            "n_subjects_with_orders",
+            "n_orders",
+            "n_lineitems",
+            F.lit(n_cust - n_del).cast("bigint").alias("n_customers_after"),
+        )
+    )
