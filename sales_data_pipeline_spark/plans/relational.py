@@ -3483,3 +3483,113 @@ def q129_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q131 — distribution windows: cume_dist + nth_value
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q131_spend_position",
+    oracle="""
+    WITH spend AS (
+      SELECT c_mktsegment, o_custkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+      FROM orders JOIN customer ON c_custkey = o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, o_custkey AS custkey,
+      CAST(total_spend AS DOUBLE) AS total_spend,
+      round(cume_dist() OVER w, 9) AS spend_cume_dist,
+      CAST(nth_value(o_custkey, 2) OVER (
+        PARTITION BY c_mktsegment ORDER BY total_spend DESC, o_custkey
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+      ) AS BIGINT) AS second_biggest_spender
+    FROM spend
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY total_spend, o_custkey)
+    """,
+)
+def q131_spend_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value — the last two ranking/navigation window
+    functions the catalog hadn't exercised (q48 covered ntile/
+    percent_rank): each customer's cumulative spend position within
+    their segment, beside the segment's second-biggest spender
+    (nth_value over the full frame; the explicit UNBOUNDED FOLLOWING
+    matters — the default frame would return NULL until row 2).
+    Deterministic tie-breaks on custkey in both specs; the two window
+    specs share the segment partition so one shuffle serves both
+    sorts."""
+    spend = (
+        table(spark, sf_dir, "orders")
+        .join(
+            table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment", "o_custkey")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                "total_spend"
+            )
+        )
+    )
+    w_cume = Window.partitionBy("c_mktsegment").orderBy("total_spend", "o_custkey")
+    w_nth = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("total_spend").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return spend.select(
+        "c_mktsegment",
+        F.col("o_custkey").alias("custkey"),
+        F.col("total_spend").cast("double").alias("total_spend"),
+        F.round(F.cume_dist().over(w_cume), 9).alias("spend_cume_dist"),
+        F.nth_value("o_custkey", 2).over(w_nth).cast("bigint").alias(
+            "second_biggest_spender"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q132 — calendar/date function toolkit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q132_datetime_toolkit",
+    oracle="""
+    SELECT o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS order_date,
+      CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+      CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+      CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+      strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+      strftime(CAST(o_orderdate AS DATE) + INTERVAL 90 DAY, '%Y-%m-%d')
+        AS due_date,
+      CAST(date_diff('day', CAST(o_orderdate AS DATE),
+           last_day(CAST(o_orderdate AS DATE))) AS BIGINT)
+        AS days_to_month_end
+    FROM orders WHERE o_orderkey % 40 = 0
+    """,
+)
+def q132_datetime_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-function parity sweep: day-of-month/week/year, end of
+    month, +90-day due dates, days-to-month-end — the date vocabulary
+    of billing and retention logic, pinned cross-engine. One dialect
+    trap handled explicitly: Spark's dayofweek is 1=Sunday while
+    DuckDB's is 0=Sunday, so the oracle shifts by one — the kind of
+    off-by-one that silently corrupts weekly rollups when unpinned.
+    Pure map stage; the mod-filter rides the scan."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 40 == 0)
+    d = F.col("o_orderdate")
+    dt = F.to_date(d)
+    return orders.select(
+        "o_orderkey",
+        F.date_format(d, "yyyy-MM-dd").alias("order_date"),
+        F.dayofmonth(d).cast("bigint").alias("dom"),
+        F.dayofweek(d).cast("bigint").alias("dow"),
+        F.dayofyear(d).cast("bigint").alias("doy"),
+        F.date_format(F.last_day(dt), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.date_add(dt, 90), "yyyy-MM-dd").alias("due_date"),
+        F.datediff(F.last_day(dt), dt).cast("bigint").alias("days_to_month_end"),
+    )
