@@ -3593,3 +3593,86 @@ def q132_datetime_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.date_add(dt, 90), "yyyy-MM-dd").alias("due_date"),
         F.datediff(F.last_day(dt), dt).cast("bigint").alias("days_to_month_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q133 — inter-purchase gap histogram (lag diffs, minute buckets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q133_purchase_gap_histogram",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    gaps AS (
+      SELECT user_id,
+        (epoch_us(ts) - epoch_us(lag(ts) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id))) / 60000000.0
+          AS gap_min
+      FROM p
+    ),
+    b AS (
+      SELECT CAST(CASE
+        WHEN gap_min < 1 THEN 0
+        WHEN gap_min < 10 THEN 1
+        WHEN gap_min < 60 THEN 2
+        WHEN gap_min < 1440 THEN 3
+        ELSE 4 END AS BIGINT) AS bucket
+      FROM gaps WHERE gap_min IS NOT NULL
+    )
+    SELECT bucket,
+      CASE bucket WHEN 0 THEN '<1m' WHEN 1 THEN '1-10m' WHEN 2 THEN '10m-1h'
+                  WHEN 3 THEN '1h-1d' ELSE '>=1d' END AS label,
+      CAST(count(*) AS BIGINT) AS n_gaps,
+      round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS frac
+    FROM b GROUP BY bucket
+    """,
+)
+def q133_purchase_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase time distribution in human buckets (<1m to ≥1d) —
+    the repurchase-cadence metric behind retention and inventory
+    planning. lag over (user, time) → bucketed diffs → tiny histogram;
+    the share normalizer windows over 5 rows, never events. First
+    purchases (no prior) drop out by definition."""
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_min = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    ) / 60000000.0
+    b = (
+        p.select(gap_min.alias("gap_min"))
+        .filter(F.col("gap_min").isNotNull())
+        .select(
+            F.when(F.col("gap_min") < 1, 0)
+            .when(F.col("gap_min") < 10, 1)
+            .when(F.col("gap_min") < 60, 2)
+            .when(F.col("gap_min") < 1440, 3)
+            .otherwise(4)
+            .cast("bigint")
+            .alias("bucket")
+        )
+    )
+    hist = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps")
+    )
+    label = (
+        F.when(F.col("bucket") == 0, "<1m")
+        .when(F.col("bucket") == 1, "1-10m")
+        .when(F.col("bucket") == 2, "10m-1h")
+        .when(F.col("bucket") == 3, "1h-1d")
+        .otherwise(">=1d")
+    )
+    w_tot = Window.partitionBy()
+    return hist.select(
+        "bucket",
+        label.alias("label"),
+        "n_gaps",
+        F.round(
+            F.col("n_gaps") / F.sum("n_gaps").over(w_tot).cast("double"), 6
+        ).alias("frac"),
+    )
