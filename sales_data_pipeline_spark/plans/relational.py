@@ -3676,3 +3676,117 @@ def q133_purchase_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_gaps") / F.sum("n_gaps").over(w_tot).cast("double"), 6
         ).alias("frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q134 — indexed revenue series (cumulative product via exp∘sum∘ln)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q134_revenue_index",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mo,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    g AS (
+      SELECT mo, rev,
+        CAST(rev AS DOUBLE) / CAST(lag(rev) OVER (ORDER BY mo) AS DOUBLE)
+          AS growth
+      FROM m
+    )
+    SELECT strftime(mo, '%Y-%m') AS month,
+      CAST(rev AS DOUBLE) AS revenue,
+      round(COALESCE(exp(sum(ln(growth)) OVER (
+        ORDER BY mo ROWS UNBOUNDED PRECEDING)), 1.0) * 100, 4) AS index_100
+    FROM g
+    """,
+)
+def q134_revenue_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue index series (first month = 100): the cumulative PRODUCT
+    of month-over-month growth ratios, which SQL has no aggregate for —
+    the exp(Σ ln x) identity turns it into a running-sum window, the
+    standard portable spelling (and the reason ln-space is how
+    compounding metrics stay inside relational engines). Window runs
+    over the ~80-row monthly aggregate; rounded to 4 because exp∘ln
+    round-trips wobble the last float bits."""
+    orders = table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mo")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w_lag = Window.orderBy("mo")
+    g = m.withColumn(
+        "growth",
+        F.col("rev").cast("double") / F.lag(F.col("rev").cast("double")).over(w_lag),
+    )
+    w_cum = Window.orderBy("mo").rowsBetween(Window.unboundedPreceding, 0)
+    return g.select(
+        F.date_format("mo", "yyyy-MM").alias("month"),
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.coalesce(F.exp(F.sum(F.log("growth")).over(w_cum)), F.lit(1.0))
+            * 100,
+            4,
+        ).alias("index_100"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q135 — Gini coefficient of customer spend (inequality of the revenue base)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q135_spend_gini",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x, row_number() OVER (ORDER BY x, o_custkey) AS i,
+             count(*) OVER () AS n, sum(x) OVER () AS total
+      FROM spend
+    )
+    SELECT CAST(max(n) AS BIGINT) AS n_customers,
+      round(CAST(max(total) AS DOUBLE), 2) AS total_spend,
+      round(2.0 * sum(i * x) / (max(n) * max(total))
+            - (max(n) + 1.0) / max(n), 6) AS gini
+    FROM ranked
+    """,
+)
+def q135_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend — how concentrated the
+    revenue base is (0 = uniform, →1 = one whale), computed with the
+    rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted
+    spends. The global sort runs over the |customers| aggregate, not
+    orders; at 100 TB the same formula works on a SAMPLE of customers
+    (Gini is estimable from uniform samples) — the full-sort form here
+    is the exactness anchor. Deterministic tie-break on custkey."""
+    orders = table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("x")
+    )
+    w_rank = Window.orderBy("x", "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = spend.select(
+        "x",
+        F.row_number().over(w_rank).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("x").over(w_all).alias("total"),
+    )
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.round(F.max("total"), 2).alias("total_spend"),
+        F.round(
+            F.lit(2.0) * F.sum(F.col("i") * F.col("x"))
+            / (F.max("n") * F.max("total"))
+            - (F.max("n") + F.lit(1.0)) / F.max("n"),
+            6,
+        ).alias("gini"),
+    )
