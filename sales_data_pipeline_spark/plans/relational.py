@@ -3790,3 +3790,113 @@ def q135_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q136 — Herfindahl–Hirschman concentration per year (brand mix)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q136_brand_hhi",
+    oracle="""
+    WITH r AS (
+      SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year, p_brand,
+        SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS rev
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT ship_year, p_brand,
+        CAST(rev AS DOUBLE) / CAST(SUM(rev) OVER (PARTITION BY ship_year)
+                                   AS DOUBLE) AS share
+      FROM r
+    )
+    SELECT ship_year,
+      CAST(count(*) AS BIGINT) AS n_brands,
+      round(sum(share * share), 6) AS hhi,
+      round(1.0 / sum(share * share), 6) AS effective_brands
+    FROM s GROUP BY ship_year
+    """,
+)
+def q136_brand_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman index of brand revenue per year — the
+    concentration companion to q135's Gini: Σ share² (and its inverse,
+    the 'effective number of brands'), the antitrust/market-structure
+    summary built on q103's share computation. Everything past the one
+    fact shuffle runs on the |years|×|brands| aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    r = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").cast("bigint").alias("ship_year"), "p_brand"
+        )
+        .agg(F.sum(F.col("l_extendedprice").cast(_PRICE)).alias("rev"))
+    )
+    w = Window.partitionBy("ship_year")
+    s = r.select(
+        "ship_year",
+        (
+            F.col("rev").cast("double")
+            / F.sum("rev").over(w).cast("double")
+        ).alias("share"),
+    )
+    return s.groupBy("ship_year").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_brands"),
+        F.round(F.sum(F.col("share") * F.col("share")), 6).alias("hhi"),
+        F.round(F.lit(1.0) / F.sum(F.col("share") * F.col("share")), 6).alias(
+            "effective_brands"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q137 — Benford first-digit audit (fraud/anomaly screening)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q137_benford_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                         1, 1) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT digit,
+      CAST(count(*) AS BIGINT) AS n,
+      round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+        AS observed_freq,
+      round(log10(1.0 + 1.0 / digit), 6) AS benford_freq,
+      round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE)
+            - log10(1.0 + 1.0 / digit), 6) AS deviation
+    FROM d GROUP BY digit
+    """,
+)
+def q137_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit screen over order totals (public
+    forensic-accounting technique): observed leading-digit frequencies
+    beside the log10(1+1/d) expectation and their deviation —
+    fabricated or band-clipped amounts bend this distribution long
+    before any individual row looks wrong. (This synthetic corpus's
+    uniform prices WILL deviate — the point of the query is the
+    screen, not this dataset's verdict.) Digit extracted from the
+    floored integer string so both engines see identical leading
+    characters; one map + 9-group agg, window over 9 rows."""
+    orders = table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("bigint")
+    d = orders.select(digit.alias("digit"))
+    w = Window.partitionBy()
+    hist = d.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    obs = F.col("n") / F.sum("n").over(w).cast("double")
+    return hist.select(
+        "digit",
+        "n",
+        F.round(obs, 6).alias("observed_freq"),
+        F.round(benford, 6).alias("benford_freq"),
+        F.round(obs - benford, 6).alias("deviation"),
+    )
