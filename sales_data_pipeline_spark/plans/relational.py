@@ -3900,3 +3900,126 @@ def q137_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(benford, 6).alias("benford_freq"),
         F.round(obs - benford, 6).alias("deviation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q138 — Pareto curve (cumulative revenue share by customer rank decile)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q138_pareto_curve",
+    oracle="""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x,
+        ntile(10) OVER (ORDER BY x DESC, o_custkey) AS decile,
+        sum(x) OVER () AS total
+      FROM spend
+    ),
+    per AS (
+      SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+             sum(x) AS decile_rev, max(total) AS total
+      FROM ranked GROUP BY decile
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+      round(decile_rev / total, 6) AS revenue_share,
+      round(sum(decile_rev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            / total, 6) AS cum_revenue_share
+    FROM per
+    """,
+)
+def q138_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto concentration curve: customers ranked into spend deciles
+    (best first), each decile's revenue share and the running
+    cumulative share — the '20% drive 80%' readout that q135's single
+    Gini number summarizes. Rank window over the customer aggregate;
+    the cumulative window runs over 10 rows."""
+    orders = table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("x")
+    )
+    w_rank = Window.orderBy(F.col("x").desc(), "o_custkey")
+    w_all = Window.partitionBy()
+    ranked = spend.select(
+        "x",
+        F.ntile(10).over(w_rank).alias("decile"),
+        F.sum("x").over(w_all).alias("total"),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("x").alias("decile_rev"),
+        F.max("total").alias("total"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_customers",
+        F.round(F.col("decile_rev") / F.col("total"), 6).alias("revenue_share"),
+        F.round(
+            F.sum("decile_rev").over(w_cum) / F.col("total"), 6
+        ).alias("cum_revenue_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q139 — new vs returning revenue per month (acquisition decomposition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q139_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+             min(date_trunc('month', o_orderdate)) AS first_month
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      CAST(sum(CASE WHEN date_trunc('month', o_orderdate) = first_month
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_new_orders,
+      CAST(sum(CASE WHEN date_trunc('month', o_orderdate) <> first_month
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_returning_orders,
+      CAST(SUM(CASE WHEN date_trunc('month', o_orderdate) = first_month
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END)
+           AS DOUBLE) AS new_revenue,
+      CAST(SUM(CASE WHEN date_trunc('month', o_orderdate) <> first_month
+               THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END)
+           AS DOUBLE) AS returning_revenue
+    FROM orders JOIN firsts USING (o_custkey)
+    GROUP BY 1
+    """,
+)
+def q139_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue decomposed into NEW customers (their first-ever
+    month) vs RETURNING — the acquisition-vs-retention split every
+    growth report leads with (the flow view of q68's cohort matrix).
+    Per-customer first month is one keyed aggregation joined back on
+    the same key (broadcast-or-shuffle decided by AQE); the monthly
+    split is conditional decimal sums in one pass."""
+    orders = table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("first_month")
+    )
+    j = orders.join(firsts, "o_custkey")
+    is_new = month == F.col("first_month")
+    dec = F.col("o_totalprice").cast("decimal(18,2)")
+    return j.groupBy(F.date_format(month, "yyyy-MM").alias("month")).agg(
+        F.sum(is_new.cast("bigint")).cast("bigint").alias("n_new_orders"),
+        F.sum((~is_new).cast("bigint")).cast("bigint").alias(
+            "n_returning_orders"
+        ),
+        F.sum(F.when(is_new, dec).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("new_revenue"),
+        F.sum(F.when(~is_new, dec).otherwise(F.lit(0)))
+        .cast("double")
+        .alias("returning_revenue"),
+    )
