@@ -4023,3 +4023,74 @@ def q139_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("returning_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q140 — RFM segmentation (recency / frequency / monetary quintiles)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q140_rfm_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+        max(o_orderdate) AS last_order,
+        CAST(count(*) AS BIGINT) AS frequency,
+        SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+      SELECT o_custkey,
+        CAST(ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT)
+          AS r_score,
+        CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+          AS f_score,
+        CAST(ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS BIGINT)
+          AS m_score
+      FROM base
+    )
+    SELECT r_score || '-' || f_score || '-' || m_score AS segment,
+      CAST(count(*) AS BIGINT) AS n_customers,
+      CAST(sum(CASE WHEN r_score = 1 AND f_score = 1 AND m_score = 1
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_champions
+    FROM scored GROUP BY 1
+    """,
+)
+def q140_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (public CRM recipe): per customer, quintile
+    scores on Recency (latest order), Frequency (order count) and
+    Monetary (decimal-exact spend), combined into 'R-F-M' segment
+    labels with census counts — '1-1-1' is the champions cell. Three
+    ntile windows over the SAME customer aggregate share one global
+    sort partition each (the aggregate is |customers|-sized, not
+    orders); ties on every axis break on custkey so both engines
+    assign identical quintiles."""
+    orders = table(spark, sf_dir, "orders")
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    w_r = Window.orderBy(F.col("last_order").desc(), "o_custkey")
+    w_f = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+    w_m = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+    scored = base.select(
+        "o_custkey",
+        F.ntile(5).over(w_r).cast("bigint").alias("r_score"),
+        F.ntile(5).over(w_f).cast("bigint").alias("f_score"),
+        F.ntile(5).over(w_m).cast("bigint").alias("m_score"),
+    )
+    seg = F.concat_ws(
+        "-",
+        F.col("r_score").cast("string"),
+        F.col("f_score").cast("string"),
+        F.col("m_score").cast("string"),
+    )
+    champions = (
+        (F.col("r_score") == 1) & (F.col("f_score") == 1) & (F.col("m_score") == 1)
+    )
+    return scored.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(champions.cast("bigint")).cast("bigint").alias("n_champions"),
+    )
