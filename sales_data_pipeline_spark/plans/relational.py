@@ -4094,3 +4094,97 @@ def q140_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
         F.sum(champions.cast("bigint")).cast("bigint").alias("n_champions"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q141 — calendar seasonality index of revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q141_seasonal_index",
+    oracle="""
+    WITH m AS (
+      SELECT date_trunc('month', o_orderdate) AS mo,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1
+    )
+    SELECT CAST(month(mo) AS BIGINT) AS cal_month,
+      CAST(count(*) AS BIGINT) AS n_months,
+      round(avg(rev), 2) AS mean_rev,
+      round(avg(rev) / (SELECT avg(rev) FROM m), 6) AS seasonal_index
+    FROM m GROUP BY 1
+    """,
+)
+def q141_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar seasonality: each calendar month's average revenue as a
+    ratio to the all-months average (index 1.0 = typical month) — the
+    first-order seasonal decomposition a demand forecast starts from.
+    Uncorrelated scalar subquery (the global mean) against the monthly
+    aggregate; everything after the one fact shuffle runs on ≤ 80
+    rows."""
+    orders = table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("mo")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("rev")
+    )
+    overall = m.agg(F.avg("rev").alias("g"))
+    return (
+        m.groupBy(F.month("mo").cast("bigint").alias("cal_month"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            F.round(F.avg("rev"), 2).alias("mean_rev"),
+            F.avg("rev").alias("__mean"),
+        )
+        .crossJoin(F.broadcast(overall))
+        .select(
+            "cal_month",
+            "n_months",
+            "mean_rev",
+            F.round(F.col("__mean") / F.col("g"), 6).alias("seasonal_index"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q142 — basket-size histogram (line items per order)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q142_basket_size_histogram",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT n_items,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6)
+        AS frac_orders
+    FROM per_order GROUP BY n_items
+    """,
+)
+def q142_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size distribution: line items per order, histogrammed —
+    the order-composition shape behind packaging/fulfillment planning
+    and the sanity check on fact fan-out assumptions (q123 predicts
+    joins with exactly these counts). Two keyed aggregations, both
+    map-side combined; share normalizer over the tiny histogram."""
+    li = table(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items")
+    )
+    w = Window.partitionBy()
+    return per_order.groupBy("n_items").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    ).select(
+        "n_items",
+        "n_orders",
+        F.round(
+            F.col("n_orders") / F.sum("n_orders").over(w).cast("double"), 6
+        ).alias("frac_orders"),
+    )
