@@ -4188,3 +4188,49 @@ def q142_basket_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders") / F.sum("n_orders").over(w).cast("double"), 6
         ).alias("frac_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q143 — regression aggregates (price-trend slope per brand)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q143_price_trend",
+    oracle="""
+    WITH pts AS (
+      SELECT p_brand,
+        CAST(year(l_shipdate) - 1995 AS DOUBLE) AS x,
+        l_extendedprice / l_quantity AS y
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE l_quantity > 0
+    )
+    SELECT p_brand,
+      CAST(count(*) AS BIGINT) AS n_points,
+      round(regr_slope(y, x), 6) AS trend_per_year,
+      round(regr_intercept(y, x), 6) AS base_price,
+      round(regr_r2(y, x), 6) AS r2
+    FROM pts GROUP BY p_brand
+    """,
+)
+def q143_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares price trend per brand: regr_slope / regr_intercept
+    / regr_r2 over (year-index, unit-price) points — the in-database
+    linear-regression aggregate family (SQL:2003), closing the
+    statistical surface beside q125's moments. One pass, mergeable
+    partial states (sums of x, y, xy, x², y²), so the cost is exactly
+    a grouped sum's; rounded to 6 because the closed-form division
+    amplifies last-bit noise."""
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 0)
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = li.join(part, li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        (F.year("l_shipdate") - 1995).cast("double").alias("x"),
+        (F.col("l_extendedprice") / F.col("l_quantity")).alias("y"),
+    )
+    return pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.round(F.regr_slope("y", "x"), 6).alias("trend_per_year"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("base_price"),
+        F.round(F.regr_r2("y", "x"), 6).alias("r2"),
+    )
