@@ -4234,3 +4234,83 @@ def q143_price_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept("y", "x"), 6).alias("base_price"),
         F.round(F.regr_r2("y", "x"), 6).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q144 — cohort LTV curve (cumulative revenue per acquisition cohort)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q144_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY o_custkey
+    ),
+    cohort_size AS (
+      SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+      FROM firsts GROUP BY cohort
+    ),
+    flows AS (
+      SELECT f.cohort,
+        date_diff('month', f.cohort, date_trunc('month', o.o_orderdate))
+          AS offset_months,
+        SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders o JOIN firsts f USING (o_custkey)
+      GROUP BY 1, 2
+    )
+    SELECT strftime(fl.cohort, '%Y-%m') AS cohort_month,
+      CAST(fl.offset_months AS BIGINT) AS offset_months,
+      cs.n_customers,
+      CAST(fl.rev AS DOUBLE) AS period_revenue,
+      round(CAST(sum(fl.rev) OVER (PARTITION BY fl.cohort ORDER BY fl.offset_months
+                 ROWS UNBOUNDED PRECEDING) AS DOUBLE) / cs.n_customers, 6)
+        AS cum_ltv_per_customer
+    FROM flows fl JOIN cohort_size cs ON fl.cohort = cs.cohort
+    """,
+)
+def q144_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: for each acquisition cohort (first
+    order month), cumulative revenue per customer by month offset —
+    the dollars companion to q68's retention counts and the curve LTV
+    payback models are fit to. Heavy work is two keyed aggregations
+    over orders; the cumulative window runs over the cohort×offset
+    matrix (≤ 80² rows), and cohort sizes broadcast onto it."""
+    orders = table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    firsts = orders.groupBy("o_custkey").agg(
+        F.min(F.date_trunc("month", F.col("o_orderdate"))).alias("cohort")
+    )
+    cohort_size = firsts.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers")
+    )
+    flows = (
+        orders.join(firsts, "o_custkey")
+        .groupBy(
+            "cohort",
+            F.months_between(month, F.col("cohort")).cast("bigint").alias(
+                "offset_months"
+            ),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("offset_months")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flows.join(F.broadcast(cohort_size), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            "offset_months",
+            "n_customers",
+            F.col("rev").cast("double").alias("period_revenue"),
+            F.round(
+                F.sum("rev").over(w).cast("double") / F.col("n_customers"), 6
+            ).alias("cum_ltv_per_customer"),
+        )
+    )
