@@ -116,34 +116,61 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     undirected: bool = True,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank (Brin & Page 1998, public algorithm) as a DataFrame
     iteration — the second iterative graph operator beside
     connected_components, sharing its scale shape: per iteration ONE
     join (rank × out-degree contribution) + ONE keyed aggregation, no
-    driver-side state beyond the loop counter. Degrees are computed
-    once and re-joined; dangling nodes (no out-edges) can't exist in
-    the undirected near-dup graph, so no dangling-mass correction is
-    needed there (documented limitation for directed inputs: dangling
-    mass is dropped, ranks still order correctly).
+    driver-side state beyond the loop counter and one scalar
+    (dangling mass). Edges are DEDUPLICATED (a repeated (a,b) pair
+    must not inflate out-degree or double a contribution), the node
+    set is the union of sources and sinks (a sink-only node gets a
+    rank row and its incoming mass is counted), and dangling mass
+    (rank sitting on nodes with no out-edges — possible only in
+    directed inputs) is redistributed uniformly each iteration, the
+    standard correction, so total rank mass is conserved at exactly
+    1.0 in both modes.
 
     Deterministic: init 1/N for all nodes, fixed iteration count,
     double arithmetic over keyed aggregations (sum order may perturb
     last bits across partitionings — consumers round, as q128 does).
-    Returns (node, rank)."""
+    ``checkpoint_dir`` switches per-round lineage truncation from
+    localCheckpoint to reliable checkpoint() files (same contract as
+    connected_components — required to survive executor loss on a
+    real cluster). Returns (node, rank)."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else df.localCheckpoint(eager=True)
+        )
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if undirected:
-        fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        rev = edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
-        e = fwd.unionByName(rev)
-    else:
-        e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    e = e.persist()
-    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.distinct().persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
     n_nodes = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
     for _ in range(iters):
+        # rank mass on dangling nodes (no out-edges): one bounded scalar
+        dangling = (
+            ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
             .join(deg, "src")
@@ -151,17 +178,19 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("in_mass"))
         )
-        ranks = (
+        ranks = _truncate(
             nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("in_mass", F.lit(0.0)))
-                .alias("rank"),
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce("in_mass", F.lit(0.0)) + F.lit(dangling / n_nodes))
+                ).alias("rank"),
             )
             # truncate lineage per round (same discipline as
             # connected_components): an un-checkpointed loop builds a
             # 2·iters-join plan that analysis alone chokes on
-            .localCheckpoint(eager=True)
         )
     out = ranks
     e.unpersist()

@@ -105,6 +105,11 @@ def check_expectations(df: DataFrame, expectations: Sequence[tuple]) -> DataFram
     analogue of the reference's file-level header checks, generalized
     to row-level rules — reference src/main/transformations/main.py
     quarantines whole files on missing columns only)."""
+    if not expectations:
+        raise ValueError(
+            "check_expectations: no expectations given — an empty rule set "
+            "would 'pass' vacuously; declare at least one rule"
+        )
     row_aggs: list = [F.count(F.lit(1)).cast("bigint").alias("__n_rows")]
     row_specs: list[tuple[str, str, object]] = []  # (kind, col, agg_alias)
     uniques: list[str] = []

@@ -3369,7 +3369,8 @@ def q125_stats_toolkit(spark: SparkSession, sf_dir: str) -> DataFrame:
              row_number() OVER (
                PARTITION BY p.event_id
                ORDER BY abs(epoch_us(p.ts) - epoch_us(v.view_ts)),
-                        CASE WHEN v.view_ts <= p.ts THEN 0 ELSE 1 END
+                        CASE WHEN v.view_ts <= p.ts THEN 0 ELSE 1 END,
+                        v.view_value DESC
              ) AS rn
       FROM p LEFT JOIN v USING (user_id)
     )
@@ -3390,7 +3391,12 @@ def q126_nearest_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     two runs of that one-shuffle machinery (forward = backward on the
     negated time axis) + an id re-join — no quadratic per-user compare,
     unlike the oracle's rank-over-all-pairs formulation, which is the
-    exactness check only. Equidistant ties prefer the prior view."""
+    exactness check only. Equidistant ties prefer the prior view;
+    same-timestamp ties (two views sharing a ts, hence the same
+    distance and side) resolve to the max payload struct — i.e. the
+    larger view_value — which the oracle mirrors with its final
+    `v.view_value DESC` window key, so parity does not depend on the
+    generated data never colliding timestamps."""
     from sales_data_pipeline_spark.operators.asof import asof_join_nearest
 
     ev = table(spark, sf_dir, "events")

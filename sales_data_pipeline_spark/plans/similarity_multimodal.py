@@ -4,7 +4,8 @@
   list_cosine_similarity over the same float64 arrays; both engines
   round sim to 9 digits before ranking so accumulation-order noise in
   the last float bits cannot flip ranks).
-- q26: exact embedding near-dup pairs (threshold on rounded sim).
+- q52: bucketed embedding near-dup (the exact all-pairs form is a
+  test-only oracle, not a catalog query — see the note above q52).
 - q27: SRP-LSH approximate top-k — probabilistic, rows-only check;
   recall vs q25 asserted in tests/test_similarity.py.
 - q28/q29: multimodal binary-column plumbing (Arrow-batched
@@ -28,7 +29,6 @@ from sales_data_pipeline_spark.operators.multimodal import (
 from sales_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_lsh,
-    embedding_neardup_pairs,
     ivf_topk,
 )
 from sales_data_pipeline_spark.plans.registry import query
@@ -64,23 +64,13 @@ def q25_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=_K)
 
 
-@query(
-    "q26_embedding_neardup",
-    oracle="""
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
-    FROM embeddings a, embeddings b
-    WHERE a.vec_id < b.vec_id
-      AND round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.4
-    """,
-)
-def q26_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact embedding-space near-dup pairs (cosine ≥ 0.4). Quadratic
-    crossJoin — kept as the EXACTNESS ORACLE for q52 at test scale; the
-    catalog's scale answer is q52_embedding_neardup_lsh (bucketed,
-    candidate-only verify)."""
-    emb = table(spark, sf_dir, "embeddings")
-    return embedding_neardup_pairs(emb, threshold=0.4)
+# q26_embedding_neardup (exact all-pairs cosine) is deliberately NOT a
+# registered catalog query: it is a true cartesian product, and at 100×
+# scale any run of it dies on N². The exact form survives as the pytest
+# EXACTNESS ORACLE for q52 (operators/similarity.py
+# embedding_neardup_pairs, consumed by tests/test_similarity.py::
+# test_neardup_lsh_precision_and_recall_vs_exact); the catalog's answer
+# is q52_embedding_neardup_lsh below — bucketed, candidate-only verify.
 
 
 @query("q52_embedding_neardup_lsh")  # probabilistic recall: rows-only check

@@ -11,11 +11,21 @@ retries within a batch, and arrival order cannot change the converged
 cells (duplicate DELIVERY would — upstream exactly-once comes from the
 file source's checkpointed offsets, same recipe as streaming/corpus.py).
 
-Crash-retry analysis: the merged sketch for batch N is written to a
-TEMPORARY location first, then atomically promoted (overwrite) — a
-crash mid-write leaves the previous sketch intact; the retried batch
-re-reads it and re-merges the identical partial. The sketch table is
-d×w rows, so the rewrite is O(KB) per batch regardless of stream volume.
+Crash-retry analysis (versioned-commit protocol): the merged sketch for
+batch N is written to its OWN immutable path ``sketch_dir/v=<N>``; the
+previous version is never touched, so a crash mid-write of v=N leaves
+v=<N-1> (the last committed sketch) fully intact. On retry,
+foreachBatch re-delivers the SAME batch_id, and ``_process`` first
+checks the committed versions:
+
+* crash BEFORE v=N finished → retry re-merges v=<N-1> + the identical
+  partial and rewrites v=N (overwrite of a partial dir — idempotent);
+* crash AFTER v=N finished but BEFORE the streaming checkpoint
+  committed → retry sees ``latest >= batch_id`` and SKIPS the fold
+  entirely, so the partial is never double-counted.
+
+Versions older than the latest are pruned after each successful
+commit, so storage stays O(d×w) regardless of batch count.
 """
 
 from __future__ import annotations
@@ -26,26 +36,63 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.operators.sketch import countmin_sketch
+from sales_data_pipeline_spark.pipeline.fs import delete_path
 
+SKETCH_SCHEMA = "row int, bucket bigint, cnt bigint"
 TOKEN_STREAM_SCHEMA = "doc_id long, text string"
+
+_VERSION_PREFIX = "v="
 
 
 @dataclass(frozen=True)
 class HeavyHitterConfig:
     input_dir: str  # arriving JSONL shards of (doc_id, text)
-    sketch_dir: str  # parquet: (row, bucket, cnt)
+    sketch_dir: str  # versioned parquet: v=<batch_id>/(row, bucket, cnt)
     checkpoint_dir: str
     depth: int = 4
     width: int = 1024
     max_files_per_trigger: int | None = None
 
 
+def _committed_versions(spark: SparkSession, sketch_dir: str) -> list[int]:
+    """Batch ids with a fully committed sketch directory, ascending.
+
+    Uses the Hadoop FS API (one code path for local/HDFS/s3a, like
+    pipeline/fs.py). A directory only counts as committed once its
+    parquet _SUCCESS marker exists, so a crash mid-write never
+    presents a half-written version as the latest sketch.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(sketch_dir)
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    versions = []
+    for status in fs.listStatus(root):
+        name = status.getPath().getName()
+        if not (status.isDirectory() and name.startswith(_VERSION_PREFIX)):
+            continue
+        try:
+            v = int(name[len(_VERSION_PREFIX):])
+        except ValueError:
+            continue
+        marker = jvm.org.apache.hadoop.fs.Path(status.getPath(), "_SUCCESS")
+        if fs.exists(marker):
+            versions.append(v)
+    return sorted(versions)
+
+
+def _version_path(sketch_dir: str, batch_id: int) -> str:
+    return f"{sketch_dir}/{_VERSION_PREFIX}{batch_id}"
+
+
 def read_sketch(spark: SparkSession, cfg: HeavyHitterConfig) -> DataFrame:
-    """Current merged sketch (empty if no batch has landed yet)."""
-    try:
-        return spark.read.parquet(cfg.sketch_dir)
-    except Exception:
-        return spark.createDataFrame([], "row int, bucket bigint, cnt bigint")
+    """Latest committed merged sketch (empty if no batch has landed)."""
+    versions = _committed_versions(spark, cfg.sketch_dir)
+    if not versions:
+        return spark.createDataFrame([], SKETCH_SCHEMA)
+    return spark.read.parquet(_version_path(cfg.sketch_dir, versions[-1]))
 
 
 def merge_sketches(a: DataFrame, b: DataFrame) -> DataFrame:
@@ -59,17 +106,25 @@ def merge_sketches(a: DataFrame, b: DataFrame) -> DataFrame:
 
 def run_heavy_hitters(spark: SparkSession, cfg: HeavyHitterConfig) -> None:
     """Drain available input shards (Trigger.AvailableNow), folding each
-    micro-batch's partial sketch into the persisted one."""
+    micro-batch's partial sketch into the persisted one. Idempotent
+    under foreachBatch retries — see the module docstring."""
 
     def _process(batch: DataFrame, batch_id: int) -> None:
+        versions = _committed_versions(spark, cfg.sketch_dir)
+        if versions and versions[-1] >= batch_id:
+            # batch already folded (crash between sketch commit and
+            # checkpoint commit) — re-merging would double count.
+            return
         toks = batch.select(F.explode(F.split("text", " ")).alias("tok"))
         partial = countmin_sketch(toks, "tok", depth=cfg.depth, width=cfg.width)
         merged = merge_sketches(read_sketch(spark, cfg), partial)
-        # materialize BEFORE overwriting what it reads from (see module
-        # docstring; same write-order discipline as streaming/corpus.py)
-        rows = merged.collect()  # d×w rows max — bounded by construction
-        spark.createDataFrame(rows, "row int, bucket bigint, cnt bigint") \
-            .coalesce(1).write.mode("overwrite").parquet(cfg.sketch_dir)
+        # materialize BEFORE writing: d×w rows max, bounded by construction
+        rows = merged.collect()
+        spark.createDataFrame(rows, SKETCH_SCHEMA) \
+            .coalesce(1).write.mode("overwrite") \
+            .parquet(_version_path(cfg.sketch_dir, batch_id))
+        for old in versions:  # keep only the newly committed version
+            delete_path(spark, _version_path(cfg.sketch_dir, old), recursive=True)
 
     reader = (
         spark.readStream.schema(TOKEN_STREAM_SCHEMA)

@@ -406,3 +406,60 @@ def test_pagerank_star_hub_ranks_highest(spark):
     assert ranks[0] == max(ranks.values())
     leaves = [v for k, v in ranks.items() if k != 0]
     assert max(leaves) - min(leaves) < 1e-12  # symmetric leaves tie
+
+
+def test_pagerank_duplicate_edges_do_not_inflate(spark):
+    """Near-dup pair lists can repeat a pair (e.g. found by both LSH
+    and SimHash); duplicates must not inflate out-degree or double a
+    contribution — the edge set is deduplicated like the python
+    reference's set-of-edges."""
+    from sales_data_pipeline_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1)]
+    clean = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    dirty = spark.createDataFrame(edges * 3 + [(2, 1)], "doc_a long, doc_b long")
+    want = {r.node: r.rank for r in pagerank(clean, iters=8).collect()}
+    got = {r.node: r.rank for r in pagerank(dirty, iters=8).collect()}
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-12, (v, got[v], want[v])
+
+
+def test_pagerank_directed_sinks_counted_and_mass_conserved(spark):
+    """Directed mode: a sink-only node (appears only as dst) must get a
+    rank row fed by its incoming mass, and dangling mass must be
+    redistributed so total rank stays exactly 1. Chain 1→2→3 plus a
+    feeder 4→2: node 3 is a pure sink, nodes 3 and 4 dangle."""
+    from sales_data_pipeline_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 2)], "doc_a long, doc_b long"
+    )
+    ranks = {
+        r.node: r.rank
+        for r in pagerank(df, iters=20, undirected=False).collect()
+    }
+    assert set(ranks) == {1, 2, 3, 4}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # the sink drains node 2's whole mass, so it ranks highest;
+    # the two leaf sources tie at the bottom
+    assert ranks[3] == max(ranks.values())
+    assert ranks[3] > ranks[2] > ranks[1]
+    assert abs(ranks[1] - ranks[4]) < 1e-12
+
+
+def test_pagerank_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir mode (cluster fault tolerance) must produce the
+    same ranks as the default localCheckpoint mode."""
+    from sales_data_pipeline_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    base = {r.node: r.rank for r in pagerank(df, iters=6).collect()}
+    ck = {
+        r.node: r.rank
+        for r in pagerank(
+            df, iters=6, checkpoint_dir=str(tmp_path / "pr_ckpt")
+        ).collect()
+    }
+    assert base == ck

@@ -312,6 +312,18 @@ def test_check_expectations_counts_planted_violations(spark):
     assert statuses == {"pass"}
 
 
+def test_check_expectations_empty_rule_set_raises(spark):
+    """An empty expectations list must raise, not 'pass' vacuously
+    (reduce over an empty parts list used to TypeError)."""
+    import pytest as _pytest
+
+    from sales_data_pipeline_spark.operators.profile import check_expectations
+
+    df = spark.createDataFrame([(1,)], "id long")
+    with _pytest.raises(ValueError, match="no expectations"):
+        check_expectations(df, [])
+
+
 def test_check_expectations_row_rules_single_scan(spark, sf_dir):
     """Every per-row expectation folds into ONE aggregation over ONE
     scan — adding rules must not add passes."""

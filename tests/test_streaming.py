@@ -413,3 +413,18 @@ def test_streaming_countmin_converges_to_batch_sketch(spark, tmp_path):
     est = {r.tok: r.est for r in countmin_estimate(streamed, qdf, "tok").collect()}
     for tok, n in truth.items():
         assert est[tok] >= n
+
+    # retry idempotency: simulate the crash-after-sketch-commit /
+    # before-checkpoint-commit window by wiping the streaming checkpoint
+    # and re-running — every batch is re-delivered with an id ≤ the
+    # committed sketch version, so _process must SKIP them all and the
+    # sketch must come out cell-for-cell identical (no double counting).
+    import shutil
+
+    before = sorted((r.row, r.bucket, r.cnt) for r in streamed.collect())
+    shutil.rmtree(tmp_path / "ckpt_hh")
+    run_heavy_hitters(spark, cfg)
+    after = sorted(
+        (r.row, r.bucket, r.cnt) for r in read_sketch(spark, cfg).collect()
+    )
+    assert after == before
