@@ -17,7 +17,7 @@ decimal widths so values match bitwise.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.catalog import table
@@ -4036,6 +4036,85 @@ def q139_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def rfm_segments(orders: DataFrame, approx: bool = False) -> DataFrame:
+    """RFM segmentation core shared by q140 (exact) and q145 (scale).
+
+    exact (approx=False): rank-based quintiles via three ntile(5)
+    windows over the customer aggregate — each window is a GLOBAL sort
+    through one partition. That is the oracle-anchored form (tie
+    behavior identical to the SQL oracle) but a single-reducer funnel
+    ×3 when |customers| is itself huge.
+
+    scale (approx=True): VALUE-based quintiles — one extra aggregate
+    computes the 20/40/60/80 percentile cut-points of all three
+    metrics (percentile_approx, mergeable partial sketches), the 1-row
+    result broadcast-joins back, and each customer's scores are four
+    comparisons. No window, no global sort, two ordinary keyed
+    shuffles total; cut-point quality is the standard
+    Greenwald-Khanna ε. Ties share a score (value semantics) instead
+    of splitting by custkey (rank semantics) — the documented
+    difference from the exact form."""
+    base = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
+    )
+    if not approx:
+        w_r = Window.orderBy(F.col("last_order").desc(), "o_custkey")
+        w_f = Window.orderBy(F.col("frequency").desc(), "o_custkey")
+        w_m = Window.orderBy(F.col("monetary").desc(), "o_custkey")
+        scored = base.select(
+            "o_custkey",
+            F.ntile(5).over(w_r).cast("bigint").alias("r_score"),
+            F.ntile(5).over(w_f).cast("bigint").alias("f_score"),
+            F.ntile(5).over(w_m).cast("bigint").alias("m_score"),
+        )
+    else:
+        qs = [0.2, 0.4, 0.6, 0.8]
+        metrics = base.select(
+            "o_custkey",
+            F.datediff("last_order", F.lit("1970-01-01"))
+            .cast("double").alias("__r"),
+            F.col("frequency").cast("double").alias("__f"),
+            F.col("monetary").cast("double").alias("__m"),
+        )
+        cuts = metrics.agg(
+            *[
+                F.percentile_approx(c, qs, 10_000).alias(f"{c}_cuts")
+                for c in ("__r", "__f", "__m")
+            ]
+        )
+
+        def score(col: str) -> Column:
+            # DESC quintiles: top 20% by value → score 1. Each cut-point
+            # the value falls below pushes it one quintile down.
+            cut = F.col(f"{col}_cuts")
+            s = F.lit(1)
+            for i in range(4):  # cuts ascending: [q20, q40, q60, q80]
+                s = s + (F.col(col) < cut[3 - i]).cast("int")
+            return s.cast("bigint")
+
+        scored = metrics.crossJoin(F.broadcast(cuts)).select(
+            "o_custkey",
+            score("__r").alias("r_score"),
+            score("__f").alias("f_score"),
+            score("__m").alias("m_score"),
+        )
+    seg = F.concat_ws(
+        "-",
+        F.col("r_score").cast("string"),
+        F.col("f_score").cast("string"),
+        F.col("m_score").cast("string"),
+    )
+    champions = (
+        (F.col("r_score") == 1) & (F.col("f_score") == 1) & (F.col("m_score") == 1)
+    )
+    return scored.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(champions.cast("bigint")).cast("bigint").alias("n_champions"),
+    )
+
+
 @query(
     "q140_rfm_segments",
     oracle="""
@@ -4067,39 +4146,26 @@ def q140_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (public CRM recipe): per customer, quintile
     scores on Recency (latest order), Frequency (order count) and
     Monetary (decimal-exact spend), combined into 'R-F-M' segment
-    labels with census counts — '1-1-1' is the champions cell. Three
-    ntile windows over the SAME customer aggregate share one global
-    sort partition each (the aggregate is |customers|-sized, not
-    orders); ties on every axis break on custkey so both engines
-    assign identical quintiles."""
-    orders = table(spark, sf_dir, "orders")
-    base = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).cast("bigint").alias("frequency"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
-    )
-    w_r = Window.orderBy(F.col("last_order").desc(), "o_custkey")
-    w_f = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-    w_m = Window.orderBy(F.col("monetary").desc(), "o_custkey")
-    scored = base.select(
-        "o_custkey",
-        F.ntile(5).over(w_r).cast("bigint").alias("r_score"),
-        F.ntile(5).over(w_f).cast("bigint").alias("f_score"),
-        F.ntile(5).over(w_m).cast("bigint").alias("m_score"),
-    )
-    seg = F.concat_ws(
-        "-",
-        F.col("r_score").cast("string"),
-        F.col("f_score").cast("string"),
-        F.col("m_score").cast("string"),
-    )
-    champions = (
-        (F.col("r_score") == 1) & (F.col("f_score") == 1) & (F.col("m_score") == 1)
-    )
-    return scored.groupBy(seg.alias("segment")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.sum(champions.cast("bigint")).cast("bigint").alias("n_champions"),
-    )
+    labels with census counts — '1-1-1' is the champions cell. Exact
+    rank-based form (three ntile windows, each one global sort over
+    the |customers| aggregate); ties on every axis break on custkey so
+    both engines assign identical quintiles. This is the ORACLE ANCHOR
+    — the scale path with no single-partition sort is
+    q145_rfm_segments_approx (rfm_segments(approx=True))."""
+    return rfm_segments(table(spark, sf_dir, "orders"), approx=False)
+
+
+@query("q145_rfm_segments_approx")  # approx cut-points: rows-only check
+def q145_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE form of q140: value-based RFM quintiles from
+    percentile_approx cut-points (broadcast 1-row join), zero window
+    sorts — survives |customers| at 100 TB where q140's three
+    single-partition ntile sorts cannot. No SQL oracle (approx
+    cut-point semantics are engine-specific); covering checks:
+    tests/test_scale.py::test_rfm_approx_* (census mass equals exact,
+    scores bounded 1..5, near-uniform quintile sizes, windowless
+    plan)."""
+    return rfm_segments(table(spark, sf_dir, "orders"), approx=True)
 
 
 # ---------------------------------------------------------------------------

@@ -152,6 +152,39 @@ def test_q22_shingle_sets_cached_once(spark, sf_dir):
         spark.catalog.clearCache()
 
 
+def test_q22_skew_guard_adds_no_aggregation(spark, sf_dir):
+    """The max_shingle_freq skew guard must stay a FREE filter on the
+    dfreq column the prefix ordering already computes — guard-on and
+    guard-off plans must contain the SAME number of aggregate nodes
+    (a regression to a separate occurrence-counting pass would show up
+    as extra HashAggregates)."""
+    from sales_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        release_caches,
+    )
+    from sales_data_pipeline_spark.catalog import table as _table
+
+    spark.catalog.clearCache()
+    try:
+        docs = _table(spark, sf_dir, "documents")
+        on = _plan(
+            ngram_jaccard_pairs(docs, threshold=0.8, max_shingle_freq=10_000)
+        )
+        release_caches()
+        spark.catalog.clearCache()
+        off = _plan(
+            ngram_jaccard_pairs(docs, threshold=0.8, max_shingle_freq=None)
+        )
+        n_agg_on = on.count("HashAggregate") + on.count("ObjectHashAggregate") \
+            + on.count("SortAggregate")
+        n_agg_off = off.count("HashAggregate") + off.count("ObjectHashAggregate") \
+            + off.count("SortAggregate")
+        assert n_agg_on == n_agg_off, (n_agg_on, n_agg_off)
+    finally:
+        release_caches()
+        spark.catalog.clearCache()
+
+
 def test_q35_topk_avoids_global_sort(spark, sf_dir):
     """orderBy+limit must compile to TakeOrderedAndProject (per-partition
     top-k, k rows over the wire) — never a full global Sort+Exchange."""

@@ -233,3 +233,50 @@ def test_join_cardinality_prediction_matches_real_join(spark, sf_dir):
     cust = _table(spark, sf_dir, "customer")
     real = orders.join(cust, orders.o_custkey == cust.c_custkey).count()
     assert predicted == real
+
+
+def test_rfm_approx_census_mass_and_score_bounds(spark, sf_dir):
+    """q145 (value-based approx RFM) must cover every customer exactly
+    once (Σ n_customers equals the exact form's), keep all scores in
+    1..5, and produce near-uniform quintile sizes on this corpus."""
+    from sales_data_pipeline_spark.plans.relational import rfm_segments
+
+    orders = table(spark, sf_dir, "orders")
+    exact = rfm_segments(orders, approx=False)
+    approx = rfm_segments(orders, approx=True)
+    n_exact = exact.agg(F.sum("n_customers")).first()[0]
+    rows = approx.collect()
+    assert sum(r.n_customers for r in rows) == n_exact
+    for r in rows:
+        a, b, c = (int(x) for x in r.segment.split("-"))
+        assert all(1 <= s <= 5 for s in (a, b, c)), r.segment
+    # per-axis marginals: each quintile class within 2x of n/5 (the
+    # uniform target) — value cut-points on a non-degenerate metric
+    # cannot collapse a class
+    m_sizes: dict[int, int] = {}
+    for r in rows:
+        m = int(r.segment.split("-")[2])
+        m_sizes[m] = m_sizes.get(m, 0) + r.n_customers
+    target = n_exact / 5
+    assert set(m_sizes) == {1, 2, 3, 4, 5}
+    for s, n in m_sizes.items():
+        assert n < 2 * target, (s, n, target)
+
+
+def test_rfm_approx_plan_has_no_window_sort(spark, sf_dir):
+    """The scale form must compile with ZERO window operators (no
+    single-partition ntile sorts) while the exact form has them — the
+    whole point of the approx path."""
+    from sales_data_pipeline_spark.plans.relational import rfm_segments
+
+    orders = table(spark, sf_dir, "orders")
+
+    def plan(df):
+        return spark.sparkContext._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+
+    assert "Window" in plan(rfm_segments(orders, approx=False))
+    p = plan(rfm_segments(orders, approx=True))
+    assert "Window" not in p, p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
