@@ -120,3 +120,55 @@ def run_pipeline(
         fs.move_file(spark, path, cfg.processed_dir)
     state.mark_inactive(result.accepted_files)
     return result
+
+
+@dataclass(frozen=True)
+class JdbcTopology:
+    """The reference's actual deployment shape: dimension tables live in
+    an RDBMS and both marts are published back to it (reference
+    src/main/transformations/main.py:284-307 reads customer/store/
+    sales_team from MySQL; :390-398 writes the two marts back via JDBC,
+    in addition to the parquet copies)."""
+
+    url: str
+    properties: dict[str, str] = field(default_factory=dict)
+    customer_table: str = "customer"
+    store_table: str = "store"
+    sales_team_table: str = "sales_team"
+    customer_mart_table: str = "customers_data_mart"
+    sales_team_mart_table: str = "sales_team_data_mart"
+
+
+def run_pipeline_jdbc(
+    spark: SparkSession, cfg: PipelineConfig, topo: JdbcTopology
+) -> PipelineResult:
+    """run_pipeline with the reference's database topology: the three
+    dimension frames come from JDBC tables and, after the parquet marts
+    commit, both marts are ALSO published to JDBC (idempotent overwrite,
+    not the reference's blind append). The JDBC mart write happens after
+    the parquet commit + archive/state flip, mirroring the reference's
+    stage order (parquet write main.py:363-368 precedes the JDBC write
+    :390-398): a JDBC failure leaves a consistent lake copy and the
+    re-run republishes from it. Dims are tiny (bounded) — a
+    single-partition pull each is the right plan; large dims would pass
+    range-partition bounds through read_jdbc."""
+    from sales_data_pipeline_spark.sources.jdbc import read_jdbc, write_jdbc
+
+    dims = [
+        read_jdbc(spark, topo.url, t, properties=topo.properties)
+        for t in (topo.customer_table, topo.store_table, topo.sales_team_table)
+    ]
+    result = run_pipeline(spark, cfg, *dims)
+    if result.customer_mart_path:
+        for path, table in (
+            (result.customer_mart_path, topo.customer_mart_table),
+            (result.sales_team_mart_path, topo.sales_team_mart_table),
+        ):
+            write_jdbc(
+                spark.read.format(cfg.mart_format).load(path),
+                topo.url,
+                table,
+                mode="overwrite",
+                properties=topo.properties,
+            )
+    return result

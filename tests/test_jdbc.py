@@ -72,3 +72,54 @@ def test_derby_overwrite_is_rerun_idempotent(spark, derby_url, mart_df):
     write_jdbc(mart_df, derby_url, "customer_mart", mode="overwrite", properties=DERBY_PROPS)
     back = read_jdbc(spark, derby_url, "customer_mart", properties=DERBY_PROPS)
     assert back.count() == mart_df.count()
+
+
+def test_pipeline_jdbc_topology_end_to_end(spark, tmp_path):
+    """The reference's real deployment shape, live against Derby: dims
+    read FROM JDBC tables, pipeline runs, and both marts are published
+    back TO JDBC (after the parquet commit). Verifies the JDBC mart
+    equals the parquet mart row-for-row and that a re-run with no new
+    files leaves the published marts untouched."""
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.pipeline import (
+        JdbcTopology,
+        PipelineConfig,
+        run_pipeline_jdbc,
+    )
+    from tests.fixtures import dim_frames, write_sales_csv
+
+    url = f"jdbc:derby:{tmp_path / 'etldb'};create=true"
+    topo = JdbcTopology(url=url, properties=DERBY_PROPS)
+    customer, store, team = dim_frames(spark)
+    for df, t in ((customer, topo.customer_table), (store, topo.store_table),
+                  (team, topo.sales_team_table)):
+        write_jdbc(df, url, t, mode="overwrite", properties=DERBY_PROPS)
+
+    (tmp_path / "in").mkdir()
+    write_sales_csv(tmp_path / "in" / "sales1.csv", n=300, seed=11)
+    cfg = PipelineConfig(
+        input_dir=str(tmp_path / "in"),
+        quarantine_dir=str(tmp_path / "err"),
+        processed_dir=str(tmp_path / "done"),
+        output_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+    )
+    res = run_pipeline_jdbc(spark, cfg, topo)
+    assert res.n_fact_rows == 300
+
+    pq_cust = spark.read.parquet(res.customer_mart_path)
+    db_cust = read_jdbc(spark, url, topo.customer_mart_table, properties=DERBY_PROPS)
+    assert sorted(map(tuple, pq_cust.collect())) == sorted(map(tuple, db_cust.collect()))
+    pq_team = spark.read.parquet(res.sales_team_mart_path)
+    db_team = read_jdbc(spark, url, topo.sales_team_mart_table, properties=DERBY_PROPS)
+    assert db_team.count() == pq_team.count()
+    total_pq = pq_team.agg(F.sum("total_sales")).collect()[0][0]
+    total_db = db_team.agg(F.sum("total_sales")).collect()[0][0]
+    assert total_pq == total_db
+
+    # re-run with no new input: nothing accepted, published marts intact
+    res2 = run_pipeline_jdbc(spark, cfg, topo)
+    assert res2.accepted_files == []
+    assert read_jdbc(spark, url, topo.customer_mart_table,
+                     properties=DERBY_PROPS).count() == pq_cust.count()
