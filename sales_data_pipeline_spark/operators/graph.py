@@ -196,3 +196,100 @@ def pagerank(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def bfs_hops(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    sources: DataFrame | None = None,
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Multi-source BFS over an undirected pair graph: for every
+    reachable node, the hop distance to its nearest source and which
+    source that is. Returns (node, root, hops); ties (two sources at
+    equal distance) break to the smaller root id — deterministic.
+
+    ``sources`` is a one-column DataFrame of node ids (column name
+    ``node``); default = each connected component's minimum node id
+    (via connected_components), which makes ``root`` the component's
+    canonical representative and ``hops`` the distance to it — the
+    "how far from the canonical doc" diagnostic for near-dup clusters.
+
+    Shape per round: one edge join + one keyed min-aggregation —
+    identical to connected_components' round cost, but WITHOUT pointer
+    jumping (distances grow +1 per hop; shortcutting would corrupt
+    them), so convergence is O(diameter) rounds, not O(log diameter).
+    Near-dup graphs have tiny diameters (clusters are near-cliques);
+    for long-chain graphs raise ``max_iter``. Convergence is detected
+    by the monotone pair (n_reached, Σhops): reached only grows, and
+    at fixed reach the hop sum only decreases. Raises ConvergenceError
+    when the budget is exhausted. ``checkpoint_dir`` = reliable
+    per-round lineage truncation, same contract as the other graph
+    operators."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else df.localCheckpoint(eager=True)
+        )
+
+    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    e = e.unionByName(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).distinct().persist()
+    if sources is None:
+        sources = (
+            connected_components(pairs, src=src, dst=dst, max_iter=max_iter,
+                                 checkpoint_dir=checkpoint_dir)
+            .select(F.col("cluster").alias("node"))
+            .distinct()
+        )
+    labels = sources.select(
+        "node",
+        F.struct(
+            F.lit(0).cast("bigint").alias("hops"),
+            F.col("node").alias("root"),
+        ).alias("best"),
+    )
+    prev: tuple | None = None
+    converged = False
+    for _ in range(max_iter):
+        grown = (
+            e.join(labels, e.v == labels.node)
+            .select(
+                F.col("u").alias("node"),
+                F.struct(
+                    (F.col("best.hops") + F.lit(1)).alias("hops"),
+                    F.col("best.root").alias("root"),
+                ).alias("best"),
+            )
+        )
+        labels = _truncate(
+            labels.unionByName(grown)
+            .groupBy("node")
+            .agg(F.min("best").alias("best"))
+        )
+        cur = tuple(
+            labels.agg(
+                F.count(F.lit(1)), F.sum(F.col("best.hops"))
+            ).first()
+        )
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    e.unpersist()
+    if not converged:
+        raise ConvergenceError(
+            f"bfs_hops: no fixpoint after {max_iter} rounds — the graph's "
+            "diameter exceeds the budget; raise max_iter"
+        )
+    return labels.select(
+        "node", F.col("best.root").alias("root"), F.col("best.hops").alias("hops")
+    )

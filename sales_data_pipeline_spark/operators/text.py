@@ -288,6 +288,29 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def ngrams_from_tokens(tokens_col: Column | str, n: int = 5) -> Column:
+    """ALL word n-gram occurrences in order — NOT deduplicated (unlike
+    ``shingles``): the unit for occurrence counting (repeated-span
+    census, memorization-risk audits) where a gram appearing twice in
+    one doc must count twice. ``tokens_col`` must be an
+    ALREADY-PROJECTED array column (same contract and reason as
+    shingle_hashes_from_tokens: an inline token expression re-evaluates
+    the split per lambda element). Guarded transform-over-offsets,
+    pure codegen."""
+    t = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    return F.when(F.size(t) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+        )
+    )
+
+
+def ngrams(col: Column | str, n: int = 5) -> Column:
+    """Convenience wrapper: ngrams_from_tokens over tokens(col)."""
+    return ngrams_from_tokens(tokens(col), n)
+
+
 def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Convenience: append the full feature set in one projection."""
     return df.select(

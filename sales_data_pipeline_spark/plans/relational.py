@@ -4386,3 +4386,215 @@ def q144_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_customer"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q146 — market-basket association rules (support-pruned pair mining)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q146_association_rules",
+    oracle="""
+    WITH freq AS (
+      SELECT l_partkey, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      FROM lineitem GROUP BY 1 HAVING count(DISTINCT l_orderkey) >= 20
+    ),
+    items AS (
+      SELECT DISTINCT l.l_orderkey, l.l_partkey
+      FROM lineitem l JOIN freq f USING (l_partkey)
+    ),
+    pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_both
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 3
+    ),
+    tot AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM lineitem)
+    SELECT part_a, part_b, n_both, fa.n_orders AS n_a, fb.n_orders AS n_b,
+      round(n_both / n, 6) AS support,
+      round(n_both / fa.n_orders, 6) AS confidence,
+      round(n_both * n / (fa.n_orders * fb.n_orders), 6) AS lift
+    FROM pair
+    JOIN freq fa ON fa.l_partkey = part_a
+    JOIN freq fb ON fb.l_partkey = part_b, tot
+    """,
+)
+def q146_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (Agrawal & Srikant's Apriori
+    pruning, public algorithm): co-ordered part pairs with support,
+    confidence and lift, mined only over SUPPORT-FREQUENT items
+    (≥ 20 orders) and pairs co-occurring ≥ 3 times. The support prune
+    is the scale move: infrequent items can never form a frequent pair
+    (anti-monotonicity), so they are dropped BEFORE any pairing.
+
+    Plan shape — no self-join on the fact: baskets are grouped once
+    (one keyed shuffle to collect each order's frequent-item set,
+    bounded by basket size), pairs are generated INSIDE the row by a
+    codegen transform-over-index comprehension, then one keyed count.
+    The classic items⋈items self-join shuffles the fact twice and
+    explodes skewed orders; the basket-local comprehension is
+    O(basket²) per row with basket ≈ a few items. Supports/lift come
+    from broadcast-joining the (bounded, post-prune) frequent-item
+    table."""
+    li = table(spark, sf_dir, "lineitem")
+    freq = (
+        li.groupBy("l_partkey")
+        .agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
+        .filter(F.col("n_orders") >= 20)
+    )
+    items = (
+        li.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("ps")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + 2, F.greatest(F.size("ps"), F.lit(1))),
+                lambda y: F.struct(x.alias("part_a"), y.alias("part_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode_outer(pair_arr).alias("pr"))
+        .filter(F.col("pr").isNotNull())
+        .groupBy(F.col("pr.part_a").alias("part_a"), F.col("pr.part_b").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    tot = li.agg(F.countDistinct("l_orderkey").cast("bigint").alias("n"))
+    fa = freq.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("n_a"))
+    fb = freq.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "part_a", "part_b", "n_both", "n_a", "n_b",
+            F.round(F.col("n_both") / F.col("n"), 6).alias("support"),
+            F.round(F.col("n_both") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_both") * F.col("n") / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("lift"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148 — entity resolution on part names (blocked Levenshtein)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q148_name_entity_matches",
+    oracle="""
+    WITH names AS (
+      SELECT p_name, string_split(p_name, ' ')[-1] AS block,
+             CAST(count(*) AS BIGINT) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b, a.block AS block,
+      CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist,
+      a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM names a JOIN names b ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    """,
+)
+def q148_name_entity_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over part names: candidate merge pairs whose
+    edit distance ≤ 3, BLOCKED on the name's last token so only
+    same-noun variants ('red bolt' ~ 'old bolt') are ever compared —
+    the standard blocking recipe that keeps string matching from being
+    |N|² (Fellegi-Sunter-style record linkage, public method).
+
+    The scale move done FIRST: resolve at the distinct-VALUE level,
+    not the row level — names are aggregated to (name, count) before
+    any pairing, so a name shared by a thousand rows is compared once
+    and the row multiplicity comes along as a count. The block
+    equi-join is an ordinary keyed shuffle; levenshtein (JVM built-in,
+    codegen) runs only within blocks."""
+    p = table(spark, sf_dir, "part")
+    names = p.groupBy(
+        F.col("p_name"),
+        F.element_at(F.split("p_name", " "), -1).alias("block"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_parts"))
+    a = names.select(
+        F.col("p_name").alias("name_a"), "block", F.col("n_parts").alias("n_parts_a")
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"), "block", F.col("n_parts").alias("n_parts_b")
+    )
+    return (
+        a.join(b, "block")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "block", "dist", "n_parts_a", "n_parts_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q149 — daily revenue anomaly detection (z-scores)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q149_revenue_anomalies",
+    oracle="""
+    WITH d AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(SUM(rev) AS DOUBLE) AS tot,
+             CAST(SUM(rev * rev) AS DOUBLE) AS ss
+      FROM d
+    )
+    SELECT day, CAST(rev AS DOUBLE) AS rev,
+      round((CAST(rev AS DOUBLE) - tot / n)
+            / sqrt((ss - tot * tot / n) / (n - 1)), 6) AS zscore,
+      CAST(CASE WHEN abs((CAST(rev AS DOUBLE) - tot / n)
+                 / sqrt((ss - tot * tot / n) / (n - 1))) >= 2
+           THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+    FROM d, s
+    """,
+)
+def q149_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-revenue anomaly flags: z-score of each day against the
+    all-days mean/stddev, |z| ≥ 2 flagged — the drift/spike alarm a
+    monitoring pipeline runs after every load. Cross-engine
+    determinism by construction: day revenues stay DECIMAL through
+    both moments (Σrev and Σrev² are exact, order-independent sums),
+    and mean/variance come from the closed form (ss − tot²/n)/(n−1)
+    evaluated in double on those two exact scalars — so the z-scores
+    are bitwise identical in Spark and DuckDB, no
+    accumulation-order rounding hazard. Plan: one keyed day
+    aggregation, one 1-row global aggregate broadcast back — no
+    window, no global sort."""
+    orders = table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    s = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("rev").cast("double").alias("tot"),
+        F.sum(F.col("rev") * F.col("rev")).cast("double").alias("ss"),
+    )
+    j = d.crossJoin(F.broadcast(s))
+    mu = F.col("tot") / F.col("n")
+    sigma = F.sqrt((F.col("ss") - F.col("tot") * F.col("tot") / F.col("n")) / (F.col("n") - 1))
+    z = (F.col("rev").cast("double") - mu) / sigma
+    return j.select(
+        "day",
+        F.col("rev").cast("double").alias("rev"),
+        F.round(z, 6).alias("zscore"),
+        F.when(F.abs(z) >= 2, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("is_anomaly"),
+    )

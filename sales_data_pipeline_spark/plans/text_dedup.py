@@ -661,3 +661,106 @@ def q128_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(
         F.col("node").alias("doc_id"), F.round("rank", 9).alias("rank")
     ).orderBy("doc_id")
+
+
+@query(
+    "q147_neardup_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(src, node, d) AS (
+      SELECT u, u, 0 FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT w.src, e.v, w.d + 1
+      FROM walk w JOIN edges e ON w.node = e.u WHERE w.d < 12
+    ),
+    dist AS (
+      SELECT src, node, CAST(min(d) AS BIGINT) AS hops FROM walk GROUP BY 1, 2
+    ),
+    root AS (SELECT node, min(src) AS root FROM dist GROUP BY node)
+    SELECT d.node AS doc, r.root AS root, d.hops
+    FROM dist d JOIN root r ON d.node = r.node AND d.src = r.root
+    """,
+)
+def q147_neardup_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from each near-dup cluster's canonical doc
+    (min doc_id): how many similarity hops separate every member from
+    its representative — the chain-length diagnostic that tells a
+    curation pipeline whether clusters are tight cliques (hops ≤ 1,
+    safe to collapse) or long drift chains (A~B~C~…~Z where ends share
+    nothing — collapse with care). Composes connected_components (root
+    discovery) with the multi-source bfs_hops operator
+    (operators/graph.py): per round one edge join + one keyed min-agg,
+    O(diameter) rounds, no per-component materialization. The oracle
+    recomputes shortest hops via a bounded recursive reachability CTE
+    — tractable at test scale, which is exactly why the iterative
+    Spark formulation exists for the real one."""
+    from sales_data_pipeline_spark.operators.graph import bfs_hops
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    return bfs_hops(pairs).select(
+        F.col("node").alias("doc"), "root", "hops"
+    )
+
+
+@query(
+    "q150_repeated_ngram_spans",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    grams AS (
+      SELECT doc_id, array_to_string(t[i:i+4], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+    )
+    SELECT gram, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+    """,
+)
+def q150_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated 5-gram census — the memorization-risk /
+    boilerplate-span audit (the aggregate core of suffix-array-style
+    exact-substring dedup, Lee et al. 2021 'Deduplicating Training
+    Data Makes Language Models Better', arXiv:2107.06499): every word
+    5-gram occurring in ≥ 3 distinct documents, with total occurrence
+    and document counts. Counts every OCCURRENCE (operators.text.
+    ngrams, not the deduplicated shingles), so within-doc repetition
+    is visible too. Plan: tokens projected once, explode_outer (the
+    InferFiltersFromGenerate guard — see dedup._shingle_index), ONE
+    keyed aggregation computing both counts — map-side combined,
+    linear in corpus size; the ≥3-docs filter is applied post-agg on
+    the already-tiny survivor set."""
+    from sales_data_pipeline_spark.operators.text import (
+        ngrams_from_tokens,
+        tokens as _tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    grams = (
+        docs.select("doc_id", _tokens("text").alias("__t"))
+        .select("doc_id", ngrams_from_tokens("__t", 5).alias("__g"))
+        .select("doc_id", F.explode_outer("__g").alias("gram"))
+        .filter(F.col("gram").isNotNull())
+    )
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occ"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 3)
+    )

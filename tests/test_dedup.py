@@ -463,3 +463,73 @@ def test_pagerank_reliable_checkpoint_mode(spark, tmp_path):
         ).collect()
     }
     assert base == ck
+
+
+# ---------------------------------------------------------------------------
+# bfs_hops (q147 covering checks)
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_hops_chain_distances_and_roots(spark):
+    """Chain 1-2-3-4-5 plus separate component 10-11: hop counts are
+    exact shortest distances from each component's min node."""
+    from sales_data_pipeline_spark.operators.graph import bfs_hops
+
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "doc_a long, doc_b long"
+    )
+    rows = sorted((r.node, r.root, r.hops) for r in bfs_hops(df).collect())
+    assert rows == [
+        (1, 1, 0), (2, 1, 1), (3, 1, 2), (4, 1, 3), (5, 1, 4),
+        (10, 10, 0), (11, 10, 1),
+    ], rows
+
+
+def test_bfs_hops_duplicate_edges_and_cycle(spark):
+    """Duplicate pairs and cycles must not change distances (edge set
+    is deduplicated; min-agg takes the shortest path around a cycle)."""
+    from sales_data_pipeline_spark.operators.graph import bfs_hops
+
+    # square 1-2-3-4-1, edge (1,2) repeated
+    df = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3), (3, 4), (4, 1)], "doc_a long, doc_b long"
+    )
+    rows = sorted((r.node, r.root, r.hops) for r in bfs_hops(df).collect())
+    assert rows == [(1, 1, 0), (2, 1, 1), (3, 1, 2), (4, 1, 1)], rows
+
+
+def test_bfs_hops_explicit_sources_and_checkpoint(spark, tmp_path):
+    """Explicit multi-source BFS: nearest source wins, equidistant ties
+    break to the smaller root; reliable-checkpoint mode agrees."""
+    from sales_data_pipeline_spark.operators.graph import bfs_hops
+
+    # path 1-2-3-4-5 with sources {1, 5}: node 3 is equidistant (2 hops)
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5)], "doc_a long, doc_b long"
+    )
+    srcs = spark.createDataFrame([(1,), (5,)], "node long")
+    want = [(1, 1, 0), (2, 1, 1), (3, 1, 2), (4, 5, 1), (5, 5, 0)]
+    rows = sorted((r.node, r.root, r.hops)
+                  for r in bfs_hops(df, sources=srcs).collect())
+    assert rows == want, rows
+    ck = sorted(
+        (r.node, r.root, r.hops)
+        for r in bfs_hops(
+            df, sources=srcs, checkpoint_dir=str(tmp_path / "bfs_ckpt")
+        ).collect()
+    )
+    assert ck == want, ck
+
+
+def test_bfs_hops_raises_when_budget_exhausted(spark):
+    """A diameter larger than max_iter must raise, not return truncated
+    distances."""
+    import pytest as _pytest
+
+    from sales_data_pipeline_spark.operators.graph import ConvergenceError, bfs_hops
+
+    chain = [(i, i + 1) for i in range(8)]
+    df = spark.createDataFrame(chain, "doc_a long, doc_b long")
+    srcs = spark.createDataFrame([(0,)], "node long")
+    with _pytest.raises(ConvergenceError):
+        bfs_hops(df, sources=srcs, max_iter=3)
