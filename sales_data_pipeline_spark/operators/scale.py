@@ -271,3 +271,84 @@ def skew_report(
             ),
         )
     )
+
+
+def _bloom_positions(col: Column, n_hashes: int, num_bits: int) -> list[Column]:
+    """k independent bit positions per value: xxhash64 seeded by the
+    hash index (the standard k-hash construction), modulo the bit width.
+    JVM built-ins only — evaluated inside codegen on both build and
+    probe sides."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(num_bits)) for i in range(n_hashes)
+    ]
+
+
+def bloom_semi_filter(
+    fact: DataFrame,
+    fact_col: str,
+    keys: DataFrame,
+    key_col: str,
+    num_bits: int = 1 << 20,
+    n_hashes: int = 5,
+) -> DataFrame:
+    """Bloom-filter pre-join pruning: drop fact rows whose key cannot
+    possibly appear in ``keys`` BEFORE the real join's shuffle — the
+    classic 100 TB move when the key side is too big to broadcast as an
+    exact set but its membership fits a few hundred KB of bits (Bloom
+    1970, public construction; the same idea behind Spark's internal
+    runtime row-group filtering, which only fires under narrow
+    conditions — this operator makes it explicit and composable).
+
+    Semantics: returns a SUPERSET of the exact left-semi join (bloom
+    filters have false positives, never false negatives — property-
+    tested), so it composes with the real join afterwards: correctness
+    unchanged, the shuffle just moves ~fp-rate extra rows instead of
+    the whole fact. NULL keys are dropped (a semi join drops them too).
+
+    Build: ONE pass over ``keys`` — k hash positions per key (codegen),
+    positions grouped into 64-bit words by a bit_or aggregation
+    (mergeable partials, so the build itself never funnels raw keys
+    anywhere), and the ≤ num_bits/64 words collected once into a plain
+    long array shipped to the probe side as a literal (num_bits=2²⁰ →
+    16 K longs ≈ 128 KB, broadcast-var cost profile). Probe: k
+    element_at + bit tests per row, fully inside codegen — no UDF, no
+    join. False-positive rate ≈ (1 − e^(−k·n/m))^k; at the defaults
+    (m=2²⁰, k=5) that is < 1% up to n ≈ 100k distinct keys — size m at
+    ~10–15 bits per expected key. Probe values are cast to the key
+    column's type first: xxhash64 of the same value at different
+    widths hashes differently, which would turn false positives into
+    false NEGATIVES."""
+    ktype = keys.schema[key_col].dataType
+    n_words = (num_bits + 63) // 64
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(key_col), n_hashes, num_bits))
+    ).alias("p")
+    words = (
+        keys.filter(F.col(key_col).isNotNull())
+        .select(pos)
+        .selectExpr(
+            "cast(p / 64 as int) as w",
+            "shiftleft(1L, cast(p % 64 as int)) as b",
+        )
+        .groupBy("w")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+        .collect()
+    )
+    arr = [0] * n_words
+    for r in words:
+        arr[r.w] = r.bits
+    blob = F.lit(arr)
+    probed = fact.filter(F.col(fact_col).isNotNull())
+    probe_val = F.col(fact_col).cast(ktype)
+    tests = []
+    for i, p in enumerate(_bloom_positions(probe_val, n_hashes, num_bits)):
+        probed = probed.withColumn(
+            f"__bw{i}", F.element_at(blob, (p / 64).cast("int") + 1)
+        ).withColumn(f"__bp{i}", (p % 64).cast("int"))
+        tests.append(F.expr(f"bit_get(__bw{i}, __bp{i}) = 1"))
+    cond = tests[0]
+    for t in tests[1:]:
+        cond = cond & t
+    return probed.filter(cond).drop(
+        *[f"__bw{i}" for i in range(n_hashes)], *[f"__bp{i}" for i in range(n_hashes)]
+    )

@@ -764,3 +764,131 @@ def q150_repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 3)
     )
+
+
+@query(
+    "q151_cluster_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ),
+    clusters AS (SELECT u AS node, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+    keyed AS (
+      SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS split_key
+      FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id
+    )
+    SELECT doc_id, split_key,
+      CASE
+        WHEN substr(md5(CAST(split_key AS VARCHAR)), 32, 1) = 'e' THEN 'val'
+        WHEN substr(md5(CAST(split_key AS VARCHAR)), 32, 1) = 'f' THEN 'test'
+        ELSE 'train'
+      END AS split
+    FROM keyed
+    """,
+)
+def q151_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAKAGE-FREE train/val/test split: q44's deterministic md5-digit
+    split, but keyed on the doc's near-dup CLUSTER representative
+    instead of its own id, so a whole cluster of near-duplicates lands
+    in ONE split atomically — the fix for the contamination channel
+    q79 merely detects (a train doc's near-copy in test inflates eval).
+    Docs in no cluster key on themselves. Same determinism guarantees
+    as q44 (same doc → same split on any cluster size/partitioning;
+    new docs never reshuffle old ones) because the cluster id is the
+    min member doc_id — itself stable under data growth unless the
+    cluster gains a smaller-id member (i.e. exactly when its identity
+    changes). Composition: near-dup pairs → connected_components →
+    one left join + a map-only hash — nothing here is new machinery,
+    which is the point."""
+    from sales_data_pipeline_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    clusters = connected_components(pairs)
+    keyed = (
+        docs.join(clusters, docs.doc_id == clusters.node, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("cluster"), F.col("doc_id")).alias("split_key"),
+        )
+    )
+    digit = F.substring(F.md5(F.col("split_key").cast("string")), 32, 1)
+    split = (
+        F.when(digit == "e", "val").when(digit == "f", "test").otherwise("train")
+    )
+    return keyed.select("doc_id", "split_key", split.alias("split"))
+
+
+@query(
+    "q152_vocab_oov_stats",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    freq AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+    vocab AS (SELECT tok FROM freq ORDER BY c DESC, tok LIMIT 25),
+    stats AS (
+      SELECT t.doc_id, count(*) AS n_tokens,
+             sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+      FROM tok t LEFT JOIN vocab v USING (tok) GROUP BY 1
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           round(n_oov / n_tokens, 6) AS oov_rate
+    FROM stats
+    """,
+)
+def q152_vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build + out-of-vocabulary audit: the top-25
+    tokens by corpus frequency (ties broken on the token string —
+    deterministic across engines) become the vocabulary; every doc then
+    reports its token count, OOV count, and OOV rate — the coverage
+    check run before committing to a tokenizer/vocab size. Plan: one
+    token explode feeding (a) the frequency aggregate whose top-K is a
+    TakeOrdered (K rows to the driver, no global sort) and (b) the
+    per-doc join side; the vocabulary is BROADCAST (bounded at K by
+    construction), so the audit costs one keyed doc aggregation."""
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode_outer(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    vocab = (
+        tok.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "tok")
+        .limit(25)
+        .select("tok", F.lit(1).alias("__in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__in_vocab").isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_oov"),
+        )
+        .select(
+            "doc_id", "n_tokens", "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )

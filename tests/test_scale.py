@@ -280,3 +280,47 @@ def test_rfm_approx_plan_has_no_window_sort(spark, sf_dir):
     p = plan(rfm_segments(orders, approx=True))
     assert "Window" not in p, p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p, p
+
+
+def test_bloom_semi_filter_superset_and_fp_bounded(spark):
+    """Bloom pre-join pruning: never a false negative (supersets the
+    exact left-semi join), false positives bounded well under 1% at
+    ~10+ bits/key, and the probe stays in codegen (no Python eval)."""
+    from sales_data_pipeline_spark.operators.scale import bloom_semi_filter
+
+    fact = spark.range(0, 50_000).withColumnRenamed("id", "k")
+    keys = spark.range(0, 50_000, 7).withColumnRenamed("id", "k")
+    exact = fact.join(keys, "k", "left_semi")
+    filt = bloom_semi_filter(fact, "k", keys, "k", num_bits=1 << 17)
+    assert exact.join(filt, "k", "left_anti").count() == 0  # no false negatives
+    n_exact, n_filt = exact.count(), filt.count()
+    n_non_members = 50_000 - n_exact
+    assert (n_filt - n_exact) <= 0.01 * n_non_members, (n_exact, n_filt)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        filt._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_bloom_semi_filter_casts_probe_to_key_type(spark):
+    """An int fact column probed against a long key column must hash at
+    the key side's width — a width mismatch would produce false
+    NEGATIVES, silently dropping matching rows."""
+    from sales_data_pipeline_spark.operators.scale import bloom_semi_filter
+
+    fact = spark.range(0, 10_000).selectExpr("cast(id as int) as k")
+    keys = spark.range(0, 10_000, 3).withColumnRenamed("id", "k")
+    exact = fact.selectExpr("cast(k as long) as k").join(keys, "k", "left_semi")
+    filt = bloom_semi_filter(fact, "k", keys, "k", num_bits=1 << 16)
+    got = filt.selectExpr("cast(k as long) as k")
+    assert exact.join(got, "k", "left_anti").count() == 0
+
+
+def test_bloom_semi_filter_drops_null_keys(spark):
+    """NULL fact keys are dropped, matching left-semi-join semantics."""
+    from sales_data_pipeline_spark.operators.scale import bloom_semi_filter
+
+    fact = spark.createDataFrame([(1,), (None,), (2,)], "k bigint")
+    keys = spark.createDataFrame([(1,), (2,)], "k bigint")
+    out = bloom_semi_filter(fact, "k", keys, "k", num_bits=1 << 12)
+    assert sorted(r.k for r in out.collect()) == [1, 2]
