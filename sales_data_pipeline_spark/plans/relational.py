@@ -4598,3 +4598,146 @@ def q149_revenue_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 6).alias("zscore"),
         F.when(F.abs(z) >= 2, F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q153 — winsorized statistics (order-statistic bounds, outlier-robust mean)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q153_winsorized_prices",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice AS p,
+        row_number() OVER (
+          PARTITION BY l_returnflag
+          ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    b AS (
+      SELECT l_returnflag,
+        max(CASE WHEN rn = CAST(floor((n + 99) / 100) AS BIGINT) THEN p END) AS lo,
+        max(CASE WHEN rn = CAST(floor((99 * n + 99) / 100) AS BIGINT) THEN p END) AS hi
+      FROM r GROUP BY 1
+    )
+    SELECT r.l_returnflag, CAST(max(r.n) AS BIGINT) AS n_rows, b.lo, b.hi,
+      round(CAST(SUM(CAST(least(greatest(r.p, b.lo), b.hi) AS DECIMAL(18,2)))
+                 AS DOUBLE) / max(r.n), 6) AS winsorized_mean
+    FROM r JOIN b USING (l_returnflag)
+    GROUP BY r.l_returnflag, b.lo, b.hi
+    """,
+)
+def q153_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized price statistics per return flag: clip at the exact
+    1st/99th ORDER STATISTICS and average the clipped values — the
+    outlier-robust mean a monitoring pipeline prefers over the raw
+    mean. The bounds are k-th-smallest elements (row_number with a
+    total tie-break, k = ceil(p·n) computed as floor((p·100·n+99)/100)
+    in INTEGER-exact arithmetic — a literal 0.01·n would be decimal in
+    DuckDB but double in Spark, and their ceil()s diverge exactly at
+    multiples of 100) rather than interpolated percentiles: interpolation arithmetic differs across engines in
+    the last float bits, but an order statistic is an actual data
+    value — bitwise identical by construction. The clipped sum runs in
+    DECIMAL (prices are 2dp-exact), so the mean is order-independent
+    and the round(…, 6) is safe. Plan: one partitioned window sort
+    (keyed by the group — parallel across groups, no global sort), a
+    tiny per-group bounds aggregate joined back broadcast-style, one
+    keyed aggregation."""
+    li = table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    b = r.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor((F.col("n") + 99) / 100).cast("bigint"),
+                F.col("p"),
+            )
+        ).alias("lo"),
+        F.max(
+            F.when(
+                F.col("rn")
+                == F.floor((99 * F.col("n") + 99) / 100).cast("bigint"),
+                F.col("p"),
+            )
+        ).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("p"), F.col("lo")), F.col("hi"))
+    return (
+        r.join(b, "l_returnflag")
+        .groupBy("l_returnflag", "lo", "hi")
+        .agg(
+            F.max("n").cast("bigint").alias("n_rows"),
+            F.round(
+                F.sum(clipped.cast("decimal(18,2)")).cast("double") / F.max("n"), 6
+            ).alias("winsorized_mean"),
+        )
+        .select("l_returnflag", "n_rows", "lo", "hi", "winsorized_mean")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q154 — deterministic mode per group (most-ordered brand per segment)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q154_top_brand_per_segment",
+    oracle="""
+    WITH cnt AS (
+      SELECT c.c_mktsegment, p.p_brand, CAST(count(*) AS BIGINT) AS n_lines
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN part p ON p.p_partkey = l.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT c_mktsegment, p_brand, n_lines FROM cnt
+    QUALIFY row_number() OVER (
+      PARTITION BY c_mktsegment ORDER BY n_lines DESC, p_brand) = 1
+    """,
+)
+def q154_top_brand_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical MODE per group, deterministically: the most-ordered
+    part brand per customer market segment. Built-in mode() is
+    tie-nondeterministic in both engines, so the argmax runs as
+    max_by over a (count, reversed-brand) struct — count descending,
+    then lexicographically-smallest brand, the same total order the
+    oracle's window spells out. One aggregation over the (segment,
+    brand) count table — |segments|×|brands| rows, no window over the
+    fact. The star joins broadcast their dims (customer/part bounded
+    relative to lineitem)."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    part = table(spark, sf_dir, "part")
+    cnt = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("c_mktsegment", "p_brand")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_lines"))
+    )
+    # max_by can't express "count desc then brand ASC" directly; flip
+    # the brand ordering by negating each byte is overkill — instead
+    # min_by over (-n_lines, p_brand) gives the same total order.
+    return cnt.groupBy("c_mktsegment").agg(
+        F.min_by(
+            F.struct("p_brand", "n_lines"),
+            F.struct((-F.col("n_lines")).alias("neg"), F.col("p_brand")),
+        ).alias("__m")
+    ).select(
+        "c_mktsegment",
+        F.col("__m.p_brand").alias("p_brand"),
+        F.col("__m.n_lines").alias("n_lines"),
+    )

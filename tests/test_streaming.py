@@ -428,3 +428,89 @@ def test_streaming_countmin_converges_to_batch_sketch(spark, tmp_path):
         (r.row, r.bucket, r.cnt) for r in read_sketch(spark, cfg).collect()
     )
     assert after == before
+
+
+def test_streaming_anomalies_converge_to_batch_zscores(spark, tmp_path):
+    """The incrementally-folded anomaly report must equal the one-shot
+    batch computation over the union of all shards (decimal day-sum
+    monoid + closed-form moments), including when one day's orders are
+    SPLIT across micro-batches; and re-running after wiping only the
+    stream checkpoint must not double-count (versioned-commit skip)."""
+    import json as _json
+
+    from sales_data_pipeline_spark.streaming.anomaly import (
+        AnomalyConfig,
+        read_report,
+        run_revenue_anomalies,
+    )
+
+    rows = [
+        (1, "2024-01-01", 100.10), (2, "2024-01-01", 250.25),
+        (3, "2024-01-02", 80.00), (4, "2024-01-03", 900.00),
+        (5, "2024-01-04", 120.50), (6, "2024-01-05", 110.00),
+        (7, "2024-01-02", 40.40),  # day 2 split across shards
+    ]
+    src = tmp_path / "orders"
+    src.mkdir()
+    for shard, chunk in ((1, rows[:4]), (2, rows[4:])):
+        with open(src / f"s{shard}.jsonl", "w") as f:
+            for oid, d, v in chunk:
+                f.write(_json.dumps(
+                    {"order_id": oid, "order_date": d, "total_price": v}) + "\n")
+    cfg = AnomalyConfig(
+        input_dir=str(src),
+        state_dir=str(tmp_path / "days"),
+        report_dir=str(tmp_path / "report"),
+        checkpoint_dir=str(tmp_path / "ckpt_anom"),
+        max_files_per_trigger=1,  # force 2 micro-batches
+    )
+    run_revenue_anomalies(spark, cfg)
+    got = {
+        r.day: (r.rev, r.zscore, r.is_anomaly)
+        for r in read_report(spark, cfg).collect()
+    }
+
+    # one-shot batch reference with the same closed form
+    whole = spark.createDataFrame(
+        [(o, d, v) for o, d, v in rows],
+        "order_id long, order_date string, total_price double",
+    )
+    days = whole.groupBy(F.substring("order_date", 1, 10).alias("day")).agg(
+        F.sum(F.col("total_price").cast("decimal(18,2)")).alias("rev")
+    )
+    s = days.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev").cast("double").alias("tot"),
+        F.sum(F.col("rev") * F.col("rev")).cast("double").alias("ss"),
+    )
+    j = days.crossJoin(s)
+    mu = F.col("tot") / F.col("n")
+    sigma = F.sqrt(
+        (F.col("ss") - F.col("tot") * F.col("tot") / F.col("n")) / (F.col("n") - 1)
+    )
+    z = (F.col("rev").cast("double") - mu) / sigma
+    want = {
+        r.day: (float(r.rev), r.z, r.a)
+        for r in j.select(
+            "day",
+            F.col("rev").cast("double").alias("rev"),
+            F.round(z, 6).alias("z"),
+            F.when(F.abs(z) >= 2, 1).otherwise(0).cast("bigint").alias("a"),
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for day in want:
+        assert got[day] == want[day], (day, got[day], want[day])
+    # day 2 must be the two-shard sum
+    assert got["2024-01-02"][0] == 120.40
+
+    # retry idempotency: same protocol as the count-min sketch
+    import shutil
+
+    shutil.rmtree(tmp_path / "ckpt_anom")
+    run_revenue_anomalies(spark, cfg)
+    again = {
+        r.day: (r.rev, r.zscore, r.is_anomaly)
+        for r in read_report(spark, cfg).collect()
+    }
+    assert again == got
