@@ -4741,3 +4741,43 @@ def q154_top_brand_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("__m.p_brand").alias("p_brand"),
         F.col("__m.n_lines").alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q156 — VARIANT semi-structured extraction (Spark 4 native variant type)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q156_variant_props",
+    oracle="""
+    SELECT event_type,
+      CAST(count(*) AS BIGINT) AS n_events,
+      CAST(min(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS min_k,
+      CAST(max(CAST(props->>'$.k' AS INTEGER)) AS BIGINT) AS max_k,
+      round(avg(CAST(props->>'$.k' AS INTEGER)), 6) AS avg_k
+    FROM events GROUP BY event_type
+    """,
+)
+def q156_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through Spark 4's native VARIANT type
+    (parse_json → variant_get): the open-schema path for property bags
+    whose fields are NOT known up front — complements q41, which uses
+    from_json with a declared schema. The variant encoding parses each
+    JSON document ONCE into a binary form and serves every later
+    variant_get from it (no per-field re-parse), which is the 100 TB
+    difference when a props column feeds dozens of extractions.
+    avg is exact-integer-sum / count — order-independent, so the
+    round(…, 6) carries no accumulation hazard."""
+    ev = table(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+        )
+    )

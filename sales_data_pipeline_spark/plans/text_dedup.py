@@ -892,3 +892,67 @@ def q152_vocab_oov_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
         )
     )
+
+
+@query(
+    "q155_recursive_closure_sql",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v, d) AS (
+      SELECT u, v, 1 FROM edges
+      UNION ALL
+      SELECT r.u, e.v, r.d + 1 FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u AND r.d < 4
+    )
+    SELECT u AS doc, least(u, min(v)) AS cluster FROM reach GROUP BY u
+    """,
+)
+def q155_recursive_closure_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure via Spark's NATIVE recursive CTE (WITH
+    RECURSIVE, Spark 4.x) — the SQL-surface counterpart of q49's
+    iterative connected_components, run as ONE SQL statement on both
+    engines with the identical bounded formulation (UNION ALL + depth
+    cap 4 + no-backtrack guard; Spark does not yet support
+    UNION-distinct recursion, so the recursion enumerates bounded
+    PATHS and the outer GROUP BY collapses them). Correct whenever the
+    component diameter ≤ the cap — true by construction for near-dup
+    clusters at the 0.6 threshold (they are near-cliques; q147
+    measures hops ≤ 1 on this corpus).
+
+    SCALE NOTE: path enumeration without per-round dedup grows as
+    degree^depth — this is the convenience form for bounded graphs and
+    ad-hoc SQL; the 100 TB path is the checkpointed iterative operator
+    (q49), which dedups labels every round. Registered precisely to
+    pin the engine's recursive-SQL surface with an oracle."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    pairs.createOrReplaceTempView("q155_near_pairs")
+    return spark.sql("""
+      WITH RECURSIVE edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM q155_near_pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM q155_near_pairs
+      ),
+      reach(u, v, d) AS (
+        SELECT u, v, 1 FROM edges
+        UNION ALL
+        SELECT r.u, e.v, r.d + 1 FROM reach r JOIN edges e ON r.v = e.u
+        WHERE e.v <> r.u AND r.d < 4
+      )
+      SELECT u AS doc, least(u, min(v)) AS cluster FROM reach GROUP BY u
+    """)

@@ -6,6 +6,7 @@ from __future__ import annotations
 import gzip
 import json
 
+from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
 from sales_data_pipeline_spark.sources.jsonl import read_jsonl, split_corrupt, write_jsonl
@@ -60,3 +61,52 @@ def test_jsonl_gzip_shard_roundtrip(spark, tmp_path):
     back, bad = split_corrupt(read_jsonl(spark, out, DOC_CONTRACT))
     assert bad.count() == 0
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+# ---------------------------------------------------------------------------
+# XML source/sink (sources/xml.py)
+# ---------------------------------------------------------------------------
+
+
+def test_xml_roundtrip_with_contract_schema(spark, tmp_path):
+    """Write → read round-trip through the native XML format with an
+    explicit contract schema (no inference scan), values intact."""
+    from sales_data_pipeline_spark.sources.xml import read_xml, write_xml
+
+    df = spark.createDataFrame(
+        [(1, "alpha", 10.5), (2, "beta", 20.25), (3, "gamma", -1.0)],
+        "id bigint, name string, score double",
+    )
+    path = str(tmp_path / "xmlout")
+    write_xml(df, path, row_tag="rec")
+    back = read_xml(
+        spark, path, row_tag="rec", schema="id bigint, name string, score double"
+    )
+    assert [f.simpleString() for f in back.schema.fields] == [
+        f.simpleString() for f in df.schema.fields
+    ]
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_xml_read_mart_export_shape(spark, tmp_path):
+    """A mart exported as XML reads back with row-count and money
+    fidelity (decimal carried as string in XML, recovered by the
+    contract schema)."""
+    from decimal import Decimal
+
+    from sales_data_pipeline_spark.sources.xml import read_xml, write_xml
+
+    mart = spark.createDataFrame(
+        [(i, f"c{i}", Decimal(100 + i).quantize(Decimal("0.01"))) for i in range(20)],
+        "customer_id bigint, name string, total_sales decimal(10,2)",
+    )
+    path = str(tmp_path / "mart_xml")
+    write_xml(mart, path, row_tag="row", root_tag="mart")
+    back = read_xml(
+        spark, path, row_tag="row",
+        schema="customer_id bigint, name string, total_sales decimal(10,2)",
+    )
+    assert back.count() == 20
+    got = back.agg(F.sum("total_sales")).collect()[0][0]
+    want = mart.agg(F.sum("total_sales")).collect()[0][0]
+    assert got == want
