@@ -610,3 +610,51 @@ def semantic_dedup(
         vecs.join(dropped, id_col, "left_anti")
         .select(id_col, "cluster")
     )
+
+
+def knn_graph(
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_tables: int = 8,
+    n_bits: int = 8,
+) -> DataFrame:
+    """Approximate k-nearest-neighbor GRAPH over the whole corpus:
+    (src, dst, sim, rank ≤ k) per vector — the precursor structure for
+    SemDeDup-style pruning, graph-based ANN indexes, and
+    representativeness sampling. Same SRP bucket machinery as
+    embedding_neardup_lsh, but NOTHING is broadcast: candidates come
+    from the (tbl, bucket) self-join (both directions, src ≠ dst),
+    vectors are re-fetched via two id-keyed joins, and the per-node
+    top-k is a window over src — all shuffles linear in candidate
+    volume, never N². (lsh_ann broadcasts its bounded query set; for
+    the self-kNN case the 'query set' IS the corpus, so this operator
+    exists to avoid that broadcast.) Recall is the LSH physics — same
+    regimes as embedding_neardup_lsh's docstring; measured against
+    brute force in tests/test_similarity.py."""
+    from pyspark.sql import Window
+
+    sig = srp_signatures(corpus, id_col, vec_col, n_tables, n_bits)
+    a = _bucket_stack(sig, "src", n_tables)
+    b = _bucket_stack(sig, "dst", n_tables)
+    candidates = (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    va = corpus.select(F.col(id_col).alias("src"), as_double_array(vec_col).alias("sv"))
+    vb = corpus.select(F.col(id_col).alias("dst"), as_double_array(vec_col).alias("dv"))
+    scored = (
+        candidates.join(va, "src")
+        .join(vb, "dst")
+        .select(
+            "src", "dst",
+            F.round(cosine_similarity(F.col("sv"), F.col("dv")), 9).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("sim").desc(), F.col("dst"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )

@@ -4781,3 +4781,130 @@ def q156_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("k"), 6).alias("avg_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q157 — only-late-supplier analysis (TPC-H Q21 shape, decorrelated)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q157_waiting_suppliers",
+    oracle="""
+    WITH per_os AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+        max(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                 THEN 1 ELSE 0 END) AS was_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2
+    ),
+    per_o AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(was_late) AS n_late
+      FROM per_os GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(count(*) AS BIGINT) AS numwait
+    FROM per_os p
+    JOIN per_o o USING (l_orderkey)
+    JOIN supplier s ON s.s_suppkey = p.l_suppkey
+    WHERE p.was_late = 1 AND o.n_supp >= 2 AND o.n_late = 1
+    GROUP BY 1, 2
+    ORDER BY numwait DESC, s_suppkey LIMIT 20
+    """,
+)
+def q157_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21's shape (public benchmark): suppliers who were the
+    ONLY late shipper in a multi-supplier order — the query whose
+    textbook form is a correlated EXISTS plus a correlated NOT EXISTS
+    against the same fact. Written DECORRELATED on both engines: one
+    (order, supplier) aggregate with a late flag, one per-order rollup
+    (supplier count, late count), and the pair of correlations becomes
+    two cheap predicates (n_supp ≥ 2 ⇔ EXISTS other supplier;
+    n_late = 1 ∧ was_late ⇔ NOT EXISTS other late one). The fact
+    shuffles ONCE on orderkey and both aggregates reuse that
+    partitioning — vs. the naive form's three fact scans and two
+    correlated re-probes. Top-20 via TakeOrdered on a deterministic
+    (numwait DESC, suppkey) key."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supp = table(spark, sf_dir, "supplier")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        1,
+    ).otherwise(0)
+    per_os = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("was_late"))
+    )
+    per_o = per_os.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("was_late").alias("n_late")
+    )
+    return (
+        per_os.join(per_o, "l_orderkey")
+        .filter(
+            (F.col("was_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_suppkey")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q158 — exact weighted median (cumulative-weight order statistic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q158_weighted_median_price",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice AS p,
+        CAST(l_quantity AS DECIMAL(18,2)) AS w,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+          PARTITION BY l_returnflag
+          ORDER BY l_extendedprice, l_orderkey, l_linenumber
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+          PARTITION BY l_returnflag) AS tw
+      FROM lineitem
+    )
+    SELECT l_returnflag,
+      CAST(max(tw) AS DOUBLE) AS total_weight,
+      min(CASE WHEN 2 * cw >= tw THEN p END) AS weighted_median
+    FROM r GROUP BY 1
+    """,
+)
+def q158_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact QUANTITY-WEIGHTED median price per return flag: the
+    smallest price whose cumulative quantity weight reaches half the
+    group's total — the robust central-price statistic when line items
+    carry different volumes (a plain median over-weights small lots).
+    All weight arithmetic in DECIMAL (quantities are integral), and the
+    half-total test is 2·cw ≥ tw in decimal — no 0.5 float anywhere,
+    so both engines pick the identical row. One partitioned window
+    sort (parallel across groups) + one keyed aggregation; the median
+    itself is an order statistic, bitwise identical by construction
+    (same defense as q153's winsorization bounds)."""
+    li = table(spark, sf_dir, "lineitem")
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_returnflag")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    r = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.sum(qty).over(w_cum).alias("cw"),
+        F.sum(qty).over(w_all).alias("tw"),
+    )
+    return r.groupBy("l_returnflag").agg(
+        F.max("tw").cast("double").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("p"))).alias(
+            "weighted_median"
+        ),
+    )

@@ -317,3 +317,20 @@ def q91_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("zcr", 6).alias("zcr"),
         "peak",
     )
+
+
+@query("q159_knn_graph")  # probabilistic recall: rows-only check
+def q159_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate corpus-wide kNN graph (top-5 cosine neighbors per
+    vector) via SRP buckets — no broadcast of the corpus, no N² pair
+    enumeration; the structure SemDeDup-style semantic pruning and
+    graph-ANN indexes start from. No SQL oracle (bucket recall is
+    probabilistic); covering checks: tests/test_similarity.py::
+    test_knn_graph_recall_vs_bruteforce (recall vs exact per-node
+    top-k) and ::test_knn_graph_shape (every ranked row exact-cosine
+    verified, ranks contiguous from 1). Moderate-similarity corpus →
+    the few-bits/many-tables regime, same reasoning as q52."""
+    from sales_data_pipeline_spark.operators.similarity import knn_graph
+
+    emb = table(spark, sf_dir, "embeddings")
+    return knn_graph(emb, k=5, n_tables=16, n_bits=4)

@@ -352,3 +352,61 @@ def test_wav_rejects_malformed(spark):
     good[20] = 3  # audio_format = 3 (IEEE float)
     with pytest.raises(ValueError):
         _wav_parse(bytes(good))
+
+
+def test_knn_graph_recall_vs_bruteforce(spark, sf_dir):
+    """Per-node recall of the LSH kNN graph vs exact brute-force top-k
+    on the same corpus (few-bits/many-tables regime for this
+    moderate-similarity corpus)."""
+    from sales_data_pipeline_spark.catalog import table as _table
+    from sales_data_pipeline_spark.operators.similarity import cosine_topk, knn_graph
+
+    emb = _table(spark, sf_dir, "embeddings").limit(120).cache()
+    k = 5
+    exact = cosine_topk(emb, emb, k=k)
+    truth: dict[int, set] = {}
+    for r in exact.collect():
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+    got: dict[int, set] = {}
+    for r in knn_graph(emb, k=k, n_tables=16, n_bits=4).collect():
+        got.setdefault(r.src, set()).add(r.dst)
+    hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+    total = sum(len(v) for v in truth.values())
+    assert hits / total >= 0.6, hits / total
+    emb.unpersist()
+
+
+def test_knn_graph_shape(spark, sf_dir):
+    """Every node appears, ranks are contiguous from 1, at most k rows
+    per node, and each sim is the exact (rounded) cosine of its pair."""
+    from sales_data_pipeline_spark.catalog import table as _table
+    from sales_data_pipeline_spark.operators.similarity import (
+        as_double_array,
+        cosine_similarity,
+        knn_graph,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings").limit(60).cache()
+    g = knn_graph(emb, k=3, n_tables=16, n_bits=4)
+    rows = g.collect()
+    by_src: dict[int, list] = {}
+    for r in rows:
+        by_src.setdefault(r.src, []).append(r)
+    assert len(by_src) == 60  # 16 tables × 4 bits: every node collides somewhere
+    for src, rs in by_src.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), (src, ranks)
+        assert len(rs) <= 3
+    # spot-verify sims: recompute exact cosine for one node's edges
+    some = rows[:20]
+    pairs = spark.createDataFrame(
+        [(r.src, r.dst, r.sim) for r in some], "src long, dst long, sim double"
+    )
+    va = emb.select(F.col("vec_id").alias("src"), as_double_array("embedding").alias("sv"))
+    vb = emb.select(F.col("vec_id").alias("dst"), as_double_array("embedding").alias("dv"))
+    chk = pairs.join(va, "src").join(vb, "dst").select(
+        "sim", F.round(cosine_similarity(F.col("sv"), F.col("dv")), 9).alias("want")
+    )
+    for r in chk.collect():
+        assert r.sim == r.want
+    emb.unpersist()
