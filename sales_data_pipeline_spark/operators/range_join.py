@@ -66,3 +66,62 @@ def range_join(
         .drop(i_bins["__bin"])
         .drop(p_bins["__bin"])
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_width_seconds: int = 600,
+) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join: all same-``key`` row pairs
+    whose half-open intervals [left_start, left_end) and
+    [right_start, right_end) intersect — the generalization of
+    ``range_join`` both of whose sides are intervals (meeting/conflict
+    detection, co-occurring sessions, downtime attribution).
+
+    Same bucketization, plus the standard EXACTLY-ONCE trick that a
+    point-side join doesn't need: two overlapping intervals share
+    every bin their intersection covers, so the join would emit the
+    pair once per shared bin. Instead of a distinct over the output
+    (a full extra shuffle of the result), each pair is claimed by ONE
+    responsible bin — the bin containing max(start_l, start_r), i.e.
+    where the intersection begins — via a cheap predicate inside the
+    join. Output = left columns + right columns (callers pre-alias
+    collisions); shuffles: one (key, bin) exchange per side, fanout
+    bounded by ceil(len/width)+1 bins per interval."""
+    w_us = bin_width_seconds * _US
+
+    def _bins(df: DataFrame, s: str, e: str) -> DataFrame:
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(F.col(s)) / w_us),
+                    F.floor(F.unix_micros(F.col(e)) / w_us),
+                )
+            ),
+        )
+
+    lb = _bins(left, left_start, left_end)
+    rb = _bins(right, right_start, right_end)
+    inter_start = F.greatest(lb[left_start], rb[right_start])
+    cond = (
+        (lb[key] == rb[key])
+        & (lb["__bin"] == rb["__bin"])
+        # overlap of half-open intervals
+        & (lb[left_start] < rb[right_end])
+        & (rb[right_start] < lb[left_end])
+        # exactly-once: only the bin where the intersection begins emits
+        & (lb["__bin"] == F.floor(F.unix_micros(inter_start) / w_us))
+    )
+    return (
+        lb.join(rb, cond, "inner")
+        .drop(rb[key])
+        .drop(lb["__bin"])
+        .drop(rb["__bin"])
+    )

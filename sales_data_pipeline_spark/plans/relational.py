@@ -4908,3 +4908,66 @@ def q158_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_median"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q160 — interval-overlap join (co-active event windows per user)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q160_overlapping_activity",
+    oracle="""
+    SELECT a.user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+      CAST(sum(CASE WHEN a.event_type = b.event_type THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_same_type
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.ts < b.ts + INTERVAL 300 SECOND
+     AND b.ts < a.ts + INTERVAL 300 SECOND
+    GROUP BY 1
+    """,
+)
+def q160_overlapping_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-active event pairs per user: each event opens a 5-minute
+    activity window; count same-user pairs whose windows overlap (and
+    how many share an event type) — the conflict/concurrency shape
+    (double-session detection, overlapping downtime attribution).
+    Runs on the INTERVAL × INTERVAL bucketed overlap join
+    (operators/range_join.py interval_overlap_join): Spark would plan
+    the raw inequality pair as a per-user nested loop; bucketing turns
+    it into one (user, time-bin) equi-join per side with a
+    responsible-bin predicate that emits every overlapping pair
+    EXACTLY once — no distinct over the pair set. The oracle is the
+    direct quadratic self-join, affordable only because test-scale
+    per-user event counts are small — which is the point of the
+    bucketed operator."""
+    from sales_data_pipeline_spark.operators.range_join import interval_overlap_join
+
+    ev = table(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 300 SECONDS")
+    a = ev.select(
+        "user_id",
+        F.col("event_id").alias("id_a"),
+        F.col("event_type").alias("type_a"),
+        F.col("ts").alias("start_a"),
+        (F.col("ts") + win).alias("end_a"),
+    )
+    b = ev.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("event_type").alias("type_b"),
+        F.col("ts").alias("start_b"),
+        (F.col("ts") + win).alias("end_b"),
+    )
+    pairs = interval_overlap_join(
+        a, b, key="user_id",
+        left_start="start_a", left_end="end_a",
+        right_start="start_b", right_end="end_b",
+        bin_width_seconds=300,
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum((F.col("type_a") == F.col("type_b")).cast("int"))
+        .cast("bigint").alias("n_same_type"),
+    )
