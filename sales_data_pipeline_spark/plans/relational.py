@@ -4819,11 +4819,13 @@ def q157_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order, supplier) aggregate with a late flag, one per-order rollup
     (supplier count, late count), and the pair of correlations becomes
     two cheap predicates (n_supp ≥ 2 ⇔ EXISTS other supplier;
-    n_late = 1 ∧ was_late ⇔ NOT EXISTS other late one). The fact
-    shuffles ONCE on orderkey and both aggregates reuse that
-    partitioning — vs. the naive form's three fact scans and two
-    correlated re-probes. Top-20 via TakeOrdered on a deterministic
-    (numwait DESC, suppkey) key."""
+    n_late = 1 ∧ was_late ⇔ NOT EXISTS other late one). The per-order
+    rollup is a WINDOW over the per-(order, supplier) aggregate, not a
+    groupBy joined back — Spark re-executes common subplans per
+    consumer, so the self-join form would scan and shuffle the fact
+    TWICE (plan-asserted in tests/test_plan_shapes.py); the window
+    form scans the fact once. Top-20 via TakeOrdered on a
+    deterministic (numwait DESC, suppkey) key."""
     li = table(spark, sf_dir, "lineitem")
     orders = table(spark, sf_dir, "orders")
     supp = table(spark, sf_dir, "supplier")
@@ -4836,12 +4838,16 @@ def q157_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey", "l_suppkey")
         .agg(F.max(late).alias("was_late"))
     )
-    per_o = per_os.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"), F.sum("was_late").alias("n_late")
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_orderkey",
+        "l_suppkey",
+        "was_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("was_late").over(w).alias("n_late"),
     )
     return (
-        per_os.join(per_o, "l_orderkey")
-        .filter(
+        flagged.filter(
             (F.col("was_late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
         )
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -4971,3 +4977,144 @@ def q160_overlapping_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("type_a") == F.col("type_b")).cast("int"))
         .cast("bigint").alias("n_same_type"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q161 — median absolute deviation (two-pass order statistics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q161_mad_prices",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag, l_extendedprice AS p,
+        row_number() OVER (PARTITION BY l_returnflag
+          ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        count(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM lineitem
+    ),
+    med AS (
+      SELECT l_returnflag, max(CASE WHEN rn = (n + 1) // 2 THEN p END) AS median
+      FROM r GROUP BY 1
+    ),
+    dev AS (
+      SELECT r.l_returnflag, abs(r.p - m.median) AS d,
+        row_number() OVER (PARTITION BY r.l_returnflag
+          ORDER BY abs(r.p - m.median), r.rn) AS rn2,
+        count(*) OVER (PARTITION BY r.l_returnflag) AS n
+      FROM r JOIN med m USING (l_returnflag)
+    )
+    SELECT d.l_returnflag, m.median,
+      max(CASE WHEN rn2 = (n + 1) // 2 THEN d END) AS mad
+    FROM dev d JOIN med m USING (l_returnflag)
+    GROUP BY 1, 2
+    """,
+)
+def q161_mad_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of price per return flag — the robust
+    dispersion companion to q153's winsorized mean and q158's weighted
+    median (outlier-immune spread for drift monitoring, where stddev is
+    dragged by the tail it's supposed to flag). Two order-statistic
+    passes: the lower median (rank (n+1)//2 under a totally tie-broken
+    order), then the lower median of |x − median| ordered by
+    (deviation, first-pass rank) — every selected value is an actual
+    data point or an exact difference of one and the bitwise-identical
+    median, so no cross-engine float hazard anywhere. Integer rank
+    arithmetic only. Plan: two partitioned window sorts (parallel
+    across groups) + two keyed aggregates; the per-group median table
+    joins back broadcast-small."""
+    li = table(spark, sf_dir, "lineitem")
+    w1 = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    r = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.row_number().over(w1).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    med = r.groupBy("l_returnflag").agg(
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("p"))
+        ).alias("median")
+    )
+    dev_base = r.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag", "median", F.abs(F.col("p") - F.col("median")).alias("d"), "rn"
+    )
+    w2 = Window.partitionBy("l_returnflag").orderBy("d", "rn")
+    dev = dev_base.select(
+        "l_returnflag", "median", "d",
+        F.row_number().over(w2).alias("rn2"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return dev.groupBy("l_returnflag", "median").agg(
+        F.max(
+            F.when(F.col("rn2") == F.floor((F.col("n") + 1) / 2), F.col("d"))
+        ).alias("mad")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q162 — lag-1 autocorrelation of daily revenue (exact-moment closed form)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q162_revenue_autocorr",
+    oracle="""
+    WITH d AS (
+      SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+      FROM orders GROUP BY 1
+    ),
+    lagged AS (
+      SELECT rev AS y, lag(rev) OVER (ORDER BY day) AS x FROM d
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+        CAST(SUM(x * x) AS DOUBLE) AS sxx, CAST(SUM(y * y) AS DOUBLE) AS syy,
+        CAST(SUM(x * y) AS DOUBLE) AS sxy
+      FROM lagged WHERE x IS NOT NULL
+    )
+    SELECT n,
+      round((n * sxy - sx * sy)
+            / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS lag1_autocorr
+    FROM m
+    """,
+)
+def q162_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of daily revenue — the momentum/seasonality
+    scalar behind 'is yesterday predictive of today' (and the
+    denominator sanity check before fitting any AR model). Same
+    determinism recipe as q149: day revenues and ALL five moment sums
+    stay exact DECIMAL (products of 2dp decimals are 4dp decimals,
+    summed exactly, order-independent), and Pearson's closed form runs
+    on those exact scalars in double — bitwise identical across
+    engines, unlike corr() whose double accumulation is
+    merge-order-dependent. The lag itself is one window over the
+    (bounded, one-row-per-day) aggregate."""
+    orders = table(spark, sf_dir, "orders")
+    d = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"))
+    w = Window.orderBy("day")
+    lagged = d.select(
+        F.col("rev").alias("y"), F.lag("rev").over(w).alias("x")
+    ).filter(F.col("x").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return m.select("n", F.round(num / den, 6).alias("lag1_autocorr"))

@@ -408,3 +408,25 @@ def test_q109_topk_no_global_sort(spark, sf_dir):
     plan = _plan(QUERIES["q109_rag_retrieval"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
     assert "Arguments: rangepartitioning" not in plan, plan
+
+
+def test_q146_pairs_via_generate_not_self_join(spark, sf_dir):
+    """Association-rule pair generation must come from the basket-local
+    comprehension (a Generate/explode), with ZERO sort-merge joins —
+    a regression to the items⋈items self-join would shuffle the fact
+    twice and explode skewed orders."""
+    plan = _plan(QUERIES["q146_association_rules"].fn(spark, sf_dir))
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert "Generate" in plan, plan
+
+
+def test_q157_fact_scanned_once(spark, sf_dir):
+    """The Q21-shape decorrelation must scan lineitem exactly ONCE: the
+    per-order rollup is a window over the per-(order, supplier)
+    aggregate, not a groupBy self-joined back (Spark re-executes common
+    subplans per consumer, so the join form doubles the fact scan)."""
+    plan = _plan(QUERIES["q157_waiting_suppliers"].fn(spark, sf_dir))
+    n_li = len(re.findall(r"Scan parquet[^\n]*\n[^\n]*lineitem", plan))
+    if n_li == 0:  # location formatting fallback
+        n_li = plan.count("lineitem.parquet") or plan.count("/lineitem]")
+    assert n_li == 1, plan
