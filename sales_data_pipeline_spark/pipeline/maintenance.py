@@ -139,3 +139,46 @@ def compact_partitions(
         .parquet(root)
     )
     return [s.partition for s in frag]
+
+
+def expire_partitions(
+    spark: SparkSession,
+    root: str,
+    partition_col: str,
+    cutoff: str,
+    dry_run: bool = False,
+) -> list[str]:
+    """Retention: drop every leaf partition whose ``partition_col``
+    value sorts strictly BELOW ``cutoff`` (string order — correct for
+    the zero-padded date/month partition values this repo writes,
+    e.g. sales_month=2023-03). The lifecycle counterpart to
+    compaction: ingestion grows the table, compaction consolidates it,
+    retention bounds it — without retention a 100 TB fact store only
+    ever grows, and full scans pay for data no query may legally read
+    (cf. the right-to-be-forgotten report q130, which targets rows;
+    this targets whole partitions, the only form that also reclaims
+    storage without a rewrite).
+
+    Directory-level deletes through the Hadoop FS API — no data read,
+    no rewrite of surviving partitions (their files and mtimes are
+    untouched, same guarantee compaction gives). Partition values are
+    taken from directory names, so the operation is metadata-only.
+    Returns the deleted (or, with ``dry_run``, would-be-deleted)
+    partition directory names, sorted."""
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    root_p = jvm.org.apache.hadoop.fs.Path(root)
+    fs = root_p.getFileSystem(conf)
+    if not fs.exists(root_p):
+        return []
+    prefix = f"{partition_col}="
+    doomed: list[str] = []
+    for status in fs.listStatus(root_p):
+        name = status.getPath().getName()
+        if status.isDirectory() and name.startswith(prefix):
+            if name[len(prefix):] < cutoff:
+                doomed.append(name)
+    for name in sorted(doomed):
+        if not dry_run:
+            fs.delete(jvm.org.apache.hadoop.fs.Path(root_p, name), True)
+    return sorted(doomed)

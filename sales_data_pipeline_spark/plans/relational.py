@@ -5118,3 +5118,156 @@ def q162_revenue_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     )
     return m.select("n", F.round(num / den, 6).alias("lag1_autocorr"))
+
+
+# ---------------------------------------------------------------------------
+# q163 — functional-dependency violation census (profiling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q163_fd_violations",
+    oracle="""
+    WITH checks AS (
+      SELECT 'part: p_partkey->p_brand' AS fd,
+        CAST(count(*) AS BIGINT) AS n_keys,
+        CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating
+      FROM (SELECT p_partkey, count(DISTINCT p_brand) AS n_rhs
+            FROM part GROUP BY 1)
+      UNION ALL
+      SELECT 'orders: o_orderkey->o_custkey',
+        CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT o_orderkey, count(DISTINCT o_custkey) AS n_rhs
+            FROM orders GROUP BY 1)
+      UNION ALL
+      SELECT 'lineitem: (l_orderkey,l_linenumber)->l_partkey',
+        CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT l_orderkey, l_linenumber, count(DISTINCT l_partkey) AS n_rhs
+            FROM lineitem GROUP BY 1, 2)
+      UNION ALL
+      SELECT 'documents: fingerprint->text',
+        CAST(count(*) AS BIGINT),
+        CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+      FROM (SELECT md5(trim(text)) AS fp, count(DISTINCT text) AS n_rhs
+            FROM documents GROUP BY 1)
+    )
+    SELECT * FROM checks
+    """,
+)
+def q163_fd_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency audit: for each declared FD X→Y, how many
+    distinct X keys exist and how many of them map to MORE than one Y
+    (violations) — the schema-integrity profile that catches silent
+    key corruption after a bad merge (the profiling step
+    check_expectations' per-row rules cannot express, because FD
+    violation is a property of a GROUP). Each FD is one keyed
+    aggregation with map-side combine; the union is of 4 three-column
+    summary rows. The md5→text FD doubles as a hash-collision canary
+    (n_violating > 0 would mean an md5 collision inside the corpus)."""
+    part = table(spark, sf_dir, "part")
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    docs = table(spark, sf_dir, "documents")
+
+    def check(df: DataFrame, name: str, lhs: list, rhs: str) -> DataFrame:
+        g = df.groupBy(*lhs).agg(F.countDistinct(rhs).alias("n_rhs"))
+        return g.agg(
+            F.lit(name).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum((F.col("n_rhs") > 1).cast("int")).cast("bigint").alias("n_violating"),
+        ).select("fd", "n_keys", "n_violating")
+
+    parts = [
+        check(part, "part: p_partkey->p_brand", ["p_partkey"], "p_brand"),
+        check(orders, "orders: o_orderkey->o_custkey", ["o_orderkey"], "o_custkey"),
+        check(
+            li,
+            "lineitem: (l_orderkey,l_linenumber)->l_partkey",
+            ["l_orderkey", "l_linenumber"],
+            "l_partkey",
+        ),
+        check(
+            docs.select(F.md5(F.trim("text")).alias("fp"), "text"),
+            "documents: fingerprint->text",
+            ["fp"],
+            "text",
+        ),
+    ]
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, parts)
+
+
+# ---------------------------------------------------------------------------
+# q164 — referential-integrity orphan census
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q164_ri_orphans",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT)
+        AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+      CAST((SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+      CAST((SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+      CAST((SELECT count(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    """,
+)
+def q164_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's FK edges:
+    per edge, how many child rows point at a parent key that does not
+    exist (orphans) — the load-gate companion to q163's FD audit; a
+    nonzero count after ingestion means the enrichment joins (q04)
+    silently drop revenue. Each edge is ONE left-anti join; dimension
+    parents broadcast (their key sets are the bounded side), so the
+    fact is scanned once per edge with no shuffle. The count(*)-over-
+    anti-join form is exactly how the NOT EXISTS decorrelates."""
+
+    def orphans(child: DataFrame, ckey: str, parent: DataFrame, pkey: str, name: str) -> DataFrame:
+        return (
+            child.select(F.col(ckey))
+            .join(F.broadcast(parent.select(F.col(pkey))),
+                  F.col(ckey) == F.col(pkey), "left_anti")
+            .agg(F.lit(name).alias("fk_edge"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            .select("fk_edge", "n_orphans")
+        )
+
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    part = table(spark, sf_dir, "part")
+    supp = table(spark, sf_dir, "supplier")
+    cust = table(spark, sf_dir, "customer")
+    nation = table(spark, sf_dir, "nation")
+    parts = [
+        orphans(li, "l_orderkey", orders, "o_orderkey", "lineitem.l_orderkey->orders"),
+        orphans(li, "l_partkey", part, "p_partkey", "lineitem.l_partkey->part"),
+        orphans(li, "l_suppkey", supp, "s_suppkey", "lineitem.l_suppkey->supplier"),
+        orphans(orders, "o_custkey", cust, "c_custkey", "orders.o_custkey->customer"),
+        orphans(cust, "c_nationkey", nation, "n_nationkey", "customer.c_nationkey->nation"),
+    ]
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, parts)

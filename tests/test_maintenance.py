@@ -120,3 +120,39 @@ def test_compact_splits_large_partition_to_target(spark, tmp_path):
     n = len(_files(root, "month=A"))
     assert 2 <= n <= 5, n
     assert spark.read.parquet(root).count() == 20000
+
+
+def test_expire_partitions_drops_old_keeps_new(spark, tmp_path):
+    """Retention deletes exactly the partitions below the cutoff;
+    surviving partitions keep their bytes (files untouched, data
+    identical) and reads keep working."""
+    from sales_data_pipeline_spark.pipeline.maintenance import expire_partitions
+
+    root = str(tmp_path / "fact")
+    df = spark.createDataFrame(
+        [(i, f"2023-{1 + i % 4:02d}", float(i)) for i in range(40)],
+        "id long, sales_month string, v double",
+    )
+    df.write.partitionBy("sales_month").parquet(root)
+    before = {
+        r.sales_month: r.cnt
+        for r in spark.read.parquet(root).groupBy("sales_month")
+        .agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    # dry run: reports but deletes nothing
+    would = expire_partitions(spark, root, "sales_month", "2023-03", dry_run=True)
+    assert would == ["sales_month=2023-01", "sales_month=2023-02"]
+    assert spark.read.parquet(root).count() == 40
+
+    gone = expire_partitions(spark, root, "sales_month", "2023-03")
+    assert gone == would
+    left = spark.read.parquet(root)
+    months = {r.sales_month for r in left.select("sales_month").distinct().collect()}
+    assert months == {"2023-03", "2023-04"}
+    after = {
+        r.sales_month: r.cnt
+        for r in left.groupBy("sales_month").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert after == {m: c for m, c in before.items() if m >= "2023-03"}
+    # idempotent: nothing left below the cutoff
+    assert expire_partitions(spark, root, "sales_month", "2023-03") == []
