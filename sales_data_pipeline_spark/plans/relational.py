@@ -5271,3 +5271,115 @@ def q164_ri_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     return reduce(DataFrame.unionByName, parts)
+
+
+# ---------------------------------------------------------------------------
+# q165 — event-type transition matrix (first-order Markov estimate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q165_event_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+        lead(event_type) OVER (
+          PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+      round(n / sum(n) OVER (PARTITION BY from_type), 6) AS prob
+    FROM c
+    """,
+)
+def q165_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for each
+    consecutive same-user event pair (time order, id tie-break), the
+    count and row-normalized probability of from→to — the behavioral
+    fingerprint behind next-action prediction and bot detection
+    (uniform rows ⇒ no intent signal). One user-keyed window for the
+    lead, one keyed count; the normalizing sum is a window over the
+    |types|² count table (25 rows — trivially bounded). Probabilities
+    divide exact integer counts, so the doubles are bitwise identical
+    across engines."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = s.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w_norm = Window.partitionBy("from_type")
+    return c.select(
+        "from_type", "to_type", "n",
+        F.round(F.col("n") / F.sum("n").over(w_norm), 6).alias("prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q167 — fulfillment-latency percentiles (pure-integer order statistics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q167_fulfillment_latency",
+    oracle="""
+    WITH r AS (
+      SELECT strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS order_month,
+        date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)) AS d,
+        row_number() OVER (
+          PARTITION BY date_trunc('month', o.o_orderdate)
+          ORDER BY date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)),
+                   l.l_orderkey, l.l_linenumber) AS rn,
+        count(*) OVER (PARTITION BY date_trunc('month', o.o_orderdate)) AS n
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT order_month, CAST(max(n) AS BIGINT) AS n_lines,
+      CAST(max(CASE WHEN rn = (n + 1) // 2 THEN d END) AS BIGINT) AS p50_days,
+      CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN d END) AS BIGINT) AS p90_days
+    FROM r GROUP BY 1
+    """,
+)
+def q167_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLA per order month: median and p90 days
+    between order placement and line shipment — the fulfillment
+    monitoring query whose tail (p90) is the SLA, not the mean. Pure
+    INTEGER order statistics end to end (day differences are ints,
+    ranks are ints, the percentile indices are integer-exact
+    (n+1)//2 and (9n+9)//10 = ceil(0.9n)) — nothing floats, nothing
+    can diverge cross-engine. One partitioned window sort per month
+    group + one keyed aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM")
+    d = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        month.alias("order_month"),
+        d.alias("d"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("order_month").orderBy("d", "l_orderkey", "l_linenumber")
+    wn = Window.partitionBy("order_month")
+    r = j.select(
+        "order_month", "d",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return r.groupBy("order_month").agg(
+        F.max("n").cast("bigint").alias("n_lines"),
+        F.max(
+            F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("d"))
+        ).cast("bigint").alias("p50_days"),
+        F.max(
+            F.when(F.col("rn") == F.floor((9 * F.col("n") + 9) / 10), F.col("d"))
+        ).cast("bigint").alias("p90_days"),
+    )

@@ -956,3 +956,84 @@ def q155_recursive_closure_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       SELECT u AS doc, least(u, min(v)) AS cluster FROM reach GROUP BY u
     """)
+
+
+@query(
+    "q166_cluster_representatives",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ),
+    clusters AS (SELECT u AS node, least(u, min(v)) AS cluster FROM reach GROUP BY u),
+    scored AS (
+      SELECT c.cluster, c.node AS doc_id,
+        (CASE WHEN len(string_split(d.text,' ')) BETWEEN 20 AND 80 THEN 1.0 ELSE 0.0 END) * 0.4
+        + (len(list_distinct(string_split(d.text,' '))) / len(string_split(d.text,' '))) * 0.3
+        + least(len(list_filter(string_split(d.text,' '), x -> x IN {_STOP_SQL}))
+                / len(string_split(d.text,' ')) * 10.0, 1.0) * 0.3 AS quality
+      FROM clusters c JOIN documents d ON d.doc_id = c.node
+    )
+    SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+      min(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc,
+      min(CASE WHEN rn = 1 THEN quality END) AS rep_quality
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rn
+      FROM scored
+    ) GROUP BY cluster
+    """,
+)
+def q166_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-AWARE canonical selection for near-dup clusters: instead
+    of q49's min-id representative, keep each cluster's highest-QUALITY
+    member (tie → smaller doc_id) — what a curation pipeline actually
+    wants when a cluster mixes a clean original with mangled variants.
+    Composition: connected components → quality_score join →
+    deterministic per-cluster argmax (max_by over a (quality, −doc_id)
+    struct — one aggregation over the cluster-member table, never a
+    per-cluster collect). quality_score is the same
+    cross-engine-bit-stable expression q19 oracle-checks, so the
+    argmax picks the identical row in both engines."""
+    from sales_data_pipeline_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    clusters = connected_components(pairs)
+    scored = clusters.join(
+        docs.select("doc_id", quality_score("text").alias("quality")),
+        clusters.node == F.col("doc_id"),
+    )
+    best = F.max_by(
+        F.struct(F.col("doc_id").alias("rep_doc"), F.col("quality").alias("rep_quality")),
+        F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg_id")),
+    )
+    return (
+        scored.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_members"),
+            best.alias("__b"),
+        )
+        .select(
+            "cluster", "n_members",
+            F.col("__b.rep_doc").alias("rep_doc"),
+            F.col("__b.rep_quality").alias("rep_quality"),
+        )
+    )
