@@ -325,10 +325,23 @@ def minhash_signatures(
 
 def _signatures_from_sets(sets: DataFrame, num_perm: int) -> DataFrame:
     """Signatures from precomputed (doc, sh) sets — lets callers that
-    also need the sets elsewhere (LSH verify) share one materialization."""
+    also need the sets elsewhere (LSH verify) share one materialization.
+
+    The per-permutation seed is injected through a CLOSURE FACTORY, not
+    a defaulted second lambda parameter: PySpark's transform() binds a
+    two-parameter lambda as (element, array_index), so the old
+    ``lambda s, i=i`` form silently seeded every permutation with the
+    element's POSITION — all num_perm components collapsed to one
+    hash function, degrading banded LSH to a single-band exact-match
+    (recall cliff on shifted-but-overlapping sets; caught by the
+    bipartite fuzzy-contamination tests in r3)."""
     sh = F.col("__sh")
+
+    def _perm(seed: int):
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
     mins = [
-        F.array_min(F.transform(sh, lambda s, i=i: F.xxhash64(s, F.lit(i)))).alias(f"h{i}")
+        F.array_min(F.transform(sh, _perm(i))).alias(f"h{i}")
         for i in range(num_perm)
     ]
     return sets.withColumnRenamed("sh", "__sh").select("doc", *mins)
@@ -606,3 +619,94 @@ def duplicated_chunks(
         )
         .filter(F.col("n_docs") >= min_docs)
     )
+
+
+def fuzzy_contamination_pairs(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.6,
+    persist: bool = True,
+) -> DataFrame:
+    """FUZZY benchmark decontamination: (corpus doc, benchmark doc)
+    pairs with shingle Jaccard ≥ threshold, found via BIPARTITE banded
+    MinHash-LSH — the near-dup complement to the exact 5-gram overlap
+    census (operators/quality.contamination / q54), which only catches
+    verbatim leakage; a lightly paraphrased or truncated benchmark
+    item slips an exact n-gram filter but not a Jaccard one.
+
+    Same machinery as minhash_lsh_pairs but across TWO frames: both
+    sides' signatures use the identical deterministic hash family
+    (xxhash64 seeded by permutation index — same shingle ⇒ same
+    component on either side), the (band, bucket) join is
+    corpus × benchmark rather than a self-join (no doc_a < doc_b
+    dedup asymmetry, no corpus-internal pairs generated at all), and
+    candidates are exact-verified with array_intersect over the full
+    shingle sets. The benchmark side is typically tiny relative to the
+    corpus — its bucket table behaves like a broadcast-scale build
+    side, so candidate volume ≈ corpus docs that actually collide.
+    Recall is the banded-LSH curve 1-(1-t^r)^b; precision 1.0 by
+    construction (every emitted pair verified). Output:
+    (corpus_id, bench_id, jaccard)."""
+    c_sets = _shingle_sets(corpus, corpus_id, text_col, n)
+    b_sets = _shingle_sets(benchmark, bench_id, text_col, n)
+    if persist:
+        c_sets = _persist(c_sets)
+        b_sets = _persist(b_sets)
+    rows = num_perm // bands
+
+    def _buckets(sets: DataFrame, out: str) -> DataFrame:
+        sig = _signatures_from_sets(sets, num_perm)
+        band_arr = F.array(
+            *[
+                F.xxhash64(*[F.col(f"h{b * rows + r}") for r in range(rows)], F.lit(b))
+                for b in range(bands)
+            ]
+        )
+        return sig.select(F.col("doc").alias(out), F.posexplode(band_arr).alias("band", "bucket"))
+
+    candidates = (
+        _buckets(c_sets, "__cid")
+        .join(_buckets(b_sets, "__bid"), ["band", "bucket"], "inner")
+        .select("__cid", "__bid")
+        .distinct()
+    )
+    ca = c_sets.select(F.col("doc").alias("__cid"), F.col("sh").alias("sh_c"))
+    cb = b_sets.select(F.col("doc").alias("__bid"), F.col("sh").alias("sh_b"))
+    n_common = F.size(F.array_intersect(F.col("sh_c"), F.col("sh_b")))
+    jac = n_common / (F.size("sh_c") + F.size("sh_b") - n_common)
+    return (
+        candidates.join(ca, "__cid")
+        .join(cb, "__bid")
+        .select(
+            F.col("__cid").alias(corpus_id),
+            F.col("__bid").alias(bench_id),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    corpus_id: str = "doc_id",
+    bench_id: str = "bench_id",
+    text_col: str = "text",
+    threshold: float = 0.6,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Corpus minus fuzzy benchmark hits: anti-join on the flagged id
+    set from fuzzy_contamination_pairs. LSH recall < 1 only ever KEEPS
+    a contaminated doc (never drops a clean one — precision 1.0), the
+    conservative failure direction for a removal filter."""
+    flagged = fuzzy_contamination_pairs(
+        corpus, benchmark, corpus_id, bench_id, text_col,
+        threshold=threshold, **lsh_kwargs,
+    ).select(corpus_id).distinct()
+    return corpus.join(flagged, corpus_id, "left_anti")

@@ -1037,3 +1037,24 @@ def q166_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__b.rep_quality").alias("rep_quality"),
         )
     )
+
+
+@query("q168_fuzzy_contamination")  # banded-LSH recall: rows-only check
+def q168_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination census: corpus docs (sources ≠
+    src1) whose shingle Jaccard vs any src1 'benchmark' doc is ≥ 0.5,
+    via bipartite MinHash-LSH (operators/dedup.py
+    fuzzy_contamination_pairs). Complements q54/q87, which catch only
+    verbatim 5-gram overlap — this catches paraphrased/truncated
+    leakage. No SQL oracle (banded recall is probabilistic); covering
+    checks: tests/test_dedup.py::test_fuzzy_contamination_* (planted
+    paraphrase caught, verbatim copy at jaccard 1.0, clean docs kept,
+    decontaminate removes exactly the flagged ids)."""
+    from sales_data_pipeline_spark.operators.dedup import fuzzy_contamination_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("source") == "src1").select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    corpus = docs.filter(F.col("source") != "src1")
+    return fuzzy_contamination_pairs(corpus, bench, threshold=0.5)

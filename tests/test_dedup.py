@@ -533,3 +533,95 @@ def test_bfs_hops_raises_when_budget_exhausted(spark):
     srcs = spark.createDataFrame([(0,)], "node long")
     with _pytest.raises(ConvergenceError):
         bfs_hops(df, sources=srcs, max_iter=3)
+
+
+# ---------------------------------------------------------------------------
+# fuzzy contamination (q168 covering checks)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_contamination_catches_paraphrase_and_verbatim(spark, docs):
+    """A verbatim benchmark copy must be flagged at jaccard 1.0; a
+    lightly edited copy (token appended + one dropped) must still be
+    flagged above the threshold; an unrelated doc must not be."""
+    from sales_data_pipeline_spark.operators.dedup import (
+        fuzzy_contamination_pairs,
+        fuzzy_decontaminate,
+        release_caches,
+    )
+
+    # split on a SINGLE space to match the engine's tokenizer exactly —
+    # python str.split() collapses runs of whitespace, which silently
+    # retokenizes documents containing double spaces (sf0.001 has them)
+    # and destroys the planted shingle overlap
+    base = [r for r in docs.limit(10).collect() if len(r.text.split(" ")) >= 30]
+    bench_rows = [(100 + i, r.text) for i, r in enumerate(base[:3])]
+    verbatim = (1, base[0].text)
+    toks = base[1].text.split(" ")
+    paraphrase = (2, " ".join(toks[:-2] + ["zzz"]))
+    clean = (3, " ".join(f"uniqtok{i}" for i in range(40)))
+    corpus = spark.createDataFrame(
+        [verbatim, paraphrase, clean], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(bench_rows, "bench_id long, text string")
+    try:
+        pairs = {
+            (r.doc_id, r.bench_id): r.jaccard
+            for r in fuzzy_contamination_pairs(
+                corpus, bench, threshold=0.5
+            ).collect()
+        }
+        assert pairs[(1, 100)] == 1.0  # verbatim
+        assert (2, 101) in pairs and pairs[(2, 101)] >= 0.5  # paraphrase
+        assert not any(d == 3 for d, _ in pairs)  # clean untouched
+
+        kept = {
+            r.doc_id for r in fuzzy_decontaminate(corpus, bench, threshold=0.5).collect()
+        }
+        assert kept == {3}
+    finally:
+        release_caches()
+
+
+def test_fuzzy_contamination_is_bipartite_only(spark):
+    """Corpus-internal near-dups must NOT be emitted — only
+    corpus×benchmark pairs (the self-join would pollute the
+    contamination report with ordinary duplication)."""
+    from sales_data_pipeline_spark.operators.dedup import (
+        fuzzy_contamination_pairs,
+        release_caches,
+    )
+
+    text = " ".join(f"w{i}" for i in range(40))
+    corpus = spark.createDataFrame(
+        [(1, text), (2, text)],  # internal exact dup pair
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, " ".join(f"b{i}" for i in range(40)))], "bench_id long, text string"
+    )
+    try:
+        out = fuzzy_contamination_pairs(corpus, bench, threshold=0.3).collect()
+        assert out == []  # the internal dup never appears
+    finally:
+        release_caches()
+
+
+def test_minhash_signature_components_are_independent(spark):
+    """Regression for the transform() lambda-arity bug: a 2-parameter
+    lambda gets (element, array_index), so a defaulted seed parameter
+    was silently shadowed by the POSITION — making all num_perm
+    signature components identical (banded LSH degenerated to a single
+    exact-match band). Components must differ across permutations, and
+    identical shingle SETS in different array order must still produce
+    identical signatures."""
+    from sales_data_pipeline_spark.operators.dedup import _signatures_from_sets
+
+    sets = spark.createDataFrame(
+        [(1, [11, 22, 33, 44, 55]), (2, [55, 44, 33, 22, 11])],
+        "doc long, sh array<bigint>",
+    )
+    rows = {r.doc: [r[f"h{i}"] for i in range(16)]
+            for r in _signatures_from_sets(sets, 16).collect()}
+    assert len(set(rows[1])) > 1, rows[1]  # not all components equal
+    assert rows[1] == rows[2]  # order-independent over the same set
