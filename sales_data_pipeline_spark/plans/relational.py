@@ -5383,3 +5383,106 @@ def q167_fulfillment_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == F.floor((9 * F.col("n") + 9) / 10), F.col("d"))
         ).cast("bigint").alias("p90_days"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q170 — cumulative distinct customers (first-seen trick)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q170_cumulative_customers",
+    oracle="""
+    WITH first_seen AS (
+      SELECT o_custkey,
+             min(strftime(date_trunc('month', o_orderdate), '%Y-%m')) AS m
+      FROM orders GROUP BY 1
+    ),
+    monthly AS (
+      SELECT m, CAST(count(*) AS BIGINT) AS n_new FROM first_seen GROUP BY 1
+    )
+    SELECT m AS month, n_new,
+      CAST(sum(n_new) OVER (ORDER BY m
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        AS cum_customers
+    FROM monthly
+    """,
+)
+def q170_cumulative_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct customers by month via the FIRST-SEEN trick:
+    min(first order month) per customer, count new arrivals per month,
+    running-sum the (bounded, one-row-per-month) series. The naive
+    formulation — COUNT(DISTINCT custkey) over an expanding window —
+    re-deduplicates the entire history for every month and cannot
+    partial-aggregate; first-seen needs ONE customer-keyed aggregate
+    and touches each customer exactly once, the canonical rewrite for
+    'distinct so far' at any scale. The only global window runs over
+    ~tens of month rows."""
+    orders = table(spark, sf_dir, "orders")
+    first_seen = orders.groupBy("o_custkey").agg(
+        F.min(F.date_format("o_orderdate", "yyyy-MM")).alias("m")
+    )
+    monthly = first_seen.groupBy("m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        F.col("m").alias("month"),
+        "n_new",
+        F.sum("n_new").over(w).cast("bigint").alias("cum_customers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q171 — engagement: DAU / MAU / stickiness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q171_engagement_stickiness",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT strftime(date_trunc('month', ts), '%Y-%m') AS m,
+             strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d') AS day,
+             user_id
+      FROM events
+    ),
+    dau AS (SELECT m, day, CAST(count(*) AS BIGINT) AS dau FROM d GROUP BY 1, 2),
+    mau AS (SELECT m, CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM d GROUP BY 1)
+    SELECT mau.m AS month, CAST(count(*) AS BIGINT) AS n_days,
+      CAST(sum(dau.dau) AS BIGINT) AS dau_days, mau.mau,
+      round(sum(dau.dau) / (count(*) * mau.mau), 6) AS stickiness
+    FROM dau JOIN mau USING (m)
+    GROUP BY mau.m, mau.mau
+    """,
+)
+def q171_engagement_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement metrics per month: average-DAU / MAU 'stickiness'
+    (what share of monthly actives show up on a typical day — the
+    product-health ratio). One distinct pass over (month, day, user)
+    feeds both the daily and monthly distinct counts; stickiness
+    divides exact integers (Σdau / (days · mau)), so the double is
+    bitwise stable. The distinct pass is the only fact-sized shuffle;
+    everything after runs on day- and month-cardinality tables."""
+    ev = table(spark, sf_dir, "events")
+    d = ev.select(
+        F.date_format("ts", "yyyy-MM").alias("m"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+    ).distinct()
+    dau = d.groupBy("m", "day").agg(F.count(F.lit(1)).cast("bigint").alias("dau"))
+    mau = d.groupBy("m").agg(
+        F.countDistinct("user_id").cast("bigint").alias("mau")
+    )
+    return (
+        dau.join(mau, "m")
+        .groupBy(F.col("m").alias("month"), "mau")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum("dau").cast("bigint").alias("dau_days"),
+            F.round(
+                F.sum("dau") / (F.count(F.lit(1)) * F.col("mau")), 6
+            ).alias("stickiness"),
+        )
+        .select("month", "n_days", "dau_days", "mau", "stickiness")
+    )

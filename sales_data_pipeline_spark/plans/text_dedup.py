@@ -1058,3 +1058,51 @@ def q168_fuzzy_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.filter(F.col("source") != "src1")
     return fuzzy_contamination_pairs(corpus, bench, threshold=0.5)
+
+
+@query(
+    "q169_cross_source_dup_matrix",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    )
+    SELECT least(da.source, db.source) AS source_a,
+           greatest(da.source, db.source) AS source_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    GROUP BY 1, 2
+    """,
+)
+def q169_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance view of duplication: near-dup pair counts aggregated
+    by UNORDERED source pair — the matrix that tells a corpus builder
+    WHERE duplication comes from (within one crawl? mirrored across
+    two feeds?) and which acquisition to de-prioritize. Two broadcast
+    joins attach sources to the (tiny relative to the corpus) pair
+    list; least/greatest canonicalize the pair so (src1,src2) and
+    (src2,src1) land in one cell."""
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
