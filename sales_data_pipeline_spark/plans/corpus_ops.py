@@ -982,3 +982,108 @@ def q124_weighted_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("k").desc(), "doc_id")
         .limit(50)
     )
+
+
+_BM25_TERMS = ("data", "spark", "table")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "q172_bm25_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN {str(_BM25_TERMS)} GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks WHERE term IN {str(_BM25_TERMS)} GROUP BY 1
+    ),
+    scored AS (
+      SELECT tf.doc_id,
+        sum(
+          ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+          * tf.tf * ({_BM25_K1} + 1.0)
+          / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+        ) AS score
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY 1
+    )
+    SELECT doc_id, round(score, 6) AS bm25,
+      CAST(row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS BIGINT)
+        AS rank
+    FROM scored QUALIFY rank <= 10
+    """,
+)
+def q172_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (Robertson et al., the Lucene default
+    scoring, public formula) for a fixed 3-term query: top-10 docs by
+    Σ idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with the +1-smoothed
+    idf. The lexical-retrieval half of a RAG stack beside q109's
+    embedding retrieve — hybrid search = union both candidate sets.
+    Plan: the term filter lands BEFORE the tf/df aggregations (only
+    query-term postings are ever counted — at 100 TB the inverted
+    aggregation runs on a |Q|-term slice, not the corpus vocabulary);
+    doc lengths and (N, avgdl) are one map pass + one scalar; the
+    top-10 is a TakeOrdered on (rounded score desc, doc_id). Rounded
+    6 before ranking so ln's last-ulp cannot flip ranks (q70's
+    contract)."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    dl = docs.select(
+        "doc_id", token_count("text").alias("dl")
+    )
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+            ).cast("bigint"),
+        )
+        .filter(F.col("rank") <= 10)
+    )

@@ -5486,3 +5486,43 @@ def q171_engagement_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("month", "n_days", "dau_days", "mau", "stickiness")
     )
+
+
+# ---------------------------------------------------------------------------
+# q173 — duplicate-payment audit (composite-key exact-dup census)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q173_duplicate_payments",
+    oracle="""
+    SELECT o_custkey,
+      strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_day,
+      CAST(o_totalprice AS DECIMAL(18,2)) AS amount,
+      CAST(count(*) AS BIGINT) AS n_orders,
+      CAST(min(o_orderkey) AS BIGINT) AS first_orderkey
+    FROM orders
+    GROUP BY 1, 2, 3 HAVING count(*) > 1
+    """,
+)
+def q173_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge audit: orders sharing (customer, day, exact
+    amount) — the composite-key exact-duplicate census a payments
+    reconciliation runs nightly (retried submissions, double-clicks,
+    replayed batches). One keyed aggregation with map-side combine;
+    amounts compared as DECIMAL so 19.99 vs 19.990000001 never
+    false-merge and true duplicates never split on float noise.
+    first_orderkey anchors the keep-one remediation."""
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("amount"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("o_orderkey").cast("bigint").alias("first_orderkey"),
+        )
+        .filter(F.col("n_orders") > 1)
+    )
