@@ -514,3 +514,59 @@ def test_streaming_anomalies_converge_to_batch_zscores(spark, tmp_path):
         for r in read_report(spark, cfg).collect()
     }
     assert again == got
+
+
+def test_trending_tokens_finalized_windows_match_batch(spark, tmp_path):
+    """Windowed token counts: the watermark finalizes early windows
+    exactly once (append mode), later windows stay pending; counts and
+    the per-window top-k equal a batch recompute over the same rows."""
+    import json as _json
+
+    from sales_data_pipeline_spark.streaming.trending import (
+        run_trending,
+        trending_topk,
+    )
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+
+    def iso(mins):
+        return (base + dt.timedelta(minutes=mins)).strftime("%Y-%m-%dT%H:%M:%S")
+
+    # window = 10 min, watermark = 20 min.
+    shard1 = [  # window [12:00,12:10): alpha x3, beta x2, gamma x1
+        (1, iso(1), "alpha beta alpha"),
+        (2, iso(5), "beta gamma alpha"),
+    ]
+    shard2 = [  # t=12:55 advances watermark to 12:35 → 12:00 and 12:10 final
+        (3, iso(12), "delta delta beta"),   # window [12:10,12:20)
+        (4, iso(55), "omega"),              # window [12:50,13:00) — pending
+    ]
+    src = tmp_path / "tok_stream"
+    src.mkdir()
+    for name, rows in (("s1", shard1), ("s2", shard2)):
+        with open(src / f"{name}.jsonl", "w") as f:
+            for i, ts, text in rows:
+                f.write(_json.dumps({"doc_id": i, "ts": ts, "text": text}) + "\n")
+    sink = str(tmp_path / "trend_sink")
+    run_trending(
+        spark, str(src), sink, str(tmp_path / "ckpt_trend"),
+        max_files_per_trigger=1,
+    )
+    got = {
+        (r.window_start.minute, r.tok): r.n
+        for r in spark.read.parquet(sink).collect()
+    }
+    # finalized: [12:00,12:10) and [12:10,12:20); pending: [12:50,13:00)
+    assert got == {
+        (0, "alpha"): 3, (0, "beta"): 2, (0, "gamma"): 1,
+        (10, "delta"): 2, (10, "beta"): 1,
+    }, got
+    top = [
+        (r.window_start.minute, r.tok, r.n, r.rank)
+        for r in trending_topk(spark, sink, k=2)
+        .orderBy("window_start", "rank").collect()
+    ]
+    assert top == [
+        (0, "alpha", 3, 1), (0, "beta", 2, 2),
+        (10, "delta", 2, 1), (10, "beta", 1, 2),
+    ], top
