@@ -5526,3 +5526,132 @@ def q173_duplicate_payments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_orders") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# q174 — time-to-convert histogram (signup → first purchase)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q174_time_to_convert",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    p AS (
+      SELECT user_id, min(ts) AS first_purchase_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY 1
+    ),
+    conv AS (
+      SELECT s.user_id,
+        CAST(floor(date_diff('second', s.signup_ts, p.first_purchase_ts) / 3600.0)
+             AS BIGINT) AS hours_bucket
+      FROM s JOIN p USING (user_id)
+      WHERE p.first_purchase_ts >= s.signup_ts
+    )
+    SELECT hours_bucket, CAST(count(*) AS BIGINT) AS n_users
+    FROM conv GROUP BY 1
+    """,
+)
+def q174_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase latency histogram (whole-hour buckets)
+    — the activation-funnel timing distribution growth teams tune
+    onboarding against; complements q60's step-conversion counts with
+    WHEN conversion happens. Two min-aggregations (each one keyed
+    shuffle with map-side combine — never a per-user sort), an
+    equi-join, integer bucket arithmetic (epoch-second difference
+    floor-divided by 3600 — exact in both engines), one count."""
+    ev = table(spark, sf_dir, "events")
+    s = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("signup_ts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.min("ts").alias("first_purchase_ts")
+    )
+    conv = (
+        s.join(p, "user_id")
+        .filter(F.col("first_purchase_ts") >= F.col("signup_ts"))
+        .select(
+            F.floor(
+                (
+                    F.unix_micros("first_purchase_ts") - F.unix_micros("signup_ts")
+                ) / F.lit(3_600_000_000)
+            ).cast("bigint").alias("hours_bucket")
+        )
+    )
+    return conv.groupBy("hours_bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q175 — price-volume-mix revenue bridge (month-over-month decomposition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q175_price_volume_bridge",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(date_trunc('month', l_shipdate), '%Y-%m') AS mo,
+        SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+        SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY 1
+    ),
+    b AS (
+      SELECT mo, qty, rev,
+        lag(qty) OVER (ORDER BY mo) AS qty0,
+        lag(rev) OVER (ORDER BY mo) AS rev0
+      FROM m
+    )
+    SELECT mo AS ship_month,
+      CAST(rev AS DOUBLE) AS revenue,
+      round(CAST(rev AS DOUBLE) - CAST(rev0 AS DOUBLE), 2) AS delta_rev,
+      round((CAST(qty AS DOUBLE) - CAST(qty0 AS DOUBLE))
+            * (CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE)), 6) AS volume_effect,
+      round(CAST(qty AS DOUBLE)
+            * (CAST(rev AS DOUBLE) / CAST(qty AS DOUBLE)
+               - CAST(rev0 AS DOUBLE) / CAST(qty0 AS DOUBLE)), 6) AS price_effect
+    FROM b WHERE qty0 IS NOT NULL
+    """,
+)
+def q175_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue BRIDGE (price-volume-mix, the standard
+    FP&A waterfall): Δrev decomposes exactly into a volume effect
+    (Δqty at last month's average price) plus a price effect (this
+    month's qty at the change in average price) — volume_effect +
+    price_effect = delta_rev by construction. Monthly qty/revenue stay
+    DECIMAL (exact, order-independent); the effects are closed-form
+    doubles over those exact scalars, so both engines produce
+    identical bits (q149's recipe). The lag runs over the bounded
+    one-row-per-month series."""
+    li = table(spark, sf_dir, "lineitem")
+    m = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("mo")
+    ).agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+    )
+    w = Window.orderBy("mo")
+    b = m.select(
+        "mo",
+        F.col("qty").cast("double").alias("qty_d"),
+        F.col("rev").cast("double").alias("rev_d"),
+        F.lag(F.col("qty")).over(w).cast("double").alias("qty0"),
+        F.lag(F.col("rev")).over(w).cast("double").alias("rev0"),
+    ).filter(F.col("qty0").isNotNull())
+    return b.select(
+        F.col("mo").alias("ship_month"),
+        F.col("rev_d").alias("revenue"),
+        F.round(F.col("rev_d") - F.col("rev0"), 2).alias("delta_rev"),
+        F.round(
+            (F.col("qty_d") - F.col("qty0")) * (F.col("rev0") / F.col("qty0")), 6
+        ).alias("volume_effect"),
+        F.round(
+            F.col("qty_d")
+            * (F.col("rev_d") / F.col("qty_d") - F.col("rev0") / F.col("qty0")),
+            6,
+        ).alias("price_effect"),
+    )
