@@ -230,3 +230,121 @@ def test_cdc_chunks_lossless_on_arbitrary_unicode(spark, texts):
     }
     for i, t in enumerate(texts):
         assert rebuilt.get(i, "") == t, (i, t, rebuilt.get(i, ""))
+
+
+# ---------------------------------------------------------------------------
+# r3 operators: interval overlap join / bloom semi filter / weighted median
+# ---------------------------------------------------------------------------
+
+intervals_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 3000), st.integers(1, 900)),
+    min_size=1,
+    max_size=15,
+)
+
+
+@settings(**_SETTINGS)
+@given(rows=intervals_strategy, width=st.integers(7, 900))
+def test_interval_overlap_join_equals_naive(spark, rows, width):
+    """For ANY interval set and ANY bin width, the bucketed overlap
+    join must emit exactly the naive quadratic join's pairs — once
+    each (the responsible-bin predicate is what this pins)."""
+    import datetime as _dt
+
+    from sales_data_pipeline_spark.operators.range_join import interval_overlap_join
+
+    base = _dt.datetime(2024, 1, 1)
+    data = [
+        (k, i, base + _dt.timedelta(seconds=s), base + _dt.timedelta(seconds=s + d))
+        for i, (k, s, d) in enumerate(rows)
+    ]
+    df = spark.createDataFrame(data, "k int, id int, s timestamp, e timestamp")
+    a = df.select("k", F.col("id").alias("id_a"), F.col("s").alias("sa"), F.col("e").alias("ea"))
+    b = df.select("k", F.col("id").alias("id_b"), F.col("s").alias("sb"), F.col("e").alias("eb"))
+    want = sorted(
+        map(tuple, a.join(b, "k")
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.col("sa") < F.col("eb")) & (F.col("sb") < F.col("ea")))
+            .select("id_a", "id_b").collect())
+    )
+    got = sorted(
+        map(tuple, interval_overlap_join(a, b, "k", "sa", "ea", "sb", "eb",
+                                         bin_width_seconds=width)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b").collect())
+    )
+    assert got == want, (width, got, want)
+
+
+@settings(**_SETTINGS)
+@given(
+    keys=st.lists(st.integers(0, 500), min_size=1, max_size=40, unique=True),
+    fact=st.lists(st.integers(0, 500), min_size=1, max_size=60),
+)
+def test_bloom_semi_filter_never_false_negative(spark, keys, fact):
+    """Every fact row whose key IS in the key set must survive the
+    bloom filter, for arbitrary key/fact sets."""
+    from sales_data_pipeline_spark.operators.scale import bloom_semi_filter
+
+    kdf = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    fdf = spark.createDataFrame([(v,) for v in fact], "k bigint")
+    out = [r.k for r in bloom_semi_filter(fdf, "k", kdf, "k", num_bits=1 << 12).collect()]
+    member = set(keys)
+    from collections import Counter
+
+    got, want = Counter(out), Counter(v for v in fact if v in member)
+    for v, n in want.items():
+        assert got[v] == n, (v, got[v], n)
+
+
+@settings(**_SETTINGS)
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 1), st.integers(1, 500), st.integers(1, 20)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_weighted_median_matches_python_reference(spark, rows):
+    """The decimal cumulative-weight median must equal the direct
+    python computation (smallest value whose cum weight reaches half
+    the total) per group."""
+    from collections import defaultdict
+    from decimal import Decimal
+
+    data = [(g, float(p), float(w), i) for i, (g, p, w) in enumerate(rows)]
+    df = spark.createDataFrame(
+        data, "l_returnflag int, l_extendedprice double, l_quantity double, rid long"
+    )
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    r = df.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("p"),
+        F.sum(qty).over(w_cum).alias("cw"),
+        F.sum(qty).over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    got = {
+        row.l_returnflag: row.wm
+        for row in r.groupBy("l_returnflag")
+        .agg(F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("p"))).alias("wm"))
+        .collect()
+    }
+    groups = defaultdict(list)
+    for g, p, w, i in data:
+        groups[g].append((p, i, Decimal(str(w))))
+    for g, vals in groups.items():
+        vals.sort()
+        tot = sum(v[2] for v in vals)
+        cum = Decimal(0)
+        for p, _, wt in vals:
+            cum += wt
+            if 2 * cum >= tot:
+                assert got[g] == p, (g, got[g], p)
+                break
