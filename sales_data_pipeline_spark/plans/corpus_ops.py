@@ -1041,8 +1041,10 @@ def q172_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     query-term postings are ever counted — at 100 TB the inverted
     aggregation runs on a |Q|-term slice, not the corpus vocabulary);
     doc lengths and (N, avgdl) are one map pass + one scalar; the
-    top-10 is a TakeOrdered on (rounded score desc, doc_id). Rounded
-    6 before ranking so ln's last-ulp cannot flip ranks (q70's
+    top-10 is a TakeOrderedAndProject (per-partition top-k, k rows to
+    the driver — plan-asserted) with rank assigned AFTER the limit, so
+    the window sorts 10 rows, never the full match set. Rounded 6
+    before ranking so ln's last-ulp cannot flip ranks (q70's
     contract)."""
     from pyspark.sql.window import Window
 
@@ -1077,13 +1079,14 @@ def q172_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(contrib).alias("score"))
     )
-    return (
+    top = (
         scored.select("doc_id", F.round("score", 6).alias("bm25"))
-        .withColumn(
-            "rank",
-            F.row_number().over(
-                Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
-            ).cast("bigint"),
-        )
-        .filter(F.col("rank") <= 10)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(10)
+    )
+    return top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+        ).cast("bigint"),
     )

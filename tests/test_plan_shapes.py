@@ -430,3 +430,11 @@ def test_q157_fact_scanned_once(spark, sf_dir):
     if n_li == 0:  # location formatting fallback
         n_li = plan.count("lineitem.parquet") or plan.count("/lineitem]")
     assert n_li == 1, plan
+
+
+def test_q172_topk_via_take_ordered(spark, sf_dir):
+    """BM25's top-10 must compile to TakeOrderedAndProject (per-
+    partition top-k); the rank window runs AFTER the 10-row limit, so
+    no global sort of the full match set ever exists in the plan."""
+    plan = _plan(QUERIES["q172_bm25_search"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
