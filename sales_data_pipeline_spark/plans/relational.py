@@ -3943,7 +3943,9 @@ def q138_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration curve: customers ranked into spend deciles
     (best first), each decile's revenue share and the running
     cumulative share — the '20% drive 80%' readout that q135's single
-    Gini number summarizes. Rank window over the customer aggregate;
+    Gini number summarizes. Rank window over the customer aggregate
+    (single-partition ntile — the ORACLE-ANCHOR form; the windowless
+    scale path is q176_pareto_curve_approx, same recipe as q145);
     the cumulative window runs over 10 rows."""
     orders = table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
@@ -5654,4 +5656,51 @@ def q175_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.col("rev_d") / F.col("qty_d") - F.col("rev0") / F.col("qty0")),
             6,
         ).alias("price_effect"),
+    )
+
+
+@query("q176_pareto_curve_approx")  # approx cut-points: rows-only check
+def q176_pareto_curve_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE form of q138's Pareto curve: customer spend deciles from
+    percentile_approx cut-points (9 boundaries, broadcast as one row)
+    instead of a global ntile sort — the same windowless recipe as
+    q145's RFM mode, because both exact forms funnel the whole
+    |customers| aggregate through one reducer. Value-based deciles:
+    ties share a decile rather than splitting by custkey, and the
+    Greenwald-Kharma ε moves boundary customers one decile at most —
+    shares converge to the exact curve as accuracy rises. Covering
+    checks: tests/test_scale.py::test_pareto_approx_* (share mass sums
+    to 1, curve monotone, windowless plan)."""
+    orders = table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("x")
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts = spend.agg(F.percentile_approx("x", qs, 10_000).alias("c"))
+    # DESC deciles: top spenders → decile 1
+    dec = F.lit(1)
+    for i in range(9):
+        dec = dec + (F.col("x") < F.col("c")[8 - i]).cast("int")
+    per = (
+        spend.crossJoin(F.broadcast(cuts))
+        .select(dec.cast("bigint").alias("decile"), "x")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("x").alias("decile_rev"),
+        )
+    )
+    tot = per.agg(F.sum("decile_rev").alias("total"))
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_customers",
+            F.round(F.col("decile_rev") / F.col("total"), 6).alias("revenue_share"),
+            F.round(
+                F.sum("decile_rev").over(w_cum) / F.col("total"), 6
+            ).alias("cum_revenue_share"),
+        )
     )

@@ -324,3 +324,40 @@ def test_bloom_semi_filter_drops_null_keys(spark):
     keys = spark.createDataFrame([(1,), (2,)], "k bigint")
     out = bloom_semi_filter(fact, "k", keys, "k", num_bits=1 << 12)
     assert sorted(r.k for r in out.collect()) == [1, 2]
+
+
+def test_pareto_approx_mass_and_monotone(spark, sf_dir):
+    """q176: decile census covers every customer once, revenue shares
+    sum to 1, the cumulative curve is monotone, and decile 1 (top
+    spenders) holds the largest share."""
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    rows = sorted(
+        QUERIES["q176_pareto_curve_approx"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    exact_n = (
+        table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r.n_customers for r in rows) == exact_n
+    assert abs(sum(r.revenue_share for r in rows) - 1.0) < 1e-4
+    cums = [r.cum_revenue_share for r in rows]
+    assert cums == sorted(cums)
+    assert rows[0].revenue_share == max(r.revenue_share for r in rows)
+
+
+def test_pareto_approx_plan_windowless_until_decile_table(spark, sf_dir):
+    """The only window in q176 runs over the 10-row decile table —
+    the |customers| aggregate itself is never globally sorted (no
+    ntile, no Window before the decile groupBy)."""
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    df = QUERIES["q176_pareto_curve_approx"].fn(spark, sf_dir)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "ntile(" not in plan, plan  # note: percentile_approx contains 'ntile'
+    import re as _re
+
+    win_nodes = _re.findall(r"^\(\d+\) Window", plan, flags=_re.M)
+    assert len(win_nodes) == 1, plan
