@@ -4397,6 +4397,7 @@ def q144_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q146_association_rules",
+    headline=True,
     oracle="""
     WITH freq AS (
       SELECT l_partkey, CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
@@ -4792,6 +4793,7 @@ def q156_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q157_waiting_suppliers",
+    headline=True,
     oracle="""
     WITH per_os AS (
       SELECT l.l_orderkey, l.l_suppkey,
