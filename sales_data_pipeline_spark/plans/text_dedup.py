@@ -1106,3 +1106,102 @@ def q169_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
     )
+
+
+@query(
+    "q177_lang_label_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT lang AS labeled,
+        CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN {_STOP_SQL}))
+                  / len(string_split(text, ' ')) >= 0.03
+             THEN 'en' ELSE 'other' END AS predicted
+      FROM documents
+    )
+    SELECT labeled, predicted, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY 1, 2
+    """,
+)
+def q177_lang_label_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality confusion matrix: the heuristic language ID (q18)
+    cross-tabulated against the corpus's PROVIDED lang labels — the
+    audit that decides whether to trust upstream metadata or re-derive
+    it (off-diagonal mass = mislabeled docs or classifier misses,
+    either way a curation decision). One map-side expression + one
+    keyed count; the matrix is |langs|² rows."""
+    docs = table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.col("lang").alias("labeled"),
+            lang_id("text").alias("predicted"),
+        )
+        .groupBy("labeled", "predicted")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
+@query(
+    "q178_token_pmi",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    freq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM toks GROUP BY 1),
+    vocab AS (SELECT tok, df FROM freq ORDER BY df DESC, tok LIMIT 20),
+    vt AS (SELECT t.doc_id, t.tok FROM toks t JOIN vocab v USING (tok)),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM toks),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, CAST(count(*) AS BIGINT) AS n_both
+      FROM vt a JOIN vt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT tok_a, tok_b, n_both, fa.df AS df_a, fb.df AS df_b,
+      round(ln(n_both * n.n_docs / (fa.df * CAST(fb.df AS DOUBLE))), 6) AS pmi
+    FROM pairs
+    JOIN vocab fa ON fa.tok = tok_a
+    JOIN vocab fb ON fb.tok = tok_b, n
+    """,
+)
+def q178_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: document-level pointwise mutual information
+    for pairs of top-20 vocabulary tokens — PMI > 0 means the pair
+    co-occurs more than independence predicts (phrase candidates,
+    template detection), PMI < 0 means complementary distribution
+    (register/topic separation). The VOCAB CAP is the scale control:
+    pair space is bounded at |V|² = 190 BEFORE any join (the same
+    anti-monotone prune as q146 — an infrequent token can't make a
+    high-support pair); per-doc presence is deduplicated first, so tf
+    skew inside a doc never inflates df-based PMI. ln over exact
+    integer ratios, rounded 6 (q70's libm contract)."""
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").isNotNull()).distinct()
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    vocab = freq.orderBy(F.col("df").desc(), "tok").limit(20)
+    vt = toks.join(F.broadcast(vocab.select("tok")), "tok")
+    n_docs = toks.select("doc_id").distinct().count()
+    a = vt.select("doc_id", F.col("tok").alias("tok_a"))
+    b = vt.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .filter(F.col("n_both") >= 5)
+    )
+    fa = vocab.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    fb = vocab.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    pmi = F.round(
+        F.log(
+            F.col("n_both") * F.lit(n_docs)
+            / (F.col("df_a") * F.col("df_b").cast("double"))
+        ),
+        6,
+    )
+    return (
+        pairs.join(F.broadcast(fa), "tok_a")
+        .join(F.broadcast(fb), "tok_b")
+        .select("tok_a", "tok_b", "n_both", "df_a", "df_b", pmi.alias("pmi"))
+    )
