@@ -1205,3 +1205,26 @@ def q178_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(fb), "tok_b")
         .select("tok_a", "tok_b", "n_both", "df_a", "df_b", pmi.alias("pmi"))
     )
+
+
+@query("q179_incremental_neardup")  # estimator-thresholded: rows-only check
+def q179_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental INGESTION near-dup gate: incoming docs (sources ≠
+    src1) checked against the signature-only MinHash index of the
+    already-curated src1 history — the fuzzy counterpart of q69's
+    exact fingerprint anti-join, and the shape where history's TEXT is
+    never re-read (64 longs per historical doc is the entire stored
+    state). Pairs are estimator-thresholded (Ĵ = matching components /
+    64, unbiased, σ≈0.06 at the threshold) — no SQL oracle; covering
+    checks: tests/test_dedup.py::test_incremental_neardup_* (verbatim
+    Ĵ=1, planted near-dup caught, novel docs pass, Ĵ within 3σ of
+    exact Jaccard on real corpus pairs)."""
+    from sales_data_pipeline_spark.operators.dedup import (
+        incremental_neardup_lsh,
+        minhash_index,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("source") == "src1").select("doc_id", "text")
+    batch = docs.filter(F.col("source") != "src1").select("doc_id", "text")
+    return incremental_neardup_lsh(batch, minhash_index(history), threshold=0.5)

@@ -625,3 +625,80 @@ def test_minhash_signature_components_are_independent(spark):
             for r in _signatures_from_sets(sets, 16).collect()}
     assert len(set(rows[1])) > 1, rows[1]  # not all components equal
     assert rows[1] == rows[2]  # order-independent over the same set
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup gate (q179 covering checks)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_neardup_catches_cross_batch_dups(spark, docs):
+    """A batch doc that verbatim- or near-duplicates a HISTORY doc must
+    be flagged against that doc; novel batch docs pass; history text is
+    never needed (only the signature index participates)."""
+    from sales_data_pipeline_spark.operators.dedup import (
+        incremental_neardup_lsh,
+        minhash_index,
+    )
+
+    hist_rows = [
+        r for r in docs.limit(8).collect() if len(r.text.split(" ")) >= 30
+    ]
+    history = spark.createDataFrame(
+        [(r.doc_id, r.text) for r in hist_rows], "doc_id long, text string"
+    )
+    index = minhash_index(history)
+    toks = hist_rows[0].text.split(" ")
+    batch = spark.createDataFrame(
+        [
+            (900, hist_rows[0].text),                     # verbatim
+            (901, " ".join(toks[:-2] + ["zzz"])),        # near-dup
+            (902, " ".join(f"novel{i}" for i in range(40))),  # new content
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r.new_doc, r.history_doc): r.est_jaccard
+        for r in incremental_neardup_lsh(batch, index, threshold=0.5).collect()
+    }
+    assert out[(900, hist_rows[0].doc_id)] == 1.0
+    assert (901, hist_rows[0].doc_id) in out
+    assert out[(901, hist_rows[0].doc_id)] >= 0.5
+    assert not any(nd == 902 for nd, _ in out)
+
+
+def test_incremental_neardup_estimator_tracks_exact_jaccard(spark, docs):
+    """Ĵ must track exact Jaccard within the k=64 binomial error
+    (~3σ ≈ 0.19) on real near-dup pairs from the corpus."""
+    from sales_data_pipeline_spark.operators.dedup import (
+        incremental_neardup_lsh,
+        minhash_index,
+        ngram_jaccard_pairs,
+        release_caches,
+    )
+
+    try:
+        exact = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+        }
+        assert exact, "calibration: corpus should contain near-dup pairs"
+        ids = sorted({i for p in exact for i in p})
+        half = set(ids[::2])
+        history = docs.filter(F.col("doc_id").isin(*half)).select("doc_id", "text")
+        batch = docs.filter(~F.col("doc_id").isin(*half)).select("doc_id", "text")
+        est = {
+            (r.new_doc, r.history_doc): r.est_jaccard
+            for r in incremental_neardup_lsh(
+                batch, minhash_index(history), threshold=0.3
+            ).collect()
+        }
+        checked = 0
+        for (a, b), j in exact.items():
+            key = (b, a) if a in half else (a, b)
+            if key in est:
+                assert abs(est[key] - j) <= 0.19, (key, est[key], j)
+                checked += 1
+        assert checked > 0
+    finally:
+        release_caches()
