@@ -380,3 +380,66 @@ def synth_wav_payloads(
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return df.select(id_col).mapInPandas(_gen, "media_id long, payload binary")
+
+
+SPECTRAL_SCHEMA = (
+    "media_id long, n_samples long, dominant_hz double, "
+    "spectral_centroid_hz double, rolloff85_hz double, total_power double"
+)
+
+
+def audio_spectral_features(df: DataFrame) -> DataFrame:
+    """Frequency-domain audio features via numpy's real FFT — the
+    operator class where the Pandas-UDF escape hatch is GENUINELY
+    required: a Fourier transform is not expressible in Spark's SQL
+    expression algebra at any contortion, so this is Arrow-batched
+    mapInPandas running vectorized numpy per batch (never per-row
+    Python). Features per clip, from the one-sided power spectrum
+    |rfft(x)|² with the DC bin excluded:
+
+    - dominant_hz: frequency of the max-power bin (ties → lowest bin);
+    - spectral_centroid_hz: power-weighted mean frequency (the
+      'brightness' feature);
+    - rolloff85_hz: lowest frequency below which 85% of total power
+      lies (cumulative-power order statistic);
+    - total_power: Σ|X_k|² over the non-DC bins.
+
+    Deterministic for a given numpy build (same bytes → same floats —
+    asserted against a local numpy reference in tests, the covering
+    check since no SQL engine can recompute an FFT). Complements
+    decode_wav's time-domain features; same input contract
+    (media_id, payload RIFF/PCM16)."""
+
+    def _spectral(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "n_samples", "dominant_hz",
+                "spectral_centroid_hz", "rolloff85_hz", "total_power",
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                _, sr, _, s = _wav_parse(bytes(b))
+                n = len(s)
+                spec = np.abs(np.fft.rfft(s.astype(np.float64))) ** 2
+                power = spec[1:]  # drop DC: constant offset is not pitch
+                freqs = np.fft.rfftfreq(n, d=1.0 / sr)[1:]
+                tot = float(power.sum())
+                if tot > 0:
+                    dom = float(freqs[int(power.argmax())])
+                    centroid = float((freqs * power).sum() / tot)
+                    cum = np.cumsum(power)
+                    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * tot))])
+                else:
+                    dom = centroid = rolloff = 0.0
+                rows["media_id"].append(mid)
+                rows["n_samples"].append(n)
+                rows["dominant_hz"].append(dom)
+                rows["spectral_centroid_hz"].append(centroid)
+                rows["rolloff85_hz"].append(rolloff)
+                rows["total_power"].append(tot)
+            out = pd.DataFrame(rows)
+            out["n_samples"] = out["n_samples"].astype("int64")
+            yield out
+
+    return df.select("media_id", "payload").mapInPandas(_spectral, SPECTRAL_SCHEMA)

@@ -334,3 +334,23 @@ def q159_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     return knn_graph(emb, k=5, n_tables=16, n_bits=4)
+
+
+@query("q180_audio_spectral")  # FFT: no SQL engine can recompute — rows-only
+def q180_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-domain audio features (dominant frequency, spectral
+    centroid, 85% rolloff, total power) over the same deterministic
+    synthesized WAV clips as q91 — the operator class where the
+    Arrow-batched Pandas-UDF escape hatch is GENUINELY required: an
+    FFT has no Spark expression form and no DuckDB oracle, so the
+    covering check is exact equality against a local numpy reference
+    on identical bytes (tests/test_similarity.py::
+    test_audio_spectral_matches_numpy_reference). Plumbing identical
+    to q91: synth → mapInPandas over pruned (id, payload)."""
+    from sales_data_pipeline_spark.operators.multimodal import (
+        audio_spectral_features,
+        synth_wav_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return audio_spectral_features(synth_wav_payloads(docs.select("doc_id")))

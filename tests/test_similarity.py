@@ -410,3 +410,39 @@ def test_knn_graph_shape(spark, sf_dir):
     for r in chk.collect():
         assert r.sim == r.want
     emb.unpersist()
+
+
+def test_audio_spectral_matches_numpy_reference(spark):
+    """The mapInPandas FFT features must equal a direct local numpy
+    computation on the identical synthesized bytes — the covering check
+    for an operator no SQL oracle can recompute."""
+    import numpy as np
+
+    from sales_data_pipeline_spark.operators.multimodal import (
+        audio_spectral_features,
+        synth_wav_payloads,
+    )
+
+    ids = spark.createDataFrame([(i,) for i in (1, 7, 42, 99)], "doc_id long")
+    got = {
+        r.media_id: (r.n_samples, r.dominant_hz, r.spectral_centroid_hz,
+                     r.rolloff85_hz, r.total_power)
+        for r in audio_spectral_features(synth_wav_payloads(ids)).collect()
+    }
+    sr = 8000
+    for mid in (1, 7, 42, 99):
+        n = 100 + mid % 50
+        i = np.arange(n, dtype=np.int64)
+        s = (((mid * 7919 + i * 31) % 65536) - 32768).astype(np.float64)
+        spec = np.abs(np.fft.rfft(s)) ** 2
+        power, freqs = spec[1:], np.fft.rfftfreq(n, d=1.0 / sr)[1:]
+        tot = float(power.sum())
+        dom = float(freqs[int(power.argmax())])
+        centroid = float((freqs * power).sum() / tot)
+        cum = np.cumsum(power)
+        rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * tot))])
+        gn, gd, gc, gr, gt = got[mid]
+        assert gn == n
+        assert gd == dom and gr == rolloff
+        assert abs(gc - centroid) < 1e-9 * abs(centroid)
+        assert abs(gt - tot) < 1e-9 * tot
