@@ -97,7 +97,12 @@ def interval_overlap_join(
     w_us = bin_width_seconds * _US
 
     def _bins(df: DataFrame, s: str, e: str) -> DataFrame:
-        return df.withColumn(
+        # drop EMPTY/inverted intervals (end ≤ start) up front: a
+        # half-open [s, e) with e ≤ s contains nothing and must match
+        # nothing — and an inverted pair would otherwise make
+        # F.sequence generate a DESCENDING bin range that could still
+        # satisfy the responsible-bin predicate and emit bogus pairs.
+        return df.filter(F.col(e) > F.col(s)).withColumn(
             "__bin",
             F.explode(
                 F.sequence(

@@ -78,12 +78,16 @@ def _zscore_report(days: DataFrame, z_threshold: float) -> DataFrame:
 
 
 def read_report(spark: SparkSession, cfg: AnomalyConfig) -> DataFrame:
-    try:
-        return spark.read.parquet(cfg.report_dir)
-    except Exception:
+    """Latest published report; empty ONLY when none exists yet. A
+    transient read error must propagate, not silently present an empty
+    report (the failure mode ADVICE r2 flagged on the sketch reader)."""
+    from sales_data_pipeline_spark.pipeline.fs import path_exists
+
+    if not path_exists(spark, cfg.report_dir):
         return spark.createDataFrame(
             [], "day string, rev double, zscore double, is_anomaly bigint"
         )
+    return spark.read.parquet(cfg.report_dir)
 
 
 def run_revenue_anomalies(spark: SparkSession, cfg: AnomalyConfig) -> None:

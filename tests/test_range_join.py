@@ -97,3 +97,26 @@ def test_interval_overlap_join_matches_naive_and_emits_once(spark):
         )
         got = sorted(map(tuple, got))
         assert got == want, (width, got, want)
+
+
+def test_interval_overlap_join_drops_degenerate_intervals(spark):
+    """Empty/inverted half-open intervals (end <= start) contain
+    nothing and must match nothing — not emit bogus pairs via a
+    descending bin sequence."""
+    import datetime as _dt
+
+    from sales_data_pipeline_spark.operators.range_join import interval_overlap_join
+
+    base = _dt.datetime(2024, 1, 1)
+
+    def T(s):
+        return base + _dt.timedelta(seconds=s)
+
+    a = spark.createDataFrame(
+        [(1, 1, T(100), T(50)), (1, 2, T(0), T(0))],  # inverted + empty
+        "k int, id_a int, sa timestamp, ea timestamp",
+    )
+    b = spark.createDataFrame(
+        [(1, 9, T(0), T(1000))], "k int, id_b int, sb timestamp, eb timestamp"
+    )
+    assert interval_overlap_join(a, b, "k", "sa", "ea", "sb", "eb").count() == 0
