@@ -48,7 +48,12 @@ def _load_dims(spark, dims_dir: str | None):
 
 
 def _cmd_pipeline(args) -> int:
-    from sales_data_pipeline_spark.pipeline import PipelineConfig, run_pipeline
+    from sales_data_pipeline_spark.pipeline import (
+        JdbcTopology,
+        PipelineConfig,
+        run_pipeline,
+        run_pipeline_jdbc,
+    )
 
     spark = _spark("sales-pipeline")
     cfg = PipelineConfig(
@@ -59,8 +64,18 @@ def _cmd_pipeline(args) -> int:
         state_dir=args.state_dir or f"{args.output_dir}/_state",
         mart_format=args.format,
     )
-    customer, store, team = _load_dims(spark, args.dims_dir)
-    res = run_pipeline(spark, cfg, customer, store, team)
+    if args.jdbc_url:
+        # the reference's deployment shape: dims from the database,
+        # marts published back after the parquet commit
+        props = (
+            {"driver": args.jdbc_driver} if args.jdbc_driver else {}
+        )
+        res = run_pipeline_jdbc(
+            spark, cfg, JdbcTopology(url=args.jdbc_url, properties=props)
+        )
+    else:
+        customer, store, team = _load_dims(spark, args.dims_dir)
+        res = run_pipeline(spark, cfg, customer, store, team)
     print(
         json.dumps(
             {
@@ -132,6 +147,21 @@ def _cmd_compact(args) -> int:
     return 0
 
 
+def _cmd_expire(args) -> int:
+    from sales_data_pipeline_spark.pipeline.maintenance import expire_partitions
+
+    spark = _spark("expire")
+    gone = expire_partitions(
+        spark,
+        args.table_dir,
+        partition_col=args.partition_col,
+        cutoff=args.cutoff,
+        dry_run=args.dry_run,
+    )
+    print(json.dumps({"dry_run": args.dry_run, "expired_partitions": gone}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="sales_data_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -144,6 +174,11 @@ def main(argv: list[str] | None = None) -> int:
     sp.add_argument("--state-dir")
     sp.add_argument("--dims-dir")
     sp.add_argument("--format", default="parquet", choices=["parquet", "orc"])
+    sp.add_argument(
+        "--jdbc-url",
+        help="database topology: read dims from and publish marts to this JDBC url",
+    )
+    sp.add_argument("--jdbc-driver", help="JDBC driver class for --jdbc-url")
     sp.set_defaults(fn=_cmd_pipeline)
 
     si = sub.add_parser("incremental", help="run the streaming incremental ETL")
@@ -169,6 +204,13 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--partition-cols", required=True, help="comma-separated")
     sc.add_argument("--max-files", type=int, default=8)
     sc.set_defaults(fn=_cmd_compact)
+
+    se = sub.add_parser("expire", help="drop partitions older than a cutoff")
+    se.add_argument("--table-dir", required=True)
+    se.add_argument("--partition-col", required=True)
+    se.add_argument("--cutoff", required=True, help="partition values < cutoff are dropped")
+    se.add_argument("--dry-run", action="store_true")
+    se.set_defaults(fn=_cmd_expire)
 
     args = p.parse_args(argv)
     return args.fn(args)

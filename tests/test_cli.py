@@ -34,3 +34,53 @@ def test_cli_list_and_query(capsys):
     assert len(lines) >= 110
     # unknown query → exit code 2, no traceback
     assert main(["query", "q_definitely_not_there"]) == 2
+
+
+def test_cli_expire_dry_run_and_delete(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"2023-{1 + i % 3:02d}") for i in range(12)], "id long, m string"
+    ).write.partitionBy("m").parquet(root)
+    rc = main([
+        "expire", "--table-dir", root, "--partition-col", "m",
+        "--cutoff", "2023-02", "--dry-run",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"dry_run": True, "expired_partitions": ["m=2023-01"]}
+    rc = main([
+        "expire", "--table-dir", root, "--partition-col", "m",
+        "--cutoff", "2023-02",
+    ])
+    assert rc == 0
+    months = {r.m for r in spark.read.parquet(root).select("m").distinct().collect()}
+    assert months == {"2023-02", "2023-03"}
+
+
+def test_cli_pipeline_jdbc_topology(spark, tmp_path, capsys):
+    """--jdbc-url routes dims from and marts back to the database (live
+    embedded Derby)."""
+    from sales_data_pipeline_spark.sources.jdbc import read_jdbc, write_jdbc
+    from tests.fixtures import dim_frames
+
+    url = f"jdbc:derby:{tmp_path / 'clidb'};create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    customer, store, team = dim_frames(spark)
+    for df, t in ((customer, "customer"), (store, "store"), (team, "sales_team")):
+        write_jdbc(df, url, t, mode="overwrite", properties=props)
+    (tmp_path / "in").mkdir()
+    write_sales_csv(tmp_path / "in" / "s.csv", n=60, seed=9)
+    rc = main([
+        "pipeline",
+        "--input-dir", str(tmp_path / "in"),
+        "--output-dir", str(tmp_path / "out"),
+        "--jdbc-url", url,
+        "--jdbc-driver", "org.apache.derby.jdbc.EmbeddedDriver",
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n_fact_rows"] == 60
+    back = read_jdbc(spark, url, "customers_data_mart", properties=props)
+    assert back.count() == spark.read.parquet(out["customer_mart"]).count()
