@@ -5706,3 +5706,72 @@ def q176_pareto_curve_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_revenue_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — purchase regularity (coefficient of variation of gaps)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q182_purchase_regularity",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+        date_diff('day',
+          CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS DATE),
+          CAST(o_orderdate AS DATE)) AS gap
+      FROM orders
+    ),
+    s AS (
+      SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+        CAST(sum(gap) AS BIGINT) AS sg, CAST(sum(gap * gap) AS BIGINT) AS sgg
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY 1 HAVING count(*) >= 3
+    )
+    SELECT o_custkey, n_gaps,
+      round(sg / CAST(n_gaps AS DOUBLE), 6) AS mean_gap_days,
+      round(sqrt((sgg - sg * CAST(sg AS DOUBLE) / n_gaps) / (n_gaps - 1))
+            / (sg / CAST(n_gaps AS DOUBLE)), 6) AS gap_cov
+    FROM s WHERE sg > 0
+    """,
+)
+def q182_purchase_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchase-rhythm regularity per customer: coefficient of
+    variation of inter-order gaps (std/mean) for customers with ≥ 3
+    gaps — low CoV ≈ subscription-like cadence (predictable
+    replenishment), high CoV ≈ bursty/opportunistic. The behavioral
+    segmentation axis RFM's recency/frequency cannot see (two
+    customers with identical F can have opposite rhythms). Gaps are
+    INTEGER days; Σg and Σg² are exact integer sums, so mean and the
+    closed-form sample std are deterministic doubles on both engines —
+    the q149 recipe with no decimals even needed. One partitioned
+    window (lag) + one keyed aggregation."""
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = orders.select(
+        "o_custkey",
+        F.datediff(
+            F.to_date("o_orderdate"), F.to_date(F.lag("o_orderdate").over(w))
+        ).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    s = (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+            F.sum("gap").cast("bigint").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sgg"),
+        )
+        .filter((F.col("n_gaps") >= 3) & (F.col("sg") > 0))
+    )
+    mean = F.col("sg") / F.col("n_gaps").cast("double")
+    std = F.sqrt(
+        (F.col("sgg") - F.col("sg") * F.col("sg").cast("double") / F.col("n_gaps"))
+        / (F.col("n_gaps") - 1)
+    )
+    return s.select(
+        "o_custkey", "n_gaps",
+        F.round(mean, 6).alias("mean_gap_days"),
+        F.round(std / mean, 6).alias("gap_cov"),
+    )

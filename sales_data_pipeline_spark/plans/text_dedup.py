@@ -1228,3 +1228,77 @@ def q179_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     history = docs.filter(F.col("source") == "src1").select("doc_id", "text")
     batch = docs.filter(F.col("source") != "src1").select("doc_id", "text")
     return incremental_neardup_lsh(batch, minhash_index(history), threshold=0.5)
+
+
+@query(
+    "q181_containment_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a AS inner_doc, c.doc_b AS outer_doc,
+      CAST(c.n_common AS BIGINT) AS n_common,
+      CAST(sa.n_sh AS BIGINT) AS n_inner,
+      round(c.n_common / CAST(sa.n_sh AS DOUBLE), 6) AS containment,
+      round(c.n_common / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE), 6)
+        AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.doc_id = c.doc_a
+    JOIN sizes sb ON sb.doc_id = c.doc_b
+    WHERE c.n_common / CAST(sa.n_sh AS DOUBLE) >= 0.8
+      AND c.n_common / CAST(sa.n_sh + sb.n_sh - c.n_common AS DOUBLE) < 0.6
+    """,
+)
+def q181_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-CONTAINMENT detection: ordered pairs where ≥ 80% of the
+    inner doc's shingles appear in the outer doc while symmetric
+    Jaccard stays BELOW the dedup threshold — exactly the
+    doc-quoted-inside-doc / excerpt-of-article case that
+    Jaccard-based dedup structurally misses (a small doc inside a
+    large one has tiny Jaccard however complete the inclusion;
+    Broder's resemblance-vs-containment distinction, public). Directed
+    output: (inner_doc, outer_doc, containment, jaccard). Shares the
+    q22 machinery's cost shape — shingle inverted index, common-count
+    aggregation keyed on the pair — with the asymmetric normalization
+    applied at the end; the Jaccard < t guard keeps the result
+    disjoint from what near-dup dedup already handles."""
+    from sales_data_pipeline_spark.operators.dedup import (
+        _shingle_index,
+        _shingle_sets,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    occ = _shingle_index(docs, "doc_id", "text", 3)
+    a = occ.select(F.col("doc").alias("doc_a"), "shingle")
+    b = occ.select(F.col("doc").alias("doc_b"), "shingle")
+    common = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    sizes = _shingle_sets(docs, "doc_id", "text", 3).select(
+        "doc", F.size("sh").alias("n_sh")
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    cont = F.col("n_common") / F.col("n_a").cast("double")
+    jac = F.col("n_common") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter((cont >= 0.8) & (jac < 0.6))
+        .select(
+            F.col("doc_a").alias("inner_doc"),
+            F.col("doc_b").alias("outer_doc"),
+            "n_common",
+            F.col("n_a").cast("bigint").alias("n_inner"),
+            F.round(cont, 6).alias("containment"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
