@@ -293,3 +293,86 @@ def bfs_hops(
     return labels.select(
         "node", F.col("best.root").alias("root"), F.col("best.hops").alias("hops")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    iters: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan
+    et al. 2007, public algorithm): every node starts with its own id
+    as label; each round it adopts the label held by the PLURALITY of
+    its neighbors. Where connected_components answers "which docs are
+    transitively linked at all", LPA answers the finer "which docs
+    form densely-linked communities" — two near-dup clusters bridged
+    by one accidental pair stay separate here but merge under CC,
+    which is exactly the failure mode cluster-atomic dedup splits
+    (q151) worry about.
+
+    Determinism and stability (the classic LPA pitfalls, solved four
+    ways): *synchronous* updates only (async depends on visit order);
+    plurality ties broken by MIN label (``min_by`` over a
+    (-count, label) struct — a total order); each node also votes for
+    its OWN current label (a self-loop), without which every pendant
+    pair A—B swaps labels forever in a 2-cycle and lands in whichever
+    phase the iteration count parks it; and a FIXED iteration count
+    rather than convergence detection, because synchronous LPA can
+    still oscillate on larger bipartite structures and a fixpoint
+    test would never fire. Identical inputs give identical
+    communities on any partitioning (partition-invariance is
+    tested).
+
+    Scale: per round ONE join keyed by node id (edge × label) + ONE
+    keyed aggregation ((dst,label) counts) + ONE argmax — no
+    neighbor-list materialization per executor, so hub nodes cost a
+    skewed-key aggregation (AQE-splittable), not memory. Lineage is
+    truncated per round under the same checkpoint contract as
+    connected_components/pagerank. Returns (node, community) where
+    community = the surviving label (a node id)."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else df.localCheckpoint(eager=True)
+        )
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    nodes = e.select(F.col("src").alias("node")).distinct().persist()
+    # self-loops implement the self-vote; distinct also dedups raw input
+    e = (
+        e.unionByName(
+            nodes.select(
+                F.col("node").alias("src"), F.col("node").alias("dst")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.withColumn("lbl", F.col("node"))
+    for _ in range(iters):
+        votes = (
+            e.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = _truncate(
+            votes.groupBy("node").agg(
+                F.expr("min_by(lbl, struct(-cnt AS nc, lbl AS l))").alias(
+                    "lbl"
+                )
+            )
+        )
+    out = labels.select("node", F.col("lbl").alias("community"))
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -5775,3 +5775,643 @@ def q182_purchase_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean, 6).alias("mean_gap_days"),
         F.round(std / mean, 6).alias("gap_cov"),
     )
+
+# ---------------------------------------------------------------------------
+# q183 — monthly revenue pivoted wide by region
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q183_region_month_pivot",
+    oracle="""
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      sum(CASE WHEN r_name = 'AFRICA'
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_africa,
+      sum(CASE WHEN r_name = 'AMERICA'
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_america,
+      sum(CASE WHEN r_name = 'ASIA'
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_asia,
+      sum(CASE WHEN r_name = 'EUROPE'
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_europe,
+      sum(CASE WHEN r_name = 'MIDDLE EAST'
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_middle_east
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY 1
+    """,
+)
+def q183_region_month_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide reshape: month × region revenue matrix via ``groupBy().
+    pivot()`` — the long→wide inverse of q83's UNPIVOT, closing the
+    reshape surface (reference has neither; its marts are all long).
+    The pivot VALUES are passed explicitly (the five region names),
+    which skips the extra distinct-scan Spark otherwise runs to
+    discover them and keeps this a SINGLE one-shuffle aggregate: with
+    explicit values the pivot lowers to one hash aggregate whose
+    buffer holds five conditional sums — exactly the oracle's CASE
+    formulation, not a per-region self-join. Dims broadcast; decimal
+    sums; absent cells stay NULL on both engines (CASE with no ELSE).
+    At 100 TB the shape is identical to any grouped agg: map-side
+    partials over |months|×5 cells, no skew possible."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = table(spark, sf_dir, "region")
+    regions = ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]
+    joined = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "r_name",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("amt"),
+        )
+    )
+    wide = joined.groupBy("month").pivot("r_name", regions).agg(F.sum("amt"))
+    return wide.select(
+        "month",
+        *[
+            F.col(f"`{reg}`").alias("rev_" + reg.lower().replace(" ", "_"))
+            for reg in regions
+        ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# q184 — settlement proration (exact largest-remainder allocation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q184_settlement_proration",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+          AS price_c,
+        CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+          AS pool_c
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    cum AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, pool_c,
+        CAST(sum(price_c) OVER (PARTITION BY l_orderkey
+          ORDER BY l_linenumber, l_partkey, l_suppkey
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+        CAST(sum(price_c) OVER (PARTITION BY l_orderkey) AS BIGINT) AS tot_c
+      FROM lines
+    ),
+    alloc AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+        (pool_c * cum_c + tot_c // 2) // tot_c AS cum_alloc_c
+      FROM cum
+    )
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+      CAST(cum_alloc_c - coalesce(lag(cum_alloc_c) OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_partkey, l_suppkey), 0) AS BIGINT)
+        AS alloc_cents,
+      CAST(cum_alloc_c - coalesce(lag(cum_alloc_c) OVER (
+        PARTITION BY l_orderkey
+        ORDER BY l_linenumber, l_partkey, l_suppkey), 0) AS BIGINT) / 100.0
+        AS allocated
+    FROM alloc
+    """,
+)
+def q184_settlement_proration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact settlement allocation: distribute each order's total price
+    across its line items proportional to extended price, to the cent,
+    with Σ(line allocations) ≡ order pool BY CONSTRUCTION — the
+    cumulative-rounding form of largest-remainder apportionment
+    (allocate round(pool·cumshareᵢ) − round(pool·cumshareᵢ₋₁); the
+    telescoping sum collapses to round(pool·1) = pool). The classic
+    finance/billing op naive per-line rounding gets wrong by ±n cents.
+    All arithmetic is INTEGER CENTS: half-up rounding of pool·cum/tot
+    is (pool_c·cum_c + tot_c/2) div tot_c in BIGINT — bitwise
+    cross-engine, no decimal-division scale rules, no float ties
+    (verify-skill decimal-vs-double gotcha). The final ``allocated``
+    is one IEEE division by 100.0 (correctly rounded, identical both
+    engines). The allocation ORDER must be a TOTAL order —
+    (l_linenumber, l_partkey, l_suppkey); this generator emits
+    duplicate linenumbers per order, and on a tie the two engines
+    would otherwise cumulate in different sequences. All windows
+    share ONE per-order sort — a single shuffle; per-order groups are
+    tiny (≤7 lines) so no skew at any scale."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100, 0)
+        .cast("bigint")
+        .alias("price_c"),
+    )
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0)
+        .cast("bigint")
+        .alias("pool_c"),
+    )
+    lines = li.join(o, li.l_orderkey == o.o_orderkey).drop("o_orderkey")
+    w_cum = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("l_orderkey")
+    w_lag = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    cum = lines.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "pool_c",
+        F.sum("price_c").over(w_cum).alias("cum_c"),
+        F.sum("price_c").over(w_all).alias("tot_c"),
+    )
+    # BIGINT floor division end to end (`div`, not `/`): Spark's `/` on
+    # integers is DOUBLE division, which loses exactness past 2^53 and
+    # can floor one off at exact quotient boundaries.
+    alloc = cum.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.expr("(pool_c * cum_c + tot_c div 2) div tot_c").alias("cum_alloc_c"),
+    )
+    delta = F.col("cum_alloc_c") - F.coalesce(
+        F.lag("cum_alloc_c").over(w_lag), F.lit(0)
+    )
+    return alloc.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        delta.alias("alloc_cents"),
+        (delta / F.lit(100.0)).alias("allocated"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q185 — CUSUM upward-drift detection over daily revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q185_cusum_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100, 0)
+             AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1
+    ),
+    ref AS (
+      SELECT CAST(sum(rev_c) AS BIGINT) // CAST(count(*) AS BIGINT) AS k_c
+      FROM daily
+    ),
+    pref AS (
+      SELECT day, rev_c, k_c,
+        CAST(sum(rev_c - k_c) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS p_c
+      FROM daily, ref
+    ),
+    cu AS (
+      SELECT day, rev_c, k_c, p_c,
+        least(0, min(p_c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING))
+          AS floor_c
+      FROM pref
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, rev_c,
+      CAST(p_c - floor_c AS BIGINT) AS cusum_c,
+      CASE WHEN p_c - floor_c > 5 * k_c THEN 1 ELSE 0 END AS drift_flag
+    FROM cu
+    """,
+)
+def q185_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM upward-drift monitor over the daily-revenue series: the
+    one-sided cumulative sum Sᵢ = max(0, Sᵢ₋₁ + (xᵢ − k)) flags when
+    revenue runs persistently above the reference level k (here the
+    series' own mean day), catching slow drifts the per-day z-score
+    screen (q149) is blind to — CUSUM accumulates evidence across
+    days instead of judging each day alone (Page 1954). The recurrence
+    looks inherently sequential, but it has an exact closed form over
+    prefix sums: Sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ) where Pᵢ = Σ(xⱼ − k) —
+    so the whole monitor is two cumulative windows (prefix sum +
+    running min) over the DAILY AGGREGATE, never a driver loop or a
+    fold. All arithmetic in integer cents (k = total div n-days), so
+    both engines agree bitwise. The global-ordered window runs over
+    |days| rows (~2.4k at sf1, bounded by the calendar at any data
+    scale) — the q135/q140 "window over tiny aggregate" class, not a
+    full-data sort. Drift threshold 5k (≈5σ-equivalent for this
+    integer monitor) is a documented screen constant."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100, 0)
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    ref = daily.agg(
+        F.expr("sum(rev_c) div count(*)").cast("bigint").alias("k_c")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    pref = daily.crossJoin(F.broadcast(ref)).withColumn(
+        "p_c", F.sum(F.col("rev_c") - F.col("k_c")).over(w)
+    )
+    cu = pref.withColumn(
+        "floor_c", F.least(F.lit(0).cast("bigint"), F.min("p_c").over(w))
+    )
+    return cu.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "rev_c",
+        (F.col("p_c") - F.col("floor_c")).alias("cusum_c"),
+        F.when(
+            F.col("p_c") - F.col("floor_c") > 5 * F.col("k_c"), F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .alias("drift_flag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q187 — bulk-order customers (TPC-H Q18 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q187_bulk_order_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+        AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING sum(CAST(l_quantity AS BIGINT)) > 150
+    )
+    SELECT c_name, o_custkey, o_orderkey,
+      strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+      CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, sum_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def q187_bulk_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bulk-order screen — the TPC-H Q18 "large volume customer"
+    shape: orders whose TOTAL line quantity exceeds a threshold,
+    enriched with the customer. The interesting plan property is the
+    aggregation-before-join rewrite: the HAVING filter runs on the
+    grouped lineitem FIRST, so only the few surviving orderkeys join
+    against orders/customer — Catalyst cannot hoist an agg through a
+    join on its own, so expressing it agg-first is the author's job
+    (the naive join-then-group does the full fact×orders join before
+    discarding 99% of groups). Quantities are integral by generation;
+    BIGINT sums are exact. At 100 TB: one fact shuffle on l_orderkey
+    for the agg, then the survivor set (sub-percent selectivity) joins
+    orders — AQE converts it to broadcast at runtime when small
+    enough."""
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 — dormant high-balance segments (TPC-H Q22 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q188_dormant_capital",
+    oracle="""
+    WITH thresh AS (
+      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(count(*) AS BIGINT) AS avg_bal
+      FROM customer
+      WHERE c_acctbal > 0
+        AND c_mktsegment IN ('AUTOMOBILE','BUILDING','MACHINERY')
+    )
+    SELECT c_mktsegment AS segment,
+      CAST(count(*) AS BIGINT) AS n_customers,
+      sum(CAST(c_acctbal AS DECIMAL(18,2))) AS idle_capital
+    FROM customer, thresh
+    WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING','MACHINERY')
+      AND CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > avg_bal
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                      AND o_orderdate >= DATE '2000-01-01')
+    GROUP BY 1
+    """,
+)
+def q188_dormant_capital(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormant-capital census — the TPC-H Q22 "global sales
+    opportunity" shape: per market segment, customers holding
+    above-average positive balances with NO ORDER since the recency
+    cutoff (2000-01-01 — ~18 months before the data's horizon; this
+    generator gives every customer at least one lifetime order, so
+    pure Q22 "never ordered" is the empty set and dormancy is the
+    meaningful business form). The reactivation-campaign target list. Three classic
+    sub-shapes composed: an uncorrelated scalar aggregate subquery
+    (the threshold) broadcast to every row; a NOT EXISTS decorrelated
+    to a LEFT ANTI hash join against the orders keyset; and the final
+    grouped census. The threshold is Σdecimal/count with ONE double
+    division (exact inputs → identical IEEE result both engines; the
+    q149 avg-of-doubles recipe); acctbal comparisons run on the same
+    decimal-cast-to-double value on both sides. At 100 TB the anti
+    join shuffles on o_custkey/c_custkey once; the distinct orders
+    keyset is far smaller than the fact and AQE picks the broadcast
+    side at runtime."""
+    segs = ["AUTOMOBILE", "BUILDING", "MACHINERY"]
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin(segs)
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("date"))
+        .select("o_custkey")
+    )
+    thresh = c.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("bigint")
+        ).alias("avg_bal")
+    )
+    rich = c.crossJoin(F.broadcast(thresh)).filter(
+        F.col("c_acctbal").cast("decimal(18,2)").cast("double")
+        > F.col("avg_bal")
+    )
+    dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return dormant.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("idle_capital"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 — bootstrap confidence intervals (deterministic Poisson bootstrap)
+# ---------------------------------------------------------------------------
+
+# Poisson(1) inverse-CDF thresholds (cumulative e^{-1} Σ 1/k!). Written
+# as exact decimal literals: both engines' strtod are correctly-rounded,
+# so the parsed doubles are bit-identical.
+_POIS = (
+    "0.36787944117144233",  # P(X=0)
+    "0.7357588823428847",   # P(X<=1)
+    "0.9196986029286058",   # P(X<=2)
+    "0.9810118431238462",   # P(X<=3)
+    "0.9963401531726563",   # P(X<=4)
+)
+
+
+@query(
+    "q189_bootstrap_ci",
+    oracle=f"""
+    WITH reps AS (
+      SELECT o_orderpriority AS priority,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        unnest(generate_series(1, 200)) AS r
+      FROM orders
+    ),
+    weighted AS (
+      SELECT priority, r, price,
+        CASE
+          WHEN u < {_POIS[0]} THEN 0
+          WHEN u < {_POIS[1]} THEN 1
+          WHEN u < {_POIS[2]} THEN 2
+          WHEN u < {_POIS[3]} THEN 3
+          WHEN u < {_POIS[4]} THEN 4
+          ELSE 5 END AS w
+      FROM (SELECT *,
+        ('0x' || substr(md5(priority || ':' || r || ':' || price), 1, 13))
+          ::UBIGINT::DOUBLE / 4503599627370496.0 AS u
+        FROM reps)
+    ),
+    means AS (
+      SELECT priority, r,
+        CAST(sum(w * price) AS DOUBLE)
+          / NULLIF(CAST(sum(w) AS BIGINT), 0) AS mean_r
+      FROM weighted GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT priority, mean_r,
+        row_number() OVER (PARTITION BY priority ORDER BY mean_r, r) AS rn
+      FROM means
+    ),
+    ci AS (
+      SELECT priority,
+        max(CASE WHEN rn = 5 THEN mean_r END) AS ci_lo,
+        max(CASE WHEN rn = 196 THEN mean_r END) AS ci_hi
+      FROM ranked GROUP BY 1
+    ),
+    pt AS (
+      SELECT o_orderpriority AS priority,
+        CAST(count(*) AS BIGINT) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          / CAST(count(*) AS BIGINT) AS mean_price
+      FROM orders GROUP BY 1
+    )
+    SELECT pt.priority, n_orders, mean_price, ci_lo, ci_hi
+    FROM pt JOIN ci ON pt.priority = ci.priority
+    """,
+)
+def q189_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-free 95% confidence interval for mean order value
+    per priority class, via the POISSON BOOTSTRAP (Chamandy et al.
+    2012) — the bootstrap formulation built for data-parallel engines:
+    instead of resampling n rows with replacement (which needs global
+    coordination), each row independently receives a Poisson(1)
+    multiplicity per replicate, and the multinomial is approximated
+    exactly well enough for n in the thousands. Everything is
+    deterministic: the uniform is the md5 52-bit draw keyed by
+    (group, replicate, value) — the engine's standard portable-
+    randomness contract (q55/q66/q124) — pushed through the Poisson
+    inverse CDF as five threshold compares against exact double
+    literals. Replicate means use decimal weighted sums with ONE
+    double division; the interval takes ORDER STATISTICS of the 200
+    replicate means (ranks 5/196 ≈ 2.5th/97.5th percentile, ties
+    broken by replicate id) — never interpolated percentiles, which
+    are not cross-engine-stable (verify-skill rule). Plan: map-side
+    explode ×200 → grouped partial sums (|groups|×200 cells) → window
+    over 200-row groups. One fact pass regardless of scale; the
+    blowup is in the combiner, not the shuffle."""
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+    )
+    reps = o.select(
+        "priority", "price",
+        F.explode(F.sequence(F.lit(1), F.lit(200))).alias("r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col("priority"), F.col("r"), F.col("price")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(2**52))
+    )
+    w = (
+        F.when(u < float(_POIS[0]), 0)
+        .when(u < float(_POIS[1]), 1)
+        .when(u < float(_POIS[2]), 2)
+        .when(u < float(_POIS[3]), 3)
+        .when(u < float(_POIS[4]), 4)
+        .otherwise(5)
+    )
+    means = (
+        reps.withColumn("w", w)
+        .groupBy("priority", "r")
+        .agg(
+            (
+                F.sum(F.col("w") * F.col("price")).cast("double")
+                / F.nullif(F.sum("w").cast("bigint"), F.lit(0))
+            ).alias("mean_r")
+        )
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("priority").orderBy("mean_r", "r")
+    )
+    ci = (
+        means.withColumn("rn", rn)
+        .groupBy("priority")
+        .agg(
+            F.max(F.when(F.col("rn") == 5, F.col("mean_r"))).alias("ci_lo"),
+            F.max(F.when(F.col("rn") == 196, F.col("mean_r"))).alias("ci_hi"),
+        )
+    )
+    pt = o.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        (
+            F.sum("price").cast("double") / F.count(F.lit(1)).cast("bigint")
+        ).alias("mean_price"),
+    )
+    return pt.join(ci, "priority").select(
+        "priority", "n_orders", "mean_price", "ci_lo", "ci_hi"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q190 — capped inventory running balance (non-associative scan)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q190_capped_balance",
+    oracle="""
+    WITH RECURSIVE seq AS (
+      SELECT l_partkey AS k,
+        row_number() OVER (PARTITION BY l_partkey
+          ORDER BY l_shipdate, l_orderkey, l_linenumber, l_suppkey) AS idx,
+        CASE WHEN l_returnflag = 'R'
+          THEN CAST(l_quantity AS BIGINT)
+          ELSE -CAST(l_quantity AS BIGINT) END AS delta
+      FROM lineitem
+    ),
+    walk AS (
+      SELECT k, 0 AS idx, CAST(50 AS BIGINT) AS bal,
+        0 AS n_hi, 0 AS n_lo
+      FROM (SELECT DISTINCT k FROM seq)
+      UNION ALL
+      SELECT s.k, s.idx,
+        greatest(0, least(100, w.bal + s.delta)),
+        w.n_hi + CASE WHEN w.bal + s.delta > 100 THEN 1 ELSE 0 END,
+        w.n_lo + CASE WHEN w.bal + s.delta < 0 THEN 1 ELSE 0 END
+      FROM walk w JOIN seq s ON s.k = w.k AND s.idx = w.idx + 1
+    ),
+    last AS (
+      SELECT k, max(idx) AS n_events FROM walk GROUP BY k
+    )
+    SELECT w.k AS l_partkey, CAST(l.n_events AS BIGINT) AS n_events,
+      w.bal AS final_balance,
+      CAST(w.n_hi AS BIGINT) AS n_clamp_hi, CAST(w.n_lo AS BIGINT) AS n_clamp_lo
+    FROM walk w JOIN last l ON w.k = l.k AND w.idx = l.n_events
+    """,
+)
+def q190_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped inventory running balance per part: start at 50 units,
+    sales ('A'/'N' lines) draw down, returns ('R' lines) restock, and
+    the balance CLAMPS to [0, 100] at every event (no negative stock,
+    no overflow past rack capacity) — counting how often each bound
+    bites. The clamp makes this a NON-ASSOCIATIVE scan: unlike a
+    plain running sum, max(0,min(100,·)) does not distribute over
+    partial aggregation, so neither a window frame nor two-phase
+    prefix-sum (operators/scale.py) can express it. The engine's
+    escape hatch is the q111 fold pattern: collect each part's
+    event sequence into a chronologically sorted array (array_sort on
+    a (shipdate,orderkey,linenumber,delta) struct = the oracle's
+    ORDER BY, total order so both engines walk identical sequences)
+    and run F.aggregate — a whole-stage-codegen JVM fold, zero Python.
+    The sort struct is a TOTAL order ((shipdate, orderkey, linenumber,
+    suppkey) — linenumbers duplicate in this generator), so both
+    engines walk identical sequences. One shuffle on l_partkey;
+    per-part histories are bounded (~30
+    events at any TPC-H SF since parts scale with the fact), the
+    same bounded-group contract q111/q104 document. The oracle walks
+    the identical recurrence via recursive CTE with per-part row
+    index — depth = longest history, bounded likewise."""
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("k"),
+        F.struct(
+            F.col("l_shipdate").alias("d"),
+            F.col("l_orderkey").alias("o"),
+            F.col("l_linenumber").alias("ln"),
+            F.col("l_suppkey").alias("sk"),
+            F.when(
+                F.col("l_returnflag") == "R",
+                F.col("l_quantity").cast("bigint"),
+            )
+            .otherwise(-F.col("l_quantity").cast("bigint"))
+            .alias("delta"),
+        ).alias("ev"),
+    )
+    grouped = li.groupBy("k").agg(
+        F.array_sort(F.collect_list("ev")).alias("evs")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          evs,
+          struct(CAST(50 AS BIGINT) AS bal, CAST(0 AS BIGINT) AS n_hi,
+                 CAST(0 AS BIGINT) AS n_lo),
+          (acc, x) -> struct(
+            greatest(CAST(0 AS BIGINT),
+                     least(CAST(100 AS BIGINT), acc.bal + x.delta)) AS bal,
+            acc.n_hi + IF(acc.bal + x.delta > 100, 1, 0) AS n_hi,
+            acc.n_lo + IF(acc.bal + x.delta < 0, 1, 0) AS n_lo)
+        )
+        """
+    )
+    return grouped.select(
+        F.col("k").alias("l_partkey"),
+        F.size("evs").cast("bigint").alias("n_events"),
+        fold.getField("bal").alias("final_balance"),
+        fold.getField("n_hi").alias("n_clamp_hi"),
+        fold.getField("n_lo").alias("n_clamp_lo"),
+    )

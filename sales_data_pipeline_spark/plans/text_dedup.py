@@ -1302,3 +1302,31 @@ def q181_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(jac, 6).alias("jaccard"),
         )
     )
+
+
+@query("q191_lpa_communities", oracle=None)
+def q191_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the near-dup similarity graph by
+    synchronous label propagation — the finer-grained companion to
+    q49's connected components: CC merges two dense duplication
+    clusters the moment ONE accidental pair bridges them, while LPA
+    keeps them apart unless the bridge carries plurality weight, so
+    the community census is the better input for "how many distinct
+    duplication families does this corpus actually have". oracle=None:
+    a fixed-point plurality vote isn't one SQL statement; covering
+    tests (tests/test_dedup.py) assert exact community splits on
+    planted two-clique bridges, a pure-Python synchronous-LPA
+    reference match, and partition-invariance. Deterministic by
+    construction (synchronous rounds, min-label tie-break, fixed 5
+    iterations — operators/graph.py label_propagation)."""
+    from sales_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from sales_data_pipeline_spark.operators.graph import label_propagation
+
+    docs = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    lp = label_propagation(edges, iters=5)
+    return (
+        lp.groupBy("community")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+        .orderBy("community")
+    )

@@ -248,3 +248,56 @@ def purchase_attribution_stream(
         "view_ts",
         "view_value",
     )
+
+
+def unattributed_purchase_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the complement of
+    purchase_attribution_stream's inner join: EVERY purchase emits,
+    with NULL view columns when no same-user view preceded it in the
+    attribution window (the "organic conversion" feed a marketing
+    pipeline alerts on). Outer stream-stream joins are semantically
+    subtler than inner ones: the NULL row for an unmatched purchase
+    can only be emitted once the purchase-side state is provably
+    past matching — i.e. when the WATERMARK passes purchase_ts +
+    window — so null rows arrive with watermark latency, not
+    immediately (Spark emits them on state eviction). That is the
+    correct trade: emitting early would retract on a late view, and
+    retractions don't exist in append mode. Both sides' state stays
+    bounded exactly as in the inner form: rate × (watermark +
+    attribution window). The batch counterpart of this semantics is a
+    left as-of join (operators/asof.py) where unmatched rows carry
+    null payloads."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        v,
+        F.expr(
+            f"""
+            p_user = v_user AND
+            view_ts <= purchase_ts AND
+            view_ts >= purchase_ts - INTERVAL {attribution_window}
+            """
+        ),
+        "leftOuter",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "purchase_value",
+        "view_ts",
+        "view_value",
+    )

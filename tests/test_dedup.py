@@ -702,3 +702,79 @@ def test_incremental_neardup_estimator_tracks_exact_jaccard(spark, docs):
         assert checked > 0
     finally:
         release_caches()
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities
+# ---------------------------------------------------------------------------
+
+
+def _py_lpa(edges, iters=5):
+    """Synchronous LPA with self-vote, plurality vote, min-label
+    tie-break — the exact contract of operators/graph.py
+    label_propagation."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    for v in list(adj):
+        adj[v].add(v)  # the self-vote
+    lbl = {v: v for v in adj}
+    for _ in range(iters):
+        new = {}
+        for v in adj:
+            counts = Counter(lbl[n] for n in adj[v])
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            new[v] = best
+        lbl = new
+    return lbl
+
+
+def test_lpa_matches_python_reference(spark):
+    from sales_data_pipeline_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6), (6, 4), (10, 11)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.community for r in label_propagation(df, iters=5).collect()}
+    want = _py_lpa(edges, iters=5)
+    assert got == want
+
+
+def test_lpa_keeps_bridged_cliques_separate(spark):
+    from sales_data_pipeline_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    # two 4-cliques joined by a single bridge edge: CC merges them,
+    # LPA must keep two communities
+    k1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    k2 = [(a, b) for a in range(11, 15) for b in range(a + 1, 15)]
+    edges = k1 + k2 + [(4, 11)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    comm = {r.node: r.community for r in label_propagation(df, iters=5).collect()}
+    assert len({comm[v] for v in range(1, 5)}) == 1
+    assert len({comm[v] for v in range(11, 15)}) == 1
+    assert comm[1] != comm[11]
+    cc = {r.node: r.cluster for r in connected_components(df).collect()}
+    assert cc[1] == cc[11]  # the contrast LPA exists for
+
+
+def test_lpa_partition_invariance_and_checkpoint(spark, tmp_path):
+    from sales_data_pipeline_spark.operators.graph import label_propagation
+
+    edges = [(i, i + 1) for i in range(1, 30)] + [(5, 20), (7, 25)]
+    df1 = spark.createDataFrame(edges, "doc_a long, doc_b long").repartition(1)
+    df2 = spark.createDataFrame(edges, "doc_a long, doc_b long").repartition(16)
+    r1 = {r.node: r.community for r in label_propagation(df1, iters=4).collect()}
+    r2 = {r.node: r.community for r in label_propagation(df2, iters=4).collect()}
+    assert r1 == r2
+    r3 = {
+        r.node: r.community
+        for r in label_propagation(
+            df1, iters=4, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert r1 == r3

@@ -570,3 +570,75 @@ def test_trending_tokens_finalized_windows_match_batch(spark, tmp_path):
         (0, "alpha", 3, 1), (0, "beta", 2, 2),
         (10, "delta", 2, 1), (10, "beta", 1, 2),
     ], top
+
+
+def test_unattributed_purchases_left_outer_stream_join(spark, tmp_path):
+    """Stream-stream LEFT OUTER join: matched purchases emit
+    immediately; a purchase with no in-window view emits its NULL row
+    only after the watermark passes its eviction point (a later batch
+    must advance event time first — the semantics the docstring
+    promises)."""
+    from sales_data_pipeline_spark.streaming.events import (
+        unattributed_purchase_stream,
+    )
+
+    src = tmp_path / "ev_outer"
+    _write_events_with_ids(spark, str(src / "f1"), [
+        (10, 0, 1, "view", 1.0),
+        (12, 600, 1, "purchase", 50.0),   # matched → emits in batch 1
+        (30, 100, 3, "purchase", 90.0),   # no view → NULL row later
+    ])
+
+    sink = str(tmp_path / "outer_sink")
+
+    def run():
+        out = unattributed_purchase_stream(
+            ev_stream.filter(F.col("event_type") == "view"),
+            ev_stream.filter(F.col("event_type") == "purchase"),
+            attribution_window="1 hour",
+            watermark="2 hours",
+        )
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_outer"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(sink).collect()
+
+    ev_stream = read_event_stream(spark, str(src))
+    rows1 = run()
+    # batch 1: the matched purchase is out; the unmatched one is NOT
+    # (watermark has not passed its window yet — no premature null)
+    assert {r.purchase_id for r in rows1} == {12}
+    assert all(r.view_ts is not None for r in rows1)
+
+    time.sleep(1.1)
+    # advance event time far past purchase 30's eviction point. Two
+    # subtleties this test exists to pin: (a) the GLOBAL watermark is
+    # the MIN over both sides' watermarks (multipleWatermarkPolicy=min
+    # default), so the advancing batch must carry BOTH a late view and
+    # a late purchase — advancing only one side leaves the join's
+    # watermark stuck; (b) the watermark computed from a batch applies
+    # to the NEXT batch, so eviction (the null-row emit) needs one
+    # more micro-batch after the advancing one.
+    _write_events_with_ids(spark, str(src / "f2"), [
+        (98, 4 * 86400, 9, "view", 0.0),
+        (99, 4 * 86400, 9, "purchase", 0.0),
+    ])
+    run()
+    time.sleep(1.1)
+    _write_events_with_ids(spark, str(src / "f3"), [
+        (100, 4 * 86400 + 60, 9, "view", 0.0),
+        (101, 4 * 86400 + 60, 9, "purchase", 0.0),
+    ])
+    rows2 = run()  # cumulative parquet contents
+    nulls = [r for r in rows2 if r.purchase_id == 30]
+    assert len(nulls) == 1
+    assert nulls[0].view_ts is None and nulls[0].view_value is None
+    assert nulls[0].purchase_value == 90.0
+    # the matched row did not re-emit on eviction (one copy total)
+    assert sum(1 for r in rows2 if r.purchase_id == 12) == 1
