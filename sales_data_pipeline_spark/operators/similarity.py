@@ -658,3 +658,62 @@ def knn_graph(
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
         F.col("rank") <= k
     )
+
+
+def standardize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    eps: float = 1e-12,
+) -> DataFrame:
+    """Per-DIMENSION z-score standardization of an embedding column —
+    the feature-scaling pass run before distance-based ops (k-means,
+    quantized dedup, IVF) when dimensions carry different scales:
+    output[i] = (x[i] − μᵢ) / max(σᵢ, eps), population σ.
+
+    Plan (100 TB shape): ONE aggregation pass computes all per-dim
+    moment sums — ``posexplode`` of the vector feeds a groupBy(dim)
+    of (n, Σx, Σx²), so the shuffle carries |dims| keys of three
+    doubles, not vectors — then the |dims|×2 stats table (a few KB
+    for any real embedding width) is collected and baked into ONE
+    map-side ``transform`` over the original rows as array literals:
+    no join back, no second shuffle, no per-row Python. Driver state
+    is bounded by dimension count exactly like kmeans' k×dim
+    centroids. Constant-dimension input is standardized to 0 (the
+    eps floor), never NaN/Inf. Degenerate/ragged vectors are the
+    caller's contract (embeddings tables are fixed-width by
+    construction; wrong-width rows would silently misalign any
+    per-dim math, here as elsewhere)."""
+    from pyspark.sql import functions as F
+
+    stats = (
+        df.select(F.posexplode(vec_col).alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("val").cast("double")).alias("s"),
+            F.sum(
+                F.col("val").cast("double") * F.col("val").cast("double")
+            ).alias("ss"),
+        )
+        .collect()
+    )
+    by_dim = {r.dim: r for r in stats}
+    means, stds = [], []
+    for d in sorted(by_dim):
+        r = by_dim[d]
+        mu = r.s / r.n
+        var = max(0.0, r.ss / r.n - mu * mu)
+        means.append(mu)
+        stds.append(max(var**0.5, eps))
+    mean_arr = F.array(*[F.lit(m) for m in means])
+    std_arr = F.array(*[F.lit(s) for s in stds])
+    out = F.expr(
+        f"transform({vec_col}, (x, i) -> "
+        "(cast(x as double) - element_at(__mu, i + 1)) / element_at(__sd, i + 1))"
+    )
+    return (
+        df.withColumn("__mu", mean_arr)
+        .withColumn("__sd", std_arr)
+        .withColumn(vec_col, out)
+        .drop("__mu", "__sd")
+    )

@@ -6415,3 +6415,152 @@ def q190_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold.getField("n_hi").alias("n_clamp_hi"),
         fold.getField("n_lo").alias("n_clamp_lo"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q192 — local-supplier volume (TPC-H Q5 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q192_local_supplier_volume",
+    oracle="""
+    SELECT n_name AS nation,
+      sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        AS revenue,
+      CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE s_nationkey = c_nationkey
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q192_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domestic-trade volume — the TPC-H Q5 "local supplier volume"
+    shape: revenue where the CUSTOMER'S nation equals the SUPPLIER'S
+    nation, per nation, for one order-year. The shape's signature is
+    the cross-dimension equality predicate (s_nationkey = c_nationkey)
+    that arrives through two DIFFERENT join paths from the fact — it
+    cannot be pushed to either scan and must run as a post-join
+    residual filter; expressing the dims as broadcasts keeps the only
+    shuffle the fact's own aggregation. The o_orderdate range DOES
+    push down to the orders scan (verified in the plan: PushedFilters
+    on the parquet reader), shrinking the orders build side before
+    anything joins. Revenue uses the q01 decimal idiom: price and
+    discount cast to exact DECIMAL before the product, so the sum is
+    order-independent and bitwise cross-engine."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(4,2)")
+                - F.col("l_discount").cast("decimal(4,2)")
+            )
+        ).alias("rev"),
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("s_nationkey") == F.col("c_nationkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum("rev").alias("revenue"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q193 — returned-item loss report (TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q193_returned_item_report",
+    oracle="""
+    WITH loss AS (
+      SELECT c_custkey, c_name, n_name,
+        sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+          AS lost_revenue
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= DATE '1997-01-01'
+        AND o_orderdate < DATE '1997-07-01'
+      GROUP BY 1, 2, 3
+    )
+    SELECT c_custkey, c_name, n_name AS nation, lost_revenue
+    FROM loss
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q193_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned-merchandise loss in a half-year —
+    the TPC-H Q10 shape: selective fact predicates (return flag +
+    order-date band, both pushed into their scans), a grouped decimal
+    revenue sum per customer, and a bounded top-k. The top-k is
+    orderBy().limit() — TakeOrderedAndProject, a per-partition heap +
+    driver merge of 20 rows — NEVER a single-partition window sort
+    over the customer aggregate (the q140-class trap at 100 TB); the
+    deterministic (revenue DESC, custkey) total order makes the cut
+    bitwise-reproducible on both engines — the q50/q172 top-k
+    discipline."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("date"))
+    )
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (
+            F.lit(1).cast("decimal(4,2)")
+            - F.col("l_discount").cast("decimal(4,2)")
+        )
+    )
+    loss = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rev).alias("lost_revenue"))
+    )
+    return (
+        loss.orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "lost_revenue",
+        )
+    )

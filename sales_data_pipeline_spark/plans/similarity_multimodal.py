@@ -354,3 +354,41 @@ def q180_audio_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return audio_spectral_features(synth_wav_payloads(docs.select("doc_id")))
+
+
+@query("q194_embedding_standardize", oracle=None)
+def q194_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization audit: standardize the
+    embeddings table, then report per-label mean/min/max of the
+    standardized L2 norm — the preprocessing every distance-based
+    downstream op (q85 k-means, q74 quantized dedup, q27 IVF) assumes
+    when dimensions are differently scaled. oracle=None: per-dim
+    moments are double sums whose accumulation order is
+    partition-dependent in the last bits (SQL would have the same
+    caveat); the covering test asserts numpy-reference equality to
+    1e-9 and exact column-mean≈0 / std≈1 invariants
+    (tests/test_similarity.py). Outputs rounded to 6 so residual
+    last-bit noise can't reach the result."""
+    from sales_data_pipeline_spark.functions.vectors import (
+        as_double_array,
+        l2_norm,
+    )
+    from sales_data_pipeline_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", as_double_array("embedding")
+    )
+    std = standardize_embeddings(emb)
+    return (
+        std.select("label", F.round(l2_norm(F.col("embedding")), 9).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.avg("nrm"), 6).alias("mean_norm"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+        )
+        .orderBy("label")
+    )

@@ -446,3 +446,55 @@ def test_audio_spectral_matches_numpy_reference(spark):
         assert gd == dom and gr == rolloff
         assert abs(gc - centroid) < 1e-9 * abs(centroid)
         assert abs(gt - tot) < 1e-9 * tot
+
+
+# ---------------------------------------------------------------------------
+# per-dimension standardization
+# ---------------------------------------------------------------------------
+
+
+def test_standardize_embeddings_matches_numpy(spark):
+    import numpy as np
+
+    from sales_data_pipeline_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    rng = np.random.RandomState(7)
+    x = rng.randn(40, 5) * np.array([1.0, 10.0, 0.1, 100.0, 3.0]) + np.array(
+        [0.0, 5.0, -2.0, 50.0, 0.0]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(x)],
+        "vec_id long, embedding array<double>",
+    ).repartition(7)
+    got = {
+        r.vec_id: np.array(r.embedding)
+        for r in standardize_embeddings(df).collect()
+    }
+    mu, sd = x.mean(axis=0), x.std(axis=0)
+    want = (x - mu) / sd
+    for i in range(len(x)):
+        assert np.allclose(got[i], want[i], atol=1e-9), i
+    # column invariants on the standardized output
+    g = np.stack([got[i] for i in range(len(x))])
+    assert np.allclose(g.mean(axis=0), 0.0, atol=1e-9)
+    assert np.allclose(g.std(axis=0), 1.0, atol=1e-9)
+
+
+def test_standardize_embeddings_constant_dim_is_zero_not_nan(spark):
+    import numpy as np
+
+    from sales_data_pipeline_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [3.0, float(i)]) for i in range(10)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r.vec_id: r.embedding for r in standardize_embeddings(df).collect()
+    }
+    col0 = [v[0] for v in got.values()]
+    assert all(np.isfinite(col0)) and max(abs(c) for c in col0) < 1e-6
