@@ -6564,3 +6564,208 @@ def q193_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lost_revenue",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q195 — nation-pair trade flows (TPC-H Q7 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q195_nation_trade_flows",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      CAST(year(o_orderdate) AS INT) AS order_year,
+      sum(CAST(l_extendedprice AS DECIMAL(18,2))
+          * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        AS volume
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE ((cn.n_name = 'NATION_3' AND sn.n_name = 'NATION_7')
+        OR (cn.n_name = 'NATION_7' AND sn.n_name = 'NATION_3'))
+      AND o_orderdate >= DATE '1996-01-01'
+      AND o_orderdate < DATE '1998-01-01'
+    GROUP BY 1, 2, 3
+    """,
+)
+def q195_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilateral trade volume between two nations (this generator's
+    NATION_3/NATION_7) by year — the TPC-H Q7 "volume shipping"
+    shape: the same dimension table (nation)
+    joins TWICE under different roles (customer's vs supplier's
+    nation), with a DISJUNCTIVE cross-role predicate that only the
+    joined pair satisfies. Role separation is by rename-before-join
+    (the engine's ambiguity discipline, SURVEY §2j.3) — each nation
+    copy broadcast under its own column names, so the OR predicate is
+    an unambiguous residual filter. The date band pushes into the
+    orders scan; with both nation filters pushed into each broadcast
+    BUILD side (the filter refers only to nation columns, so Catalyst
+    pushes the per-role half of the disjunction below its join),
+    non-qualifying customers/suppliers never reach the fact join."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(4,2)")
+                - F.col("l_discount").cast("decimal(4,2)")
+            )
+        ).alias("rev"),
+    )
+    o = (
+        table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("date"))
+        )
+        .select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("order_year"))
+    )
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation")
+    cn = n.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    sn = n.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(
+            (
+                (F.col("cust_nation") == "NATION_3")
+                & (F.col("supp_nation") == "NATION_7")
+            )
+            | (
+                (F.col("cust_nation") == "NATION_7")
+                & (F.col("supp_nation") == "NATION_3")
+            )
+        )
+    )
+    return joined.groupBy(
+        "cust_nation", "supp_nation", F.col("order_year").cast("int").alias("order_year")
+    ).agg(F.sum("rev").alias("volume"))
+
+
+# ---------------------------------------------------------------------------
+# q196 — top revenue supplier(s) (TPC-H Q15 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q196_top_supplier",
+    oracle="""
+    WITH srev AS (
+      SELECT l_suppkey AS suppkey,
+        sum(CAST(l_extendedprice AS DECIMAL(18,2))
+            * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
+          AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= DATE '1997-01-01'
+        AND l_shipdate < DATE '1997-04-01'
+      GROUP BY 1
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM srev JOIN supplier ON suppkey = s_suppkey
+    WHERE total_rev = (SELECT max(total_rev) FROM srev)
+    """,
+)
+def q196_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-revenue supplier for a quarter — the TPC-H Q15 shape (the
+    original phrases it as a VIEW + scalar MAX subquery; views are
+    just named subplans in DataFrame-land). The interesting plan
+    property: the supplier-revenue aggregate is computed ONCE and
+    consumed twice (the max probe and the equality filter) — the
+    oracle's CTE does the same. In Spark the tiny per-supplier
+    aggregate (|suppliers| rows) feeds a 1-row scalar aggregate that
+    broadcasts back as a cross-join literal — never a self-join of
+    two fact scans. Keeps ALL ties at the max (Q15's defined
+    semantics), which decimal-exact revenue makes deterministic."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("date"))
+    )
+    srev = li.groupBy(F.col("l_suppkey").alias("suppkey")).agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (
+                F.lit(1).cast("decimal(4,2)")
+                - F.col("l_discount").cast("decimal(4,2)")
+            )
+        ).alias("total_rev")
+    )
+    mx = srev.agg(F.max("total_rev").alias("mx"))
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        srev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("mx"))
+        .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q197 — small-order revenue leak (TPC-H Q17 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q197_small_order_revenue",
+    oracle="""
+    WITH pavg AS (
+      SELECT l_partkey AS pk,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+          / CAST(count(*) AS BIGINT) AS avg_qty
+      FROM lineitem GROUP BY 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_lines,
+      sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+      ((CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100, 0)
+             AS BIGINT) + 3) // 7) / 100.0 AS yearly_leak
+    FROM lineitem JOIN pavg ON l_partkey = pk
+    WHERE CAST(l_quantity AS BIGINT) < 0.2 * avg_qty
+    """,
+)
+def q197_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue locked in below-average-quantity lines — the TPC-H Q17
+    "small-quantity-order revenue" shape: a CORRELATED AVG subquery
+    (per-part average quantity) gating the same fact table,
+    decorrelated into ONE grouped aggregate joined back on l_partkey
+    — the fact is scanned twice but shuffled on the same key both
+    times, never a per-row subquery. The per-part average is
+    exact-integer Σ/n with one double division (q149 recipe); the
+    0.2×avg comparison multiplies a double by an exact small literal,
+    deterministic on both engines. The yearly figure is computed in
+    INTEGER CENTS — (total_cents + 3) div 7, half-up — because the
+    two engines' DECIMAL-division scale/rounding rules differ; one
+    final IEEE division by 100.0 presents it (the q184 recipe)."""
+    li = table(spark, sf_dir, "lineitem")
+    pavg = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+            / F.count(F.lit(1)).cast("bigint")
+        ).alias("avg_qty")
+    )
+    small = li.join(pavg, li.l_partkey == pavg.pk).filter(
+        F.col("l_quantity").cast("bigint") < 0.2 * F.col("avg_qty")
+    )
+    total = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    agg = small.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        total.alias("total_price"),
+        F.round(total * 100, 0).cast("bigint").alias("total_c"),
+    )
+    return agg.select(
+        "n_lines",
+        "total_price",
+        (F.expr("(total_c + 3) div 7") / F.lit(100.0)).alias("yearly_leak"),
+    )
