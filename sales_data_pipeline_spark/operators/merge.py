@@ -143,3 +143,58 @@ def scd2_merge(
         version_col, F.lit(batch_version).cast("int")
     ).withColumn(current_col, F.lit(True))
     return tagged.unionByName(incoming)
+
+
+def apply_cdc_log(
+    base: DataFrame,
+    log: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    version_cols: Sequence[str] = ("version",),
+    broadcast_log: bool = True,
+) -> DataFrame:
+    """Apply an ordered change-data-capture log (op ∈ {I,U,D}) onto a
+    base snapshot: per key, the HIGHEST-version log row wins — I/U
+    upsert the row's payload, D deletes the key; keys absent from the
+    log pass through untouched. This is the replication-consumer half
+    of the CDC story (snapshot_diff PRODUCES such a log; scd2_merge
+    keeps history instead of collapsing it).
+
+    Semantics pinned deliberately:
+    - version_cols must form a TOTAL order per key (ts alone is not —
+      pass (ts, change_id)); max_by over a version struct picks the
+      winner in one aggregation, no window sort;
+    - a D followed by a later I resurrects the key (only the FINAL op
+      matters — intermediate history collapses, which is exactly what
+      "apply the log" means for a snapshot consumer);
+    - payload columns of ``log`` must match ``base`` by name (D rows
+      may carry nulls — the payload is never read for deletes).
+
+    Plan: the log collapses to one row per touched key via a keyed
+    max_by aggregation (map-side combinable); the collapsed set —
+    small relative to base in any realistic CDC batch — broadcasts
+    into one anti join (evict touched keys from base) + one union of
+    the surviving upserts. Base itself never shuffles, the merge_upsert
+    contract."""
+    payload = [c for c in base.columns]
+    ver_struct = F.struct(*[F.col(c) for c in version_cols])
+    collapsed = (
+        log.groupBy(*keys)
+        .agg(
+            F.expr(
+                "max_by(struct({}), struct({}))".format(
+                    ", ".join([op_col] + [c for c in payload if c not in keys]),
+                    ", ".join(version_cols),
+                )
+            ).alias("__win")
+        )
+        .select(*keys, "__win.*")
+    )
+    finals = collapsed.filter(F.col(op_col) != "D").select(*payload)
+    touched = collapsed.select(*keys)
+    keep = base.join(
+        F.broadcast(touched) if broadcast_log else touched,
+        list(keys),
+        "left_anti",
+    )
+    return keep.unionByName(finals)

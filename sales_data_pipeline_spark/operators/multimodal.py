@@ -443,3 +443,128 @@ def audio_spectral_features(df: DataFrame) -> DataFrame:
             yield out
 
     return df.select("media_id", "payload").mapInPandas(_spectral, SPECTRAL_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# perceptual hashing — image near-dup detection
+# ---------------------------------------------------------------------------
+
+AHASH_SCHEMA = "media_id long, ahash long, ahash_hex string"
+
+
+def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image — the
+    classic public perceptual-hash recipe: grayscale → downsample to
+    ``grid×grid`` block means → threshold each cell at the global mean
+    → pack row-major into a 64-bit signature. Two images whose hashes
+    differ in few bits are visually near-identical even when their
+    BYTES differ everywhere (re-encode, brightness shift), which is
+    exactly the duplicate class byte-level dedup (q21/q90) cannot see
+    — the image-side analogue of MinHash-for-text.
+
+    Input rows: (media_id long, payload binary) with REAL P6/PPM
+    payloads (the repo's honest in-sandbox codec). Arrow-batched
+    mapInPandas, numpy end to end; all arithmetic INTEGER (luma =
+    (299R+587G+114B)//1000, block means via exact integer division,
+    threshold strictly-greater-than the integer mean of cell means) —
+    bit-for-bit reproducible anywhere, property the covering
+    pure-python reference test pins. Map-only: no shuffle; at 100 TB
+    the cost is the payload scan itself and column pruning keeps the
+    64-bit signatures as the only thing that travels onward."""
+
+    def _hash(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        for pdf in batches:
+            ids, hashes, hexes = [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(b)
+                w, h, maxval, off = _ppm_header(raw)
+                px = np.frombuffer(
+                    raw, dtype=np.uint8, count=w * h * 3, offset=off
+                ).astype(np.int64).reshape(h, w, 3)
+                luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+                # integer block means over a grid×grid partition of the
+                # image (blocks cover the whole image, ragged at edges)
+                ys = [h * i // grid for i in range(grid + 1)]
+                xs = [w * i // grid for i in range(grid + 1)]
+                cells = np.empty((grid, grid), dtype=np.int64)
+                for i in range(grid):
+                    for j in range(grid):
+                        blk = luma[ys[i]:ys[i + 1], xs[j]:xs[j + 1]]
+                        cells[i, j] = int(blk.sum()) // max(blk.size, 1)
+                thresh = int(cells.sum()) // (grid * grid)
+                bits = (cells > thresh).flatten()
+                v = 0
+                for bit in bits:
+                    v = (v << 1) | int(bit)
+                signed = v - (1 << 64) if v >= (1 << 63) else v
+                ids.append(mid)
+                hashes.append(signed)
+                hexes.append(f"{v:016x}")
+            yield pd.DataFrame(
+                {"media_id": ids, "ahash": hashes, "ahash_hex": hexes}
+            )
+
+    return df.select("media_id", "payload").mapInPandas(_hash, AHASH_SCHEMA)
+
+
+def ahash_near_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """All image pairs whose aHash Hamming distance ≤ ``max_hamming``,
+    WITHOUT an all-pairs compare: pigeonhole blocking — split the 64
+    bits into ``max_hamming+1`` blocks; two hashes within distance k
+    must agree EXACTLY on ≥1 block (k flips cannot touch k+1 blocks),
+    so candidates come from equi-joins on (block_no, block_value) and
+    only candidates pay the popcount verify — the same guarantee-
+    preserving trick as SimHash text blocking (operators/dedup.py).
+    Exact, no recall loss. Verify is codegen bit_count(a^b); dedup of
+    multi-block collisions via min block_no claim (exactly-once, no
+    distinct over pairs). Input: (media_id, ahash) from image_ahash.
+    Returns (media_a, media_b, hamming), media_a < media_b."""
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    blocks = []
+    h = hashes.select("media_id", "ahash")
+    for b in range(n_blocks):
+        lo = b * width
+        w = 64 - lo if b == n_blocks - 1 else width
+        blocks.append(
+            h.select(
+                "media_id",
+                "ahash",
+                F.lit(b).alias("block_no"),
+                F.expr(
+                    f"(ahash >> {lo}) & {(1 << w) - 1}"
+                ).alias("block_val"),
+            )
+        )
+    from functools import reduce
+
+    stacked = reduce(DataFrame.unionByName, blocks)
+    a = stacked.select(
+        F.col("media_id").alias("media_a"),
+        F.col("ahash").alias("ha"),
+        "block_no",
+        "block_val",
+    )
+    b_ = stacked.select(
+        F.col("media_id").alias("media_b"),
+        F.col("ahash").alias("hb"),
+        "block_no",
+        "block_val",
+    )
+    cand = a.join(b_, ["block_no", "block_val"]).filter(
+        F.col("media_a") < F.col("media_b")
+    )
+    verified = cand.withColumn(
+        "hamming", F.bit_count(F.expr("ha ^ hb"))
+    ).filter(F.col("hamming") <= max_hamming)
+    # exactly-once: the pair is claimed by its lowest agreeing block
+    from pyspark.sql.window import Window
+
+    w_min = F.min("block_no").over(Window.partitionBy("media_a", "media_b"))
+    return (
+        verified.withColumn("__m", w_min)
+        .filter(F.col("block_no") == F.col("__m"))
+        .select("media_a", "media_b", "hamming")
+    )

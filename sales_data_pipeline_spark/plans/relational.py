@@ -6769,3 +6769,149 @@ def q197_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_price",
         (F.expr("(total_c + 3) div 7") / F.lit(100.0)).alias("yearly_leak"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — CDC log apply (replication consumer)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q198_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT user_id AS k,
+        CASE event_type WHEN 'signup' THEN 'I'
+                        WHEN 'error' THEN 'D'
+                        ELSE 'U' END AS op,
+        CAST(value AS DECIMAL(18,2)) AS bal, ts, event_id
+      FROM events
+    ),
+    win AS (
+      SELECT k, op, bal,
+        row_number() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC)
+          AS rn
+      FROM log
+    ),
+    finals AS (SELECT k, op, bal FROM win WHERE rn = 1)
+    SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM finals WHERE k = c_custkey)
+    UNION ALL
+    SELECT k AS c_custkey, bal FROM finals WHERE op <> 'D'
+    """,
+)
+def q198_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replication-consumer CDC apply: fold an ordered change log onto
+    the customer balance snapshot — signups INSERT, activity events
+    UPDATE the balance, errors DELETE the key; per key only the
+    HIGHEST-version change matters and untouched customers pass
+    through. The operator (operators/merge.py apply_cdc_log) collapses
+    the log with ONE keyed max_by aggregation (no window sort), then
+    broadcasts the touched-key set into an anti join + union — the
+    base snapshot NEVER shuffles, which is the property that makes
+    log-apply viable when base is 10⁹ rows and the batch is 10⁵. The
+    oracle mirrors the same latest-wins rule with a ranked window
+    (version order (ts, event_id) is total — same-ts events exist in
+    this generator)."""
+    from sales_data_pipeline_spark.operators.merge import apply_cdc_log
+
+    base = table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_acctbal").cast("decimal(18,2)").alias("bal")
+    )
+    ev = table(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("c_custkey"),
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.col("value").cast("decimal(18,2)").alias("bal"),
+        "ts",
+        "event_id",
+    )
+    return apply_cdc_log(
+        base,
+        log.select("c_custkey", "op", "bal", "ts", "event_id"),
+        keys=["c_custkey"],
+        op_col="op",
+        version_cols=("ts", "event_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q199 — time-weighted average price (TWAP)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q199_twap",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+        CAST(round(CAST(value AS DECIMAL(18,2)) * 100, 0) AS BIGINT)
+          AS price_c,
+        epoch_us(lead(ts) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id)) - epoch_us(ts) AS dt_us
+      FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        CAST(sum(price_c * dt_us) AS BIGINT) AS num,
+        CAST(sum(dt_us) AS BIGINT) AS den
+      FROM p WHERE dt_us IS NOT NULL
+      GROUP BY 1 HAVING sum(dt_us) > 0
+    )
+    SELECT user_id, n_intervals,
+      num / CAST(den AS DOUBLE) / 100.0 AS twap
+    FROM s
+    """,
+)
+def q199_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average purchase price per user — the TWAP every
+    trading/pricing system reports: each observation is weighted by
+    how long it remained the latest one (lead-gap), so a burst of
+    cheap purchases in one minute cannot swamp a price that held for
+    a week — the bias a plain AVG has and the reason TWAP exists.
+    Exactness: prices in integer cents × interval micros are exact
+    BIGINT products summed losslessly (no double accumulation); the
+    result is two IEEE divisions of identical exact integers — bitwise
+    cross-engine with NO rounding step (F.round on an inexact double
+    is itself engine-divergent at repr-boundary ties, verify-skill
+    rule, so not rounding is the stricter choice).
+    The lead window shares a single (user_id-partitioned) sort with
+    nothing else — one shuffle; the (ts, event_id) order key is total
+    (same-ts purchases exist in this generator). max Σ(price·Δt) at
+    fleet scale: 10⁶ cents × 10¹² µs ≈ 10¹⁸ fits BIGINT; wider spans
+    should rescale to millis (documented bound)."""
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = ev.select(
+        "user_id",
+        F.round(F.col("value").cast("decimal(18,2)") * 100, 0)
+        .cast("bigint")
+        .alias("price_c"),
+        (
+            F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+        ).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    s = (
+        p.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum(F.col("price_c") * F.col("dt_us"))
+            .cast("bigint")
+            .alias("num"),
+            F.sum("dt_us").cast("bigint").alias("den"),
+        )
+        .filter(F.col("den") > 0)
+    )
+    return s.select(
+        "user_id",
+        "n_intervals",
+        (F.col("num") / F.col("den").cast("double") / F.lit(100.0)).alias(
+            "twap"
+        ),
+    )

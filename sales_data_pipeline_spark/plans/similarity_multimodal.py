@@ -392,3 +392,41 @@ def q194_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query("q200_image_neardup_ahash", oracle=None)
+def q200_image_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection by perceptual hash: synthesize a REAL
+    16×16 P6/PPM image per document (pixel raster = the doc's first
+    768 utf-8 bytes, cycled — so near-dup TEXTS become near-identical
+    IMAGES, giving the operator honest planted structure), aHash each
+    through the real PPM codec, and emit Hamming-≤6 pairs via
+    pigeonhole blocking — never an all-pairs compare
+    (operators/multimodal.py image_ahash / ahash_near_pairs). This is
+    the image-side member of the near-dup family (q22 Jaccard text,
+    q23 MinHash, q24 SimHash, q52 embedding LSH). oracle=None: the
+    64-bit packing + blocked join isn't one SQL statement; covering
+    tests assert exact equality against a pure-python aHash reference,
+    planted brightness-shifted near-dups found, and blocking ≡
+    brute-force on the same corpus (tests/test_multimodal_phash.py).
+    Deterministic end to end (integer luma/means/threshold)."""
+    from sales_data_pipeline_spark.operators.multimodal import (
+        ahash_near_pairs,
+        image_ahash,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit(b"P6\n16 16\n255\n"),
+        F.encode(
+            F.rpad(F.substring("text", 1, 768), 768, F.substring("text", 1, 64)),
+            "UTF-8",
+        ),
+    )
+    imgs = docs.select(
+        F.col("doc_id").alias("media_id"), payload.alias("payload")
+    )
+    hashes = image_ahash(imgs)
+    return ahash_near_pairs(hashes, max_hamming=6).orderBy(
+        "media_a", "media_b"
+    )

@@ -77,3 +77,74 @@ def test_group_centroids_hand_case(spark):
     got = {r.label: r for r in group_centroids(df, "label").collect()}
     assert got["a"].n_vecs == 2 and got["a"].centroid == [2.0, 4.0]
     assert got["b"].n_vecs == 1 and got["b"].centroid == [5.0, 5.0]
+
+
+# ---------------------------------------------------------------------------
+# CDC log apply
+# ---------------------------------------------------------------------------
+
+
+def test_apply_cdc_log_semantics(spark):
+    from sales_data_pipeline_spark.operators.merge import apply_cdc_log
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0)], "k long, v double"
+    )
+    # k=1 updated twice (later version wins), k=2 deleted,
+    # k=3 deleted then re-inserted (resurrection), k=5 fresh insert,
+    # k=4 untouched
+    log = spark.createDataFrame(
+        [
+            (1, "U", 11.0, 1, 0),
+            (1, "U", 12.0, 2, 0),
+            (2, "D", None, 1, 0),
+            (3, "D", None, 1, 0),
+            (3, "I", 33.0, 2, 0),
+            (5, "I", 55.0, 1, 0),
+        ],
+        "k long, op string, v double, ver int, seq int",
+    )
+    got = {
+        r.k: r.v
+        for r in apply_cdc_log(
+            base, log, keys=["k"], version_cols=("ver", "seq")
+        ).collect()
+    }
+    assert got == {1: 12.0, 3: 33.0, 4: 40.0, 5: 55.0}
+
+
+def test_apply_cdc_log_version_tiebreak_is_total(spark):
+    from sales_data_pipeline_spark.operators.merge import apply_cdc_log
+
+    base = spark.createDataFrame([(1, 0.0)], "k long, v double")
+    # same ver — seq breaks the tie deterministically
+    log = spark.createDataFrame(
+        [(1, "U", 7.0, 5, 1), (1, "U", 9.0, 5, 2)],
+        "k long, op string, v double, ver int, seq int",
+    )
+    out = apply_cdc_log(base, log, keys=["k"], version_cols=("ver", "seq"))
+    assert [r.v for r in out.collect()] == [9.0]
+
+
+def test_apply_cdc_log_base_never_shuffles(spark):
+    """The base side must reach the anti join with no exchange —
+    the property that makes log-apply viable on a huge snapshot."""
+    from sales_data_pipeline_spark.operators.merge import apply_cdc_log
+
+    base = spark.createDataFrame([(i, float(i)) for i in range(100)], "k long, v double")
+    log = spark.createDataFrame(
+        [(1, "U", 1.5, 1, 0)], "k long, op string, v double, ver int, seq int"
+    )
+    plan = apply_cdc_log(
+        base, log, keys=["k"], version_cols=("ver", "seq")
+    )._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the base side streams straight from its scan into the anti join —
+    # the only shuffles in the plan are the two tiny LOG-side
+    # aggregations (touched-keys distinct + max_by collapse)
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
+    anti = plan.split("LeftAnti")[1]
+    base_branch = anti.splitlines()[1]
+    assert "Scan" in base_branch and "Exchange" not in base_branch
