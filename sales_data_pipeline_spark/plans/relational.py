@@ -5785,16 +5785,16 @@ def q182_purchase_regularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q183_region_month_pivot",
     oracle="""
     SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
-      sum(CASE WHEN r_name = 'AFRICA'
-          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_africa,
-      sum(CASE WHEN r_name = 'AMERICA'
-          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_america,
-      sum(CASE WHEN r_name = 'ASIA'
-          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_asia,
-      sum(CASE WHEN r_name = 'EUROPE'
-          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_europe,
-      sum(CASE WHEN r_name = 'MIDDLE EAST'
-          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS rev_middle_east
+      CAST(sum(CASE WHEN r_name = 'AFRICA'
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_africa,
+      CAST(sum(CASE WHEN r_name = 'AMERICA'
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_america,
+      CAST(sum(CASE WHEN r_name = 'ASIA'
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_asia,
+      CAST(sum(CASE WHEN r_name = 'EUROPE'
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_europe,
+      CAST(sum(CASE WHEN r_name = 'MIDDLE EAST'
+          THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS rev_middle_east
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation ON c_nationkey = n_nationkey
@@ -5834,7 +5834,9 @@ def q183_region_month_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.select(
         "month",
         *[
-            F.col(f"`{reg}`").alias("rev_" + reg.lower().replace(" ", "_"))
+            F.col(f"`{reg}`")
+            .cast("double")
+            .alias("rev_" + reg.lower().replace(" ", "_"))
             for reg in regions
         ],
     )
@@ -6054,7 +6056,8 @@ def q185_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_name, o_custkey, o_orderkey,
       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
-      CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, sum_qty
+      CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS totalprice,
+      sum_qty
     FROM big
     JOIN orders ON o_orderkey = l_orderkey
     JOIN customer ON c_custkey = o_custkey
@@ -6090,7 +6093,10 @@ def q187_bulk_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.col("o_totalprice").cast("decimal(18,2)").alias("totalprice"),
+            F.col("o_totalprice")
+            .cast("decimal(18,2)")
+            .cast("double")
+            .alias("totalprice"),
             "sum_qty",
         )
     )
@@ -6113,7 +6119,7 @@ def q187_bulk_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c_mktsegment AS segment,
       CAST(count(*) AS BIGINT) AS n_customers,
-      sum(CAST(c_acctbal AS DECIMAL(18,2))) AS idle_capital
+      CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS idle_capital
     FROM customer, thresh
     WHERE c_mktsegment IN ('AUTOMOBILE','BUILDING','MACHINERY')
       AND CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > avg_bal
@@ -6162,7 +6168,9 @@ def q188_dormant_capital(spark: SparkSession, sf_dir: str) -> DataFrame:
     dormant = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
     return dormant.groupBy(F.col("c_mktsegment").alias("segment")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).alias("idle_capital"),
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("idle_capital"),
     )
 
 
@@ -6426,9 +6434,9 @@ def q190_capped_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q192_local_supplier_volume",
     oracle="""
     SELECT n_name AS nation,
-      sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-        AS revenue,
+        AS DOUBLE) AS revenue,
       CAST(count(*) AS BIGINT) AS n_lines
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -6485,7 +6493,7 @@ def q192_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
     )
     return joined.groupBy(F.col("n_name").alias("nation")).agg(
-        F.sum("rev").alias("revenue"),
+        F.sum("rev").cast("double").alias("revenue"),
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
     )
 
@@ -6500,9 +6508,9 @@ def q192_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH loss AS (
       SELECT c_custkey, c_name, n_name,
-        sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
             * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-          AS lost_revenue
+          AS DOUBLE) AS lost_revenue
       FROM lineitem
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -6552,7 +6560,7 @@ def q193_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.sum(rev).alias("lost_revenue"))
+        .agg(F.sum(rev).cast("double").alias("lost_revenue"))
     )
     return (
         loss.orderBy(F.desc("lost_revenue"), F.asc("c_custkey"))
@@ -6576,9 +6584,9 @@ def q193_returned_item_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
       CAST(year(o_orderdate) AS INT) AS order_year,
-      sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
           * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2))))
-        AS volume
+        AS DOUBLE) AS volume
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -6653,7 +6661,7 @@ def q195_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy(
         "cust_nation", "supp_nation", F.col("order_year").cast("int").alias("order_year")
-    ).agg(F.sum("rev").alias("volume"))
+    ).agg(F.sum("rev").cast("double").alias("volume"))
 
 
 # ---------------------------------------------------------------------------
@@ -6674,7 +6682,7 @@ def q195_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND l_shipdate < DATE '1997-04-01'
       GROUP BY 1
     )
-    SELECT s_suppkey, s_name, total_rev
+    SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
     FROM srev JOIN supplier ON suppkey = s_suppkey
     WHERE total_rev = (SELECT max(total_rev) FROM srev)
     """,
@@ -6709,7 +6717,11 @@ def q196_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         srev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("mx"))
         .join(F.broadcast(s), F.col("suppkey") == s.s_suppkey)
-        .select("s_suppkey", "s_name", "total_rev")
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev").cast("double").alias("total_rev"),
+        )
     )
 
 
@@ -6728,7 +6740,8 @@ def q196_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1
     )
     SELECT CAST(count(*) AS BIGINT) AS n_lines,
-      sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS total_price,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        AS total_price,
       ((CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100, 0)
              AS BIGINT) + 3) // 7) / 100.0 AS yearly_leak
     FROM lineitem JOIN pavg ON l_partkey = pk
@@ -6761,7 +6774,7 @@ def q197_small_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
     agg = small.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-        total.alias("total_price"),
+        total.cast("double").alias("total_price"),
         F.round(total * 100, 0).cast("bigint").alias("total_c"),
     )
     return agg.select(
@@ -6830,12 +6843,15 @@ def q198_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
     )
-    return apply_cdc_log(
+    out = apply_cdc_log(
         base,
         log.select("c_custkey", "op", "bal", "ts", "event_id"),
         keys=["c_custkey"],
         op_col="op",
         version_cols=("ts", "event_id"),
+    )
+    return out.select(
+        "c_custkey", F.col("bal").cast("double").alias("bal")
     )
 
 

@@ -13,7 +13,7 @@ operator in tests/test_dedup.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.catalog import table
@@ -1329,4 +1329,134 @@ def q191_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         lp.groupBy("community")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
         .orderBy("community")
+    )
+
+
+@query(
+    "q201_exact_substring_dedup",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (
+      SELECT doc_id, i, t[i] AS tok
+      FROM toks, unnest(range(1, len(t) + 1)) AS u(i)
+    ),
+    grams AS (
+      SELECT doc_id, i, array_to_string(t[i:i+4], ' ') AS gram
+      FROM toks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, i,
+        row_number() OVER (PARTITION BY gram ORDER BY doc_id, i) AS rn
+      FROM grams
+    ),
+    dups AS (SELECT doc_id, i FROM ranked WHERE rn > 1),
+    deltas AS (
+      SELECT doc_id, pos, CAST(sum(d) AS BIGINT) AS d FROM (
+        SELECT doc_id, i AS pos, 1 AS d FROM dups
+        UNION ALL
+        SELECT doc_id, i + 5 AS pos, -1 AS d FROM dups
+      ) GROUP BY 1, 2
+    ),
+    cov AS (
+      SELECT p.doc_id, p.i, p.tok,
+        CAST(sum(coalesce(d.d, 0)) OVER (PARTITION BY p.doc_id ORDER BY p.i
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM pos p LEFT JOIN deltas d ON d.doc_id = p.doc_id AND d.pos = p.i
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      CAST(sum(CASE WHEN cum > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+      coalesce(string_agg(tok, ' ' ORDER BY i) FILTER (WHERE cum = 0), '')
+        AS cleaned
+    FROM cov GROUP BY 1
+    """,
+)
+def q201_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REMOVAL — the surgical half of Lee et al.
+    2021 (arXiv:2107.06499) whose census is q150: every non-first
+    occurrence of a duplicated word 5-gram is cut from its document
+    (global first occurrence keeps — min (doc_id, position), a total
+    order), and documents are reassembled from their surviving tokens.
+    This removes boilerplate/memorization SPANS while keeping the
+    rest of the document, which whole-doc dedup (q21/q23) cannot do.
+
+    The naive formulation marks each removed occurrence's 5 tokens —
+    token×n blowup and overlapping-span double counting. Instead,
+    removal spans become INTERVAL ENDPOINTS (+1 at start, −1 past
+    end) and coverage is ONE cumulative sum per document: a token is
+    kept iff its running coverage is zero — linear, overlap-safe, and
+    the identical algebra runs on both engines. Plan: one shuffle on
+    gram (the global first-occurrence argmin), one on (doc, pos)
+    (endpoint fold + the per-doc window/reassembly); grams stream
+    through explode_outer (InferFiltersFromGenerate guard). At 100 TB
+    the gram argmin is the big shuffle — the same key-only shape as
+    exact dedup q21, no doc content travels with it."""
+    from sales_data_pipeline_spark.operators.text import (
+        ngrams_from_tokens,
+        tokens as _tokens,
+    )
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", _tokens("text").alias("__t")
+    )
+    toks = (
+        docs.select("doc_id", F.posexplode_outer("__t").alias("ti", "tok"))
+        .filter(F.col("tok").isNotNull())
+        .select("doc_id", (F.col("ti") + 1).alias("pos"), "tok")
+    )
+    grams = (
+        docs.select(
+            "doc_id", ngrams_from_tokens("__t", 5).alias("__g")
+        )
+        .select("doc_id", F.posexplode_outer("__g").alias("gi", "gram"))
+        .filter(F.col("gram").isNotNull())
+        .select("doc_id", (F.col("gi") + 1).alias("i"), "gram")
+    )
+    firsts = grams.groupBy("gram").agg(
+        F.min(F.struct("doc_id", "i")).alias("first")
+    )
+    dups = grams.join(firsts, "gram").filter(
+        ~(
+            (F.col("doc_id") == F.col("first.doc_id"))
+            & (F.col("i") == F.col("first.i"))
+        )
+    )
+    deltas = (
+        dups.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    F.struct(F.col("i").alias("pos"), F.lit(1).alias("d")),
+                    F.struct(
+                        (F.col("i") + 5).alias("pos"), F.lit(-1).alias("d")
+                    ),
+                )
+            ).alias("e"),
+        )
+        .select("doc_id", "e.pos", "e.d")
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("d").cast("bigint").alias("d"))
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cov = (
+        toks.join(deltas, ["doc_id", "pos"], "left")
+        .withColumn(
+            "cum", F.sum(F.coalesce("d", F.lit(0))).over(w).cast("bigint")
+        )
+    )
+    kept = F.when(F.col("cum") == 0, F.struct("pos", "tok"))
+    return cov.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("cum") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(kept)), lambda x: x.tok
+            ),
+        ).alias("cleaned"),
     )
