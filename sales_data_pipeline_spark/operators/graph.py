@@ -376,3 +376,65 @@ def label_propagation(
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 50,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """The k-core of the undirected pair graph: the maximal subgraph
+    in which EVERY node keeps degree ≥ k — computed by the classic
+    peeling fixpoint (Seidman 1983): repeatedly delete nodes whose
+    current degree is below k (deleting a node lowers its neighbors'
+    degrees, which may newly expose them) until stable. On a near-dup
+    graph the 2-core separates genuinely dense duplication
+    neighborhoods from pendant chains/stars that connected components
+    lump together — the density lens beside CC (reachability), LPA
+    (plurality), and PageRank (centrality).
+
+    Deterministic (pure set fixpoint — no tie-breaks exist to take).
+    Per round: ONE degree aggregation + ONE broadcast anti join of the
+    edge list against the below-k node set; rounds bounded by the
+    peeling depth (≤ graph degeneracy ordering length, a handful on
+    real graphs). Same lineage/checkpoint discipline and
+    ConvergenceError contract as the siblings. Returns (node, degree)
+    for the k-core members, degree measured IN the core."""
+    spark = edges.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return (
+            df.checkpoint(eager=True)
+            if checkpoint_dir is not None
+            else df.localCheckpoint(eager=True)
+        )
+
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    e = (
+        e.filter(F.col("src") != F.col("dst"))
+        .unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+    )
+    e = _truncate(e)
+    for _ in range(max_iter):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        low = deg.filter(F.col("deg") < k).select("src")
+        n_low = low.count()
+        if n_low == 0:
+            return deg.select(F.col("src").alias("node"), F.col("deg").alias("degree"))
+        low_b = F.broadcast(low)
+        e = _truncate(
+            e.join(low_b, "src", "left_anti").join(
+                low_b.withColumnRenamed("src", "dst"), "dst", "left_anti"
+            )
+        )
+    raise ConvergenceError(
+        f"k_core: no fixpoint after {max_iter} rounds (k={k})"
+    )

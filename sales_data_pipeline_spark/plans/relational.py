@@ -6931,3 +6931,83 @@ def q199_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q202 — supplier Pareto frontier (skyline query)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q202_supplier_skyline",
+    oracle="""
+    WITH srev AS (
+      SELECT s_suppkey, s_name,
+        CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal,
+        CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev
+      FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT s_suppkey, s_name, rev, bal
+    FROM srev a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM srev b
+      WHERE b.rev >= a.rev AND b.bal >= a.bal
+        AND (b.rev > a.rev OR b.bal > a.bal)
+    )
+    """,
+)
+def q202_supplier_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto-frontier (skyline) suppliers: those not strictly
+    dominated on (lifetime revenue, account balance) — the
+    multi-criteria shortlist query (Börzsönyi et al. 2001, "The
+    Skyline Operator") that single-metric top-k cannot answer. The
+    oracle states the semantics directly as quadratic NOT EXISTS
+    strict dominance; the ENGINE computes the identical set in
+    O(n log n): deduplicate to distinct (rev, bal) points, sort
+    (rev DESC, bal DESC), and keep a point iff its bal strictly
+    exceeds the running max over preceding rows — every preceding
+    row either has rev strictly greater, or equal rev with bal
+    strictly greater, i.e. exactly the dominators. Distribution uses
+    the classic TWO-PHASE skyline: a hash-bucketed LOCAL pass first
+    (skyline-of-union ⊆ union-of-local-skylines, since a locally
+    dominated point is globally dominated by the same witness), so
+    the single global merge window only ever sees the per-bucket
+    survivors — the TakeOrdered merge shape, not a full-data global
+    sort. Survivor points then semi-join back to carry ties (two
+    suppliers on the same frontier point both surface)."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.col("l_extendedprice").cast("decimal(18,2)").alias("price"),
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.col("s_acctbal").cast("decimal(18,2)").cast("double").alias("bal"),
+    )
+    srev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name", "bal")
+        .agg(F.sum("price").cast("double").alias("rev"))
+    )
+    pts = srev.select("rev", "bal").distinct()
+    keep = lambda df, w: (
+        df.withColumn("mx", F.max("bal").over(w))
+        .filter(F.col("mx").isNull() | (F.col("bal") > F.col("mx")))
+        .select("rev", "bal")
+    )
+    local = keep(
+        pts.withColumn("b", F.pmod(F.xxhash64("rev", "bal"), F.lit(64))),
+        Window.partitionBy("b")
+        .orderBy(F.desc("rev"), F.desc("bal"))
+        .rowsBetween(Window.unboundedPreceding, -1),
+    )
+    frontier = keep(
+        local,
+        Window.orderBy(F.desc("rev"), F.desc("bal")).rowsBetween(
+            Window.unboundedPreceding, -1
+        ),
+    )
+    return srev.join(F.broadcast(frontier), ["rev", "bal"], "left_semi").select(
+        "s_suppkey", "s_name", "rev", "bal"
+    )

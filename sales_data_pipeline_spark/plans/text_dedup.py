@@ -1460,3 +1460,24 @@ def q201_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("cleaned"),
     )
+
+
+@query("q203_neardup_kcore", oracle=None)
+def q203_neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the near-dup similarity graph: documents embedded in
+    CYCLES of similarity (each keeping ≥ 2 similar neighbors after
+    pendant chains/stars peel away) — the density lens that separates
+    "genuine duplication neighborhood" from "one accidental pair
+    dangling off a cluster", which is exactly where CC over-merges
+    (q49) and the reason LPA (q191) and this query exist side by
+    side. oracle=None: a peeling fixpoint isn't one SQL statement;
+    covering tests pin hand-verifiable cores (chains vanish, cycles
+    survive, pendant vertices peel off cliques), cascade peeling, and
+    checkpoint-mode equality (tests/test_dedup.py). Deterministic —
+    a pure set fixpoint."""
+    from sales_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from sales_data_pipeline_spark.operators.graph import k_core
+
+    docs = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    return k_core(edges, k=2).orderBy("node")

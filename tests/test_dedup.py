@@ -778,3 +778,50 @@ def test_lpa_partition_invariance_and_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert r1 == r3
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+
+
+def test_kcore_chain_vanishes_cycle_survives(spark):
+    from sales_data_pipeline_spark.operators.graph import k_core
+
+    chain = [(i, i + 1) for i in range(1, 6)]
+    cycle = [(10, 11), (11, 12), (12, 10)]
+    df = spark.createDataFrame(chain + cycle, "doc_a long, doc_b long")
+    got = {r.node: r.degree for r in k_core(df, k=2).collect()}
+    assert got == {10: 2, 11: 2, 12: 2}
+
+
+def test_kcore_cascade_peel_and_pendant(spark):
+    from sales_data_pipeline_spark.operators.graph import k_core
+
+    # triangle {1,2,3} with a pendant path 3-4-5: removing 5 (deg 1)
+    # exposes 4 (deg 1) — the cascade the fixpoint exists for
+    edges = [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node for r in k_core(df, k=2).collect()}
+    assert got == {1, 2, 3}
+    # k=3: even the triangle dies
+    assert k_core(df, k=3).count() == 0
+
+
+def test_kcore_degree_measured_in_core_and_checkpoint(spark, tmp_path):
+    from sales_data_pipeline_spark.operators.graph import k_core
+
+    # clique of 4 with two pendant vertices on node 1: core degrees
+    # must come from the POST-peel graph (1's degree is 3, not 5)
+    clique = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    edges = clique + [(1, 100), (1, 101)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.degree for r in k_core(df, k=2).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    ck = {
+        r.node: r.degree
+        for r in k_core(
+            df, k=2, checkpoint_dir=str(tmp_path / "ck")
+        ).collect()
+    }
+    assert ck == got

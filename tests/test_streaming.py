@@ -642,3 +642,51 @@ def test_unattributed_purchases_left_outer_stream_join(spark, tmp_path):
     assert nulls[0].purchase_value == 90.0
     # the matched row did not re-emit on eviction (one copy total)
     assert sum(1 for r in rows2 if r.purchase_id == 12) == 1
+
+
+def test_streaming_cdc_snapshot_converges_to_batch_apply(spark, tmp_path):
+    """Two change micro-batches folded through the streaming consumer
+    must equal ONE batch apply_cdc_log of the concatenated log — and a
+    re-run (foreachBatch redelivery) must not change the result."""
+    from sales_data_pipeline_spark.operators.merge import apply_cdc_log
+    from sales_data_pipeline_spark.streaming.cdc import (
+        CdcConfig,
+        read_snapshot,
+        run_cdc_consumer,
+    )
+
+    cfg = CdcConfig(
+        input_dir=str(tmp_path / "in"),
+        snapshot_dir=str(tmp_path / "snap"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        max_files_per_trigger=1,
+    )
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    b1 = [(1, "U", 11.0, 1, 0), (2, "D", None, 1, 0), (5, "I", 55.0, 1, 0)]
+    b2 = [(1, "U", 12.0, 2, 0), (2, "I", 22.0, 2, 0), (5, "D", None, 2, 0)]
+    schema = "k long, op string, v double, ver bigint, seq bigint"
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        f"{cfg.input_dir}/b1"
+    )
+    time.sleep(1.1)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        f"{cfg.input_dir}/b2"
+    )
+    run_cdc_consumer(spark, cfg, base)
+    got = {r.k: r.v for r in read_snapshot(spark, cfg).collect()}
+
+    want_df = apply_cdc_log(
+        base,
+        spark.createDataFrame(b1 + b2, schema),
+        keys=["k"],
+        version_cols=("ver", "seq"),
+    )
+    want = {r.k: r.v for r in want_df.collect()}
+    assert got == want == {1: 12.0, 2: 22.0, 3: 30.0}
+
+    # idempotent re-run: same checkpoint, no new input
+    run_cdc_consumer(spark, cfg, base)
+    again = {r.k: r.v for r in read_snapshot(spark, cfg).collect()}
+    assert again == got
