@@ -132,3 +132,45 @@ def domain_cap(
         .filter(F.col("cap_rank") <= cap)
         .drop("__h")
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    domain_col: str = "source",
+    size_col: str | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based domain sampling shares — the α-smoothing rule
+    multilingual/multi-domain LLM training uses (mBERT/XLM-R style:
+    p_i ∝ n_i^α): α=1 keeps natural proportions, α=0 forces uniform,
+    between the two it UP-samples small domains without letting any
+    domain dominate — the knob q76's explicit target_shares table
+    hard-codes, derived instead of dictated.
+
+    Returns (domain, n_units, unit_share, temp_share, mix_weight)
+    with mix_weight = temp_share / unit_share (the factor a
+    uniform-over-units sampler applies). Numerics: n_units are exact
+    BIGINTs; pow(n, α) is one libm double per DOMAIN (dozens of rows —
+    the only inexact step, confined to the aggregate, same contract as
+    q143's regression outputs: consumers see rounded shares). Plan:
+    one map-side-combined groupBy to |domains| rows, then a window
+    over that aggregate — never over the data."""
+    from pyspark.sql import Window as W
+
+    unit = F.col(size_col) if size_col else F.lit(1)
+    agg = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(unit).cast("bigint").alias("n_units")
+    )
+    w = W.partitionBy()
+    powed = agg.withColumn("p", F.pow(F.col("n_units").cast("double"), F.lit(alpha)))
+    return (
+        powed.withColumn(
+            "unit_share",
+            F.round(F.col("n_units") / F.sum("n_units").over(w), 6),
+        )
+        .withColumn("temp_share", F.round(F.col("p") / F.sum("p").over(w), 6))
+        .withColumn(
+            "mix_weight", F.round(F.col("temp_share") / F.col("unit_share"), 6)
+        )
+        .select("domain", "n_units", "unit_share", "temp_share", "mix_weight")
+    )

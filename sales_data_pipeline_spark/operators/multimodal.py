@@ -521,6 +521,10 @@ def ahash_near_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     multi-block collisions via min block_no claim (exactly-once, no
     distinct over pairs). Input: (media_id, ahash) from image_ahash.
     Returns (media_a, media_b, hamming), media_a < media_b."""
+    if not 0 <= max_hamming <= 31:
+        # 33+ blocks of a 64-bit hash give 1-bit blocks — every hash
+        # collides somewhere and the "blocking" is a cross join
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
     n_blocks = max_hamming + 1
     width = 64 // n_blocks
     blocks = []

@@ -1090,3 +1090,30 @@ def q172_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
         ).cast("bigint"),
     )
+
+
+@query("q204_temperature_mixture", oracle=None)
+def q204_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-smoothed (α=0.5) domain sampling table over the
+    documents corpus, token-weighted — the mBERT/XLM-R α-sampling rule
+    that up-weights small sources without letting any source dominate;
+    q76 is the same table with dictated target shares, this derives
+    them from corpus statistics. oracle=None: n^α and the share
+    normalization are libm-double steps whose last bits are not
+    cross-engine-pinned (pow is not IEEE-correctly-rounded, and a
+    double sum's order is engine-internal) — the covering test
+    computes the exact same floats from the collected counts in
+    python and checks α-limit properties (α→1 natural shares, α→0
+    uniform) (tests/test_properties.py). All inexactness confined to
+    the |domains|-row aggregate."""
+    from sales_data_pipeline_spark.operators.assemble import (
+        temperature_mixture,
+    )
+    from sales_data_pipeline_spark.operators.text import token_count
+
+    docs = table(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count("text")
+    )
+    return temperature_mixture(
+        docs, domain_col="source", size_col="n_tokens", alpha=0.5
+    ).orderBy("domain")

@@ -79,11 +79,22 @@ def _version_path(root_dir: str, batch_id: int) -> str:
 
 
 def read_snapshot(
-    spark: SparkSession, cfg: CdcConfig, base: DataFrame | None = None
+    spark: SparkSession,
+    cfg: CdcConfig,
+    base: DataFrame | None = None,
+    version: int | None = None,
 ) -> DataFrame:
     """Latest committed snapshot (the seed ``base`` — or empty — before
-    any batch commits)."""
+    any batch commits). ``version`` time-travels to a specific still-
+    retained committed version (the keep_versions window) — the
+    as-of-batch read Delta/Iceberg expose as VERSION AS OF."""
     versions = _committed_versions(spark, cfg.snapshot_dir)
+    if version is not None:
+        if version not in versions:
+            raise ValueError(
+                f"version {version} not committed/retained; have {versions}"
+            )
+        return spark.read.parquet(_version_path(cfg.snapshot_dir, version))
     if not versions:
         if base is not None:
             return base

@@ -348,3 +348,40 @@ def test_weighted_median_matches_python_reference(spark, rows):
             if 2 * cum >= tot:
                 assert got[g] == p, (g, got[g], p)
                 break
+
+
+# ---------------------------------------------------------------------------
+# temperature mixture
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mixture_matches_python_and_limits(spark):
+    from sales_data_pipeline_spark.operators.assemble import (
+        temperature_mixture,
+    )
+
+    rows = [("a",)] * 80 + [("b",)] * 15 + [("c",)] * 5
+    df = spark.createDataFrame(rows, "source string")
+    counts = {"a": 80, "b": 15, "c": 5}
+
+    for alpha in (0.0, 0.5, 1.0):
+        got = {
+            r.domain: (r.unit_share, r.temp_share, r.mix_weight)
+            for r in temperature_mixture(df, alpha=alpha).collect()
+        }
+        tot = sum(counts.values())
+        p = {d: float(n) ** alpha for d, n in counts.items()}
+        ps = sum(p.values())
+        for d, n in counts.items():
+            ushare = round(n / tot, 6)
+            tshare = round(p[d] / ps, 6)
+            assert got[d][0] == ushare, (alpha, d)
+            assert abs(got[d][1] - tshare) < 2e-6, (alpha, d)
+    # α=0 → uniform shares; α=1 → natural shares
+    g0 = {r.domain: r.temp_share for r in temperature_mixture(df, alpha=0.0).collect()}
+    assert all(abs(v - 1 / 3) < 1e-6 for v in g0.values())
+    g1 = {r.domain: r.temp_share for r in temperature_mixture(df, alpha=1.0).collect()}
+    assert abs(g1["a"] - 0.8) < 1e-6
+    # 0<α<1 strictly up-weights the smallest domain vs natural
+    g5 = {r.domain: r.mix_weight for r in temperature_mixture(df, alpha=0.5).collect()}
+    assert g5["c"] > 1.0 > g5["a"]
