@@ -7011,3 +7011,119 @@ def q202_supplier_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srev.join(F.broadcast(frontier), ["rev", "bal"], "left_semi").select(
         "s_suppkey", "s_name", "rev", "bal"
     )
+
+
+# ---------------------------------------------------------------------------
+# q205 — trailing 7-day revenue (RANGE frame over a gappy calendar)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q205_rolling_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_diff('day', DATE '1970-01-01',
+               CAST(o_orderdate AS DATE)) AS BIGINT) AS d,
+        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS day,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100, 0)
+             AS BIGINT) AS rev_c
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT day, rev_c,
+      CAST(sum(rev_c) OVER (ORDER BY d RANGE BETWEEN 6 PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS rev_7d_c,
+      CAST(count(*) OVER (ORDER BY d RANGE BETWEEN 6 PRECEDING
+           AND CURRENT ROW) AS BIGINT) AS days_present_7d
+    FROM daily
+    """,
+)
+def q205_rolling_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per day — on a RANGE frame keyed by
+    epoch-day, not a ROWS frame: when the calendar has gaps (no-sale
+    days are ABSENT rows), ROWS BETWEEN 6 PRECEDING silently widens
+    the window to "last 7 observations" while RANGE BETWEEN 6
+    PRECEDING keeps it "last 7 calendar days" — the correctness
+    distinction this query exists to pin (days_present_7d exposes how
+    many actual days each frame saw). Integer cents; both engines run
+    the identical value-based frame. The global-ordered window runs
+    over the |days| aggregate (calendar-bounded — q185's class), and
+    at fleet scale the same query per store/region would add the
+    partition key and lose the global sort entirely."""
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("d"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100, 0)
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    w = Window.orderBy("d").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "rev_c",
+        F.sum("rev_c").over(w).cast("bigint").alias("rev_7d_c"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("days_present_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206 — months beating the average month (aggregate of aggregates)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q206_months_above_average",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100, 0)
+             AS BIGINT) AS rev_c,
+        CAST(count(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1
+    ),
+    bench AS (
+      SELECT CAST(sum(rev_c) AS BIGINT) // CAST(count(*) AS BIGINT)
+        AS avg_month_c
+      FROM monthly
+    )
+    SELECT month, rev_c, n_orders, avg_month_c,
+      CAST(rev_c - avg_month_c AS BIGINT) AS delta_c
+    FROM monthly, bench
+    WHERE rev_c > avg_month_c
+    """,
+)
+def q206_months_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Months whose revenue beats the average month — the textbook
+    AGGREGATE-OF-AGGREGATE shape (HAVING against a second-level
+    aggregate) that trips naive engines into re-scanning the fact
+    twice: here the monthly rollup is computed ONCE and feeds both
+    the 1-row benchmark aggregate (broadcast back as a scalar) and
+    the filter — fact scanned once, second level runs on |months|
+    rows. Integer-cents benchmark via floor division (the q185 k
+    recipe) keeps every value BIGINT-exact on both engines."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100, 0)
+        .cast("bigint")
+        .alias("rev_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    bench = monthly.agg(
+        F.expr("sum(rev_c) div count(*)").cast("bigint").alias("avg_month_c")
+    )
+    return (
+        monthly.crossJoin(F.broadcast(bench))
+        .filter(F.col("rev_c") > F.col("avg_month_c"))
+        .select(
+            "month",
+            "rev_c",
+            "n_orders",
+            "avg_month_c",
+            (F.col("rev_c") - F.col("avg_month_c")).cast("bigint").alias("delta_c"),
+        )
+    )
