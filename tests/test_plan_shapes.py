@@ -438,3 +438,74 @@ def test_q172_topk_via_take_ordered(spark, sf_dir):
     no global sort of the full match set ever exists in the plan."""
     plan = _plan(QUERIES["q172_bm25_search"].fn(spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions (q183-q206)
+# ---------------------------------------------------------------------------
+
+
+def test_q183_pivot_is_conditional_agg_not_per_region_joins(spark, sf_dir):
+    """Explicit pivot values must lower to aggregation (one or two
+    hash-agg levels), never a per-region self-join of the fact."""
+    plan = _plan(QUERIES["q183_region_month_pivot"].fn(spark, sf_dir))
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 3  # dims
+    assert len(re.findall(r"SortMergeJoin", plan)) == 0
+    assert len(re.findall(r"Arguments: hashpartitioning", plan)) <= 2
+
+
+def test_q184_single_per_order_sort(spark, sf_dir):
+    """All three windows (cumulative, total, lag) must share ONE
+    (l_orderkey)-keyed exchange — the single-shuffle contract."""
+    plan = _plan(QUERIES["q184_settlement_proration"].fn(spark, sf_dir))
+    assert len(re.findall(r"hashpartitioning\(l_orderkey", plan)) == 1
+
+
+def test_q192_orders_date_band_pushed_to_scan(spark, sf_dir):
+    plan = _plan(QUERIES["q192_local_supplier_volume"].fn(spark, sf_dir))
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", plan)
+    assert "SortMergeJoin" not in plan or "BroadcastHashJoin" in plan
+
+
+def test_q193_topk_is_take_ordered_not_global_sort_window(spark, sf_dir):
+    plan = _plan(QUERIES["q193_returned_item_report"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # no single-partition window sort anywhere
+    assert "Window" not in plan
+    assert re.search(r"PushedFilters:.*EqualTo\(l_returnflag,R\)", plan)
+
+
+def test_q187_agg_runs_before_join(spark, sf_dir):
+    """The HAVING-filtered lineitem aggregate must sit BELOW the join
+    with orders (agg-before-join), so only survivor orderkeys join."""
+    plan = _plan(QUERIES["q187_bulk_order_customers"].fn(spark, sf_dir))
+    # the quantity-sum aggregate must not consume join output: the
+    # aggregate's child scan is lineitem alone (no o_ columns yet)
+    agg_pos = plan.find("sum_qty")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    assert "Filter" in plan
+
+
+def test_q198_base_side_streams_into_anti_join(spark, sf_dir):
+    plan = _plan(QUERIES["q198_cdc_apply"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q205_uses_range_frame(spark, sf_dir):
+    plan = _plan(QUERIES["q205_rolling_revenue"].fn(spark, sf_dir))
+    assert re.search(r"RANGE BETWEEN 6 PRECEDING", plan, re.IGNORECASE) or (
+        "specifiedwindowframe(RangeFrame" in plan
+    )
+
+
+def test_q202_skyline_local_pass_precedes_global_merge(spark, sf_dir):
+    """Two window passes: the bucketed local skyline (partitioned) must
+    feed the global merge window — never a single global window over
+    the raw points."""
+    plan = _plan(QUERIES["q202_supplier_skyline"].fn(spark, sf_dir))
+    parts = re.findall(r"hashpartitioning\(b#", plan)
+    single = re.findall(r"SinglePartition", plan)
+    assert parts, "local bucketed pass missing"
+    assert single, "global merge window missing"
