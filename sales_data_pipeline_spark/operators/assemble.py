@@ -163,14 +163,16 @@ def temperature_mixture(
     )
     w = W.partitionBy()
     powed = agg.withColumn("p", F.pow(F.col("n_units").cast("double"), F.lit(alpha)))
+    # mix_weight comes from the UNROUNDED ratios: deriving it from the
+    # rounded display shares both loses precision and divides by zero
+    # for any domain whose share rounds to 0 at 6 decimals (exactly the
+    # tiny domains α-sampling exists to up-weight; ANSI mode makes that
+    # a query-killing error, not a null)
+    u_raw = F.col("n_units") / F.sum("n_units").over(w)
+    t_raw = F.col("p") / F.sum("p").over(w)
     return (
-        powed.withColumn(
-            "unit_share",
-            F.round(F.col("n_units") / F.sum("n_units").over(w), 6),
-        )
-        .withColumn("temp_share", F.round(F.col("p") / F.sum("p").over(w), 6))
-        .withColumn(
-            "mix_weight", F.round(F.col("temp_share") / F.col("unit_share"), 6)
-        )
+        powed.withColumn("unit_share", F.round(u_raw, 6))
+        .withColumn("temp_share", F.round(t_raw, 6))
+        .withColumn("mix_weight", F.round(t_raw / u_raw, 6))
         .select("domain", "n_units", "unit_share", "temp_share", "mix_weight")
     )

@@ -38,6 +38,19 @@ class ConvergenceError(RuntimeError):
     corrupt downstream dedup decisions."""
 
 
+def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+    """Per-round lineage truncation shared by every iterative operator:
+    reliable checkpoint files under ``checkpoint_dir`` (survives
+    executor loss on a cluster) or eager localCheckpoint (local mode).
+    The caller must have called ``setCheckpointDir`` when a dir is
+    given (each operator does, once, up front)."""
+    return (
+        df.checkpoint(eager=True)
+        if checkpoint_dir is not None
+        else df.localCheckpoint(eager=True)
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -59,9 +72,6 @@ def connected_components(
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
-
-    def _truncate(df: DataFrame) -> DataFrame:
-        return df.checkpoint() if checkpoint_dir is not None else df.localCheckpoint()
 
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
@@ -94,7 +104,7 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
             ).alias("label"),
         )
-        labels = _truncate(labels)
+        labels = _truncate(labels, checkpoint_dir)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             converged = True
@@ -143,13 +153,6 @@ def pagerank(
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def _truncate(df: DataFrame) -> DataFrame:
-        return (
-            df.checkpoint(eager=True)
-            if checkpoint_dir is not None
-            else df.localCheckpoint(eager=True)
-        )
-
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     if undirected:
         e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -187,10 +190,11 @@ def pagerank(
                     + F.lit(damping)
                     * (F.coalesce("in_mass", F.lit(0.0)) + F.lit(dangling / n_nodes))
                 ).alias("rank"),
-            )
+            ),
             # truncate lineage per round (same discipline as
             # connected_components): an un-checkpointed loop builds a
             # 2·iters-join plan that analysis alone chokes on
+            checkpoint_dir,
         )
     out = ranks
     e.unpersist()
@@ -232,12 +236,6 @@ def bfs_hops(
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def _truncate(df: DataFrame) -> DataFrame:
-        return (
-            df.checkpoint(eager=True)
-            if checkpoint_dir is not None
-            else df.localCheckpoint(eager=True)
-        )
 
     e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     e = e.unionByName(
@@ -273,7 +271,8 @@ def bfs_hops(
         labels = _truncate(
             labels.unionByName(grown)
             .groupBy("node")
-            .agg(F.min("best").alias("best"))
+            .agg(F.min("best").alias("best")),
+            checkpoint_dir,
         )
         cur = tuple(
             labels.agg(
@@ -336,12 +335,6 @@ def label_propagation(
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def _truncate(df: DataFrame) -> DataFrame:
-        return (
-            df.checkpoint(eager=True)
-            if checkpoint_dir is not None
-            else df.localCheckpoint(eager=True)
-        )
 
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     e = e.unionByName(
@@ -370,7 +363,8 @@ def label_propagation(
                 F.expr("min_by(lbl, struct(-cnt AS nc, lbl AS l))").alias(
                     "lbl"
                 )
-            )
+            ),
+            checkpoint_dir,
         )
     out = labels.select("node", F.col("lbl").alias("community"))
     e.unpersist()
@@ -407,12 +401,6 @@ def k_core(
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    def _truncate(df: DataFrame) -> DataFrame:
-        return (
-            df.checkpoint(eager=True)
-            if checkpoint_dir is not None
-            else df.localCheckpoint(eager=True)
-        )
 
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     e = (
@@ -422,19 +410,38 @@ def k_core(
         )
         .distinct()
     )
-    e = _truncate(e)
-    for _ in range(max_iter):
-        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    e = _truncate(e, checkpoint_dir)
+    # max_iter PEELS, plus a final degree check after the last peel —
+    # a graph whose peeling depth is exactly max_iter must return its
+    # (valid, converged) core, not raise
+    for round_no in range(max_iter + 1):
+        # persist: the degree aggregate feeds BOTH the low-count action
+        # and (via `low`) the anti joins — without it each round runs
+        # the aggregation twice
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
         low = deg.filter(F.col("deg") < k).select("src")
         n_low = low.count()
         if n_low == 0:
-            return deg.select(F.col("src").alias("node"), F.col("deg").alias("degree"))
-        low_b = F.broadcast(low)
-        e = _truncate(
-            e.join(low_b, "src", "left_anti").join(
-                low_b.withColumnRenamed("src", "dst"), "dst", "left_anti"
+            deg.unpersist()
+            # recompute the (one-pass, off the checkpointed edge set)
+            # final degrees rather than returning the just-unpersisted
+            # frame — keeps the result distributed and leak-free
+            return e.groupBy("src").agg(
+                F.count(F.lit(1)).alias("degree")
+            ).select(F.col("src").alias("node"), "degree")
+        if round_no == max_iter:
+            deg.unpersist()
+            raise ConvergenceError(
+                f"k_core: no fixpoint after {max_iter} rounds (k={k})"
             )
+        # no forced broadcast: on early rounds `low` can be most of the
+        # node set (pendant-heavy graphs) — an unbounded driver collect
+        # under a broadcast hint; let AQE choose the strategy
+        e = _truncate(
+            e.join(low, "src", "left_anti").join(
+                low.withColumnRenamed("src", "dst"), "dst", "left_anti"
+            ),
+            checkpoint_dir,
         )
-    raise ConvergenceError(
-        f"k_core: no fixpoint after {max_iter} rounds (k={k})"
-    )
+        deg.unpersist()
+    raise AssertionError("unreachable")

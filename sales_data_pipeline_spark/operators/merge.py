@@ -177,17 +177,17 @@ def apply_cdc_log(
     the surviving upserts. Base itself never shuffles, the merge_upsert
     contract."""
     payload = [c for c in base.columns]
+    # Column-API max_by (never SQL-text interpolation of names: a
+    # payload column like `order value` or `from` would break or
+    # misparse an F.expr string)
+    value_struct = F.struct(
+        *[F.col(op_col)],
+        *[F.col(c) for c in payload if c not in keys],
+    )
     ver_struct = F.struct(*[F.col(c) for c in version_cols])
     collapsed = (
         log.groupBy(*keys)
-        .agg(
-            F.expr(
-                "max_by(struct({}), struct({}))".format(
-                    ", ".join([op_col] + [c for c in payload if c not in keys]),
-                    ", ".join(version_cols),
-                )
-            ).alias("__win")
-        )
+        .agg(F.max_by(value_struct, ver_struct).alias("__win"))
         .select(*keys, "__win.*")
     )
     finals = collapsed.filter(F.col(op_col) != "D").select(*payload)

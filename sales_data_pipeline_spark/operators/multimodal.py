@@ -532,14 +532,15 @@ def ahash_near_pairs(hashes: DataFrame, max_hamming: int = 6) -> DataFrame:
     for b in range(n_blocks):
         lo = b * width
         w = 64 - lo if b == n_blocks - 1 else width
+        # the full-width mask (1<<64)-1 overflows BIGINT and parses as
+        # DECIMAL(20,0), which `&` rejects — -1L is the same bit pattern
+        mask = "-1L" if w >= 64 else str((1 << w) - 1)
         blocks.append(
             h.select(
                 "media_id",
                 "ahash",
                 F.lit(b).alias("block_no"),
-                F.expr(
-                    f"(ahash >> {lo}) & {(1 << w) - 1}"
-                ).alias("block_val"),
+                F.expr(f"(ahash >> {lo}) & {mask}").alias("block_val"),
             )
         )
     from functools import reduce

@@ -200,6 +200,47 @@ def enrich_stream(events: DataFrame, dim: DataFrame, key: str = "user_id") -> Da
     return events.join(F.broadcast(dim), key, "left")
 
 
+def _attribution_join(
+    views: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str,
+    watermark: str,
+    how: str,
+) -> DataFrame:
+    """Shared body of the inner/left-outer attribution joins: watermark
+    both sides, bound event-time distance in the join condition (what
+    lets Spark expire state), project the attribution row shape."""
+    v = views.select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("value").alias("view_value"),
+    ).withWatermark("view_ts", watermark)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark)
+    return p.join(
+        v,
+        F.expr(
+            f"""
+            p_user = v_user AND
+            view_ts <= purchase_ts AND
+            view_ts >= purchase_ts - INTERVAL {attribution_window}
+            """
+        ),
+        how,
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "purchase_value",
+        "view_ts",
+        "view_value",
+    )
+
+
 def purchase_attribution_stream(
     views: DataFrame,
     purchases: DataFrame,
@@ -215,38 +256,8 @@ def purchase_attribution_stream(
     purchase with no prior view in-window produces no attribution row —
     the batch counterpart of this exact semantics is q30's as-of join
     (operators/asof.py) with its window restriction."""
-    v = (
-        views.select(
-            F.col("user_id").alias("v_user"),
-            F.col("ts").alias("view_ts"),
-            F.col("value").alias("view_value"),
-        ).withWatermark("view_ts", watermark)
-    )
-    p = (
-        purchases.select(
-            F.col("event_id").alias("purchase_id"),
-            F.col("user_id").alias("p_user"),
-            F.col("ts").alias("purchase_ts"),
-            F.col("value").alias("purchase_value"),
-        ).withWatermark("purchase_ts", watermark)
-    )
-    return p.join(
-        v,
-        F.expr(
-            f"""
-            p_user = v_user AND
-            view_ts <= purchase_ts AND
-            view_ts >= purchase_ts - INTERVAL {attribution_window}
-            """
-        ),
-        "inner",
-    ).select(
-        "purchase_id",
-        F.col("p_user").alias("user_id"),
-        "purchase_ts",
-        "purchase_value",
-        "view_ts",
-        "view_value",
+    return _attribution_join(
+        views, purchases, attribution_window, watermark, "inner"
     )
 
 
@@ -272,32 +283,6 @@ def unattributed_purchase_stream(
     attribution window). The batch counterpart of this semantics is a
     left as-of join (operators/asof.py) where unmatched rows carry
     null payloads."""
-    v = views.select(
-        F.col("user_id").alias("v_user"),
-        F.col("ts").alias("view_ts"),
-        F.col("value").alias("view_value"),
-    ).withWatermark("view_ts", watermark)
-    p = purchases.select(
-        F.col("event_id").alias("purchase_id"),
-        F.col("user_id").alias("p_user"),
-        F.col("ts").alias("purchase_ts"),
-        F.col("value").alias("purchase_value"),
-    ).withWatermark("purchase_ts", watermark)
-    return p.join(
-        v,
-        F.expr(
-            f"""
-            p_user = v_user AND
-            view_ts <= purchase_ts AND
-            view_ts >= purchase_ts - INTERVAL {attribution_window}
-            """
-        ),
-        "leftOuter",
-    ).select(
-        "purchase_id",
-        F.col("p_user").alias("user_id"),
-        "purchase_ts",
-        "purchase_value",
-        "view_ts",
-        "view_value",
+    return _attribution_join(
+        views, purchases, attribution_window, watermark, "leftOuter"
     )
