@@ -7127,3 +7127,99 @@ def q206_months_above_average(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev_c") - F.col("avg_month_c")).cast("bigint").alias("delta_c"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q207 — distribution drift between periods (Population Stability Index)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q207_psi_drift",
+    oracle="""
+    WITH banded AS (
+      SELECT least(9, CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0)
+               AS BIGINT) // 5000000) AS band,
+        CASE WHEN o_orderdate < DATE '1998-01-01' THEN 'ref' ELSE 'cur' END
+          AS period
+      FROM orders
+    ),
+    cells AS (
+      SELECT band,
+        CAST(sum(CASE WHEN period = 'ref' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_ref,
+        CAST(sum(CASE WHEN period = 'cur' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_cur
+      FROM banded GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(sum(n_ref) AS BIGINT) AS t_ref,
+        CAST(sum(n_cur) AS BIGINT) AS t_cur,
+        CAST(count(*) AS BIGINT) AS n_bands
+      FROM cells
+    )
+    SELECT band, n_ref, n_cur,
+      round((n_ref + 0.5) / (t_ref + 0.5 * n_bands), 6) AS p_ref,
+      round((n_cur + 0.5) / (t_cur + 0.5 * n_bands), 6) AS p_cur,
+      round(((n_cur + 0.5) / (t_cur + 0.5 * n_bands)
+             - (n_ref + 0.5) / (t_ref + 0.5 * n_bands))
+            * ln(((n_cur + 0.5) / (t_cur + 0.5 * n_bands))
+                 / ((n_ref + 0.5) / (t_ref + 0.5 * n_bands))), 6)
+        AS psi_contrib
+    FROM cells, tot
+    """,
+)
+def q207_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift of order value between the reference era
+    (pre-1998) and the current era, as per-band Population Stability
+    Index contributions — the model-monitoring screen (PSI =
+    Σ (p_cur − p_ref)·ln(p_cur/p_ref); > 0.2 per convention means the
+    population shifted enough to retrain on). Bands are FIXED 50k-value
+    buckets (integer-cent floor division — no data-dependent quantile
+    edges, so band membership is bitwise-deterministic); cell counts
+    are exact integers; Laplace-0.5 smoothing keeps empty bands finite
+    exactly as the textbook PSI does. The only inexact steps are the
+    per-band share divisions and one ln, rounded to 6 — the q70/q71
+    ln-with-round recipe. Plan: one fact scan → one 10-cell aggregate
+    → arithmetic on the broadcast totals; nothing at data scale
+    besides the scan."""
+    o = table(spark, sf_dir, "orders")
+    banded = o.select(
+        F.least(
+            F.lit(9),
+            F.expr(
+                "CAST(round(CAST(o_totalprice AS DECIMAL(18,2)) * 100, 0)"
+                " AS BIGINT) div 5000000"
+            ),
+        ).alias("band"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("date"), "ref"
+        )
+        .otherwise("cur")
+        .alias("period"),
+    )
+    cells = banded.groupBy("band").agg(
+        F.sum(F.when(F.col("period") == "ref", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_ref"),
+        F.sum(F.when(F.col("period") == "cur", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur"),
+    )
+    tot = cells.agg(
+        F.sum("n_ref").cast("bigint").alias("t_ref"),
+        F.sum("n_cur").cast("bigint").alias("t_cur"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bands"),
+    )
+    p_ref = (F.col("n_ref") + 0.5) / (F.col("t_ref") + 0.5 * F.col("n_bands"))
+    p_cur = (F.col("n_cur") + 0.5) / (F.col("t_cur") + 0.5 * F.col("n_bands"))
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "band",
+        "n_ref",
+        "n_cur",
+        F.round(p_ref, 6).alias("p_ref"),
+        F.round(p_cur, 6).alias("p_cur"),
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias(
+            "psi_contrib"
+        ),
+    )

@@ -1,0 +1,92 @@
+"""Fixed-width (columnar text) source — the mainframe/ERP export format.
+
+Completes the ingestion matrix beside CSV (sources/csv.py), JSONL,
+XML, JDBC, and binaryFile: many upstream billing/inventory systems
+still land fixed-width exports where fields are POSITIONS, not
+delimiters. The reference's contract-validation stance (SURVEY §2a
+S1-S2: explicit schema, quarantine what violates it) is applied at row
+level here:
+
+- a declarative ``FixedWidthField`` layout (name, start, width, type)
+  drives pure-codegen ``substring`` + ``trim`` + ``cast`` extraction —
+  one pass, JVM-side, no Python per row;
+- rows SHORTER than the layout demands are routed to a corrupt column
+  (the CSV contract's PERMISSIVE policy at line granularity): casts of
+  truncated garbage must never silently produce wrong values;
+- numeric fields that fail their cast become NULL with the raw line
+  preserved in the corrupt column, so `split_corrupt`-style routing
+  (sources/jsonl.py) works unchanged downstream.
+
+Scale: text source + substring projections — splittable files,
+whole-stage codegen, filter/limit pushdown as for any text scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORRUPT_COLUMN = "_corrupt_line"
+
+
+@dataclass(frozen=True)
+class FixedWidthField:
+    name: str
+    start: int  # 1-based character position (COBOL copybook convention)
+    width: int
+    dtype: str = "string"  # any Spark cast target: int, date, decimal(10,2), ...
+
+
+def read_fixed_width(
+    spark: SparkSession,
+    path: str | list[str],
+    layout: list[FixedWidthField],
+    trim: bool = True,
+) -> DataFrame:
+    """One-pass fixed-width read. Returns the layout's columns plus
+    ``_corrupt_line`` (NULL for clean rows; the raw line for rows
+    shorter than the layout or failing a numeric/date cast)."""
+    if not layout:
+        raise ValueError("empty layout")
+    min_len = max(f.start + f.width - 1 for f in layout)
+    raw = spark.read.text(path)
+    cols = []
+    for f_ in layout:
+        c = F.substring(F.col("value"), f_.start, f_.width)
+        if trim:
+            c = F.trim(c)
+        # empty string → NULL before the cast (blank-padded fields)
+        c = F.when(c == "", None).otherwise(c)
+        if f_.dtype != "string":
+            # try_cast, not cast: ANSI mode (Spark 4 default) makes a
+            # malformed cast kill the job; the contract wants the row
+            # QUARANTINED instead
+            c = c.try_cast(f_.dtype)
+        cols.append(c.alias(f_.name))
+    parsed = raw.select(F.length("value").alias("__len"), F.col("value"), *cols)
+    # corrupt = too short, or any non-string field that was non-blank
+    # in the raw line but cast to NULL
+    cast_failed = F.lit(False)
+    for f_ in layout:
+        if f_.dtype == "string":
+            continue
+        raw_piece = F.trim(F.substring(F.col("value"), f_.start, f_.width))
+        cast_failed = cast_failed | (
+            (raw_piece != "") & F.col(f_.name).isNull()
+        )
+    is_corrupt = (F.col("__len") < min_len) | cast_failed
+    return parsed.select(
+        *[f_.name for f_ in layout],
+        F.when(is_corrupt, F.col("value")).alias(CORRUPT_COLUMN),
+    )
+
+
+def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean rows without the corrupt column, corrupt raw lines)."""
+    clean = df.filter(F.col(CORRUPT_COLUMN).isNull()).drop(CORRUPT_COLUMN)
+    bad = df.filter(F.col(CORRUPT_COLUMN).isNotNull()).select(
+        F.col(CORRUPT_COLUMN).alias("raw_line")
+    )
+    return clean, bad

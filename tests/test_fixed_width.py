@@ -1,0 +1,70 @@
+"""Fixed-width source: positional extraction, typed casts, corrupt-row
+routing (sources/fixed_width.py)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from sales_data_pipeline_spark.sources.fixed_width import (
+    FixedWidthField,
+    read_fixed_width,
+    split_corrupt,
+)
+
+LAYOUT = [
+    FixedWidthField("order_id", 1, 6, "int"),
+    FixedWidthField("cust", 7, 8, "string"),
+    FixedWidthField("amount", 15, 10, "decimal(10,2)"),
+    FixedWidthField("day", 25, 10, "date"),
+]
+
+
+def _write(tmp_path, lines):
+    p = tmp_path / "fw.txt"
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+def _line(oid, cust, amount, day):
+    return f"{oid:0>6}{cust:<8}{amount:>10}{day:<10}"
+
+
+def test_fixed_width_happy_path(spark, tmp_path):
+    path = _write(tmp_path, [
+        _line("000042", "ALICE", "123.45", "1996-03-07"),
+        _line("000043", "BOB", "10000.00", "2001-12-31"),
+    ])
+    clean, bad = split_corrupt(read_fixed_width(spark, path, LAYOUT))
+    rows = {r.order_id: r for r in clean.collect()}
+    assert bad.count() == 0
+    assert rows[42].cust == "ALICE"
+    assert float(rows[42].amount) == 123.45
+    assert rows[42].day == dt.date(1996, 3, 7)
+    assert float(rows[43].amount) == 10000.00
+
+
+def test_fixed_width_short_and_bad_cast_rows_quarantined(spark, tmp_path):
+    path = _write(tmp_path, [
+        _line("000042", "ALICE", "123.45", "1996-03-07"),  # clean
+        "000099BOB",                                        # too short
+        _line("0000XX", "CAROL", "777.77", "2000-01-01"),  # id cast fails
+        _line("000044", "DAVE", "BADAMT", "1999-06-01"),   # amount fails
+    ])
+    clean, bad = split_corrupt(read_fixed_width(spark, path, LAYOUT))
+    assert {r.order_id for r in clean.collect()} == {42}
+    raw = {r.raw_line for r in bad.collect()}
+    assert len(raw) == 3
+    assert any("BOB" in r for r in raw)
+    assert any("CAROL" in r for r in raw)
+    assert any("BADAMT" in r for r in raw)
+
+
+def test_fixed_width_blank_field_is_null_not_corrupt(spark, tmp_path):
+    # amount field entirely blank-padded → NULL amount, row stays clean
+    path = _write(tmp_path, [
+        _line("000042", "ALICE", "", "1996-03-07"),
+    ])
+    clean, bad = split_corrupt(read_fixed_width(spark, path, LAYOUT))
+    assert bad.count() == 0
+    row = clean.collect()[0]
+    assert row.amount is None and row.order_id == 42
