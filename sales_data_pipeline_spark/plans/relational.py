@@ -7223,3 +7223,136 @@ def q207_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_contrib"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — repurchase survival curve (Kaplan-Meier with right-censoring)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q208_repurchase_survival",
+    oracle="""
+    WITH horizon AS (
+      SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders
+    ),
+    gaps AS (
+      SELECT o_custkey,
+        date_diff('day', CAST(o_orderdate AS DATE),
+          coalesce(
+            lead(CAST(o_orderdate AS DATE)) OVER (
+              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+            (SELECT h FROM horizon))) AS t,
+        CASE WHEN lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             IS NULL THEN 0 ELSE 1 END AS event
+      FROM orders
+    ),
+    per_t AS (
+      SELECT CAST(t AS BIGINT) AS t,
+        CAST(sum(event) AS BIGINT) AS d,
+        CAST(count(*) - sum(event) AS BIGINT) AS c
+      FROM gaps GROUP BY 1
+    ),
+    risk AS (
+      SELECT t, d, c,
+        CAST((SELECT count(*) FROM gaps) -
+          coalesce(sum(d + c) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          AS BIGINT) AS n_risk
+      FROM per_t
+    )
+    SELECT t AS gap_days, n_risk, d AS n_events,
+      CASE WHEN max(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) = 1
+        THEN 0.0
+        ELSE round(exp(sum(CASE WHEN d < n_risk
+               THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk) ELSE 0.0 END)
+             OVER (ORDER BY t ROWS UNBOUNDED PRECEDING)), 6) END AS survival
+    FROM risk WHERE d > 0
+    """,
+)
+def q208_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier curve of time-to-next-purchase WITH right-censoring
+    — the survival-analysis answer to "what fraction of customers have
+    repurchased within t days?" that naive gap histograms (q133) get
+    WRONG: a customer's final order has not produced a next purchase
+    YET, and dropping it biases survival down (the customers you most
+    care about — the quiet ones — vanish from the denominator). KM
+    (1958, the standard estimator) keeps them at risk until their
+    censor time: every order contributes exactly one span (to its
+    successor, or to the data horizon, censored), S(t) = Π over event
+    times ≤ t of (1 − dᵢ/nᵢ).
+
+    Exactness: spans are integer days; the dᵢ/cᵢ/nᵢ ledgers are exact
+    BIGINT cumulative windows over the |distinct gap values| aggregate
+    (calendar-bounded — the q185 window-over-aggregate class); the
+    survival product runs as exp∘Σln (the q134 cumulative-product
+    recipe), rounded 6. One fact shuffle (per-customer lead), one
+    aggregate, two tiny windows."""
+    o = table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max(F.to_date("o_orderdate")).alias("h"))
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead(F.to_date("o_orderdate")).over(w)
+    gaps = (
+        o.select(
+            "o_custkey",
+            F.to_date("o_orderdate").alias("d0"),
+            nxt.alias("d1"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff(F.coalesce("d1", "h"), F.col("d0")).alias("t"),
+            F.when(F.col("d1").isNull(), 0).otherwise(1).alias("event"),
+        )
+    )
+    per_t = gaps.groupBy(F.col("t").cast("bigint").alias("t")).agg(
+        F.sum("event").cast("bigint").alias("d"),
+        (F.count(F.lit(1)) - F.sum("event")).cast("bigint").alias("c"),
+    )
+    n_total = gaps.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_prev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    risk = per_t.crossJoin(F.broadcast(n_total)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n")
+            - F.coalesce(
+                F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_risk"),
+    )
+    # at the final event time d can equal n_risk (everyone at risk
+    # repurchases) — survival is exactly 0 there, and ln(0) must never
+    # be evaluated (DuckDB errors; the guard is mirrored in the oracle)
+    extinct = (
+        F.max(F.when(F.col("d") == F.col("n_risk"), 1).otherwise(0)).over(
+            w_cum
+        )
+        == 1
+    )
+    log_term = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.log(F.lit(1.0) - F.col("d").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0))
+    return (
+        risk.withColumn(
+            "survival",
+            F.when(extinct, F.lit(0.0)).otherwise(
+                F.round(F.exp(F.sum(log_term).over(w_cum)), 6)
+            ),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("t").alias("gap_days"),
+            "n_risk",
+            F.col("d").alias("n_events"),
+            "survival",
+        )
+    )
