@@ -57,6 +57,10 @@ class PipelineResult:
     n_fact_rows: int = 0
     customer_mart_path: str = ""
     sales_team_mart_path: str = ""
+    # df.observe() metrics captured DURING the ingest action (no extra
+    # scan): n_rows, n_null_cost, sum_cost — the run-report numbers an
+    # operator reads before trusting a publish
+    ingest_metrics: dict = field(default_factory=dict)
 
 
 def run_pipeline(
@@ -93,9 +97,29 @@ def run_pipeline(
     state.mark_active(result.accepted_files)
 
     # 5. single-pass read + normalize + union; cached because it feeds
-    #    two marts and a count (the reference re-scans per action)
-    fact = read_validated_union(spark, report, SALES_CONTRACT, cfg.extras_mode).cache()
+    #    two marts and a count (the reference re-scans per action).
+    #    Observation metrics ride the SAME action as the count — the
+    #    zero-extra-pass way to get a run scorecard (a separate agg
+    #    would re-scan; the reference eyeballed .show() instead,
+    #    main.py:271).
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("fact_ingest")
+    fact = (
+        read_validated_union(spark, report, SALES_CONTRACT, cfg.extras_mode)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.when(F.col("total_cost").isNull(), 1).otherwise(0)
+            ).alias("n_null_cost"),
+            F.sum(F.col("total_cost")).alias("sum_cost"),
+        )
+        .cache()
+    )
     result.n_fact_rows = fact.count()
+    result.ingest_metrics = dict(obs.get)
 
     # 6. enrichment (broadcast star joins, rename-before-join)
     enriched = sales_enrichment(fact, customer, store, sales_team)

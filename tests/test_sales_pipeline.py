@@ -248,3 +248,37 @@ def test_orc_mart_format_parity_and_pruning(spark, tmp_path):
     )
     m = re.search(r"PartitionFilters: \[(.*?)\]", plan)
     assert m and "store_id" in m.group(1), plan
+
+
+def test_pipeline_observe_metrics_match_fact(spark, tmp_path):
+    """df.observe() scorecard rides the ingest action: metrics must
+    equal an independent aggregation of the landed fact, with the nulls
+    and money sum agreeing exactly."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.pipeline.sales_pipeline import (
+        PipelineConfig,
+        run_pipeline,
+    )
+    from tests.fixtures import dim_frames, write_sales_csv
+
+    for d in ("in", "quar", "done", "out", "state"):
+        (tmp_path / d).mkdir()
+    write_sales_csv(tmp_path / "in" / "a.csv", n=120, seed=5, date=dt.date(2023, 6, 1))
+    cfg = PipelineConfig(
+        input_dir=str(tmp_path / "in"),
+        quarantine_dir=str(tmp_path / "quar"),
+        processed_dir=str(tmp_path / "done"),
+        output_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+    )
+    customer, store, sales_team = dim_frames(spark)
+    res = run_pipeline(spark, cfg, customer, store, sales_team)
+    m = res.ingest_metrics
+    assert m["n_rows"] == res.n_fact_rows == 120
+    assert m["n_null_cost"] == 0
+    # the observed money sum equals the mart total (conservation)
+    mart = spark.read.parquet(res.customer_mart_path)
+    assert mart.agg(F.sum("total_sales")).collect()[0][0] == m["sum_cost"]
