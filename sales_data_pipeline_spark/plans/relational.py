@@ -7356,3 +7356,91 @@ def q208_repurchase_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             "survival",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q209 — revenue forecast by Holt double exponential smoothing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q209_holt_forecast",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT CAST(row_number() OVER (ORDER BY mo) AS BIGINT) AS i,
+        CAST(rev_c AS DOUBLE) AS y
+      FROM (
+        SELECT date_trunc('month', o_orderdate) AS mo,
+          CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100, 0)
+               AS BIGINT) AS rev_c
+        FROM orders GROUP BY 1
+      )
+    ),
+    h AS (
+      SELECT i AS t, y AS l, CAST(0.0 AS DOUBLE) AS b FROM m WHERE i = 1
+      UNION ALL
+      SELECT m.i,
+        0.3 * m.y + 0.7 * (h.l + h.b),
+        0.1 * ((0.3 * m.y + 0.7 * (h.l + h.b)) - h.l) + 0.9 * h.b
+      FROM h JOIN m ON m.i = h.t + 1
+    )
+    SELECT CAST(t AS BIGINT) AS n_months,
+      round(l / 100.0, 6) AS level,
+      round(b / 100.0, 6) AS trend,
+      round((l + 1 * b) / 100.0, 6) AS forecast_1m,
+      round((l + 2 * b) / 100.0, 6) AS forecast_2m,
+      round((l + 3 * b) / 100.0, 6) AS forecast_3m
+    FROM h WHERE t = (SELECT max(i) FROM m)
+    """,
+)
+def q209_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1/2/3-month revenue forecast by Holt's double exponential
+    smoothing (1957; the standard level+trend forecaster one step up
+    from a moving average): lₜ = αyₜ + (1−α)(lₜ₋₁+bₜ₋₁),
+    bₜ = β(lₜ−lₜ₋₁) + (1−β)bₜ₋₁, α=0.3 β=0.1, l₁=y₁ b₁=0, forecast
+    l_T + h·b_T. The recurrence is non-associative — the q111/q190
+    fold class — so the engine collects the MONTHLY AGGREGATE
+    (calendar-bounded, ~80 values) into a chronological array and runs
+    ONE whole-stage-codegen F.aggregate fold; the raw fact never
+    leaves its single groupBy. Cross-engine exactness: the oracle's
+    recursive CTE executes the IDENTICAL doubles in the identical
+    order (both sides write the same duplicated-subexpression form of
+    bₜ), so values match before rounding even though they are floats
+    — determinism by operation-order discipline, not by decimals."""
+    o = table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100, 0)
+        .cast("bigint")
+        .alias("rev_c")
+    )
+    series = monthly.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct("month", F.col("rev_c").cast("double").alias("y")))
+            ),
+            lambda x: x.y,
+        ).alias("ys")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          slice(ys, 2, size(ys) - 1),
+          struct(CAST(element_at(ys, 1) AS DOUBLE) AS l,
+                 CAST(0.0 AS DOUBLE) AS b),
+          (acc, x) -> struct(
+            0.3 * x + 0.7 * (acc.l + acc.b) AS l,
+            0.1 * ((0.3 * x + 0.7 * (acc.l + acc.b)) - acc.l) + 0.9 * acc.b
+              AS b)
+        )
+        """
+    )
+    return series.select(
+        F.size("ys").cast("bigint").alias("n_months"),
+        F.round(fold.getField("l") / 100.0, 6).alias("level"),
+        F.round(fold.getField("b") / 100.0, 6).alias("trend"),
+        F.round((fold.getField("l") + 1 * fold.getField("b")) / 100.0, 6).alias("forecast_1m"),
+        F.round((fold.getField("l") + 2 * fold.getField("b")) / 100.0, 6).alias("forecast_2m"),
+        F.round((fold.getField("l") + 3 * fold.getField("b")) / 100.0, 6).alias("forecast_3m"),
+    )
