@@ -1481,3 +1481,81 @@ def q203_neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
     return k_core(edges, k=2).orderBy("node")
+
+
+@query(
+    "q210_dedup_loss_weights",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    ),
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+    ),
+    cc AS (
+      SELECT u AS doc, least(u, min(v)) AS cluster FROM reach GROUP BY u
+    ),
+    assigned AS (
+      SELECT d.doc_id, coalesce(cc.cluster, d.doc_id) AS cluster
+      FROM documents d LEFT JOIN cc ON cc.doc = d.doc_id
+    ),
+    csize AS (
+      SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM assigned GROUP BY 1
+    )
+    SELECT a.doc_id, a.cluster, s.cluster_size,
+      1.0 / s.cluster_size AS weight
+    FROM assigned a JOIN csize s ON a.cluster = s.cluster
+    """,
+)
+def q210_dedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-aware LOSS WEIGHTS: every document gets training
+    weight 1/|its near-dup cluster| — the soft alternative to hard
+    dedup (q33 keeps one doc and drops the rest; this keeps ALL docs
+    but makes each duplication family contribute exactly one
+    document's worth of gradient, so no content is lost and no
+    family is over-represented). Singletons — docs in no near-dup
+    pair — keep weight 1 via the left join, so Σweights =
+    #distinct-content families by construction. Composition: exact
+    Jaccard≥0.6 pairs → connected components (operators/graph.py) →
+    cluster-size census → broadcast weight join; the only new work
+    beyond q49 is one |clusters| aggregate. Weight is 1/int — a
+    single exact-operand IEEE division, bitwise cross-engine."""
+    from sales_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from sales_data_pipeline_spark.operators.graph import connected_components
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    assigned = (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce("cluster", "doc_id").alias("cluster")
+        )
+    )
+    csize = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cluster_size")
+    )
+    return assigned.join(F.broadcast(csize), "cluster").select(
+        "doc_id",
+        "cluster",
+        "cluster_size",
+        (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
+    )

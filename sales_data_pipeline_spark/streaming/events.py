@@ -286,3 +286,35 @@ def unattributed_purchase_stream(
     return _attribution_join(
         views, purchases, attribution_window, watermark, "leftOuter"
     )
+
+
+def session_rollup_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Gap-based sessions via the BUILT-IN ``session_window`` — the
+    declarative sibling of ``sessionize_stateful``: where the
+    applyInPandasWithState form streams per-batch progress rows
+    (update mode, open sessions visible), this one emits each session
+    EXACTLY ONCE, fully merged, when the watermark passes its close
+    (append mode) — the right shape for sinks that must never see a
+    session twice. Spark merges overlapping session fragments across
+    micro-batches in its window state; state per user is bounded by
+    the watermark. Batch counterpart: q129 (same builtin over a static
+    frame)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )

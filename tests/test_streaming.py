@@ -690,3 +690,56 @@ def test_streaming_cdc_snapshot_converges_to_batch_apply(spark, tmp_path):
     run_cdc_consumer(spark, cfg, base)
     again = {r.k: r.v for r in read_snapshot(spark, cfg).collect()}
     assert again == got
+
+
+def test_session_window_stream_merges_fragments_across_batches(spark, tmp_path):
+    """Built-in session_window: fragments of one session arriving in
+    different micro-batches must merge into ONE appended row once the
+    watermark closes the session; a later session stays unemitted
+    until its own close passes."""
+    from sales_data_pipeline_spark.streaming.events import (
+        session_rollup_stream,
+    )
+
+    src = tmp_path / "ev_sess"
+    # batch 1: user 1, two events 10 min apart (one session)
+    _write_events_with_ids(spark, str(src / "f1"), [
+        (1, 0, 1, "a", 1.0),
+        (2, 600, 1, "a", 2.0),
+    ])
+    time.sleep(1.1)
+    # batch 2: same session continues (+20 min), then a far-future
+    # event advances the watermark past the session's close
+    _write_events_with_ids(spark, str(src / "f2"), [
+        (3, 1200, 1, "a", 3.0),
+        (9, 4 * 86400, 9, "a", 0.0),
+    ])
+    time.sleep(1.1)
+    # batch 3: one more far event so the advanced watermark APPLIES
+    # (watermark from batch N takes effect in batch N+1)
+    _write_events_with_ids(spark, str(src / "f3"), [
+        (10, 4 * 86400 + 60, 9, "a", 0.0),
+    ])
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        session_rollup_stream(stream, gap="30 minutes", watermark="1 hour")
+        .writeStream.format("memory")
+        .queryName("sessions_builtin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT * FROM sessions_builtin WHERE user_id = 1"
+    ).collect()
+    assert len(rows) == 1  # fragments merged, emitted exactly once
+    r = rows[0]
+    assert r.n_events == 3 and r.total_value == 6.0
+    # session = [first event, last event + gap)
+    assert (r.session_end - r.session_start).total_seconds() == 1200 + 1800
+    # user 9's session is still open (watermark never passed it)
+    assert spark.sql(
+        "SELECT count(*) c FROM sessions_builtin WHERE user_id = 9"
+    ).collect()[0].c == 0
