@@ -77,3 +77,61 @@ def redact_pii(
         total.alias("n_pii"),
         redacted_text(text_col).alias("clean_text"),
     )
+
+
+def mask_columns(df: DataFrame, policy: dict) -> DataFrame:
+    """Policy-driven column-level masking for governed exports — the
+    STRUCTURAL complement to content-level redaction (redact_pii scans
+    free text for PII patterns; this enforces a per-column disclosure
+    policy on typed columns). Verbs:
+
+    - ``"keep"``            column passes through unchanged
+    - ``"drop"``            column absent from the export
+    - ``"null"``            column present, every value NULL (schema-
+                            stable exports where consumers need the slot)
+    - ``"hash"``            md5 of the string form — a stable
+                            pseudonymous join key (same value ⇒ same
+                            token across exports; engine-portable md5,
+                            the q44/q55 determinism contract)
+    - ``("bucket", w)``     numeric generalization: floor(value / w) —
+                            the k-anonymity coarsening move (q110's
+                            audit consumes exactly such quasi-identifiers)
+    - ``("last", n)``       keep only the trailing n characters
+                            (card/phone-style partial disclosure)
+
+    Every column of ``df`` must appear in the policy — an unlisted
+    column is a disclosure decision nobody made, so it raises rather
+    than defaulting either way. Map-only (no shuffle); all verbs are
+    codegen expressions, so the masked export costs exactly the scan."""
+    unknown = set(policy) - set(df.columns)
+    if unknown:
+        raise ValueError(f"policy names absent columns: {sorted(unknown)}")
+    missing = set(df.columns) - set(policy)
+    if missing:
+        raise ValueError(
+            f"no policy for columns {sorted(missing)}: every column needs "
+            "an explicit disclosure decision"
+        )
+    cols = []
+    for name in df.columns:
+        verb = policy[name]
+        c = F.col(name)
+        if verb == "drop":
+            continue
+        if verb == "keep":
+            cols.append(c)
+        elif verb == "null":
+            cols.append(F.lit(None).cast(df.schema[name].dataType).alias(name))
+        elif verb == "hash":
+            cols.append(F.md5(c.cast("string")).alias(name))
+        elif isinstance(verb, tuple) and verb[0] == "bucket":
+            cols.append(
+                F.floor(c / F.lit(verb[1])).cast("bigint").alias(name)
+            )
+        elif isinstance(verb, tuple) and verb[0] == "last":
+            cols.append(
+                F.substring(c.cast("string"), -int(verb[1]), int(verb[1])).alias(name)
+            )
+        else:
+            raise ValueError(f"unknown masking verb {verb!r} for {name!r}")
+    return df.select(*cols)

@@ -615,3 +615,46 @@ def q130_forget_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_cust - n_del).cast("bigint").alias("n_customers_after"),
         )
     )
+
+
+@query(
+    "q213_masked_export",
+    oracle="""
+    SELECT c_custkey,
+      md5(c_name) AS c_name,
+      CAST(floor(CAST(c_acctbal AS DECIMAL(18,2)) / 1000) AS BIGINT)
+        AS c_acctbal,
+      c_mktsegment
+    FROM customer
+    """,
+)
+def q213_masked_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Policy-masked customer export (operators/redact.py
+    mask_columns): the disclosure table a partner/analytics export
+    actually ships — stable pseudonymous name tokens (md5: same
+    customer ⇒ same token across exports, joinable but not
+    reversible), balance GENERALIZED to 1000-unit bands (the
+    k-anonymity coarsening q110 audits), segment kept, nationality
+    dropped. Every column carries an explicit verb — an unlisted
+    column raises, because a disclosure decision nobody made is the
+    governance bug. Map-only plan: the masked export costs exactly
+    the scan."""
+    from sales_data_pipeline_spark.operators.redact import mask_columns
+
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("c_acctbal"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+    return mask_columns(
+        c,
+        {
+            "c_custkey": "keep",
+            "c_name": "hash",
+            "c_acctbal": ("bucket", 1000),
+            "c_mktsegment": "keep",
+            "c_nationkey": "drop",
+        },
+    )

@@ -7444,3 +7444,129 @@ def q209_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((fold.getField("l") + 2 * fold.getField("b")) / 100.0, 6).alias("forecast_2m"),
         F.round((fold.getField("l") + 3 * fold.getField("b")) / 100.0, 6).alias("forecast_3m"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 — diversified top-k (per-group quota + global cut)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q211_diversified_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_custkey,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+        row_number() OVER (PARTITION BY o_custkey
+          ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey)
+          AS rk
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, price, rk AS rank_within_customer
+    FROM ranked WHERE rk <= 2
+    ORDER BY price DESC, o_orderkey
+    LIMIT 25
+    """,
+)
+def q211_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified top-k: the 25 highest-value orders subject to a
+    ≤ 2-per-customer quota — the diversity constraint every
+    search/recommendation surface applies so one whale does not fill
+    the whole leaderboard (plain top-k CANNOT express it; the quota
+    must be enforced BEFORE the global cut or a dominated customer's
+    3rd-best wrongly survives). Plan: the quota is a per-customer
+    row_number over a keyed window (one shuffle, groups stay
+    distributed), the global cut is orderBy().limit() —
+    TakeOrderedAndProject over quota survivors, never a
+    single-partition sort of the fact (q193 discipline). Total order
+    everywhere (price DESC, orderkey) so the cut is deterministic;
+    price presents as DOUBLE per the catalog convention."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").cast("decimal(18,2)").desc(), "o_orderkey"
+    )
+    ranked = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").cast("double").alias("price"),
+        F.row_number().over(w).alias("rank_within_customer"),
+    ).filter(F.col("rank_within_customer") <= 2)
+    return ranked.orderBy(F.desc("price"), F.asc("o_orderkey")).limit(25)
+
+
+# ---------------------------------------------------------------------------
+# q212 — hierarchical share-of-parent rollup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q212_share_of_parent",
+    oracle="""
+    WITH n AS (
+      SELECT r_name AS region, n_name AS nation,
+        CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100, 0)
+             AS BIGINT) AS rev_c
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY 1, 2
+    )
+    SELECT region, nation, rev_c,
+      round(rev_c / CAST(sum(rev_c) OVER (PARTITION BY region) AS DOUBLE), 6)
+        AS share_of_region,
+      round(rev_c / CAST(sum(rev_c) OVER () AS DOUBLE), 6)
+        AS share_of_total,
+      round(sum(rev_c) OVER (PARTITION BY region)
+            / CAST(sum(rev_c) OVER () AS DOUBLE), 6) AS region_share
+    FROM n
+    """,
+)
+def q212_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent: each nation's revenue as a share
+    of its region, of the grand total, and the region's own share —
+    the ratio-to-report family BI drills live on, in ONE pass: all
+    three ratios are windows over the |nations| AGGREGATE (25 rows at
+    any data scale), so the "window with no partition" is over the
+    rollup, never the fact. Integer-cent sums are exact; each share
+    is one IEEE division of exact integers, rounded 6. Dims
+    broadcast; one fact shuffle for the two-level group."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = table(spark, sf_dir, "region")
+    agg = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")) * 100, 0
+            )
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    w_region = Window.partitionBy("region")
+    w_all = Window.partitionBy()
+    return agg.select(
+        "region",
+        "nation",
+        "rev_c",
+        F.round(
+            F.col("rev_c") / F.sum("rev_c").over(w_region).cast("double"), 6
+        ).alias("share_of_region"),
+        F.round(
+            F.col("rev_c") / F.sum("rev_c").over(w_all).cast("double"), 6
+        ).alias("share_of_total"),
+        F.round(
+            F.sum("rev_c").over(w_region)
+            / F.sum("rev_c").over(w_all).cast("double"),
+            6,
+        ).alias("region_share"),
+    )

@@ -347,3 +347,47 @@ def test_check_expectations_row_rules_single_scan(spark, sf_dir):
     )
     n_scans = len(_re.findall(r"^\(\d+\) Scan parquet", plan, flags=_re.M))
     assert n_scans == 1, plan
+
+
+def test_mask_columns_verbs_and_contract(spark):
+    from sales_data_pipeline_spark.operators.redact import mask_columns
+
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "Alice", 1234.56, "4111222233334444")],
+        "id long, name string, bal double, card string",
+    )
+    out = mask_columns(
+        df,
+        {
+            "id": "keep",
+            "name": "hash",
+            "bal": ("bucket", 1000),
+            "card": ("last", 4),
+        },
+    ).collect()[0]
+    import hashlib
+
+    assert out.id == 1
+    assert out.name == hashlib.md5(b"Alice").hexdigest()
+    assert out.bal == 1
+    assert out.card == "4444"
+
+    # null verb keeps the slot, typed
+    schema_stable = mask_columns(
+        df, {"id": "keep", "name": "null", "bal": "drop", "card": "drop"}
+    )
+    assert schema_stable.columns == ["id", "name"]
+    assert schema_stable.collect()[0].name is None
+    assert schema_stable.schema["name"].dataType.typeName() == "string"
+
+    # every column needs a decision; unknown names rejected
+    with pytest.raises(ValueError, match="no policy for columns"):
+        mask_columns(df, {"id": "keep"})
+    with pytest.raises(ValueError, match="absent columns"):
+        mask_columns(df, {"id": "keep", "name": "keep", "bal": "keep",
+                          "card": "keep", "ghost": "drop"})
+    with pytest.raises(ValueError, match="unknown masking verb"):
+        mask_columns(df, {"id": "zap", "name": "keep", "bal": "keep",
+                          "card": "keep"})
