@@ -198,3 +198,64 @@ def apply_cdc_log(
         "left_anti",
     )
     return keep.unionByName(finals)
+
+
+def incremental_agg_refresh(
+    old_agg: DataFrame,
+    delta_rows: DataFrame,
+    keys: Sequence[str],
+    sum_cols: Sequence[str],
+    count_col: str | None = None,
+    drop_empty: bool = True,
+    broadcast_delta: bool = True,
+) -> DataFrame:
+    """Materialized-aggregate maintenance: fold a (small) batch of new
+    fact rows into an existing grouped-SUM aggregate WITHOUT
+    recomputing it — the incremental-view-maintenance move that turns
+    "rebuild the 100 TB mart nightly" into "merge tonight's partition".
+    Works for any commutative-monoid measures (SUM/COUNT here);
+    RETRACTIONS are just negative delta rows (a correction batch
+    subtracts), which plain re-aggregation cannot express without a
+    full rebuild.
+
+    Plan (the apply_cdc_log discipline): the delta collapses to one
+    row per touched key (map-side combinable), then the OLD AGGREGATE
+    NEVER SHUFFLES — touched groups update via a broadcast LEFT join
+    (measure = old + delta), untouched groups stream through
+    unchanged, and delta-only keys append via a broadcast anti join.
+    ``count_col`` (if given) tracks group cardinality; with
+    ``drop_empty`` a group whose count reaches 0 disappears — the
+    retraction-to-deletion rule. Exactness: decimal/integer measures
+    stay exact under + (the engine's money convention); do NOT use
+    this for non-monoid measures (avg must be carried as sum+count)."""
+    if not sum_cols and count_col is None:
+        raise ValueError("nothing to maintain: no sum_cols, no count_col")
+    aggs = [F.sum(c).alias(c) for c in sum_cols]
+    if count_col is not None:
+        aggs.append(F.count(F.lit(1)).cast("bigint").alias(count_col))
+    d = delta_rows.groupBy(*keys).agg(*aggs)
+    d_b = F.broadcast(d) if broadcast_delta else d
+    measures = list(sum_cols) + ([count_col] if count_col else [])
+    d_renamed = d_b.select(
+        *keys, *[F.col(c).alias(f"__d_{c}") for c in measures]
+    )
+    updated = old_agg.join(d_renamed, list(keys), "left").select(
+        *keys,
+        *[
+            (
+                F.coalesce(F.col(c), F.lit(0))
+                + F.coalesce(F.col(f"__d_{c}"), F.lit(0))
+            ).alias(c)
+            for c in measures
+        ],
+    )
+    fresh = d.join(
+        F.broadcast(old_agg.select(*keys)) if broadcast_delta
+        else old_agg.select(*keys),
+        list(keys),
+        "left_anti",
+    ).select(*keys, *measures)
+    out = updated.unionByName(fresh)
+    if count_col is not None and drop_empty:
+        out = out.filter(F.col(count_col) != 0)
+    return out

@@ -7570,3 +7570,81 @@ def q212_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("region_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q214 — sequential cross-sell (brand A then brand B within 30 days)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q214_sequential_crosssell",
+    oracle="""
+    WITH purchases AS (
+      SELECT DISTINCT o_custkey AS cust, p_brand AS brand,
+        CAST(o_orderdate AS DATE) AS day
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN part ON l_partkey = p_partkey
+    ),
+    seq AS (
+      SELECT a.brand AS brand_from, b.brand AS brand_to
+      FROM purchases a JOIN purchases b
+        ON a.cust = b.cust
+       AND b.day > a.day
+       AND b.day <= a.day + INTERVAL 30 DAY
+       AND a.brand <> b.brand
+    )
+    SELECT brand_from, brand_to, CAST(count(*) AS BIGINT) AS n_seq
+    FROM seq GROUP BY 1, 2
+    HAVING count(*) >= 5
+    """,
+)
+def q214_sequential_crosssell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential cross-sell census: customer buys brand A, then a
+    DIFFERENT brand B within 30 days — the temporal, directed
+    complement to same-basket co-occurrence (q120) and association
+    rules (q146), and the signal "what to recommend AFTER a purchase"
+    actually needs (A→B and B→A count separately here; baskets cannot
+    distinguish them). Grain is deliberately (customer, brand, day)
+    DISTINCT — multiple lines of one brand in one order must not
+    multiply pairs. The self-join is keyed on customer with a date
+    band residual (the q112 interval-self-join shape): per-customer
+    purchase histories are small and bounded (tens of rows), so the
+    join fan-out is Σ|history|² per customer, never corpus². ≥5
+    support prune keeps the census actionable."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("day")
+    )
+    p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    purchases = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("p_brand").alias("brand"),
+            "day",
+        )
+        .distinct()
+    )
+    a = purchases.select(
+        F.col("cust"), F.col("brand").alias("brand_from"), F.col("day").alias("d0")
+    )
+    b = purchases.select(
+        F.col("cust").alias("cust_b"),
+        F.col("brand").alias("brand_to"),
+        F.col("day").alias("d1"),
+    )
+    seq = a.join(
+        b,
+        (F.col("cust") == F.col("cust_b"))
+        & (F.col("d1") > F.col("d0"))
+        & (F.col("d1") <= F.date_add(F.col("d0"), 30))
+        & (F.col("brand_from") != F.col("brand_to")),
+    )
+    return (
+        seq.groupBy("brand_from", "brand_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_seq"))
+        .filter(F.col("n_seq") >= 5)
+    )

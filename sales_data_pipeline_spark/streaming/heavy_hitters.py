@@ -113,7 +113,15 @@ def run_heavy_hitters(spark: SparkSession, cfg: HeavyHitterConfig) -> None:
         versions = _committed_versions(spark, cfg.sketch_dir)
         if versions and versions[-1] >= batch_id:
             # batch already folded (crash between sketch commit and
-            # checkpoint commit) — re-merging would double count.
+            # checkpoint commit, or a checkpoint reset replaying the
+            # same shards from scratch) — re-merging would double
+            # count. SKIP-vs-FOLD is decided purely by batch id, which
+            # assumes DETERMINISTIC REPLAY: a reset checkpoint over the
+            # same input dir re-delivers the same files in the same
+            # order under the same maxFilesPerTrigger, so batch N
+            # always carries the data already folded into v=N. Do not
+            # change the trigger sizing when restarting from a wiped
+            # checkpoint against a retained sketch.
             return
         toks = batch.select(F.explode(F.split("text", " ")).alias("tok"))
         partial = countmin_sketch(toks, "tok", depth=cfg.depth, width=cfg.width)
