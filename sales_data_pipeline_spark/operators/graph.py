@@ -404,10 +404,13 @@ def k_core(
 
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     e = (
-        e.filter(F.col("src") != F.col("dst"))
-        .unionByName(
+        e.unionByName(
             e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
+        # self-loop filter AFTER the union: a loop (a,a) reversed is
+        # still (a,a), so filtering only the forward branch would let
+        # it back in and inflate a's degree by one
+        .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
     e = _truncate(e, checkpoint_dir)

@@ -208,6 +208,7 @@ def incremental_agg_refresh(
     count_col: str | None = None,
     drop_empty: bool = True,
     broadcast_delta: bool = True,
+    new_keys: bool = True,
 ) -> DataFrame:
     """Materialized-aggregate maintenance: fold a (small) batch of new
     fact rows into an existing grouped-SUM aggregate WITHOUT
@@ -219,11 +220,21 @@ def incremental_agg_refresh(
     full rebuild.
 
     Plan (the apply_cdc_log discipline): the delta collapses to one
-    row per touched key (map-side combinable), then the OLD AGGREGATE
-    NEVER SHUFFLES — touched groups update via a broadcast LEFT join
-    (measure = old + delta), untouched groups stream through
-    unchanged, and delta-only keys append via a broadcast anti join.
-    ``count_col`` (if given) tracks group cardinality; with
+    row per touched key (map-side combinable), then the OLD
+    AGGREGATE'S ROWS NEVER SHUFFLE — touched groups update via a
+    broadcast LEFT join (measure = old + delta), untouched groups
+    stream through unchanged, and delta-only keys append via an anti
+    join of the tiny delta against the old KEY PROJECTION (the old
+    side is NOT broadcast there — collecting a 10⁸-group mart's keys
+    to the driver is exactly the inversion the small-side contract
+    forbids; the anti join shuffles pruned keys only, and AQE picks
+    the strategy. Pass ``new_keys=False`` when the delta is known to
+    touch only existing groups — e.g. a late-data correction batch —
+    and that probe disappears entirely).
+
+    ``count_col``: if the column EXISTS in ``delta_rows`` it is SUMMED
+    (so retraction batches carry explicit ±counts, e.g. −1 per
+    retracted row); otherwise each delta row counts +1. With
     ``drop_empty`` a group whose count reaches 0 disappears — the
     retraction-to-deletion rule. Exactness: decimal/integer measures
     stay exact under + (the engine's money convention); do NOT use
@@ -232,7 +243,10 @@ def incremental_agg_refresh(
         raise ValueError("nothing to maintain: no sum_cols, no count_col")
     aggs = [F.sum(c).alias(c) for c in sum_cols]
     if count_col is not None:
-        aggs.append(F.count(F.lit(1)).cast("bigint").alias(count_col))
+        if count_col in delta_rows.columns:
+            aggs.append(F.sum(count_col).cast("bigint").alias(count_col))
+        else:
+            aggs.append(F.count(F.lit(1)).cast("bigint").alias(count_col))
     d = delta_rows.groupBy(*keys).agg(*aggs)
     d_b = F.broadcast(d) if broadcast_delta else d
     measures = list(sum_cols) + ([count_col] if count_col else [])
@@ -249,13 +263,13 @@ def incremental_agg_refresh(
             for c in measures
         ],
     )
-    fresh = d.join(
-        F.broadcast(old_agg.select(*keys)) if broadcast_delta
-        else old_agg.select(*keys),
-        list(keys),
-        "left_anti",
-    ).select(*keys, *measures)
-    out = updated.unionByName(fresh)
+    if new_keys:
+        fresh = d.join(
+            old_agg.select(*keys), list(keys), "left_anti"
+        ).select(*keys, *measures)
+        out = updated.unionByName(fresh)
+    else:
+        out = updated
     if count_col is not None and drop_empty:
         out = out.filter(F.col(count_col) != 0)
     return out

@@ -112,6 +112,20 @@ def mask_columns(df: DataFrame, policy: dict) -> DataFrame:
             f"no policy for columns {sorted(missing)}: every column needs "
             "an explicit disclosure decision"
         )
+    # verb shapes validate EAGERLY — the whole point is raising at
+    # policy time, not as a DIVIDE_BY_ZERO/IndexError mid-export
+    for name, verb in policy.items():
+        if verb in ("keep", "drop", "null", "hash"):
+            continue
+        if (
+            isinstance(verb, tuple)
+            and len(verb) == 2
+            and verb[0] in ("bucket", "last")
+            and isinstance(verb[1], int)
+            and verb[1] > 0
+        ):
+            continue
+        raise ValueError(f"unknown masking verb {verb!r} for {name!r}")
     cols = []
     for name in df.columns:
         verb = policy[name]
@@ -132,6 +146,6 @@ def mask_columns(df: DataFrame, policy: dict) -> DataFrame:
             cols.append(
                 F.substring(c.cast("string"), -int(verb[1]), int(verb[1])).alias(name)
             )
-        else:
-            raise ValueError(f"unknown masking verb {verb!r} for {name!r}")
+        else:  # pragma: no cover — eager validation above rejects these
+            raise AssertionError(f"unvalidated verb {verb!r}")
     return df.select(*cols)

@@ -28,7 +28,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-CORRUPT_COLUMN = "_corrupt_line"
+from sales_data_pipeline_spark.schemas import CORRUPT_RECORD_COLUMN
+
+# the raw-text reader's column plus our internals — layouts must not
+# shadow them (two same-named columns in one projection is an
+# AMBIGUOUS_REFERENCE analysis error)
+_RESERVED = {"value", "__len", CORRUPT_RECORD_COLUMN}
 
 
 @dataclass(frozen=True)
@@ -50,6 +55,21 @@ def read_fixed_width(
     shorter than the layout or failing a numeric/date cast)."""
     if not layout:
         raise ValueError("empty layout")
+    names = [f.name for f in layout]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate field names in layout: {names}")
+    clash = set(names) & _RESERVED
+    if clash:
+        raise ValueError(
+            f"layout field names {sorted(clash)} are reserved (raw-text "
+            "column / internals); rename them in the layout"
+        )
+    for f_ in layout:
+        if f_.start < 1 or f_.width < 1:
+            raise ValueError(
+                f"field {f_.name!r}: start must be >= 1 and width >= 1 "
+                "(copybook positions are 1-based)"
+            )
     min_len = max(f.start + f.width - 1 for f in layout)
     raw = spark.read.text(path)
     cols = []
@@ -79,14 +99,22 @@ def read_fixed_width(
     is_corrupt = (F.col("__len") < min_len) | cast_failed
     return parsed.select(
         *[f_.name for f_ in layout],
-        F.when(is_corrupt, F.col("value")).alias(CORRUPT_COLUMN),
+        F.when(is_corrupt, F.col("value")).alias(CORRUPT_RECORD_COLUMN),
     )
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(clean rows without the corrupt column, corrupt raw lines)."""
-    clean = df.filter(F.col(CORRUPT_COLUMN).isNull()).drop(CORRUPT_COLUMN)
-    bad = df.filter(F.col(CORRUPT_COLUMN).isNotNull()).select(
-        F.col(CORRUPT_COLUMN).alias("raw_line")
+    """(clean rows without the corrupt column, corrupt raw lines).
+
+    Same shared ``CORRUPT_RECORD_COLUMN`` contract as the CSV/JSONL
+    sources, so downstream quarantine tooling keyed on that column
+    sees fixed-width rejects too. (jsonl.split_corrupt is not reused
+    directly: its persist workaround targets a JSON-reader-specific
+    restriction this text-derived frame doesn't have.)"""
+    clean = df.filter(F.col(CORRUPT_RECORD_COLUMN).isNull()).drop(
+        CORRUPT_RECORD_COLUMN
+    )
+    bad = df.filter(F.col(CORRUPT_RECORD_COLUMN).isNotNull()).select(
+        F.col(CORRUPT_RECORD_COLUMN).alias("raw_line")
     )
     return clean, bad

@@ -202,21 +202,22 @@ def test_incremental_agg_refresh_retraction_deletes_empty_group(spark):
         [("2024-01", 15.0, 2), ("2024-02", 7.0, 1)],
         "month string, amount double, n long",
     )
-    # correction batch retracts 2024-02 entirely: negative amount,
-    # and the count delta must also be negative — model it as a raw
-    # retraction row with negative amount and count carried via a
-    # pre-aggregated negative-count delta
+    # correction batch retracts 2024-02 entirely: negative amount AND
+    # an explicit count delta of -1 (count_col present in the delta →
+    # summed, the documented retraction contract)
     retraction = spark.createDataFrame(
-        [("2024-02", -7.0)], "month string, amount double"
+        [("2024-02", -7.0, -1)], "month string, amount double, n long"
     )
     out = incremental_agg_refresh(
-        old.select("month", "amount"),
+        old,
         retraction,
         keys=["month"],
         sum_cols=["amount"],
+        count_col="n",
     )
-    got = {r.month: r.amount for r in out.collect()}
-    assert got == {"2024-01": 15.0, "2024-02": 0.0}
+    got = {r.month: (r.amount, r.n) for r in out.collect()}
+    # the emptied group disappears (drop_empty); the untouched survives
+    assert got == {"2024-01": (15.0, 2)}
 
 
 def test_incremental_agg_refresh_old_side_never_shuffles(spark):
@@ -235,12 +236,26 @@ def test_incremental_agg_refresh_old_side_never_shuffles(spark):
     delta = spark.createDataFrame([("1", 2.0)], "k string, amount double")
     plan = (
         incremental_agg_refresh(
+            old, delta, keys=["k"], sum_cols=["amount"], count_col="n",
+            new_keys=False,
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # update path: ONLY the tiny delta aggregation may shuffle; the
+    # old side streams into a broadcast join
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 1
+    assert "BroadcastHashJoin" in plan
+    # with new-key discovery on, the anti probe must NOT broadcast the
+    # old aggregate (that would collect the whole mart's keys)
+    full = (
+        incremental_agg_refresh(
             old, delta, keys=["k"], sum_cols=["amount"], count_col="n"
         )
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
     )
-    # the only hash exchanges belong to the tiny delta aggregation
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) <= 2
-    assert "BroadcastHashJoin" in plan
+    anti = full.split("LeftAnti")[1].splitlines()
+    assert not any("BroadcastExchange" in ln for ln in anti[1:3]) or         "BuildLeft" in full.split("LeftAnti")[0].splitlines()[-1]

@@ -479,12 +479,22 @@ def test_q187_agg_runs_before_join(spark, sf_dir):
     """The HAVING-filtered lineitem aggregate must sit BELOW the join
     with orders (agg-before-join), so only survivor orderkeys join."""
     plan = _plan(QUERIES["q187_bulk_order_customers"].fn(spark, sf_dir))
-    # the quantity-sum aggregate must not consume join output: the
-    # aggregate's child scan is lineitem alone (no o_ columns yet)
-    agg_pos = plan.find("sum_qty")
-    join_pos = plan.find("Join")
-    assert agg_pos != -1 and join_pos != -1
-    assert "Filter" in plan
+    # the quantity-sum aggregate must consume LINEITEM COLUMNS ONLY —
+    # an aggregate fed by join output would list o_/c_ columns in its
+    # Input line. Find the HashAggregate detail blocks that compute
+    # the quantity sum and check their inputs.
+    import re as _re
+
+    blocks = _re.split(r"\n\(\d+\) ", plan)
+    agg_blocks = [
+        b for b in blocks
+        if b.startswith("HashAggregate") and "l_quantity" in b
+    ]
+    assert agg_blocks, "quantity aggregate missing from plan"
+    for b in agg_blocks:
+        m = _re.search(r"Input \[\d+\]: \[([^\]]*)\]", b)
+        assert m, b[:200]
+        assert "o_" not in m.group(1) and "c_" not in m.group(1), m.group(1)
 
 
 def test_q198_base_side_streams_into_anti_join(spark, sf_dir):
