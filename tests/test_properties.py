@@ -385,3 +385,152 @@ def test_temperature_mixture_matches_python_and_limits(spark):
     # 0<α<1 strictly up-weights the smallest domain vs natural
     g5 = {r.domain: r.mix_weight for r in temperature_mixture(df, alpha=0.5).collect()}
     assert g5["c"] > 1.0 > g5["a"]
+
+
+# ---------------------------------------------------------------------------
+# round-3 additions: proration, CUSUM closed form, capped balance, LPA
+# ---------------------------------------------------------------------------
+
+
+def test_proration_conserves_pool_on_random_orders(spark):
+    """Σ(line allocations) ≡ order pool for arbitrary positive prices —
+    the telescoping-sum invariant of cumulative rounding (q184)."""
+    import random
+
+    rng = random.Random(17)
+    rows = []
+    pools = {}
+    for ok in range(1, 40):
+        n = rng.randint(1, 7)
+        prices = [round(rng.uniform(1, 100000), 2) for _ in range(n)]
+        pool = round(rng.uniform(1, 500000), 2)
+        pools[ok] = round(pool * 100)
+        for ln, p in enumerate(prices, start=1):
+            rows.append((ok, ln, ok * 100 + ln, ln, p, pool))
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_linenumber int, l_partkey long, l_suppkey long,"
+        " l_extendedprice double, o_totalprice double",
+    )
+    # run the same algebra as q184 over the synthetic frame
+    from pyspark.sql import Window, functions as F
+
+    li = df.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice").cast("decimal(18,2)") * 100, 0)
+        .cast("bigint").alias("price_c"),
+        F.round(F.col("o_totalprice").cast("decimal(18,2)") * 100, 0)
+        .cast("bigint").alias("pool_c"),
+    )
+    w_cum = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("l_orderkey")
+    w_lag = Window.partitionBy("l_orderkey").orderBy(
+        "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    cum = li.select(
+        "l_orderkey", "l_linenumber", "pool_c",
+        F.sum("price_c").over(w_cum).alias("cum_c"),
+        F.sum("price_c").over(w_all).alias("tot_c"),
+    ).select(
+        "l_orderkey", "l_linenumber", "pool_c",
+        F.expr("(pool_c * cum_c + tot_c div 2) div tot_c").alias("cum_alloc_c"),
+    )
+    alloc = cum.select(
+        "l_orderkey",
+        (
+            F.col("cum_alloc_c")
+            - F.coalesce(F.lag("cum_alloc_c").over(w_lag), F.lit(0))
+        ).alias("alloc_c"),
+    )
+    sums = {
+        r.l_orderkey: r.s
+        for r in alloc.groupBy("l_orderkey")
+        .agg(F.sum("alloc_c").alias("s"))
+        .collect()
+    }
+    for ok, pool_c in pools.items():
+        assert sums[ok] == pool_c, (ok, sums[ok], pool_c)
+
+
+def test_cusum_closed_form_equals_recurrence():
+    """Pᵢ − min(0, min Pⱼ) ≡ the sequential Sᵢ = max(0, Sᵢ₋₁ + xᵢ − k)
+    recurrence (the identity q185's windowed plan rests on)."""
+    import random
+
+    rng = random.Random(3)
+    for _ in range(200):
+        xs = [rng.randint(-50, 80) for _ in range(rng.randint(1, 40))]
+        k = rng.randint(-10, 30)
+        s, seq = 0, []
+        for x in xs:
+            s = max(0, s + x - k)
+            seq.append(s)
+        p, mn, closed = 0, 0, []
+        for x in xs:
+            p += x - k
+            mn = min(mn, p)
+            closed.append(p - min(0, mn))
+        assert seq == closed, (xs, k)
+
+
+def test_capped_balance_fold_matches_python(spark):
+    """The q190 clamp fold over random event sequences equals a plain
+    python walk of the same recurrence."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(9)
+    rows, want = [], {}
+    for k in range(25):
+        evs = [
+            (i, rng.randint(-60, 60)) for i in range(rng.randint(0, 30))
+        ]
+        bal, hi, lo = 50, 0, 0
+        for _, d in evs:
+            t = bal + d
+            if t > 100:
+                hi += 1
+            if t < 0:
+                lo += 1
+            bal = max(0, min(100, t))
+        want[k] = (len(evs), bal, hi, lo)
+        for i, d in evs:
+            rows.append((k, i, d))
+    df = spark.createDataFrame(rows, "k long, i int, delta long")
+    grouped = df.groupBy("k").agg(
+        F.array_sort(F.collect_list(F.struct("i", "delta"))).alias("evs")
+    )
+    fold = F.expr(
+        """
+        aggregate(
+          evs,
+          struct(CAST(50 AS BIGINT) AS bal, CAST(0 AS BIGINT) AS n_hi,
+                 CAST(0 AS BIGINT) AS n_lo),
+          (acc, x) -> struct(
+            greatest(CAST(0 AS BIGINT),
+                     least(CAST(100 AS BIGINT), acc.bal + x.delta)) AS bal,
+            acc.n_hi + IF(acc.bal + x.delta > 100, 1, 0) AS n_hi,
+            acc.n_lo + IF(acc.bal + x.delta < 0, 1, 0) AS n_lo)
+        )
+        """
+    )
+    got = {
+        r.k: (r.n, r.bal, r.hi, r.lo)
+        for r in grouped.select(
+            "k",
+            F.size("evs").alias("n"),
+            fold.getField("bal").alias("bal"),
+            fold.getField("n_hi").alias("hi"),
+            fold.getField("n_lo").alias("lo"),
+        ).collect()
+    }
+    # keys with zero events never appear in rows — they fold to init
+    for k, (n, bal, hi, lo) in want.items():
+        if n == 0:
+            continue
+        assert got[k] == (n, bal, hi, lo), k
