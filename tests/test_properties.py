@@ -432,11 +432,11 @@ def test_proration_conserves_pool_on_random_orders(spark):
         "l_linenumber", "l_partkey", "l_suppkey"
     )
     cum = li.select(
-        "l_orderkey", "l_linenumber", "pool_c",
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "pool_c",
         F.sum("price_c").over(w_cum).alias("cum_c"),
         F.sum("price_c").over(w_all).alias("tot_c"),
     ).select(
-        "l_orderkey", "l_linenumber", "pool_c",
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "pool_c",
         F.expr("(pool_c * cum_c + tot_c div 2) div tot_c").alias("cum_alloc_c"),
     )
     alloc = cum.select(
