@@ -7648,3 +7648,116 @@ def q214_sequential_crosssell(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_seq"))
         .filter(F.col("n_seq") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# q215 — ABC/XYZ inventory classification
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q215_abc_xyz_classes",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+        CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))) * 100, 0)
+             AS BIGINT) AS rev_c,
+        CAST(count(*) AS BIGINT) AS n_lines,
+        CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+        CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+             AS BIGINT) AS sqq
+      FROM lineitem GROUP BY 1
+    ),
+    ranked AS (
+      SELECT *,
+        CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+        CAST(sum(rev_c) OVER () AS BIGINT) AS tot_c
+      FROM per_part
+    ),
+    classed AS (
+      SELECT l_partkey, rev_c, n_lines,
+        CASE WHEN cum_c * 10 <= tot_c * 8 THEN 'A'
+             WHEN cum_c * 100 <= tot_c * 95 THEN 'B'
+             ELSE 'C' END AS abc,
+        CASE WHEN n_lines < 3 THEN 'Z'
+          WHEN (sqq - sq * CAST(sq AS DOUBLE) / n_lines)
+               / nullif(n_lines - 1, 0)
+               < 0.25 * (sq / CAST(n_lines AS DOUBLE))
+                      * (sq / CAST(n_lines AS DOUBLE)) THEN 'X'
+          WHEN (sqq - sq * CAST(sq AS DOUBLE) / n_lines)
+               / nullif(n_lines - 1, 0)
+               < (sq / CAST(n_lines AS DOUBLE))
+                 * (sq / CAST(n_lines AS DOUBLE)) THEN 'Y'
+          ELSE 'Z' END AS xyz
+      FROM ranked
+    )
+    SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts,
+      CAST(CAST(sum(rev_c) AS BIGINT) AS DOUBLE) / 100.0 AS revenue
+    FROM classed GROUP BY 1, 2
+    """,
+)
+def q215_abc_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC/XYZ inventory classification matrix — the supply-chain
+    planning standard that crosses VALUE concentration (ABC: parts
+    covering the first 80% of cumulative revenue are A, to 95% B,
+    rest C — Pareto ranking) with DEMAND REGULARITY (XYZ: coefficient
+    of variation of order quantities — CoV² < 0.25 steady X, < 1
+    variable Y, else/sparse Z): A-X parts get tight replenishment,
+    C-Z get made-to-order. Exactness discipline: the ABC thresholds
+    compare INTEGER cross-products (cum·10 ≤ tot·8), never floating
+    shares; the CoV² comparison uses exact integer moment sums with
+    the q182 closed form, squared to avoid sqrt entirely. The Pareto
+    window runs over the |parts| AGGREGATE with a total (rev, key)
+    order — exact-oracle anchor form; when |parts| itself is huge the
+    documented scale path is q176's: approximate revenue cut-points
+    via percentile_approx broadcast back, trading the single-partition
+    rank sort for two map passes. Output is the 9-cell class census.
+    One fact shuffle."""
+    li = table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100, 0)
+        .cast("bigint")
+        .alias("rev_c"),
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sq"),
+        F.sum(
+            F.col("l_quantity").cast("bigint")
+            * F.col("l_quantity").cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sqq"),
+    )
+    w_cum = Window.orderBy(F.desc("rev_c"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_all = Window.partitionBy()
+    ranked = per_part.select(
+        "*",
+        F.sum("rev_c").over(w_cum).cast("bigint").alias("cum_c"),
+        F.sum("rev_c").over(w_all).cast("bigint").alias("tot_c"),
+    )
+    mean = F.col("sq") / F.col("n_lines").cast("double")
+    var = (
+        F.col("sqq") - F.col("sq") * F.col("sq").cast("double") / F.col("n_lines")
+    ) / F.nullif(F.col("n_lines") - 1, F.lit(0))
+    abc = (
+        F.when(F.col("cum_c") * 10 <= F.col("tot_c") * 8, "A")
+        .when(F.col("cum_c") * 100 <= F.col("tot_c") * 95, "B")
+        .otherwise("C")
+    )
+    xyz = (
+        F.when(F.col("n_lines") < 3, "Z")
+        .when(var < 0.25 * mean * mean, "X")
+        .when(var < mean * mean, "Y")
+        .otherwise("Z")
+    )
+    classed = ranked.select(
+        "l_partkey", "rev_c", abc.alias("abc"), xyz.alias("xyz")
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+        (F.sum("rev_c").cast("bigint").cast("double") / F.lit(100.0)).alias(
+            "revenue"
+        ),
+    )
