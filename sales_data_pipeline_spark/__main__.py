@@ -162,6 +162,42 @@ def _cmd_expire(args) -> int:
     return 0
 
 
+def _cmd_mask_export(args) -> int:
+    from sales_data_pipeline_spark.operators.redact import mask_columns
+
+    spark = _spark("mask-export")
+    policy_raw = json.loads(args.policy)
+    # JSON has no tuples: ["bucket", 1000] arrives as a list
+    policy = {
+        k: tuple(v) if isinstance(v, list) else v
+        for k, v in policy_raw.items()
+    }
+    df = spark.read.parquet(args.table_dir)
+    out = mask_columns(df, policy)
+    out.write.mode("overwrite").parquet(args.out_dir)
+    print(json.dumps({"out_dir": args.out_dir, "columns": out.columns}))
+    return 0
+
+
+def _cmd_cdc_apply(args) -> int:
+    from sales_data_pipeline_spark.operators.merge import apply_cdc_log
+
+    spark = _spark("cdc-apply")
+    base = spark.read.parquet(args.base_dir)
+    log = spark.read.parquet(args.log_dir)
+    out = apply_cdc_log(
+        base,
+        log,
+        keys=args.keys.split(","),
+        op_col=args.op_col,
+        version_cols=tuple(args.version_cols.split(",")),
+    )
+    out.write.mode("overwrite").parquet(args.out_dir)
+    n = spark.read.parquet(args.out_dir).count()
+    print(json.dumps({"out_dir": args.out_dir, "n_rows": n}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="sales_data_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -204,6 +240,31 @@ def main(argv: list[str] | None = None) -> int:
     sc.add_argument("--partition-cols", required=True, help="comma-separated")
     sc.add_argument("--max-files", type=int, default=8)
     sc.set_defaults(fn=_cmd_compact)
+
+    sm = sub.add_parser(
+        "mask-export", help="write a policy-masked copy of a parquet table"
+    )
+    sm.add_argument("--table-dir", required=True)
+    sm.add_argument("--out-dir", required=True)
+    sm.add_argument(
+        "--policy",
+        required=True,
+        help='JSON: {"col": "keep|drop|null|hash" | ["bucket", w] | ["last", n]}',
+    )
+    sm.set_defaults(fn=_cmd_mask_export)
+
+    sa = sub.add_parser(
+        "cdc-apply", help="fold an I/U/D change log onto a snapshot (batch)"
+    )
+    sa.add_argument("--base-dir", required=True)
+    sa.add_argument("--log-dir", required=True)
+    sa.add_argument("--out-dir", required=True)
+    sa.add_argument("--keys", required=True, help="comma-separated key columns")
+    sa.add_argument("--op-col", default="op")
+    sa.add_argument(
+        "--version-cols", default="version", help="comma-separated, total order"
+    )
+    sa.set_defaults(fn=_cmd_cdc_apply)
 
     se = sub.add_parser("expire", help="drop partitions older than a cutoff")
     se.add_argument("--table-dir", required=True)

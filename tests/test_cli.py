@@ -84,3 +84,48 @@ def test_cli_pipeline_jdbc_topology(spark, tmp_path, capsys):
     assert out["n_fact_rows"] == 60
     back = read_jdbc(spark, url, "customers_data_mart", properties=props)
     assert back.count() == spark.read.parquet(out["customer_mart"]).count()
+
+
+def test_cli_mask_export_and_cdc_apply(spark, tmp_path, capsys):
+    import json
+
+    base = tmp_path / "base"
+    spark.createDataFrame(
+        [(1, "Alice", 1234.0), (2, "Bob", 2500.0)],
+        "k long, name string, bal double",
+    ).write.parquet(str(base))
+
+    out = tmp_path / "masked"
+    rc = main([
+        "mask-export",
+        "--table-dir", str(base),
+        "--out-dir", str(out),
+        "--policy", json.dumps(
+            {"k": "keep", "name": "hash", "bal": ["bucket", 1000]}
+        ),
+    ])
+    assert rc == 0
+    rows = {r.k: r for r in spark.read.parquet(str(out)).collect()}
+    import hashlib
+
+    assert rows[1].name == hashlib.md5(b"Alice").hexdigest()
+    assert rows[2].bal == 2
+
+    log = tmp_path / "log"
+    spark.createDataFrame(
+        [(1, "U", "Alicia", 1300.0, 1), (2, "D", None, None, 1),
+         (3, "I", "Cara", 9.0, 1)],
+        "k long, op string, name string, bal double, version int",
+    ).write.parquet(str(log))
+    snap2 = tmp_path / "snap2"
+    rc = main([
+        "cdc-apply",
+        "--base-dir", str(base),
+        "--log-dir", str(log),
+        "--out-dir", str(snap2),
+        "--keys", "k",
+        "--version-cols", "version",
+    ])
+    assert rc == 0
+    got = {r.k: (r.name, r.bal) for r in spark.read.parquet(str(snap2)).collect()}
+    assert got == {1: ("Alicia", 1300.0), 3: ("Cara", 9.0)}
