@@ -717,3 +717,147 @@ def standardize_embeddings(
         .withColumn(vec_col, out)
         .drop("__mu", "__sd")
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (covariance spectrum + projection)
+# ---------------------------------------------------------------------------
+
+
+class PCAFit:
+    """Fitted PCA state: bounded by d (embedding width), never by N.
+
+    Fields: ``n`` rows seen, ``mean`` (d), ``eigvals`` (d, descending,
+    covariance eigenvalues = per-component variance), ``components``
+    (d lists of d floats, row j = j-th principal axis, unit norm,
+    sign-canonicalized so the largest-|loading| entry is positive —
+    eigenvectors are otherwise only defined up to sign, and a
+    deterministic output contract needs one representative)."""
+
+    def __init__(self, n, mean, eigvals, components):
+        self.n = n
+        self.mean = mean
+        self.eigvals = eigvals
+        self.components = components
+
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding") -> PCAFit:
+    """Fit PCA over an embedding column with the classic two-level
+    Gram-matrix reduction — the 100 TB shape for any second-moment
+    statistic:
+
+    1. ``mapInPandas`` computes one PARTIAL per Arrow batch: row
+       count, column sums (d), and the raw Gram XᵀX flattened (d²)
+       via one numpy matmul — Arrow-batched, no per-row Python.
+    2. The partials (a few KB each, one per batch) are reduced by
+       Spark itself: posexplode + groupBy(position) + sum, so the
+       driver collects exactly d + d² cells REGARDLESS of partition
+       count — no P×d² driver sink, no tree of collects.
+    3. Driver finishes in O(d³): Cov = (G − n·μμᵀ)/(n−1), then
+       ``numpy.linalg.eigh`` (symmetric, deterministic given Cov).
+
+    Float-sum order across partitions varies, so Cov carries last-bit
+    noise; consumers should round reported variances (~1e-6 relative
+    noise at most for well-conditioned spectra). Requires n ≥ 2 and
+    fixed-width vectors (the embeddings-table contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError("pca_fit: empty input or null vector")
+    d = len(first[0])
+
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("g", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partial(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [int(len(m))],
+                    "s": [m.sum(axis=0).tolist()],
+                    "g": [(m.T @ m).ravel().tolist()],
+                }
+            )
+
+    partials = df.select(vec_col).mapInPandas(partial, schema).persist()
+    try:
+        n = partials.agg(F.sum("n")).first()[0]
+        if n is None or n < 2:
+            raise ValueError("pca_fit: needs at least 2 rows")
+        s_rows = (
+            partials.select(F.posexplode("s").alias("i", "v"))
+            .groupBy("i")
+            .agg(F.sum("v").alias("v"))
+            .collect()
+        )
+        g_rows = (
+            partials.select(F.posexplode("g").alias("i", "v"))
+            .groupBy("i")
+            .agg(F.sum("v").alias("v"))
+            .collect()
+        )
+    finally:
+        partials.unpersist()
+
+    s = np.zeros(d)
+    for r in s_rows:
+        s[r.i] = r.v
+    g = np.zeros(d * d)
+    for r in g_rows:
+        g[r.i] = r.v
+    gram = g.reshape(d, d)
+    mu = s / n
+    cov = (gram - n * np.outer(mu, mu)) / (n - 1)
+    cov = (cov + cov.T) / 2.0  # symmetrize away last-bit asymmetry
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    comps = []
+    for j in range(d):
+        c = v[:, j]
+        top = int(np.argmax(np.abs(c)))
+        if c[top] < 0:
+            c = -c
+        comps.append(c.tolist())
+    return PCAFit(int(n), mu.tolist(), np.maximum(w, 0.0).tolist(), comps)
+
+
+def pca_project(
+    df: DataFrame,
+    fit: PCAFit,
+    k: int,
+    vec_col: str = "embedding",
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project rows onto the top-k principal axes:
+    out[j] = (x − μ)·component_j. The k×d loadings and μ are baked in
+    as ARRAY LITERALS (like standardize_embeddings' stats), so the
+    projection is one map-side codegen expression per row — no join,
+    no shuffle, no Python in the row path. k·d literals stay tiny for
+    any real embedding width."""
+    mu = F.array(*[F.lit(float(m)) for m in fit.mean])
+    centered = F.zip_with(as_double_array(vec_col), mu, lambda a, b: a - b)
+    outs = []
+    for j in range(k):
+        cj = F.array(*[F.lit(float(c)) for c in fit.components[j]])
+        outs.append(
+            F.aggregate(
+                F.zip_with(centered, cj, lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return df.withColumn(out_col, F.array(*outs))

@@ -83,3 +83,101 @@ def countmin_estimate(
         joined.groupBy(item_col)
         .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — membership gate for incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def _bloom_positions(key: Column, m_bits: int, k_hashes: int) -> list[Column]:
+    """The k bit positions of a key: pmod(xxhash64(key, seed=i), m).
+    xxhash64 is a JVM codegen built-in; seeding by a literal second
+    argument gives k independent members of the family (same trick as
+    MinHash permutations, operators/dedup.py)."""
+    return [
+        F.pmod(F.xxhash64(key.cast("string"), F.lit(i)), F.lit(m_bits))
+        for i in range(k_hashes)
+    ]
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Build a Bloom filter over ``key_col`` as a BITMAP TABLE of at
+    most m/64 rows ``(word bigint, bits bigint)`` — the distributed
+    representation of the classic bit array. Each key contributes k
+    set bits; per-word OR-folding happens MAP-SIDE (bit_or has an
+    associative partial), so the shuffle carries ≤ m/64 keys of one
+    long each no matter how many input rows — the mergeability
+    property that makes the sketch a one-pass, bounded-state gate at
+    100 TB. Absent words mean all-zero bits.
+
+    Sizing: false-positive rate ≈ (1 − e^{−kn/m})^k; with the
+    defaults (m=2^20, k=5) a 100k-key history sits under 1%. Scale m
+    with history size (m ≈ 10n bits keeps FP < 1% at k=5); the bitmap
+    stays broadcast-able far beyond billion-key histories (2^33 bits
+    = 1 GiB worst case, 128 MiB at n=10^9).
+
+    The filter can never produce a FALSE NEGATIVE: every key folded
+    in here is reported maybe_seen by bloom_gate — the property
+    incremental dedup needs (never re-admit a known duplicate);
+    false positives only cost recall of genuinely-new items, bounded
+    as above (tests/test_dedup.py::test_bloom_*)."""
+    pos = F.explode(
+        F.array(*_bloom_positions(F.col(key_col), m_bits, k_hashes))
+    ).alias("h")
+    return (
+        df.select(pos)
+        .select(
+            F.floor(F.col("h") / 64).cast("bigint").alias("word"),
+            _bit_mask().alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+
+def _bit_mask() -> Column:
+    """1 << (h % 64) as a bigint — shiftleft's bit-count argument must
+    be a plain int in the Python API, so this goes through expr."""
+    return F.expr("shiftleft(cast(1 as bigint), cast(h % 64 as int))")
+
+
+def bloom_gate(
+    bitmap: DataFrame,
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Probe the Bloom bitmap for every distinct key of ``df``:
+    returns ``(key_col, maybe_seen boolean)``. A key is maybe_seen
+    iff ALL k addressed bits are set. Plan shape: k probe rows per
+    key map-side, one BROADCAST left join against the ≤ m/64-row
+    bitmap (never a shuffle of the history itself — that is the whole
+    point of gating through the sketch instead of anti-joining the
+    full fingerprint index), then a groupBy(key) bool_and. Must use
+    the same (m_bits, k_hashes) as bloom_build or membership answers
+    are garbage."""
+    key = F.col(key_col)
+    probes = df.select(
+        key,
+        F.explode(F.array(*_bloom_positions(key, m_bits, k_hashes))).alias("h"),
+    ).select(
+        key_col,
+        F.floor(F.col("h") / 64).cast("bigint").alias("word"),
+        _bit_mask().alias("mask"),
+    )
+    joined = probes.join(F.broadcast(bitmap), "word", "left")
+    hit = F.col("bits").isNotNull() & (
+        F.col("bits").bitwiseAND(F.col("mask")) == F.col("mask")
+    )
+    return (
+        joined.select(key_col, hit.alias("hit"))
+        .groupBy(key_col)
+        .agg(F.bool_and("hit").alias("maybe_seen"))
+    )

@@ -7761,3 +7761,169 @@ def q215_abc_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q216 — Theil-Sen robust trend of monthly revenue per brand
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q216_theilsen_trend",
+    oracle="""
+    WITH m AS (
+      SELECT p_brand,
+        CAST(year(l_shipdate) * 12 + month(l_shipdate) AS BIGINT) AS mi,
+        CAST(sum(l_extendedprice * (1 - l_discount)) AS DOUBLE) AS rev
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY 1, 2
+    ),
+    slopes AS (
+      SELECT a.p_brand, (b.rev - a.rev) / (b.mi - a.mi) AS sl
+      FROM m a JOIN m b ON a.p_brand = b.p_brand AND b.mi > a.mi
+    ),
+    med AS (
+      SELECT p_brand, median(sl) AS slope FROM slopes GROUP BY p_brand
+    )
+    SELECT m.p_brand AS p_brand,
+      CAST(count(*) AS BIGINT) AS n_months,
+      round(min(med.slope), 6) AS theil_slope,
+      round(median(m.rev - med.slope * m.mi), 6) AS theil_intercept
+    FROM m JOIN med ON m.p_brand = med.p_brand
+    GROUP BY m.p_brand
+    """,
+)
+def q216_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen ROBUST trend estimator per brand — median of all
+    pairwise slopes of (month-index, monthly-revenue) points, with
+    intercept = median(y − slope·x). The outlier-resistant sibling of
+    q143's least-squares fit (breakdown point ~29% vs 0%): one
+    promotional-spike month cannot drag the slope.
+
+    Scale shape: the pairwise self-join runs over the MONTHLY
+    AGGREGATE, never the fact table — per brand the pair count is
+    bounded by the calendar span squared (~84² at any data size), so
+    the quadratic lives on a few thousand rows per key while the
+    100 TB of lineitem passes through one ordinary groupBy. The
+    25-row slope table broadcasts back for the intercept median.
+    Divisions are double-precision with exact integer denominators;
+    rounded to 6 to absorb sum-order noise in the monthly aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+            .cast("bigint")
+            .alias("mi"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    a = m.select(
+        F.col("p_brand"), F.col("mi").alias("mi_a"), F.col("rev").alias("rev_a")
+    )
+    b = m.select(
+        F.col("p_brand"), F.col("mi").alias("mi_b"), F.col("rev").alias("rev_b")
+    )
+    slopes = a.join(b, ["p_brand"]).filter(F.col("mi_b") > F.col("mi_a")).select(
+        "p_brand",
+        (
+            (F.col("rev_b") - F.col("rev_a")) / (F.col("mi_b") - F.col("mi_a"))
+        ).alias("sl"),
+    )
+    med = slopes.groupBy("p_brand").agg(F.median("sl").alias("slope"))
+    return (
+        m.join(F.broadcast(med), "p_brand")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            F.round(F.min("slope"), 6).alias("theil_slope"),
+            F.round(
+                F.median(F.col("rev") - F.col("slope") * F.col("mi")), 6
+            ).alias("theil_intercept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q217 — co-purchase item-item similarity (basket analysis)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q217_copurchase_similarity",
+    oracle="""
+    WITH d AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+      FROM d GROUP BY 1
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS cooc
+      FROM d a JOIN d b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= 2
+    )
+    SELECT part_a, part_b, cooc,
+      round(cooc / sqrt(na.n_orders * nb.n_orders), 6) AS cosine
+    FROM pairs
+    JOIN n na ON na.l_partkey = part_a
+    JOIN n nb ON nb.l_partkey = part_b
+    """,
+)
+def q217_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative-filtering similarity from co-purchase
+    baskets: orders are baskets, parts are items, cosine =
+    cooc(a,b) / √(n_a·n_b) over order sets, kept where cooc ≥ 2 —
+    the classic Amazon-style 'bought together' matrix as one
+    DataFrame program.
+
+    Scale shape: the within-basket self-join explodes each order into
+    C(lines,2) pairs — TPC-H baskets are ≤ 7 lines, real carts are
+    similarly bounded, so pair volume is LINEAR in orders (≤ 21×),
+    never |items|². The join key is l_orderkey (equi, shuffle
+    co-partitioned), pair counting is an ordinary mergeable groupBy,
+    and the per-item order counts join back on part key — AQE picks
+    broadcast when the item dim fits. A pathological mega-basket
+    would need a per-basket line cap (cf. domain_cap, q78) before the
+    self-join; documented rather than silently applied."""
+    d = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n = d.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    a = d.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = d.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cooc"))
+        .filter(F.col("cooc") >= 2)
+    )
+    na = n.select(F.col("l_partkey").alias("part_a"), F.col("n_orders").alias("na"))
+    nb = n.select(F.col("l_partkey").alias("part_b"), F.col("n_orders").alias("nb"))
+    return (
+        pairs.join(na, "part_a")
+        .join(nb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "cooc",
+            F.round(
+                F.col("cooc") / F.sqrt(F.col("na") * F.col("nb")), 6
+            ).alias("cosine"),
+        )
+    )

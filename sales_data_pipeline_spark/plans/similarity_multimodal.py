@@ -430,3 +430,50 @@ def q200_image_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ahash_near_pairs(hashes, max_hamming=6).orderBy(
         "media_a", "media_b"
     )
+
+
+@query("q218_embedding_pca", oracle=None)
+def q218_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA over the embeddings table, reported as per-label
+    means of the top-2 principal coordinates plus the share of
+    variance those axes explain — the standard first look at an
+    embedding space (are labels separable along the leading axes?).
+
+    The fit is the two-level Gram-matrix reduction
+    (operators/similarity.py pca_fit): mapInPandas partials (one
+    numpy XᵀX per Arrow batch), Spark-side positional sum so the
+    driver holds exactly d+d² cells, eigh in O(d³) on the driver;
+    the projection bakes μ and the two loading vectors in as array
+    literals — map-side codegen, no shuffle beyond the final
+    per-label aggregate. oracle=None: eigendecomposition isn't one
+    SQL statement; covering tests assert spectrum equality vs
+    numpy-on-collected-data, component orthonormality, and that
+    per-component projected variance equals its eigenvalue
+    (tests/test_similarity.py::test_pca_*). Outputs rounded to 4 —
+    eigenvectors amplify the covariance's partition-sum noise more
+    than plain aggregates do."""
+    from sales_data_pipeline_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    fit = pca_fit(emb)
+    total_var = sum(fit.eigvals)
+    ratio2 = (fit.eigvals[0] + fit.eigvals[1]) / total_var if total_var else 0.0
+    proj = pca_project(emb, fit, k=2)
+    return (
+        proj.select(
+            "label",
+            F.col("pca")[0].alias("pc1"),
+            F.col("pca")[1].alias("pc2"),
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(F.avg("pc1"), 4).alias("mean_pc1"),
+            F.round(F.avg("pc2"), 4).alias("mean_pc2"),
+        )
+        .withColumn("top2_var_ratio", F.round(F.lit(ratio2), 4))
+        .orderBy("label")
+    )

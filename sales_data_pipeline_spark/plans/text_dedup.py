@@ -1559,3 +1559,39 @@ def q210_dedup_loss_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_size",
         (F.lit(1.0) / F.col("cluster_size")).alias("weight"),
     )
+
+
+@query("q219_bloom_dedup_gate", oracle=None)
+def q219_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter admission gate for incremental dedup: fold the
+    HISTORY's fingerprints (docs with doc_id % 10 ≠ 0 here) into a
+    2²⁰-bit filter, then gate the incoming batch (all docs) through
+    it and admit only the definitely-new. The sketch-backed sibling
+    of q69/q179's exact anti-join gates: at 100 TB the fingerprint
+    index itself is too big to shuffle per micro-batch, while the
+    bitmap is ≤ m/64 longs, broadcast once, probed map-side
+    (operators/sketch.py bloom_build/bloom_gate — bit_or folding is
+    map-side mergeable, the gate is one broadcast join + bool_and).
+
+    No false negatives by construction (every history fingerprint
+    probes the very bits it set), so the gate can never re-admit a
+    known duplicate; false positives only shave recall of new docs,
+    ≈(1−e^{−kn/m})^k < 0.1% at these sizes. oracle=None: DuckDB has
+    no xxhash64 to rebuild the identical bit pattern; covering tests
+    assert the no-false-negative invariant and FP bound vs the exact
+    anti-join (tests/test_dedup.py::test_bloom_*). Deterministic:
+    seeded xxhash64 positions, integer bit ops."""
+    from sales_data_pipeline_spark.operators.sketch import bloom_build, bloom_gate
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    bitmap = bloom_build(history, "fp")
+    gate = bloom_gate(bitmap, docs, "fp")
+    return (
+        docs.join(gate, "fp")
+        .filter(~F.col("maybe_seen"))
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )

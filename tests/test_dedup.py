@@ -825,3 +825,81 @@ def test_kcore_degree_measured_in_core_and_checkpoint(spark, tmp_path):
         ).collect()
     }
     assert ck == got
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup gate (operators/sketch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives(spark, docs):
+    """Every fingerprint folded into the filter MUST probe maybe_seen
+    — the invariant that lets an incremental dedup gate trust a
+    'definitely new' verdict."""
+    from sales_data_pipeline_spark.operators.sketch import bloom_build, bloom_gate
+
+    fps = docs.select(F.md5("text").alias("fp"))
+    bitmap = bloom_build(fps, "fp")
+    probed = bloom_gate(bitmap, fps, "fp")
+    assert probed.filter(~F.col("maybe_seen")).count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark, docs):
+    """Unseen keys pass the gate at ≈(1−e^{−kn/m})^k; at n≈500,
+    m=2^20, k=5 that is ~1e-12 — assert a generous 1% ceiling over a
+    500-key probe set, and that at a deliberately tiny m the gate
+    degrades to mostly-maybe_seen (sizing matters, the math is live)."""
+    from sales_data_pipeline_spark.operators.sketch import bloom_build, bloom_gate
+
+    seen = docs.select(F.md5("text").alias("fp"))
+    unseen = docs.select(F.md5(F.concat(F.lit("novel:"), "text")).alias("fp"))
+    bitmap = bloom_build(seen, "fp")
+    fp_hits = bloom_gate(bitmap, unseen, "fp").filter("maybe_seen").count()
+    n_probe = unseen.distinct().count()
+    assert fp_hits / n_probe <= 0.01
+    tiny = bloom_build(seen, "fp", m_bits=1024)
+    tiny_hits = bloom_gate(tiny, unseen, "fp", m_bits=1024).filter("maybe_seen").count()
+    assert tiny_hits / n_probe > 0.5  # saturated filter ≈ all maybe_seen
+
+
+def test_bloom_gate_agrees_with_exact_anti_join(spark, docs):
+    """q219's contract: the definitely-new set is a SUBSET of the
+    exact anti-join's new set (no false negatives ⇒ nothing known
+    sneaks through), and at the default sizing it equals it (FP≈0)."""
+    from sales_data_pipeline_spark.operators.sketch import bloom_build, bloom_gate
+
+    all_fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    hist = all_fp.filter(F.col("doc_id") % 10 != 0).select("fp")
+    exact_new = {
+        r.doc_id
+        for r in all_fp.join(hist.distinct(), "fp", "left_anti").collect()
+    }
+    bitmap = bloom_build(hist, "fp")
+    gated = bloom_gate(bitmap, all_fp, "fp")
+    got = {
+        r.doc_id
+        for r in all_fp.join(gated, "fp").filter(~F.col("maybe_seen")).collect()
+    }
+    assert got <= exact_new
+    assert got == exact_new  # default m/k: zero FPs at this scale
+
+
+def test_bloom_bitmap_is_bounded_and_mergeable(spark, docs):
+    """The bitmap table never exceeds m/64 rows regardless of input
+    size, and building from two halves then OR-merging equals one
+    build — the mergeability that makes the fold map-side safe."""
+    from sales_data_pipeline_spark.operators.sketch import bloom_build
+
+    fps = docs.select(F.md5("text").alias("fp"))
+    m = 1 << 14
+    whole = bloom_build(fps, "fp", m_bits=m)
+    assert whole.count() <= m // 64
+    h1 = bloom_build(fps.filter(F.crc32("fp") % 2 == 0), "fp", m_bits=m)
+    h2 = bloom_build(fps.filter(F.crc32("fp") % 2 == 1), "fp", m_bits=m)
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("word")
+        .agg(F.bit_or("bits").alias("bits"))
+    )
+    diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
+    assert diff == 0

@@ -498,3 +498,76 @@ def test_standardize_embeddings_constant_dim_is_zero_not_nan(spark):
     }
     col0 = [v[0] for v in got.values()]
     assert all(np.isfinite(col0)) and max(abs(c) for c in col0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA (pca_fit / pca_project)
+# ---------------------------------------------------------------------------
+
+
+def test_pca_spectrum_matches_numpy(spark, emb):
+    """The distributed Gram-reduction fit must reproduce numpy PCA on
+    the collected data: same eigenvalues, same (sign-canonicalized)
+    axes."""
+    from sales_data_pipeline_spark.operators.similarity import pca_fit
+
+    fit = pca_fit(emb)
+    x = np.asarray([list(r.embedding) for r in emb.select("embedding").collect()],
+                   dtype=np.float64)
+    cov = np.cov(x, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1]
+    w, v = w[order], v[:, order]
+    assert fit.n == len(x)
+    np.testing.assert_allclose(fit.mean, x.mean(axis=0), rtol=0, atol=1e-9)
+    np.testing.assert_allclose(fit.eigvals, np.maximum(w, 0.0), rtol=1e-8, atol=1e-9)
+    got = np.asarray(fit.components)
+    for j in range(5):  # leading axes have clear eigengaps; tail may rotate
+        ref = v[:, j]
+        top = int(np.argmax(np.abs(ref)))
+        if ref[top] < 0:
+            ref = -ref
+        np.testing.assert_allclose(got[j], ref, rtol=0, atol=1e-6)
+
+
+def test_pca_components_orthonormal(spark, emb):
+    from sales_data_pipeline_spark.operators.similarity import pca_fit
+
+    fit = pca_fit(emb)
+    c = np.asarray(fit.components)
+    np.testing.assert_allclose(c @ c.T, np.eye(len(c)), rtol=0, atol=1e-9)
+    # total variance is conserved: sum of eigenvalues == trace of cov
+    x = np.asarray([list(r.embedding) for r in emb.select("embedding").collect()],
+                   dtype=np.float64)
+    assert sum(fit.eigvals) == pytest.approx(
+        np.cov(x, rowvar=False, ddof=1).trace(), rel=1e-9
+    )
+
+
+def test_pca_projection_variance_equals_eigenvalue(spark, emb):
+    """Var of the j-th projected coordinate must equal eigval j, and
+    distinct coordinates must be uncorrelated — the defining property
+    of the principal basis, checked through the literal-baked
+    projection path."""
+    from sales_data_pipeline_spark.operators.similarity import (
+        pca_fit,
+        pca_project,
+    )
+
+    fit = pca_fit(emb)
+    proj = pca_project(emb, fit, k=3)
+    p = np.asarray([list(r.pca) for r in proj.select("pca").collect()])
+    for j in range(3):
+        assert p[:, j].var(ddof=1) == pytest.approx(fit.eigvals[j], rel=1e-8)
+        assert p[:, j].mean() == pytest.approx(0.0, abs=1e-9)
+    assert np.cov(p[:, 0], p[:, 1], ddof=1)[0, 1] == pytest.approx(0.0, abs=1e-7)
+
+
+def test_pca_fit_rejects_degenerate_input(spark):
+    from sales_data_pipeline_spark.operators.similarity import pca_fit
+
+    one = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="at least 2"):
+        pca_fit(one)
+    with pytest.raises(ValueError, match="empty"):
+        pca_fit(one.filter("vec_id < 0"))
