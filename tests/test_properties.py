@@ -534,3 +534,105 @@ def test_capped_balance_fold_matches_python(spark):
         if n == 0:
             continue
         assert got[k] == (n, bal, hi, lo), k
+
+
+# ---------------------------------------------------------------------------
+# Logistic regression (operators/regression.py) — sufficient-statistics IRLS
+# ---------------------------------------------------------------------------
+
+
+def _numpy_irls(x, y, n_iter=8, ridge=1e-8):
+    """Reference IRLS, same iteration schedule as logistic_fit."""
+    import numpy as np
+
+    xd = np.column_stack([np.ones(len(x)), x])
+    beta = np.zeros(xd.shape[1])
+    for _ in range(n_iter):
+        s = 1.0 / (1.0 + np.exp(-(xd @ beta)))
+        w = s * (1.0 - s)
+        h = xd.T @ (xd * w[:, None]) + ridge * np.eye(xd.shape[1])
+        g = xd.T @ (y - s)
+        beta = beta + np.linalg.solve(h, g)
+    return beta
+
+
+def test_logistic_fit_matches_numpy_irls(spark):
+    """Same algorithm, same iteration count ⇒ the distributed moment
+    sums must land on the numpy trajectory to float-sum noise."""
+    import numpy as np
+
+    from sales_data_pipeline_spark.operators.regression import logistic_fit
+
+    rng_rows = []
+    for i in range(400):  # deterministic synthetic sample, no RNG state
+        x1 = ((i * 2654435761) % 1000) / 500.0 - 1.0
+        x2 = ((i * 40503) % 997) / 498.5 - 1.0
+        u = (((i * 97) % 9973) + 0.5) / 9973.0
+        eps = np.log(u / (1 - u))
+        y = 1.0 if 2.0 * x1 - 1.0 * x2 + eps > 0 else 0.0
+        rng_rows.append((y, x1, x2))
+    df = spark.createDataFrame(rng_rows, "y double, x1 double, x2 double")
+    fit = logistic_fit(df, "y", ["x1", "x2"])
+    x = np.asarray([(r[1], r[2]) for r in rng_rows])
+    y = np.asarray([r[0] for r in rng_rows])
+    ref = _numpy_irls(x, y)
+    np.testing.assert_allclose(fit.beta, ref, rtol=1e-6, atol=1e-8)
+    # and the fit actually recovered the planted signal's signs
+    assert fit.beta[1] > 0.5 and fit.beta[2] < -0.2
+
+
+def test_logistic_fit_partition_invariance(spark):
+    """Moment sums are algebraic: repartitioning must not change the
+    fit beyond float addition order (≤1e-8 here)."""
+    import numpy as np
+
+    from sales_data_pipeline_spark.operators.regression import logistic_fit
+
+    rows = [
+        (float(i % 2), ((i * 7) % 11) / 5.0 - 1.0, ((i * 13) % 17) / 8.0 - 1.0)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "y double, x double, z double")
+    b1 = logistic_fit(df.coalesce(1), "y", ["x", "z"]).beta
+    b8 = logistic_fit(df.repartition(8), "y", ["x", "z"]).beta
+    np.testing.assert_allclose(b1, b8, rtol=0, atol=1e-8)
+
+
+def test_logistic_score_is_sigmoid_of_linear(spark):
+    import math
+
+    from sales_data_pipeline_spark.operators.regression import (
+        LogitFit,
+        logistic_score,
+    )
+
+    fit = LogitFit([0.5, 2.0], ["x"], 10, 8)
+    df = spark.createDataFrame([(0.0,), (1.0,), (-1.0,)], "x double")
+    got = {r.x: r.p_hat for r in logistic_score(df, fit).collect()}
+    for x, p in got.items():
+        assert p == 1.0 / (1.0 + math.exp(-(0.5 + 2.0 * x)))
+
+
+def test_logistic_fit_rejects_degenerate(spark):
+    import pytest as _pytest
+
+    from sales_data_pipeline_spark.operators.regression import logistic_fit
+
+    df = spark.createDataFrame([(1.0, 2.0)], "y double, x double")
+    with _pytest.raises(ValueError, match="rows <"):
+        logistic_fit(df, "y", ["x"])
+    with _pytest.raises(ValueError, match="at least one feature"):
+        logistic_fit(df, "y", [])
+
+
+def test_logistic_q221_recovers_planted_beta(spark, sf_dir):
+    """q221's planted generator IS a logistic model with β = (0, 1.5,
+    −1.0); the reported coefficients must land within ±0.15 of it and
+    training accuracy must clear the majority baseline by ≥ 10 pts."""
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    rows = {r.term: r for r in QUERIES["q221_logit_fit"].fn(spark, sf_dir).collect()}
+    assert abs(rows["quantity_std"].coefficient - 1.5) < 0.15
+    assert abs(rows["discount_std"].coefficient + 1.0) < 0.15
+    assert abs(rows["intercept"].coefficient) < 0.15
+    assert rows["intercept"].train_accuracy > 0.62
