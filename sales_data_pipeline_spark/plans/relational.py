@@ -7804,13 +7804,19 @@ def q216_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     AGGREGATE, never the fact table — per brand the pair count is
     bounded by the calendar span squared (~84² at any data size), so
     the quadratic lives on a few thousand rows per key while the
-    100 TB of lineitem passes through one ordinary groupBy. The
-    25-row slope table broadcasts back for the intercept median.
-    Divisions are double-precision with exact integer denominators;
-    rounded to 6 to absorb sum-order noise in the monthly aggregate."""
+    100 TB of lineitem passes through one ordinary groupBy. That
+    aggregate is walked THREE times (both pair sides + the intercept
+    pass), so it is persisted through the dedup cache registry —
+    without it the plan re-scans the fact table per walk (caught by
+    tests/test_plan_shapes.py::test_q216_...). The 25-row slope table
+    broadcasts back for the intercept median. Divisions are
+    double-precision with exact integer denominators; rounded to 6 to
+    absorb sum-order noise in the monthly aggregate."""
+    from sales_data_pipeline_spark.operators.dedup import _persist
+
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    m = (
+    m = _persist(
         li.join(part, li.l_partkey == part.p_partkey)
         .groupBy(
             "p_brand",

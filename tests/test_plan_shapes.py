@@ -519,3 +519,87 @@ def test_q202_skyline_local_pass_precedes_global_merge(spark, sf_dir):
     single = re.findall(r"SinglePartition", plan)
     assert parts, "local bucketed pass missing"
     assert single, "global merge window missing"
+
+
+def test_q216_pairwise_join_runs_over_aggregate_not_fact(spark, sf_dir):
+    """Theil-Sen's monthly aggregate is walked three times (both pair
+    sides + the intercept pass); the persist must make every walk an
+    InMemoryTableScan so the fact table is scanned ONCE, and the
+    slope medians must broadcast back."""
+    from sales_data_pipeline_spark.operators.dedup import release_caches
+
+    try:
+        plan = _plan(QUERIES["q216_theilsen_trend"].fn(spark, sf_dir))
+        # all three walks of the monthly aggregate hit the cache
+        # (formatted output re-prints the cached subtree's parquet scans
+        # under each InMemoryRelation — those are not executed re-scans,
+        # so count IMTS nodes, not scan mentions)
+        assert len(re.findall(r"\n\(\d+\) InMemoryTableScan", plan)) >= 3, plan
+        assert "BroadcastHashJoin" in plan  # med (25 rows) joins broadcast
+    finally:
+        release_caches()
+
+
+def test_q217_within_basket_pairs_never_crossjoin(spark, sf_dir):
+    """Co-purchase pairing is an equi-join on l_orderkey — a cartesian
+    would mean the basket structure was lost."""
+    plan = _plan(QUERIES["q217_copurchase_similarity"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    scan = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    assert scan and "l_extendedprice" not in scan.group(1)  # 2-col scan only
+
+
+def test_q220_vocab_head_is_take_ordered(spark, sf_dir):
+    """The top-1000 must be TakeOrderedAndProject (per-partition
+    top-k); the rank window then runs over ≤1000 survivors."""
+    plan = _plan(QUERIES["q220_zipf_fit"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q222_marginals_broadcast(spark, sf_dir):
+    """The contingency table is ~21 cells; its marginal joins must all
+    be broadcast — any sort-merge here would shuffle per-cell rows."""
+    plan = _plan(QUERIES["q222_flag_status_chi2"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_bloom_gate_bitmap_broadcasts_and_no_python(spark, sf_dir):
+    """q219's probe side must broadcast the bitmap (never shuffle the
+    batch against it) and stay Python-free."""
+    plan = _plan(QUERIES["q219_bloom_dedup_gate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_pca_projection_is_map_side_codegen(spark, sf_dir):
+    """pca_project bakes μ and loadings as literals: scoring must add
+    NO exchange and NO Python eval over the input."""
+    from sales_data_pipeline_spark.operators.similarity import PCAFit, pca_project
+
+    emb = table(spark, sf_dir, "embeddings")
+    d = len(emb.select("embedding").first()[0])
+    fit = PCAFit(2, [0.0] * d, [1.0] * d, [[1.0 if i == j else 0.0 for i in range(d)] for j in range(d)])
+    plan = _plan(pca_project(emb, fit, k=2))
+    assert "Exchange" not in plan
+    for marker in ("BatchEvalPython", "ArrowEvalPython"):
+        assert marker not in plan
+
+
+def test_logistic_moment_pass_is_single_exchange(spark, sf_dir):
+    """One IRLS pass = one global aggregate: partial_ aggregation
+    map-side, a single-row exchange, final agg — no joins, no Python
+    in the moment computation."""
+    li = table(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity") > 25).cast("double").alias("y"),
+        F.col("l_discount").cast("double").alias("x"),
+    )
+    agg = li.agg(
+        F.sum(F.col("x") * F.col("x")).alias("h"),
+        F.sum(F.col("y") - F.lit(0.5)).alias("g"),
+    )
+    plan = _plan(agg)
+    assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1
+    assert "partial_sum" in plan
