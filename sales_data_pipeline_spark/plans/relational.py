@@ -8123,3 +8123,113 @@ def q222_flag_status_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("dof"),
         F.min("nn").cast("bigint").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q223 — Mann-Whitney U test (nonparametric two-sample comparison)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q223_mannwhitney_quantity",
+    oracle="""
+    WITH s AS (
+      SELECT l_quantity AS v, l_returnflag AS g FROM lineitem
+      WHERE l_returnflag IN ('R', 'N')
+    ),
+    ca AS (SELECT v, CAST(count(*) AS DOUBLE) AS c FROM s WHERE g = 'R' GROUP BY v),
+    cb AS (SELECT v, CAST(count(*) AS DOUBLE) AS c FROM s WHERE g = 'N' GROUP BY v),
+    u AS (
+      SELECT sum(CASE WHEN ca.v > cb.v THEN ca.c * cb.c ELSE 0 END)
+             + 0.5 * sum(CASE WHEN ca.v = cb.v THEN ca.c * cb.c ELSE 0 END) AS ustat
+      FROM ca CROSS JOIN cb
+    ),
+    nn AS (
+      SELECT sum(CASE WHEN g = 'R' THEN 1.0 ELSE 0 END) AS n1,
+             sum(CASE WHEN g = 'N' THEN 1.0 ELSE 0 END) AS n2
+      FROM s
+    ),
+    ties AS (
+      SELECT sum(t * t * t - t) AS tsum
+      FROM (SELECT CAST(count(*) AS DOUBLE) AS t FROM s GROUP BY v)
+    )
+    SELECT round(u.ustat, 1) AS u_stat,
+      round((u.ustat - n1 * n2 / 2)
+            / sqrt(n1 * n2 / 12 * ((n1 + n2 + 1) - tsum
+                   / ((n1 + n2) * (n1 + n2 - 1)))), 6) AS z_score,
+      CAST(n1 AS BIGINT) AS n_r, CAST(n2 AS BIGINT) AS n_n
+    FROM u CROSS JOIN nn CROSS JOIN ties
+    """,
+)
+def q223_mannwhitney_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U test comparing the l_quantity distribution of
+    returned vs non-returned lines — the nonparametric two-sample
+    member of the stats toolkit (q222 chi-square for categorical ×
+    categorical, this for ordinal × binary), tie-corrected normal
+    approximation.
+
+    Scale shape: the naive formulation ranks the pooled sample — a
+    global sort. This one exploits DISCRETENESS instead: U = Σ over
+    value pairs of cA·cB[vA>vB] + ½·cA·cB[vA=vB], so the fact table
+    collapses to two per-value count tables (≤|distinct quantities| ≈
+    50 rows each at ANY scale) and the quadratic runs on a ~50×50
+    broadcast cross of counts. The tie-correction Σ(t³−t) is another
+    bounded per-value aggregate. Counts are exact integers in
+    float64; one division/sqrt at the end, rounded to 6."""
+    s = (
+        table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag").isin("R", "N"))
+        .select(F.col("l_quantity").alias("v"), F.col("l_returnflag").alias("g"))
+    )
+    ca = (
+        s.filter(F.col("g") == "R")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    cb = (
+        s.filter(F.col("g") == "N")
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    u = (
+        ca.select(F.col("v").alias("va"), F.col("c").alias("canb"))
+        .crossJoin(
+            F.broadcast(cb.select(F.col("v").alias("vb"), F.col("c").alias("cbnb")))
+        )
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.col("va") > F.col("vb"), F.col("canb") * F.col("cbnb")
+                    ).otherwise(0.0)
+                )
+                + 0.5
+                * F.sum(
+                    F.when(
+                        F.col("va") == F.col("vb"), F.col("canb") * F.col("cbnb")
+                    ).otherwise(0.0)
+                )
+            ).alias("ustat")
+        )
+    )
+    nn = s.agg(
+        F.sum(F.when(F.col("g") == "R", 1.0).otherwise(0.0)).alias("n1"),
+        F.sum(F.when(F.col("g") == "N", 1.0).otherwise(0.0)).alias("n2"),
+    )
+    ties = (
+        s.groupBy("v")
+        .agg(F.count(F.lit(1)).cast("double").alias("t"))
+        .agg(F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tsum"))
+    )
+    j = u.crossJoin(F.broadcast(nn)).crossJoin(F.broadcast(ties))
+    n1, n2 = F.col("n1"), F.col("n2")
+    var = (
+        n1 * n2 / 12
+        * ((n1 + n2 + 1) - F.col("tsum") / ((n1 + n2) * (n1 + n2 - 1)))
+    )
+    return j.select(
+        F.round("ustat", 1).alias("u_stat"),
+        F.round((F.col("ustat") - n1 * n2 / 2) / F.sqrt(var), 6).alias("z_score"),
+        n1.cast("bigint").alias("n_r"),
+        n2.cast("bigint").alias("n_n"),
+    )

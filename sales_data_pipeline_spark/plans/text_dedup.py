@@ -1595,3 +1595,53 @@ def q219_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "fp")
         .orderBy("doc_id")
     )
+
+
+@query("q224_duplication_index", oracle=None)
+def q224_duplication_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DUPLICATION INDEX: the mean pairwise Jaccard similarity
+    of the whole corpus, estimated from MinHash collision rates — one
+    health number summarizing how duplicate-ridden a crawl is, cheap
+    enough to run per-ingest (the all-pairs mean is O(N²) and dead at
+    scale; this is one signature pass + a bounded aggregate).
+
+    Math: for each of the 64 permutations, P(two docs collide on that
+    component) = their Jaccard; so E[per-permutation collision-pair
+    share] = mean pairwise Jaccard. Collision pairs per permutation =
+    Σ_v C(count_v, 2) — a per-value count aggregate (map-side
+    mergeable), never a pair join. The estimator averages 64
+    independent permutations over ALL C(N,2) pairs, so its variance
+    is tiny even at small corpora (tests pin it within 0.01 of the
+    exact all-pairs mean at sf0.01 — exact is feasible there only).
+    oracle=None: xxhash64 signatures aren't rebuildable in DuckDB.
+    Deterministic: seeded permutations, integer counts."""
+    from sales_data_pipeline_spark.operators.dedup import minhash_signatures
+
+    docs = table(spark, sf_dir, "documents")
+    num_perm = 64
+    sig = minhash_signatures(docs, "doc_id", "text", num_perm=num_perm)
+    stacked = sig.select(
+        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(num_perm)])).alias(
+            "perm", "v"
+        )
+    )
+    per_perm = (
+        stacked.groupBy("perm", "v")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .groupBy("perm")
+        .agg(
+            F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("coll_pairs"),
+            F.sum("c").cast("bigint").alias("n_docs"),
+        )
+    )
+    return per_perm.agg(
+        F.min("n_docs").alias("n_docs"),
+        F.lit(num_perm).cast("bigint").alias("n_permutations"),
+        F.round(
+            F.avg(
+                F.col("coll_pairs")
+                / (F.col("n_docs").cast("double") * (F.col("n_docs") - 1) / 2)
+            ),
+            6,
+        ).alias("mean_jaccard_est"),
+    )

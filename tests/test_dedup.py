@@ -903,3 +903,71 @@ def test_bloom_bitmap_is_bounded_and_mergeable(spark, docs):
     )
     diff = merged.exceptAll(whole).count() + whole.exceptAll(merged).count()
     assert diff == 0
+
+
+# ---------------------------------------------------------------------------
+# Duplication index (q224) — MinHash collision estimator of mean Jaccard
+# ---------------------------------------------------------------------------
+
+
+def test_duplication_index_matches_exact_mean_jaccard(spark, docs, sf_dir):
+    """The collision-rate estimator must land within 0.005 of the
+    exact all-pairs mean Jaccard (feasible to compute directly at
+    sf0.01's 500 docs)."""
+    from itertools import combinations
+
+    from sales_data_pipeline_spark.operators.dedup import _shingle_sets
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    sets = {
+        r.doc: set(r.sh)
+        for r in _shingle_sets(docs, "doc_id", "text", 3).collect()
+    }
+    ids = sorted(sets)
+    total, n_pairs = 0.0, 0
+    for a, b in combinations(ids, 2):
+        sa, sb = sets[a], sets[b]
+        if sa or sb:
+            total += len(sa & sb) / len(sa | sb)
+        n_pairs += 1
+    exact = total / n_pairs
+    est = QUERIES["q224_duplication_index"].fn(spark, sf_dir).first()
+    assert est.n_docs == len(ids)
+    assert abs(est.mean_jaccard_est - exact) < 0.005, (est.mean_jaccard_est, exact)
+
+
+def test_duplication_index_exact_on_planted_corpus(spark):
+    """Identical docs collide on every permutation, disjoint docs on
+    none: a 4-doc corpus with one identical pair and otherwise
+    disjoint shingles has mean Jaccard exactly 1/6, and the estimator
+    must hit it exactly (no sampling noise in either direction)."""
+    from sales_data_pipeline_spark.plans import QUERIES
+    from sales_data_pipeline_spark.operators.dedup import minhash_signatures
+    from pyspark.sql import functions as F
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "one two three four five six seven"),
+            (4, "red orange yellow green blue indigo"),
+        ],
+        "doc_id long, text string",
+    )
+    num_perm = 64
+    sig = minhash_signatures(corpus, "doc_id", "text", num_perm=num_perm)
+    stacked = sig.select(
+        F.posexplode(F.array(*[F.col(f"h{i}") for i in range(num_perm)])).alias(
+            "perm", "v"
+        )
+    )
+    est = (
+        stacked.groupBy("perm", "v")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+        .groupBy("perm")
+        .agg(F.sum(F.col("c") * (F.col("c") - 1) / 2).alias("coll"))
+        .agg(F.avg(F.col("coll") / 6.0).alias("j"))
+        .first()
+        .j
+    )
+    assert est == pytest.approx(1.0 / 6.0, abs=1e-12)
