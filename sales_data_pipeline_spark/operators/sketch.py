@@ -126,7 +126,15 @@ def bloom_build(
     in here is reported maybe_seen by bloom_gate — the property
     incremental dedup needs (never re-admit a known duplicate);
     false positives only cost recall of genuinely-new items, bounded
-    as above (tests/test_dedup.py::test_bloom_*)."""
+    as above (tests/test_dedup.py::test_bloom_*).
+
+    Relation to operators/scale.py bloom_semi_filter: that one builds
+    the same bit words but collapses them into a LITERAL array for a
+    single-query join-pruning probe (cheapest per probe, but the
+    filter dies with the plan). This one keeps the bitmap AS A TABLE
+    because the incremental-dedup use case needs it persisted between
+    runs and merged batch-over-batch (write the words to parquet,
+    bit_or with the next batch's) — same math, different lifetime."""
     pos = F.explode(
         F.array(*_bloom_positions(F.col(key_col), m_bits, k_hashes))
     ).alias("h")
@@ -181,3 +189,81 @@ def bloom_gate(
         .groupBy(key_col)
         .agg(F.bool_and("hit").alias("maybe_seen"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog — distinct-count sketch (registers as a table)
+# ---------------------------------------------------------------------------
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    p: int = 12,
+) -> DataFrame:
+    """HyperLogLog registers over ``key_col`` as a table of at most
+    2^p rows ``(idx int, rho int)`` — completing the sketch family
+    (count-min for frequencies, Bloom for membership, HLL for
+    cardinality). xxhash64 splits into a p-bit register index (low
+    bits) and a rank ρ = 1 + leading-zeros of the remaining 64−p bits
+    (capped there when the suffix is 0); per-register MAX folds
+    map-side (mergeable), so the shuffle carries ≤ 2^p tiny rows no
+    matter the input — the same bounded-state shape as bloom_build.
+    Deterministic: one seeded hash, integer ops only. Spark's own
+    approx_count_distinct is the production default (q36); this
+    exists because a table-of-registers is MERGEABLE ACROSS RUNS —
+    union+max yesterday's registers with today's for a rolling
+    distinct without re-scanning history (the same reason the
+    count-min sketch is a table, streaming/heavy_hitters.py)."""
+    if not 4 <= p <= 18:
+        raise ValueError(f"hll_build: p={p} outside [4, 18]")
+    h = F.xxhash64(F.col(key_col).cast("string"), F.lit(25))
+    idx = F.pmod(h, F.lit(1 << p)).cast("int")
+    # suffix: the 64-p bits above the register index, as a non-negative
+    # value in [0, 2^(64-p)); rho = 1 + (64-p) - bit_length(suffix),
+    # i.e. leading zeros within the suffix width, capped at 64-p+1.
+    width = 64 - p
+    suffix = F.shiftrightunsigned(h, p)
+    # bit_length of a BIGINT value (position of highest set bit):
+    # floor(log2(suffix)) + 1 is NOT safe in float for 50+ bit values;
+    # use a 6-step binary ladder in integer ops instead.
+    bl = F.lit(0)
+    rem = suffix
+    for shift in (32, 16, 8, 4, 2, 1):
+        cond = rem >= F.lit(1 << shift).cast("bigint")
+        bl = F.when(cond, bl + shift).otherwise(bl)
+        rem = F.when(cond, F.shiftrightunsigned(rem, shift)).otherwise(rem)
+    bl = bl + F.when(suffix > 0, 1).otherwise(0)  # bit_length, 0 for 0
+    rho = F.when(suffix == 0, F.lit(width + 1)).otherwise(F.lit(width + 1) - bl)
+    return (
+        df.select(idx.alias("idx"), rho.cast("int").alias("rho"))
+        .groupBy("idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
+    """Cardinality estimate from an HLL register table: the classic
+    bias-corrected harmonic mean with the small-range (linear
+    counting) correction. Returns one row ``(estimate double)``.
+    Absent register rows are empty registers (rho = 0). The whole
+    computation is one aggregate over ≤ 2^p rows; relative standard
+    error ≈ 1.04/√2^p (~1.6% at p=12), pinned against exact distinct
+    counts in tests/test_scale.py::test_hll_*."""
+    m = 1 << p
+    if m <= 0:
+        raise ValueError("hll_estimate: bad p")
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    agg = registers.agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        F.count(F.lit(1)).alias("nz"),
+    )
+    # empty registers contribute 2^0 = 1 each to the harmonic sum
+    s = F.col("s") + (F.lit(m) - F.col("nz"))
+    raw = F.lit(alpha * m * m) / s
+    zeros = F.lit(m) - F.col("nz")
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when(
+        (raw <= 2.5 * m) & (zeros > 0), linear
+    ).otherwise(raw)
+    return agg.select(est.alias("estimate"))

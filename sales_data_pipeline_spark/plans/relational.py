@@ -8233,3 +8233,44 @@ def q223_mannwhitney_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n1.cast("bigint").alias("n_r"),
         n2.cast("bigint").alias("n_n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q225 — HyperLogLog distinct customers (mergeable cardinality sketch)
+# ---------------------------------------------------------------------------
+
+
+@query("q225_hll_distinct", oracle=None)
+def q225_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct ordering customers counted three ways: exact
+    count_distinct, Spark's approx_count_distinct, and this engine's
+    own HyperLogLog register table (operators/sketch.py hll_build /
+    hll_estimate) — the from-scratch HLL exists because a REGISTER
+    TABLE is mergeable across runs: union+max yesterday's 2^p rows
+    with today's for a rolling distinct with no history re-scan,
+    the same reason count-min (q98) and Bloom (q219) are tables.
+    Register build is one mergeable groupBy-max of ≤ 2^p tiny rows;
+    ρ is computed with an integer binary ladder (no float log near
+    the 50-bit cliff). oracle=None: xxhash64 registers aren't
+    rebuildable in DuckDB; tests pin the estimate within the
+    published 1.04/√m error envelope of exact, and register
+    mergeability (tests/test_scale.py::test_hll_*). Deterministic:
+    seeded hash, integer registers, fixed bias constants."""
+    from sales_data_pipeline_spark.operators.sketch import hll_build, hll_estimate
+
+    orders = table(spark, sf_dir, "orders")
+    p = 12
+    regs = hll_build(orders, "o_custkey", p=p)
+    est = hll_estimate(regs, p=p).first()["estimate"]
+    exact_df = orders.agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("exact"),
+        F.approx_count_distinct("o_custkey").cast("bigint").alias("spark_approx"),
+    )
+    return exact_df.select(
+        "exact",
+        "spark_approx",
+        F.round(F.lit(est), 2).alias("hll_estimate"),
+        F.round(
+            F.abs(F.lit(est) - F.col("exact")) / F.col("exact"), 4
+        ).alias("hll_rel_err"),
+    )

@@ -1645,3 +1645,80 @@ def q224_duplication_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("mean_jaccard_est"),
     )
+
+
+@query(
+    "q226_ngram_novelty",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    dfreq AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM tri GROUP BY g)
+    SELECT d.doc_id,
+      CAST(count(tri.g) AS BIGINT) AS n_trigrams,
+      round(coalesce(
+        avg(CASE WHEN dfreq.df = 1 THEN 1.0 ELSE 0.0 END), 0), 6) AS novelty
+    FROM documents d
+    LEFT JOIN tri ON tri.doc_id = d.doc_id
+    LEFT JOIN dfreq ON dfreq.g = tri.g
+    GROUP BY d.doc_id
+    """,
+)
+def q226_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out NOVELTY score per document: the share of its
+    distinct word trigrams that appear in NO other document (corpus
+    document-frequency 1). High novelty = fresh content; low = the
+    doc is stitched from corpus-common phrasing — the per-document
+    complement of q224's corpus-level duplication index, and a
+    ranking signal for dedup-aware sampling (novel docs first).
+
+    Unlike the hashed-shingle operators (oracle-blind), trigrams here
+    are PLAIN STRINGS so DuckDB rebuilds them bit-identically.
+    Plan: trigram generation is a map-side transform over the token
+    array (explode_outer + null-filter — the InferFiltersFromGenerate
+    guard from operators/dedup.py), per-doc dedup and the
+    document-frequency table are mergeable groupBys keyed by trigram,
+    and the novelty join is trigram-keyed equi — everything linear in
+    total trigram volume, no pair joins. The integer df counts make
+    novelty = novel/total one exact division, rounded to 6."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tri_arr = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = (
+        docs.select("doc_id", F.explode_outer(tri_arr).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    dfreq = tri.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    scored = tri.join(dfreq, "g").groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_trigrams"),
+        F.round(
+            F.avg((F.col("df") == 1).cast("double")), 6
+        ).alias("novelty"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_trigrams", F.lit(0)).cast("bigint").alias("n_trigrams"),
+            F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
+        )
+    )

@@ -361,3 +361,71 @@ def test_pareto_approx_plan_windowless_until_decile_table(spark, sf_dir):
 
     win_nodes = _re.findall(r"^\(\d+\) Window", plan, flags=_re.M)
     assert len(win_nodes) == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (operators/sketch.py hll_build / hll_estimate)
+# ---------------------------------------------------------------------------
+
+
+def test_hll_estimate_within_error_envelope(spark, sf_dir):
+    """p=12 → RSE ≈ 1.04/√4096 ≈ 1.6%; assert within 5 RSE of exact
+    (a deterministic single draw, not a distribution — generous but
+    still catches any ladder/bias-constant bug by an order of
+    magnitude)."""
+    from sales_data_pipeline_spark.catalog import table
+    from sales_data_pipeline_spark.operators.sketch import hll_build, hll_estimate
+
+    orders = table(spark, sf_dir, "orders")
+    exact = orders.select("o_custkey").distinct().count()
+    est = hll_estimate(hll_build(orders, "o_custkey", p=12), p=12).first().estimate
+    assert abs(est - exact) / exact < 5 * 1.04 / (1 << 12) ** 0.5
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """Union+max of two halves' registers must equal the whole build —
+    the cross-run mergeability the register-table representation
+    exists for."""
+    from sales_data_pipeline_spark.catalog import table
+    from sales_data_pipeline_spark.operators.sketch import hll_build
+
+    orders = table(spark, sf_dir, "orders").select("o_custkey")
+    whole = hll_build(orders, "o_custkey", p=10)
+    h1 = hll_build(orders.filter(F.col("o_custkey") % 2 == 0), "o_custkey", p=10)
+    h2 = hll_build(orders.filter(F.col("o_custkey") % 2 == 1), "o_custkey", p=10)
+    merged = (
+        h1.unionByName(h2).groupBy("idx").agg(F.max("rho").alias("rho"))
+    )
+    assert merged.exceptAll(whole).count() == 0
+    assert whole.exceptAll(merged).count() == 0
+
+
+def test_hll_register_table_bounded(spark, sf_dir):
+    from sales_data_pipeline_spark.catalog import table
+    from sales_data_pipeline_spark.operators.sketch import hll_build
+
+    orders = table(spark, sf_dir, "orders")
+    regs = hll_build(orders, "o_custkey", p=8)
+    assert regs.count() <= 256
+    rows = regs.collect()
+    assert all(1 <= r.rho <= 64 - 8 + 1 for r in rows)
+
+
+def test_hll_small_range_linear_counting(spark):
+    """A 30-key input at p=12 must fall into the linear-counting
+    branch and come out nearly exact."""
+    from sales_data_pipeline_spark.operators.sketch import hll_build, hll_estimate
+
+    df = spark.range(30).selectExpr("concat('k', id) AS k")
+    est = hll_estimate(hll_build(df, "k", p=12), p=12).first().estimate
+    assert abs(est - 30) < 2
+
+
+def test_hll_rejects_bad_p(spark):
+    import pytest as _pytest
+
+    from sales_data_pipeline_spark.operators.sketch import hll_build
+
+    df = spark.range(5).selectExpr("id AS k")
+    with _pytest.raises(ValueError, match="outside"):
+        hll_build(df, "k", p=2)
