@@ -8274,3 +8274,85 @@ def q225_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.lit(est) - F.col("exact")) / F.col("exact"), 4
         ).alias("hll_rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q228 — QQ decile table (two-sample distribution comparison)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q228_brand_price_qq",
+    oracle="""
+    WITH s AS (
+      SELECT p_brand AS b, l_extendedprice AS v,
+             l_orderkey AS k1, l_linenumber AS k2
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_brand IN ('Brand#11', 'Brand#22')
+    ),
+    r AS (
+      SELECT b, v,
+        row_number() OVER (PARTITION BY b ORDER BY v, k1, k2) AS rn,
+        count(*) OVER (PARTITION BY b) AS n
+      FROM s
+    ),
+    q AS (
+      SELECT b, g.k AS decile, v
+      FROM r, unnest(generate_series(1, 9)) AS g(k)
+      WHERE rn = (g.k * (n - 1)) // 10 + 1
+    )
+    SELECT a.decile,
+      CAST(a.v AS DOUBLE) AS brand11_price,
+      CAST(c.v AS DOUBLE) AS brand22_price
+    FROM q a JOIN q c ON a.decile = c.decile
+    WHERE a.b = 'Brand#11' AND c.b = 'Brand#22'
+    """,
+)
+def q228_brand_price_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ table comparing two brands' price distributions at the nine
+    deciles — the visual two-sample complement of q223's Mann-Whitney
+    (equal distributions ⇒ the QQ points sit on the diagonal).
+
+    Engine-exact by construction: decile values are ORDER STATISTICS
+    selected by row_number with a total tie-break (never interpolated
+    percentiles, whose arithmetic differs cross-engine in last bits),
+    and the target ranks use integer-exact ⌊k(n−1)/10⌋+1 (never
+    float k/10·n, which misrounds exactly at multiples — the
+    q153/q158 lesson). The per-brand sort is a partitioned window
+    over the two selected brands; at extreme scale swap in
+    percentile_approx or distributed_prefix_sum (operators/scale.py)
+    — the exact form stays as the oracle anchor, the q140/q145
+    pattern."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#22"))
+        .select(
+            F.col("p_brand").alias("b"),
+            F.col("l_extendedprice").alias("v"),
+            F.col("l_orderkey").alias("k1"),
+            F.col("l_linenumber").alias("k2"),
+        )
+    )
+    w = Window.partitionBy("b").orderBy("v", "k1", "k2")
+    r = s.select(
+        "b",
+        "v",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("b")).alias("n"),
+    )
+    ks = F.explode(F.sequence(F.lit(1), F.lit(9))).alias("decile")
+    q = r.select("b", "v", "rn", "n").select(
+        "b", "v", "rn", "n", ks
+    ).filter(
+        F.col("rn")
+        == F.floor(F.col("decile") * (F.col("n") - 1) / 10) + 1
+    )
+    a = q.filter(F.col("b") == "Brand#11").select(
+        "decile", F.col("v").cast("double").alias("brand11_price")
+    )
+    c = q.filter(F.col("b") == "Brand#22").select(
+        "decile", F.col("v").cast("double").alias("brand22_price")
+    )
+    return a.join(c, "decile")

@@ -1722,3 +1722,82 @@ def q226_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("novelty", F.lit(0.0)).alias("novelty"),
         )
     )
+
+
+@query(
+    "q227_source_similarity",
+    oracle="""
+    WITH c AS (
+      SELECT source, tok, CAST(count(*) AS DOUBLE) AS c
+      FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+            FROM documents)
+      GROUP BY source, tok
+    ),
+    tot AS (SELECT source, sum(c) AS tot FROM c GROUP BY source),
+    smin AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             sum(least(a.c, b.c)) AS smin
+      FROM c a JOIN c b ON a.tok = b.tok AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT ta.source AS source_a, tb.source AS source_b,
+      round(coalesce(smin.smin, 0)
+            / (ta.tot + tb.tot - coalesce(smin.smin, 0)), 6)
+        AS weighted_jaccard
+    FROM tot ta JOIN tot tb ON ta.source < tb.source
+    LEFT JOIN smin
+      ON smin.source_a = ta.source AND smin.source_b = tb.source
+    """,
+)
+def q227_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted-Jaccard similarity between every pair of SOURCES'
+    token-count vectors — the cross-source contamination/overlap
+    matrix a mixture designer reads before setting weights (q76),
+    next to q71's distributional JS divergence.
+
+    The identity that makes it scale: Σ_t max(a_t, b_t) =
+    A + B − Σ_t min(a_t, b_t), so only the INNER token join is ever
+    computed (Σ min vanishes outside the intersection) — tokens
+    unique to one source never join anything, and the per-source
+    totals are one aggregate. The token-keyed equi-join is linear in
+    vocabulary size; the |sources|² pair frame is a bounded broadcast
+    cross. Counts are exact integers in float64; one division,
+    rounded to 6."""
+    docs = table(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    tot = c.groupBy("source").agg(F.sum("c").alias("tot"))
+    a = c.select(F.col("source").alias("source_a"), "tok", F.col("c").alias("ca"))
+    b = c.select(F.col("source").alias("source_b"), "tok", F.col("c").alias("cb"))
+    smin = (
+        a.join(b, "tok")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("smin"))
+    )
+    pairs = (
+        tot.select(F.col("source").alias("source_a"), F.col("tot").alias("ta"))
+        .crossJoin(
+            F.broadcast(
+                tot.select(
+                    F.col("source").alias("source_b"), F.col("tot").alias("tb")
+                )
+            )
+        )
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    return (
+        pairs.join(F.broadcast(smin), ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            F.round(
+                F.coalesce("smin", F.lit(0.0))
+                / (F.col("ta") + F.col("tb") - F.coalesce("smin", F.lit(0.0))),
+                6,
+            ).alias("weighted_jaccard"),
+        )
+    )
