@@ -8356,3 +8356,136 @@ def q228_brand_price_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile", F.col("v").cast("double").alias("brand22_price")
     )
     return a.join(c, "decile")
+
+
+# ---------------------------------------------------------------------------
+# q229 — classical seasonal decomposition of monthly revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q229_seasonal_decomposition",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS mi,
+             month(o_orderdate) AS moy,
+             CAST(sum(o_totalprice) AS DOUBLE) AS rev
+      FROM orders GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT mi, moy, rev,
+        avg(rev) OVER w AS trend,
+        count(*) OVER w AS n_win
+      FROM m
+      WINDOW w AS (ORDER BY mi ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    )
+    SELECT moy AS month_of_year,
+      CAST(count(*) AS BIGINT) AS n_months,
+      round(avg(rev - trend), 2) AS seasonal_index,
+      round(avg(rev), 2) AS mean_revenue
+    FROM t WHERE n_win = 13
+    GROUP BY moy
+    """,
+)
+def q229_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of monthly revenue:
+    trend = centered 13-month moving average (full windows only, so
+    the series' ragged ends never bias the seasonal estimate),
+    seasonal index = mean detrended deviation per month-of-year — the
+    decomposition q141's one-shot seasonal index approximates without
+    detrending first, and the input a forecaster subtracts before
+    fitting q209's Holt.
+
+    Scale shape: the 100 TB fact table collapses at the FIRST
+    aggregate to ≤ |calendar months| rows (~80 at any data size); the
+    ordered full-window moving average then runs over that bounded
+    series — the documented tiny-aggregate exception to the
+    no-global-window rule (q135/q140 discussion), identical on both
+    engines because the 13-term frame sums in frame order. Rounded
+    to 2 (revenue units; the window mean divides by exactly 13)."""
+    m = (
+        table(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("bigint")
+            .alias("mi"),
+            F.month("o_orderdate").alias("moy"),
+        )
+        .agg(F.sum("o_totalprice").cast("double").alias("rev"))
+    )
+    w = Window.orderBy("mi").rowsBetween(-6, 6)
+    t = m.select(
+        "moy",
+        "rev",
+        F.avg("rev").over(w).alias("trend"),
+        F.count(F.lit(1)).over(w).alias("n_win"),
+    ).filter(F.col("n_win") == 13)
+    return t.groupBy(F.col("moy").alias("month_of_year")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_months"),
+        F.round(F.avg(F.col("rev") - F.col("trend")), 2).alias("seasonal_index"),
+        F.round(F.avg("rev"), 2).alias("mean_revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q230 — model gains table (decile lift of the in-database logit)
+# ---------------------------------------------------------------------------
+
+
+@query("q230_logit_gains", oracle=None)
+def q230_logit_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gains/lift table for q221's in-database logistic model: score
+    every row (literal-baked sigmoid, map-side), bucket into score
+    deciles, and report each decile's positive rate and lift over the
+    base rate — the standard campaign-targeting evaluation, computed
+    without the data ever leaving the engine.
+
+    Deciles come from percentile_approx cut-points broadcast back as
+    literals (the q145 scale pattern — never an ntile over a global
+    sort); ties at a cut-point fall to the lower bucket
+    deterministically. oracle=None: inherits q221's IRLS fit.
+    Covering test pins the planted-signal ordering: lift must be
+    monotone-ish with top decile > 1 > bottom decile
+    (tests/test_properties.py::test_logit_gains_*). Rounded to 4."""
+    from sales_data_pipeline_spark.operators.regression import (
+        logistic_fit,
+        logistic_score,
+    )
+
+    u = (
+        F.pmod(F.xxhash64("l_orderkey", "l_linenumber", F.lit(221)), F.lit(10000))
+        .cast("double")
+        + 0.5
+    ) / 10000.0
+    noise = F.log(u / (F.lit(1.0) - u))
+    qs = (F.col("l_quantity").cast("double") - 25.5) / 14.43
+    ds = (F.col("l_discount").cast("double") - 0.05) / 0.0316
+    li = table(spark, sf_dir, "lineitem").select(
+        ((F.lit(1.5) * qs - F.lit(1.0) * ds + noise) > 0)
+        .cast("double")
+        .alias("label"),
+        qs.alias("quantity_std"),
+        ds.alias("discount_std"),
+    )
+    fit = logistic_fit(li, "label", ["quantity_std", "discount_std"])
+    scored = logistic_score(li, fit)
+    cuts = scored.agg(
+        F.percentile_approx(
+            "p_hat", [i / 10.0 for i in range(1, 10)], 100_000
+        ).alias("c")
+    ).first()["c"]
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + (F.col("p_hat") > F.lit(float(c))).cast("int")
+    base = scored.agg(F.avg("label")).first()[0]
+    return (
+        scored.withColumn("decile", bucket.cast("bigint"))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.round(F.avg("label"), 4).alias("positive_rate"),
+            F.round(F.avg("label") / F.lit(float(base)), 4).alias("lift"),
+        )
+        .orderBy("decile")
+    )

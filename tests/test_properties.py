@@ -636,3 +636,25 @@ def test_logistic_q221_recovers_planted_beta(spark, sf_dir):
     assert abs(rows["discount_std"].coefficient + 1.0) < 0.15
     assert abs(rows["intercept"].coefficient) < 0.15
     assert rows["intercept"].train_accuracy > 0.62
+
+
+def test_logit_gains_monotone_and_calibrated(spark, sf_dir):
+    """q230 on the planted logistic signal: deciles ordered by score
+    must order positive rates (allowing ±1 local wiggle from noise —
+    none observed in practice), with top lift > 1 > bottom lift and
+    the lift-weighted average rate equal to the base rate by
+    construction (Σ n·rate = Σ n·base·lift)."""
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    rows = sorted(
+        QUERIES["q230_logit_gains"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    assert len(rows) == 10
+    rates = [r.positive_rate for r in rows]
+    assert rates == sorted(rates)  # strictly monotone on this signal
+    assert rows[0].lift < 0.5 and rows[-1].lift > 1.5
+    n = sum(r.n_rows for r in rows)
+    wavg = sum(r.n_rows * r.positive_rate for r in rows) / n
+    base = sum(r.n_rows * r.positive_rate / r.lift for r in rows) / n
+    assert abs(wavg / base - 1.0) < 0.01
