@@ -8370,20 +8370,23 @@ def q228_brand_price_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
                AS mi,
              month(o_orderdate) AS moy,
-             CAST(sum(o_totalprice) AS DOUBLE) AS rev
+             CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(14,2)) * 100
+                            AS BIGINT)) AS BIGINT) AS rev_c
       FROM orders GROUP BY 1, 2
     ),
     t AS (
-      SELECT mi, moy, rev,
-        avg(rev) OVER w AS trend,
+      SELECT mi, moy, rev_c,
+        sum(rev_c) OVER w AS wsum_c,
         count(*) OVER w AS n_win
       FROM m
       WINDOW w AS (ORDER BY mi ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
     )
     SELECT moy AS month_of_year,
       CAST(count(*) AS BIGINT) AS n_months,
-      round(avg(rev - trend), 2) AS seasonal_index,
-      round(avg(rev), 2) AS mean_revenue
+      (CAST(sum(rev_c) AS DOUBLE) / count(*)
+        - CAST(sum(wsum_c) AS DOUBLE) / (13 * count(*))) / 100
+        AS seasonal_index,
+      CAST(sum(rev_c) AS DOUBLE) / (count(*) * 100) AS mean_revenue
     FROM t WHERE n_win = 13
     GROUP BY moy
     """,
@@ -8401,9 +8404,17 @@ def q229_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate to ≤ |calendar months| rows (~80 at any data size); the
     ordered full-window moving average then runs over that bounded
     series — the documented tiny-aggregate exception to the
-    no-global-window rule (q135/q140 discussion), identical on both
-    engines because the 13-term frame sums in frame order. Rounded
-    to 2 (revenue units; the window mean divides by exactly 13)."""
+    no-global-window rule (q135/q140 discussion).
+
+    Bitwise determinism: everything stays INTEGER CENTS until two
+    final divisions by exact integer denominators. The naive
+    avg-of-double form hit the cross-engine tie-rounding class at
+    sf0.01 (round(…, 2) of a partition-order-noisy double sitting on
+    a .xx5 boundary — Spark rounds the shortest decimal string,
+    DuckDB the binary value); with exact integer sums both engines
+    compute identical doubles, so NO rounding is applied at all —
+    the linearity avg(rev−trend) = avg(rev) − Σwindow/(13·n) is what
+    removes the double-summation."""
     m = (
         table(spark, sf_dir, "orders")
         .groupBy(
@@ -8412,19 +8423,30 @@ def q229_seasonal_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("mi"),
             F.month("o_orderdate").alias("moy"),
         )
-        .agg(F.sum("o_totalprice").cast("double").alias("rev"))
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(14,2)") * 100).cast("bigint")
+            ).alias("rev_c")
+        )
     )
     w = Window.orderBy("mi").rowsBetween(-6, 6)
     t = m.select(
         "moy",
-        "rev",
-        F.avg("rev").over(w).alias("trend"),
+        "rev_c",
+        F.sum("rev_c").over(w).alias("wsum_c"),
         F.count(F.lit(1)).over(w).alias("n_win"),
     ).filter(F.col("n_win") == 13)
+    n = F.count(F.lit(1))
     return t.groupBy(F.col("moy").alias("month_of_year")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_months"),
-        F.round(F.avg(F.col("rev") - F.col("trend")), 2).alias("seasonal_index"),
-        F.round(F.avg("rev"), 2).alias("mean_revenue"),
+        n.cast("bigint").alias("n_months"),
+        (
+            (
+                F.sum("rev_c").cast("double") / n
+                - F.sum("wsum_c").cast("double") / (n * 13)
+            )
+            / 100
+        ).alias("seasonal_index"),
+        (F.sum("rev_c").cast("double") / (n * 100)).alias("mean_revenue"),
     )
 
 
