@@ -1801,3 +1801,62 @@ def q227_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weighted_jaccard"),
         )
     )
+
+
+@query(
+    "q231_effective_dataset_size",
+    oracle="""
+    WITH d AS (
+      SELECT md5(text) AS fp,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    g AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS n_copies,
+             CAST(min(n_tok) AS BIGINT) AS tok1,
+             CAST(sum(n_tok) AS BIGINT) AS tok_all
+      FROM d GROUP BY fp
+    )
+    SELECT CAST(sum(n_copies) AS BIGINT) AS n_docs,
+      CAST(count(*) AS BIGINT) AS n_unique_docs,
+      CAST(sum(tok_all) AS BIGINT) AS total_tokens,
+      CAST(sum(tok1) AS BIGINT) AS unique_tokens,
+      1 - CAST(sum(tok1) AS DOUBLE) / CAST(sum(tok_all) AS DOUBLE)
+        AS dup_token_share
+    FROM g
+    """,
+)
+def q231_effective_dataset_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-adjusted EFFECTIVE dataset size: raw vs unique doc
+    and token counts under exact (fingerprint) dedup, and the share
+    of the token budget that is literal repetition — the headline
+    number a training-data owner quotes ('X B tokens, Y B effective')
+    and the denominator for q210's duplication-aware loss weights.
+
+    Identical copies share one md5 fingerprint; per-fingerprint
+    min/sum token counts collapse in ONE mergeable groupBy (shuffle
+    keyed by fingerprint, partial aggregation map-side), then a
+    single global fold of the ≤|unique| rows. Every output is an
+    exact integer except the final share — one double division of
+    exact integers, so NO rounding is needed and the value is
+    bitwise identical cross-engine (the q229 lesson applied from the
+    start)."""
+    d = table(spark, sf_dir, "documents").select(
+        F.md5("text").alias("fp"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    g = d.groupBy("fp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.min("n_tok").alias("tok1"),
+        F.sum("n_tok").alias("tok_all"),
+    )
+    return g.agg(
+        F.sum("n_copies").cast("bigint").alias("n_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_docs"),
+        F.sum("tok_all").cast("bigint").alias("total_tokens"),
+        F.sum("tok1").cast("bigint").alias("unique_tokens"),
+        (
+            1
+            - F.sum("tok1").cast("double") / F.sum("tok_all").cast("double")
+        ).alias("dup_token_share"),
+    )
