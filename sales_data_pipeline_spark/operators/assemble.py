@@ -13,7 +13,7 @@ dependent).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -170,9 +170,79 @@ def temperature_mixture(
     # a query-killing error, not a null)
     u_raw = F.col("n_units") / F.sum("n_units").over(w)
     t_raw = F.col("p") / F.sum("p").over(w)
+    # Zero-size domains (every doc's size_col is 0) make u_raw 0 and,
+    # if ALL domains are empty, the totals 0: under Spark 4's default
+    # ANSI mode a bare ratio then kills the query with DIVIDE_BY_ZERO
+    # (SQLSTATE 22012) instead of producing a null. try_divide yields
+    # NULL for those rows — an empty domain has no defined shares —
+    # while non-empty domains are untouched.
     return (
-        powed.withColumn("unit_share", F.round(u_raw, 6))
-        .withColumn("temp_share", F.round(t_raw, 6))
-        .withColumn("mix_weight", F.round(t_raw / u_raw, 6))
+        powed.withColumn("unit_share", F.round(F.try_divide(F.col("n_units"), F.sum("n_units").over(w)), 6))
+        .withColumn("temp_share", F.round(F.try_divide(F.col("p"), F.sum("p").over(w)), 6))
+        .withColumn("mix_weight", F.round(F.try_divide(t_raw, u_raw), 6))
+        .select("domain", "n_units", "unit_share", "temp_share", "mix_weight")
+    )
+
+
+def _isqrt(x: Column) -> Column:
+    """Exact integer square root of a non-negative BIGINT column.
+
+    floor(sqrt(double(x))) is within ±1 of the true isqrt for any
+    int64 (sqrt is IEEE-correctly-rounded and the int→double
+    conversion error is < 1 ulp, so the float result differs from
+    √x by far less than 1 for √x < 2^31.5); one up-step and one
+    down-step pin it exactly. Both steps are pure integer compares,
+    so Spark and any ANSI-SQL oracle agree bitwise by construction.
+    """
+    s0 = F.floor(F.sqrt(x.cast("double"))).cast("bigint")
+    s1 = F.when((s0 + 1) * (s0 + 1) <= x, s0 + 1).otherwise(s0)
+    return F.when(s1 * s1 > x, s1 - 1).otherwise(s1)
+
+
+def temperature_mixture_sqrt(
+    df: DataFrame,
+    domain_col: str = "source",
+    size_col: str | None = None,
+    scale: int = 100_000_000,
+) -> DataFrame:
+    """α=0.5 temperature mixture with EXACT cross-engine numerics —
+    the oracle-tier sibling of :func:`temperature_mixture` (which
+    takes any α through libm pow, whose last bits are not pinned
+    across engines).
+
+    For α=1/2, n^α = √n, and √ IS exactly computable in integers:
+    p_i = isqrt(n_i · scale) is a BIGINT (a fixed-point √n with
+    relative quantization error < 1/(√(n·scale))), so every total is
+    an exact BIGINT sum and every share is ONE double division of
+    exact integers — bitwise identical in Spark and DuckDB with no
+    rounding step at all (the q229 integer-exact discipline).
+
+    Output (domain, n_units, unit_share, temp_share, mix_weight),
+    shares as unrounded doubles. Headroom: n_units·scale must fit
+    int64, i.e. n_units ≤ ~9.2e10 at the default scale — beyond that
+    (100 TB domains) drop scale; precision degrades gracefully.
+    Plan: one map-side-combined groupBy to |domains| rows, windows
+    only over that aggregate. Empty domains (n_units = 0) get NULL
+    shares via try_divide, same contract as the pow variant."""
+    from pyspark.sql import Window as W
+
+    unit = F.col(size_col) if size_col else F.lit(1)
+    agg = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(unit).cast("bigint").alias("n_units")
+    )
+    w = W.partitionBy()
+    p = _isqrt(F.col("n_units") * F.lit(scale).cast("bigint"))
+    powed = agg.withColumn("p", p)
+    u = F.try_divide(
+        F.col("n_units").cast("double"),
+        F.sum("n_units").over(w).cast("double"),
+    )
+    t = F.try_divide(
+        F.col("p").cast("double"), F.sum("p").over(w).cast("double")
+    )
+    return (
+        powed.withColumn("unit_share", u)
+        .withColumn("temp_share", t)
+        .withColumn("mix_weight", F.try_divide(t, u))
         .select("domain", "n_units", "unit_share", "temp_share", "mix_weight")
     )

@@ -255,7 +255,12 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
         raise ValueError("hll_estimate: bad p")
     alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
     agg = registers.agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("rho"))).alias("s"),
+        # coalesce: sum over ZERO rows is NULL, which would poison the
+        # harmonic sum and both CASE branches — an empty sketch must
+        # estimate 0 (via linear counting with m empty registers)
+        F.coalesce(
+            F.sum(F.pow(F.lit(2.0), -F.col("rho"))), F.lit(0.0)
+        ).alias("s"),
         F.count(F.lit(1)).alias("nz"),
     )
     # empty registers contribute 2^0 = 1 each to the harmonic sum

@@ -1092,28 +1092,67 @@ def q172_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q204_temperature_mixture", oracle=None)
+@query(
+    "q204_temperature_mixture",
+    oracle="""
+    WITH agg AS (
+      SELECT source AS domain,
+             CAST(SUM(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+               AS n_units
+      FROM documents GROUP BY source
+    ),
+    sq AS (
+      SELECT domain, n_units,
+             CAST(floor(sqrt(CAST(n_units * 100000000 AS DOUBLE))) AS BIGINT)
+               AS s0,
+             n_units * 100000000 AS x
+      FROM agg
+    ),
+    up AS (
+      SELECT domain, n_units, x,
+             CASE WHEN (s0 + 1) * (s0 + 1) <= x THEN s0 + 1 ELSE s0 END AS s1
+      FROM sq
+    ),
+    pq AS (
+      SELECT domain, n_units,
+             CASE WHEN s1 * s1 > x THEN s1 - 1 ELSE s1 END AS p
+      FROM up
+    ),
+    sh AS (
+      SELECT domain, n_units,
+        CAST(n_units AS DOUBLE) / CAST(SUM(n_units) OVER () AS DOUBLE)
+          AS unit_share,
+        CAST(p AS DOUBLE) / CAST(SUM(p) OVER () AS DOUBLE) AS temp_share
+      FROM pq
+    )
+    SELECT domain, n_units, unit_share, temp_share,
+           temp_share / unit_share AS mix_weight
+    FROM sh ORDER BY domain
+    """,
+)
 def q204_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-smoothed (α=0.5) domain sampling table over the
     documents corpus, token-weighted — the mBERT/XLM-R α-sampling rule
     that up-weights small sources without letting any source dominate;
     q76 is the same table with dictated target shares, this derives
-    them from corpus statistics. oracle=None: n^α and the share
-    normalization are libm-double steps whose last bits are not
-    cross-engine-pinned (pow is not IEEE-correctly-rounded, and a
-    double sum's order is engine-internal) — the covering test
-    computes the exact same floats from the collected counts in
-    python and checks α-limit properties (α→1 natural shares, α→0
-    uniform) (tests/test_properties.py). All inexactness confined to
-    the |domains|-row aggregate."""
+    them from corpus statistics. Exact cross-engine numerics: for
+    α=1/2, n^α = √n, computed as an exact integer square root of
+    fixed-point n·1e8 (operators/assemble.temperature_mixture_sqrt —
+    the isqrt is a floor(sqrt) with a ±1 integer correction, so both
+    engines land the identical BIGINT); totals are exact BIGINT sums
+    and every share is one double division of exact integers, so the
+    outputs compare bitwise with no rounding step (the q229
+    integer-exact discipline). The arbitrary-α libm-pow variant stays
+    available as operators/assemble.temperature_mixture with its
+    python-ref property tests."""
     from sales_data_pipeline_spark.operators.assemble import (
-        temperature_mixture,
+        temperature_mixture_sqrt,
     )
     from sales_data_pipeline_spark.operators.text import token_count
 
     docs = table(spark, sf_dir, "documents").withColumn(
         "n_tokens", token_count("text")
     )
-    return temperature_mixture(
-        docs, domain_col="source", size_col="n_tokens", alpha=0.5
+    return temperature_mixture_sqrt(
+        docs, domain_col="source", size_col="n_tokens"
     ).orderBy("domain")

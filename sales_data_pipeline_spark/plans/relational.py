@@ -8346,8 +8346,12 @@ def q228_brand_price_qq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = r.select("b", "v", "rn", "n").select(
         "b", "v", "rn", "n", ks
     ).filter(
+        # integer `div`, not floor(double /): bigint/int division in
+        # Spark is a DOUBLE, exact only while decile*(n-1) stays within
+        # double's correctly-rounded range (~2^49) — `div` matches the
+        # oracle's integer // at any scale
         F.col("rn")
-        == F.floor(F.col("decile") * (F.col("n") - 1) / 10) + 1
+        == F.expr("(decile * (n - 1)) div 10") + 1
     )
     a = q.filter(F.col("b") == "Brand#11").select(
         "decile", F.col("v").cast("double").alias("brand11_price")

@@ -394,6 +394,24 @@ def q194_embedding_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ppm_text_payload(text_col: str = "text") -> "F.Column":
+    """16×16 P6/PPM payload synthesized from a document's text: the
+    pixel raster is the text's first 768 utf-8 bytes, cycled. Empty
+    text falls back to a single space — rpad with an empty pad string
+    returns "" (a valid header with a 0-byte raster), which would
+    crash the decoder's frombuffer(count=768) for the whole stage
+    instead of skipping the row. Exposed as a helper so the
+    empty-text edge is covered directly (tests/test_multimodal_phash)."""
+    txt = F.coalesce(F.nullif(F.col(text_col), F.lit("")), F.lit(" "))
+    return F.concat(
+        F.lit(b"P6\n16 16\n255\n"),
+        F.encode(
+            F.rpad(F.substring(txt, 1, 768), 768, F.substring(txt, 1, 64)),
+            "UTF-8",
+        ),
+    )
+
+
 @query("q200_image_neardup_ahash", oracle=None)
 def q200_image_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup detection by perceptual hash: synthesize a REAL
@@ -416,15 +434,9 @@ def q200_image_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
-    payload = F.concat(
-        F.lit(b"P6\n16 16\n255\n"),
-        F.encode(
-            F.rpad(F.substring("text", 1, 768), 768, F.substring("text", 1, 64)),
-            "UTF-8",
-        ),
-    )
     imgs = docs.select(
-        F.col("doc_id").alias("media_id"), payload.alias("payload")
+        F.col("doc_id").alias("media_id"),
+        ppm_text_payload("text").alias("payload"),
     )
     hashes = image_ahash(imgs)
     return ahash_near_pairs(hashes, max_hamming=6).orderBy(

@@ -96,6 +96,23 @@ def read_fixed_width(
         cast_failed = cast_failed | (
             (raw_piece != "") & F.col(f_.name).isNull()
         )
+        if f_.dtype.lower().startswith("decimal"):
+            # try_cast into a narrow decimal silently ROUNDS an
+            # over-precise value (e.g. "1.239" → decimal(10,2) 1.24)
+            # instead of failing — the contract wants precision
+            # violations QUARANTINED, not smuggled in rounded. Detect
+            # by comparing against a max-precision recast of the raw
+            # slice: any value the target scale can't hold exactly
+            # compares unequal (decimal compares are numeric, so
+            # trailing-zero formatting doesn't false-positive).
+            wide = F.when(raw_piece == "", None).otherwise(
+                raw_piece
+            ).try_cast("decimal(38,18)")
+            cast_failed = cast_failed | (
+                F.col(f_.name).isNotNull()
+                & wide.isNotNull()
+                & (F.col(f_.name) != wide)
+            )
     is_corrupt = (F.col("__len") < min_len) | cast_failed
     return parsed.select(
         *[f_.name for f_ in layout],

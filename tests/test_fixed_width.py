@@ -68,3 +68,19 @@ def test_fixed_width_blank_field_is_null_not_corrupt(spark, tmp_path):
     assert bad.count() == 0
     row = clean.collect()[0]
     assert row.amount is None and row.order_id == 42
+
+
+def test_fixed_width_overprecise_decimal_quarantined(spark, tmp_path):
+    # try_cast into decimal(10,2) silently ROUNDS "123.456" to 123.46;
+    # the contract routes precision violations to the corrupt column
+    # instead (exact-width amounts only). A value the scale CAN hold
+    # ("123.4", "123.40") stays clean.
+    path = _write(tmp_path, [
+        _line("000042", "ALICE", "123.456", "1996-03-07"),  # over-precise
+        _line("000043", "BOB", "123.4", "1996-03-07"),      # fits scale 2
+        _line("000044", "CAROL", "123.40", "1996-03-07"),   # trailing zero
+    ])
+    clean, bad = split_corrupt(read_fixed_width(spark, path, LAYOUT))
+    assert {r.order_id for r in clean.collect()} == {43, 44}
+    raw = {r.raw_line for r in bad.collect()}
+    assert len(raw) == 1 and any("123.456" in r for r in raw)

@@ -95,3 +95,30 @@ def test_ahash_blocking_equals_bruteforce(spark):
     }
     assert got == want
     assert any(p[0] == 0 for p in got)  # the planted dups were found
+
+
+def test_ppm_text_payload_empty_text_still_decodes(spark):
+    """q200's payload synthesis: empty text used to produce a 16x16
+    header with a ZERO-byte raster (rpad with an empty pad string
+    returns ""), crashing the decoder's frombuffer(count=768) for the
+    whole stage. The single-space fallback must keep every payload at
+    the full 768-byte raster and hash cleanly."""
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.plans.similarity_multimodal import (
+        ppm_text_payload,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "hello world"), (3, None)],
+        "doc_id long, text string",
+    )
+    imgs = df.select(
+        F.col("doc_id").alias("media_id"),
+        ppm_text_payload("text").alias("payload"),
+    )
+    sizes = {r.media_id: len(r.payload) for r in imgs.collect()}
+    header = len(b"P6\n16 16\n255\n")
+    assert all(v == header + 768 for v in sizes.values()), sizes
+    hashes = image_ahash(imgs)
+    assert hashes.count() == 3

@@ -658,3 +658,63 @@ def test_logit_gains_monotone_and_calibrated(spark, sf_dir):
     wavg = sum(r.n_rows * r.positive_rate for r in rows) / n
     base = sum(r.n_rows * r.positive_rate / r.lift for r in rows) / n
     assert abs(wavg / base - 1.0) < 0.01
+
+
+def test_temperature_mixture_zero_size_domain_yields_null_not_error(spark):
+    """A domain whose docs all carry size 0 used to raise
+    DIVIDE_BY_ZERO under ANSI mode (mix_weight = t/u with u = 0);
+    the contract is NULL shares for empty domains, untouched values
+    for the rest."""
+    from sales_data_pipeline_spark.operators.assemble import (
+        temperature_mixture,
+        temperature_mixture_sqrt,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 30), ("b", 0), ("b", 0)],
+        "source string, sz int",
+    )
+    for fn in (
+        lambda d: temperature_mixture(d, size_col="sz", alpha=0.5),
+        lambda d: temperature_mixture_sqrt(d, size_col="sz"),
+    ):
+        got = {r.domain: r for r in fn(df).collect()}
+        assert got["b"].n_units == 0
+        assert got["b"].mix_weight is None
+        assert got["a"].mix_weight is not None and got["a"].mix_weight > 0
+    # all-empty corpus: totals are 0 → every share NULL, still no error
+    all0 = spark.createDataFrame([("a", 0)], "source string, sz int")
+    r = temperature_mixture_sqrt(all0, size_col="sz").collect()[0]
+    assert r.unit_share is None and r.temp_share is None
+
+
+def test_temperature_mixture_sqrt_matches_python_isqrt(spark):
+    """The exact α=0.5 variant: shares must equal the python
+    fixed-point isqrt computation BITWISE (that is its whole
+    contract — one double division of exact integers)."""
+    import math
+
+    from sales_data_pipeline_spark.operators.assemble import (
+        temperature_mixture_sqrt,
+    )
+
+    counts = {"a": 80, "b": 15, "c": 5, "d": 1_000_003}
+    rows = [(d, n) for d, n in counts.items()]
+    df = spark.createDataFrame(rows, "source string, sz long")
+    got = {
+        r.domain: (r.n_units, r.unit_share, r.temp_share, r.mix_weight)
+        for r in temperature_mixture_sqrt(df, size_col="sz").collect()
+    }
+    scale = 100_000_000
+    p = {d: math.isqrt(n * scale) for d, n in counts.items()}
+    tot_n, tot_p = sum(counts.values()), sum(p.values())
+    for d, n in counts.items():
+        u = n / tot_n
+        t = p[d] / tot_p
+        assert got[d][0] == n
+        assert got[d][1] == u, d          # bitwise
+        assert got[d][2] == t, d          # bitwise
+        assert got[d][3] == t / u, d      # bitwise
+    # same α-monotonicity contract as the pow variant: the dominant
+    # domain is down-weighted, the smallest up-weighted
+    assert got["d"][3] < 1.0 < got["c"][3]

@@ -429,3 +429,20 @@ def test_hll_rejects_bad_p(spark):
     df = spark.range(5).selectExpr("id AS k")
     with _pytest.raises(ValueError, match="outside"):
         hll_build(df, "k", p=2)
+
+
+def test_hll_estimate_empty_register_table_is_zero(spark):
+    """Zero-row register table (nothing was ever added): the aggregate
+    sums must coalesce to 0 — a NULL sum would poison the harmonic
+    mean and both CASE branches — and linear counting with all m
+    registers empty estimates exactly 0."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    from sales_data_pipeline_spark.operators.sketch import hll_estimate
+
+    empty = spark.createDataFrame(
+        [], StructType([StructField("idx", IntegerType()),
+                        StructField("rho", IntegerType())])
+    )
+    est = hll_estimate(empty, p=12).first().estimate
+    assert est == 0.0
