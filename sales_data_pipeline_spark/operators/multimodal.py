@@ -137,10 +137,51 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
         return df.select("media_id", "payload").mapInPandas(
             _decode_ppm, PPM_DECODED_SCHEMA
         )
+    if codec == "image":
+        # auto-detect by magic bytes: PPM (this module), PNG, baseline
+        # JPEG (operators/imagecodec — REAL pure-python codecs, built
+        # because the runtime image ships no image libraries). Same
+        # output schema as 'ppm'; formats outside the three codecs
+        # raise NotImplementedError inside the task — loud by design.
+        def _decode_img(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import hashlib
+
+            from sales_data_pipeline_spark.operators.imagecodec import (
+                decode_image_rgb,
+            )
+
+            for pdf in batches:
+                rows = {k: [] for k in (
+                    "media_id", "width", "height", "maxval", "n_pixels",
+                    "mean_r", "mean_g", "mean_b", "checksum",
+                )}
+                for mid, b in zip(pdf["media_id"], pdf["payload"]):
+                    raw = bytes(b)
+                    w, h, px = decode_image_rgb(raw)
+                    flat = px.reshape(-1, 3).astype("float64")
+                    rows["media_id"].append(mid)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["maxval"].append(255)
+                    rows["n_pixels"].append(w * h)
+                    rows["mean_r"].append(flat[:, 0].mean())
+                    rows["mean_g"].append(flat[:, 1].mean())
+                    rows["mean_b"].append(flat[:, 2].mean())
+                    rows["checksum"].append(hashlib.md5(raw).hexdigest())
+                pdf_out = pd.DataFrame(rows)
+                for c, t in (("width", "int32"), ("height", "int32"),
+                             ("maxval", "int32"), ("n_pixels", "int64")):
+                    pdf_out[c] = pdf_out[c].astype(t)
+                yield pdf_out
+
+        return df.select("media_id", "payload").mapInPandas(
+            _decode_img, PPM_DECODED_SCHEMA
+        )
     if codec != "fake":
         raise NotImplementedError(
-            f"codec {codec!r}: no media libraries in this runtime; "
-            "plug a real decoder into _decode_batch"
+            f"codec {codec!r}: in-sandbox codecs are 'ppm', 'image' "
+            "(auto-detect PPM/PNG/baseline-JPEG via operators/imagecodec) "
+            "and 'fake'; other formats need a real media library"
         )
 
     def _decode_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -382,6 +423,60 @@ def synth_wav_payloads(
     return df.select(id_col).mapInPandas(_gen, "media_id long, payload binary")
 
 
+def synth_image_payloads(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    formats: tuple[str, ...] = ("ppm",),
+    size: int = 16,
+) -> DataFrame:
+    """Deterministic synthetic images attached per row, one payload per
+    requested format: pixel byte k of row id is (id·31 + k·7) mod 256
+    — arithmetic simple enough that a SQL oracle can recompute the
+    DECODED raster independently (the q91 WAV pattern), which is what
+    upgrades the PNG codec from round-trip-tested to oracle-checked
+    (PNG is lossless, so decode(encode(raster)) == raster exactly).
+    media_id = id·len(formats) + format_index so each encoding of the
+    same picture is its own row. formats ⊆ {'ppm','png','jpeg'}
+    (operators/imagecodec). Arrow-batched mapInPandas, same plumbing
+    real payload ingestion uses."""
+    bad = set(formats) - {"ppm", "png", "jpeg"}
+    if bad or not formats:
+        raise ValueError(f"unsupported formats {sorted(bad)}")
+
+    def _gen(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import numpy as np
+
+        from sales_data_pipeline_spark.operators.imagecodec import (
+            encode_jpeg_baseline,
+            encode_png,
+        )
+
+        n = len(formats)
+        k = np.arange(size * size * 3, dtype=np.int64)
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf[id_col]:
+                mid = int(mid)
+                rgb = ((mid * 31 + k * 7) % 256).astype(np.uint8).tobytes()
+                for j, fmt in enumerate(formats):
+                    if fmt == "ppm":
+                        p = encode_ppm(size, size, rgb)
+                    elif fmt == "png":
+                        p = encode_png(size, size, rgb)
+                    else:
+                        p = encode_jpeg_baseline(
+                            np.frombuffer(rgb, dtype=np.uint8).reshape(
+                                size, size, 3
+                            ),
+                            quality=95,
+                        )
+                    ids.append(mid * n + j)
+                    payloads.append(p)
+            yield pd.DataFrame({"media_id": ids, "payload": payloads})
+
+    return df.select(id_col).mapInPandas(_gen, "media_id long, payload binary")
+
+
 SPECTRAL_SCHEMA = (
     "media_id long, n_samples long, dominant_hz double, "
     "spectral_centroid_hz double, rolloff85_hz double, total_power double"
@@ -462,27 +557,33 @@ def image_ahash(df: DataFrame, grid: int = 8) -> DataFrame:
     exactly the duplicate class byte-level dedup (q21/q90) cannot see
     — the image-side analogue of MinHash-for-text.
 
-    Input rows: (media_id long, payload binary) with REAL P6/PPM
-    payloads (the repo's honest in-sandbox codec). Arrow-batched
-    mapInPandas, numpy end to end; all arithmetic INTEGER (luma =
-    (299R+587G+114B)//1000, block means via exact integer division,
-    threshold strictly-greater-than the integer mean of cell means) —
-    bit-for-bit reproducible anywhere, property the covering
-    pure-python reference test pins. Map-only: no shuffle; at 100 TB
-    the cost is the payload scan itself and column pruning keeps the
-    64-bit signatures as the only thing that travels onward."""
+    Input rows: (media_id long, payload binary) in ANY in-sandbox
+    image format — P6/PPM, PNG, or baseline JPEG, dispatched by magic
+    bytes (operators/imagecodec.decode_image_rgb), so re-encodes of
+    the same picture across FORMATS hash identically (PNG is lossless:
+    bit-equal to the PPM original; JPEG lands within a few hash bits).
+    Arrow-batched mapInPandas, numpy end to end; all post-decode
+    arithmetic INTEGER (luma = (299R+587G+114B)//1000, block means via
+    exact integer division, threshold strictly-greater-than the
+    integer mean of cell means) — bit-for-bit reproducible anywhere,
+    property the covering pure-python reference test pins. Map-only:
+    no shuffle; at 100 TB the cost is the payload scan itself and
+    column pruning keeps the 64-bit signatures as the only thing that
+    travels onward."""
 
     def _hash(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
         import numpy as np
+
+        from sales_data_pipeline_spark.operators.imagecodec import (
+            decode_image_rgb,
+        )
 
         for pdf in batches:
             ids, hashes, hexes = [], [], []
             for mid, b in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(b)
-                w, h, maxval, off = _ppm_header(raw)
-                px = np.frombuffer(
-                    raw, dtype=np.uint8, count=w * h * 3, offset=off
-                ).astype(np.int64).reshape(h, w, 3)
+                w, h, px = decode_image_rgb(raw)
+                px = px.astype(np.int64)
                 luma = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
                 # integer block means over a grid×grid partition of the
                 # image (blocks cover the whole image, ragged at edges)

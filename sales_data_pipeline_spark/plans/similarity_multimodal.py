@@ -444,6 +444,92 @@ def q200_image_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q232_png_decode",
+    oracle="""
+    WITH k AS (
+      SELECT doc_id, unnest(range(768)) AS k FROM documents
+    ),
+    px AS (
+      SELECT doc_id, k, (doc_id * 31 + k * 7) % 256 AS v FROM k
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(256 AS BIGINT) AS n_pixels,
+           CAST(SUM(CASE WHEN k % 3 = 0 THEN v END) AS DOUBLE) / 256.0 AS mean_r,
+           CAST(SUM(CASE WHEN k % 3 = 1 THEN v END) AS DOUBLE) / 256.0 AS mean_g,
+           CAST(SUM(CASE WHEN k % 3 = 2 THEN v END) AS DOUBLE) / 256.0 AS mean_b
+    FROM px GROUP BY doc_id
+    """,
+)
+def q232_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image decode, oracle-checked end to end: a
+    deterministic 16×16 RGB raster is synthesized per doc (pixel byte
+    k = (doc_id·31 + k·7) mod 256), zlib-compressed into a real PNG
+    (operators/imagecodec.encode_png), then decoded back through the
+    magic-byte dispatcher (decode_media codec='image' →
+    imagecodec.decode_png: chunk walk, CRC verify, inflate, unfilter).
+    PNG is lossless, so the oracle recomputes the per-channel means
+    straight from the generating arithmetic — a bug anywhere in the
+    codec (chunk framing, CRC, filter reconstruction, channel
+    interleave) breaks the hash. Exactness: each channel mean is an
+    exact ≤2¹⁶ integer sum divided by 256 (a power of two), so both
+    engines produce the identical double with no rounding step. Both
+    stages are Arrow-batched mapInPandas over pruned (id, payload)
+    columns; at 100 TB the synth stage is replaced by the real payload
+    scan, same plumbing (jpeg/png decode is CPU-bound map-only work —
+    it scales with executors, no shuffle)."""
+    from sales_data_pipeline_spark.operators.multimodal import (
+        synth_image_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pngs = synth_image_payloads(docs, formats=("png",))
+    return decode_media(pngs, codec="image").select(
+        "media_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b"
+    )
+
+
+@query(
+    "q233_cross_format_image_neardup",
+    oracle="""
+    SELECT doc_id, CAST(0 AS INTEGER) AS hamming FROM documents
+    """,
+)
+def q233_cross_format_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-FORMAT image dedup: every doc's raster is encoded twice —
+    raw P6/PPM (media_id = 2·doc) and compressed PNG (2·doc + 1) — and
+    the perceptual-hash pipeline (image_ahash over the magic-byte
+    dispatcher + pigeonhole-blocked ahash_near_pairs) must find each
+    PPM↔PNG re-encode as a 0-distance pair even though the payload
+    BYTES share nothing (zlib stream vs raw raster): byte-level dedup
+    (q21/q90) is structurally blind to this duplicate class. PNG being
+    lossless makes the claim exact — identical decoded raster ⟹
+    identical 64-bit ahash ⟹ hamming 0 — so the oracle is simply one
+    row per doc. Cross-doc collisions (different pictures that happen
+    to share a hash) are filtered by the same-doc pairing convention;
+    the JPEG (lossy) variant of this check lives in
+    tests/test_multimodal_phash.py with a small hamming bound instead
+    of an exact oracle. Plan: map-only decode+hash, one equi-join on
+    the 64-bit signature — no all-pairs compare."""
+    from sales_data_pipeline_spark.operators.multimodal import (
+        ahash_near_pairs,
+        image_ahash,
+        synth_image_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    imgs = synth_image_payloads(docs, formats=("ppm", "png"))
+    pairs = ahash_near_pairs(image_ahash(imgs), max_hamming=0)
+    return pairs.filter(
+        (F.col("media_a") % 2 == 0) & (F.col("media_b") == F.col("media_a") + 1)
+    ).select(
+        (F.col("media_a") / 2).cast("bigint").alias("doc_id"),
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
+
 @query("q218_embedding_pca", oracle=None)
 def q218_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA over the embeddings table, reported as per-label
