@@ -168,17 +168,20 @@ def temperature_mixture(
     # for any domain whose share rounds to 0 at 6 decimals (exactly the
     # tiny domains α-sampling exists to up-weight; ANSI mode makes that
     # a query-killing error, not a null)
-    u_raw = F.col("n_units") / F.sum("n_units").over(w)
-    t_raw = F.col("p") / F.sum("p").over(w)
     # Zero-size domains (every doc's size_col is 0) make u_raw 0 and,
-    # if ALL domains are empty, the totals 0: under Spark 4's default
-    # ANSI mode a bare ratio then kills the query with DIVIDE_BY_ZERO
-    # (SQLSTATE 22012) instead of producing a null. try_divide yields
-    # NULL for those rows — an empty domain has no defined shares —
-    # while non-empty domains are untouched.
+    # if ALL domains are empty, the TOTALS are 0 too: under Spark 4's
+    # default ANSI mode a bare ratio then kills the query with
+    # DIVIDE_BY_ZERO (SQLSTATE 22012) instead of producing a null. The
+    # raw shares themselves must therefore be try_divide — a try_divide
+    # wrapped around a bare child division still evaluates (and raises
+    # in) the child first. NULL shares mean an empty domain has no
+    # defined shares; non-empty domains are untouched, and mix_weight
+    # reuses the same raw columns (NULL-propagating through try_divide).
+    u_raw = F.try_divide(F.col("n_units"), F.sum("n_units").over(w))
+    t_raw = F.try_divide(F.col("p"), F.sum("p").over(w))
     return (
-        powed.withColumn("unit_share", F.round(F.try_divide(F.col("n_units"), F.sum("n_units").over(w)), 6))
-        .withColumn("temp_share", F.round(F.try_divide(F.col("p"), F.sum("p").over(w)), 6))
+        powed.withColumn("unit_share", F.round(u_raw, 6))
+        .withColumn("temp_share", F.round(t_raw, 6))
         .withColumn("mix_weight", F.round(F.try_divide(t_raw, u_raw), 6))
         .select("domain", "n_units", "unit_share", "temp_share", "mix_weight")
     )
@@ -195,6 +198,17 @@ def _isqrt(x: Column) -> Column:
     so Spark and any ANSI-SQL oracle agree bitwise by construction.
     """
     s0 = F.floor(F.sqrt(x.cast("double"))).cast("bigint")
+    # isqrt of any int64 is <= 3037000499; clamping s0 to ONE BELOW
+    # that keeps every square in the correction inside int64 —
+    # (s0+1)^2 <= 3037000499^2 = 9223372030926249001 < 2^63-1. (ANSI
+    # would otherwise raise ARITHMETIC_OVERFLOW for x in
+    # [3037000499^2, 2^63-1], a band just inside the documented
+    # n_units*scale headroom; clamping at 3037000499 itself is NOT
+    # enough because subexpression elimination hoists (s0+1)^2 out of
+    # the CASE and evaluates it unconditionally.) Results are
+    # unchanged: float floor(sqrt) is within ±1 of truth, so a clamped
+    # s0 = 3037000498 is still within one up-step of the true root.
+    s0 = F.least(s0, F.lit(3037000498).cast("bigint"))
     s1 = F.when((s0 + 1) * (s0 + 1) <= x, s0 + 1).otherwise(s0)
     return F.when(s1 * s1 > x, s1 - 1).otherwise(s1)
 

@@ -747,6 +747,14 @@ def decode_image_rgb(raw: bytes) -> tuple[int, int, np.ndarray]:
         from sales_data_pipeline_spark.operators.multimodal import _ppm_header
 
         w, h, maxval, off = _ppm_header(raw)
+        if maxval != 255:
+            # _ppm_header accepts maxval up to 65535 (2-byte samples),
+            # but this branch reads w*h*3 single bytes — a 16-bit PPM
+            # would silently decode to a garbage raster. Loud, like the
+            # PNG/JPEG paths.
+            raise NotImplementedError(
+                f"PPM maxval={maxval}: only 8-bit (maxval=255) P6 supported"
+            )
         px = np.frombuffer(raw, dtype=np.uint8, count=w * h * 3, offset=off)
         return w, h, px.reshape(h, w, 3).copy()
     raise NotImplementedError(

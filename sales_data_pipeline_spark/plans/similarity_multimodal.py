@@ -525,7 +525,10 @@ def q233_cross_format_image_neardup(spark: SparkSession, sf_dir: str) -> DataFra
     return pairs.filter(
         (F.col("media_a") % 2 == 0) & (F.col("media_b") == F.col("media_a") + 1)
     ).select(
-        (F.col("media_a") / 2).cast("bigint").alias("doc_id"),
+        # integer division: bigint/int would be a DOUBLE (exact only
+        # below 2^53) — `div` stays integer-exact at any scale (the
+        # q228 discipline)
+        F.expr("media_a div 2").alias("doc_id"),
         F.col("hamming").cast("int").alias("hamming"),
     )
 

@@ -23,6 +23,7 @@ whole-stage codegen, filter/limit pushdown as for any text scan.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -105,6 +106,21 @@ def read_fixed_width(
             # slice: any value the target scale can't hold exactly
             # compares unequal (decimal compares are numeric, so
             # trailing-zero formatting doesn't false-positive).
+            # Only sound while the declared scale fits inside the wide
+            # type's 18: above that the decimal(38,18) recast itself
+            # rounds, and exactly-stored values would be falsely
+            # quarantined — such a layout is a contract error, not a
+            # data error, so fail loudly at plan time.
+            m = re.match(
+                r"decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", f_.dtype.lower()
+            )
+            if m and int(m.group(2)) > 18:
+                raise ValueError(
+                    f"fixed-width field {f_.name!r}: declared scale "
+                    f"{m.group(2)} exceeds the over-precision "
+                    "detector's decimal(38,18) reference scale; use "
+                    "scale <= 18 or widen the detector"
+                )
             wide = F.when(raw_piece == "", None).otherwise(
                 raw_piece
             ).try_cast("decimal(38,18)")

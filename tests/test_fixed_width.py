@@ -84,3 +84,18 @@ def test_fixed_width_overprecise_decimal_quarantined(spark, tmp_path):
     assert {r.order_id for r in clean.collect()} == {43, 44}
     raw = {r.raw_line for r in bad.collect()}
     assert len(raw) == 1 and any("123.456" in r for r in raw)
+
+
+def test_fixed_width_scale_beyond_detector_raises_at_plan_time(spark, tmp_path):
+    """A declared scale > 18 would make the decimal(38,18) over-precision
+    reference recast itself round, falsely quarantining exactly-stored
+    values — such a layout is rejected loudly before any data is read."""
+    import pytest
+
+    layout = [
+        FixedWidthField("order_id", 1, 6, "int"),
+        FixedWidthField("tiny", 7, 24, "decimal(38,20)"),
+    ]
+    path = _write(tmp_path, ["000042" + "0.00000000000000000001".rjust(24)])
+    with pytest.raises(ValueError, match="scale"):
+        read_fixed_width(spark, path, layout)

@@ -682,10 +682,18 @@ def test_temperature_mixture_zero_size_domain_yields_null_not_error(spark):
         assert got["b"].n_units == 0
         assert got["b"].mix_weight is None
         assert got["a"].mix_weight is not None and got["a"].mix_weight > 0
-    # all-empty corpus: totals are 0 → every share NULL, still no error
+    # all-empty corpus: totals are 0 → every share NULL, still no
+    # error — for BOTH variants (the pow variant's raw ratios used to
+    # be bare ANSI divisions that raised before try_divide could see
+    # them)
     all0 = spark.createDataFrame([("a", 0)], "source string, sz int")
-    r = temperature_mixture_sqrt(all0, size_col="sz").collect()[0]
-    assert r.unit_share is None and r.temp_share is None
+    for fn in (
+        lambda d: temperature_mixture(d, size_col="sz", alpha=0.5),
+        lambda d: temperature_mixture_sqrt(d, size_col="sz"),
+    ):
+        r = fn(all0).collect()[0]
+        assert r.unit_share is None and r.temp_share is None
+        assert r.mix_weight is None
 
 
 def test_temperature_mixture_sqrt_matches_python_isqrt(spark):
@@ -718,3 +726,30 @@ def test_temperature_mixture_sqrt_matches_python_isqrt(spark):
     # same α-monotonicity contract as the pow variant: the dominant
     # domain is down-weighted, the smallest up-weighted
     assert got["d"][3] < 1.0 < got["c"][3]
+
+
+def test_isqrt_no_overflow_at_int64_edge(spark):
+    """isqrt correction terms used to overflow int64 (ANSI
+    ARITHMETIC_OVERFLOW) for x in [3037000499^2, 2^63-1] — a band
+    inside the documented n_units*scale headroom. The clamp
+    s0 <= 3037000499 removes the error without changing results."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.operators.assemble import _isqrt
+
+    xs = [
+        3037000499**2 - 1,
+        3037000499**2,
+        3037000499**2 + 1,
+        2**63 - 1,
+        0,
+        1,
+        2,
+        10**18,
+    ]
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {r.x: r.s for r in df.select("x", _isqrt(F.col("x")).alias("s")).collect()}
+    for x in xs:
+        assert got[x] == math.isqrt(x), x
