@@ -10,12 +10,14 @@ the public format specs directly:
   Up / Average / Paeth) on decode. Lossless, so the PNG path is
   oracle-checkable bit-for-bit from the generating formula (the q91
   WAV pattern).
-- **Baseline JPEG** (ITU-T T.81): encoder (4:4:4, Annex-K quant +
-  Huffman tables, IJG quality scaling) and decoder (any sampling
-  factors incl. 4:2:0, tables read from the stream, restart markers,
-  byte unstuffing). Lossy — covered by round-trip error-bound tests
-  plus closed-form DC-only cases where the decoded value is
-  computable by hand.
+- **Baseline JPEG** (ITU-T T.81): encoder (4:4:4 / 4:2:0, Annex-K
+  quant + Huffman tables, IJG quality scaling) and decoder (any
+  sampling factors incl. 4:2:0, tables read from the stream, restart
+  markers, byte unstuffing). Lossy — covered by round-trip
+  error-bound tests over a quality × subsampling × restart grid plus
+  closed-form flat-DC cases where the decoded value is computable by
+  hand (tests/test_imagecodec.py); the PNG filter/color-type decode
+  paths are covered there too via hand-built filtered fixtures.
 
 Production deployments would swap these for libvips/turbojpeg bindings
 behind the same ``decode_image_rgb`` dispatcher; the Spark-side
@@ -642,6 +644,8 @@ def decode_jpeg_baseline(raw: bytes) -> tuple[int, int, np.ndarray]:
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
+            if not body or len(body) < 1 + 2 * body[0]:
+                raise ValueError("JPEG: truncated SOS header")
             ns = body[0]
             sel = {}
             for c in range(ns):

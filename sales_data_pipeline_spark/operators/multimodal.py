@@ -7,10 +7,12 @@ extraction / frame sampling run as Arrow-batched pandas functions over
 — never row-at-a-time). Codec support is tiered: ``codec="ppm"`` is a
 REAL pure-Python decoder (binary P6 netpbm — header parse incl.
 comments, raster decode, per-channel stats), proving the pipeline end
-to end without image libraries; ``codec="fake"`` derives deterministic
-metadata from raw bytes (the oracle-checkable stand-in for arbitrary
-media); compressed codecs (jpeg/png/...) raise NotImplementedError
-until their libraries exist in the runtime image.
+to end without image libraries; ``codec="image"`` auto-detects
+PPM/PNG/baseline-JPEG by magic bytes through the REAL pure-Python
+compressed codecs in operators/imagecodec.py; ``codec="fake"`` derives
+deterministic metadata from raw bytes (the oracle-checkable stand-in
+for arbitrary media). Formats outside those codecs (gif/webp/...)
+raise NotImplementedError — loud, never silently skipped.
 
 Scale notes: payload columns dominate I/O — always column-prune before
 a shuffle (select the id + payload only inside the UDF stage), size
@@ -97,10 +99,12 @@ def decode_media(df: DataFrame, codec: str = "fake") -> DataFrame:
 
     codec='ppm' REALLY decodes binary-P6 netpbm payloads (pure Python +
     numpy — no image libraries needed): header fields, pixel count, and
-    per-channel means computed from the raster. codec='fake' derives
-    deterministic metadata from the raw bytes (byte length, md5
-    checksum, fake dimensions). Compressed codecs raise until their
-    libraries exist in the runtime image."""
+    per-channel means computed from the raster. codec='image'
+    dispatches by magic bytes across PPM/PNG/baseline-JPEG via the
+    real pure-Python codecs in operators/imagecodec.py. codec='fake'
+    derives deterministic metadata from the raw bytes (byte length,
+    md5 checksum, fake dimensions). Anything else raises
+    NotImplementedError."""
     if codec == "ppm":
 
         def _decode_ppm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

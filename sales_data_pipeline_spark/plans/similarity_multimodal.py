@@ -509,10 +509,9 @@ def q233_cross_format_image_neardup(spark: SparkSession, sf_dir: str) -> DataFra
     identical 64-bit ahash ⟹ hamming 0 — so the oracle is simply one
     row per doc. Cross-doc collisions (different pictures that happen
     to share a hash) are filtered by the same-doc pairing convention;
-    the JPEG (lossy) variant of this check lives in
-    tests/test_multimodal_phash.py with a small hamming bound instead
-    of an exact oracle. Plan: map-only decode+hash, one equi-join on
-    the 64-bit signature — no all-pairs compare."""
+    q234 is the JPEG (lossy) variant with a small hamming bound. Plan:
+    map-only decode+hash, one equi-join on the 64-bit signature — no
+    all-pairs compare."""
     from sales_data_pipeline_spark.operators.multimodal import (
         ahash_near_pairs,
         image_ahash,
@@ -531,6 +530,44 @@ def q233_cross_format_image_neardup(spark: SparkSession, sf_dir: str) -> DataFra
         F.expr("media_a div 2").alias("doc_id"),
         F.col("hamming").cast("int").alias("hamming"),
     )
+
+
+@query(
+    "q234_jpeg_cross_format_neardup",
+    oracle="""
+    SELECT doc_id FROM documents
+    """,
+)
+def q234_jpeg_cross_format_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q233's LOSSY sibling: each doc's raster encoded as raw P6/PPM
+    (media_id = 2·doc) and baseline JPEG quality-95 (2·doc + 1), run
+    through the identical perceptual-hash pipeline with a small
+    hamming budget (≤ 6) — the realistic duplicate class, since a
+    user's images are JPEG before they are PNG and a JPEG re-encode is
+    never byte- or raster-identical. The oracle is still EXACT (one
+    row per doc) because the synthetic raster (doc_id·31 + k·7) mod
+    256 depends on doc_id only through doc_id mod 256 — 256 distinct
+    images total — and tests/test_imagecodec.py::
+    test_jpeg_ahash_hamming_bound_exhaustive_residues checks every
+    residue at quality 95 (observed worst hamming 3, bound 6 = 2×
+    margin), so EVERY possible document at ANY scale factor pairs
+    within budget. Hamming itself varies per residue and is not
+    SQL-recomputable (it needs the DCT), so the output is doc_id only.
+    Plan: map-only mapInPandas encode+decode+hash (CPU-bound,
+    embarrassingly parallel), then ahash_near_pairs' pigeonhole
+    blocking — band equi-joins on hash fragments, never all-pairs."""
+    from sales_data_pipeline_spark.operators.multimodal import (
+        ahash_near_pairs,
+        image_ahash,
+        synth_image_payloads,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    imgs = synth_image_payloads(docs, formats=("ppm", "jpeg"))
+    pairs = ahash_near_pairs(image_ahash(imgs), max_hamming=6)
+    return pairs.filter(
+        (F.col("media_a") % 2 == 0) & (F.col("media_b") == F.col("media_a") + 1)
+    ).select(F.expr("media_a div 2").alias("doc_id"))
 
 
 @query("q218_embedding_pca", oracle=None)
