@@ -148,6 +148,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     max_shingle_freq: int | None = 10_000,
     persist: bool = True,
+    max_candidates: int | None = 100_000_000,
 ) -> DataFrame:
     """All pairs with Jaccard(shingles_a, shingles_b) ≥ threshold — EXACT,
     via document-frequency-ordered prefix filtering (the canonical
@@ -191,7 +192,21 @@ def ngram_jaccard_pairs(
     CACHE OWNERSHIP: the cache lives until the session ends or the
     caller clears it — long-lived sessions invoking this repeatedly
     should call ``release_caches()`` between batches (targeted; bench.py
-    uses the blunter clearCache) or pass persist=False."""
+    uses the blunter clearCache) or pass persist=False.
+
+    ``max_candidates`` is the auto-regime guard: this is the EXACT
+    (oracle) tier, worst-case quadratic in candidate pairs, and a
+    blind call on a web-scale corpus must fail fast, not melt the
+    cluster. The prefix index is aggregated to Σ C(count_s, 2) over
+    its shingles — the exact number of raw join pairs the candidate
+    join would emit before size/positional pruning — as a broadcast
+    scalar GATING the join predicate: the plan stays lazy (explain/
+    construction run no job), under the threshold the extra agg rides
+    the same job over the persisted sets at negligible cost, and over
+    it the first candidate row evaluated raises
+    USER_RAISED_EXCEPTION naming :func:`minhash_lsh_pairs` — the join
+    dies in its first task. Pass None to skip the guard (an informed
+    caller on a vetted corpus)."""
     # _shingle_index, not a bare explode: plain explode lets
     # InferFiltersFromGenerate push a size()>0 predicate below the token
     # projection, re-evaluating the shingle expression per row in its
@@ -246,12 +261,61 @@ def ngram_jaccard_pairs(
     if max_shingle_freq is not None:
         idx = idx.filter(F.col("dfreq") <= max_shingle_freq)
     idx = idx.drop("dfreq")
+    if persist:
+        # idx feeds BOTH self-join sides and (when guarded) the
+        # candidate-count scalar — three consumers, each of which
+        # would otherwise re-run the slice+posexplode over sets
+        idx = _persist(idx)
+    est = None
+    if max_candidates is not None:
+        # Σ C(c, 2) over per-shingle prefix-entry counts = the exact
+        # raw pair count the candidate join below would emit. Kept
+        # LAZY: the estimate is a broadcast scalar gating the join
+        # predicate, so no extra driver-side job runs when the plan is
+        # merely constructed/explained, the agg shares the persisted
+        # sets scan inside the same job, and in the pathological case
+        # the first candidate row evaluated raises — the join dies in
+        # its first task instead of melting the cluster. Double sum:
+        # exact bigint sums could themselves overflow in exactly the
+        # blow-up being guarded.
+        est = (
+            idx.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("c").cast("double") * (F.col("c") - 1) / 2.0),
+                    F.lit(0.0),
+                ).alias("__est_pairs")
+            )
+        )
     a = idx.select(
         F.col("doc").alias("doc_a"),
         F.col("n_sh").alias("n_a"),
         F.col("pos").alias("pos_a"),
         "shingle",
     )
+    guard = F.lit(True)
+    if est is not None:
+        a = a.crossJoin(F.broadcast(est))
+        guard = F.when(
+            F.col("__est_pairs") <= F.lit(float(max_candidates)),
+            F.lit(True),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("ngram_jaccard_pairs: prefix index implies ~"),
+                    F.col("__est_pairs").cast("bigint").cast("string"),
+                    F.lit(
+                        " raw candidate pairs (> max_candidates="
+                        f"{max_candidates}); this exact tier is "
+                        "quadratic in candidates — use "
+                        "minhash_lsh_pairs (the at-scale near-dup "
+                        "path), raise max_candidates, or pass "
+                        "max_candidates=None to override"
+                    ),
+                )
+            )
+        )
     b = idx.select(
         F.col("doc").alias("doc_b"),
         F.col("n_sh").alias("n_b"),
@@ -282,6 +346,7 @@ def ngram_jaccard_pairs(
                 )
                 >= min_overlap
             )
+            & guard
         )
         .select("doc_a", "doc_b")
         .distinct()

@@ -8515,3 +8515,117 @@ def q230_logit_gains(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q235 — Gini at scale: Lorenz-trapezoid estimate from approx deciles
+# ---------------------------------------------------------------------------
+
+
+@query("q235_spend_gini_approx")  # approx cut-points: rows-only check
+def q235_spend_gini_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE form of q135's Gini: instead of ranking every customer in
+    one global window (a single-partition sort at 10⁸–10⁹ customers),
+    bucket spends by percentile_approx cut-points (19 boundaries,
+    broadcast as one row — the q176/q145 recipe) and integrate the
+    Lorenz curve by trapezoids over the ≤20-row bucket aggregate:
+    G ≈ 1 − Σ wᵢ·(Lᵢ₋₁ + Lᵢ), where wᵢ is bucket i's population share
+    and Lᵢ the cumulative spend share. The only window runs over the
+    bounded bucket table (the q229 tiny-aggregate exception); the fact
+    table sees one map-side-combined groupBy plus one broadcast-join
+    scan — no global sort anywhere. Converges to the exact Gini from
+    below as the grid refines (trapezoid inscribes the convex Lorenz
+    curve); q135 stays the exactness anchor. Covering checks:
+    tests/test_scale.py::test_gini_approx_* (close to q135's exact
+    value at test scale, bounds respected, windowless-over-data plan
+    in tests/test_plan_shapes.py)."""
+    orders = table(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("x")
+    )
+    qs = [i / 20.0 for i in range(1, 20)]
+    cuts = spend.agg(F.percentile_approx("x", qs, 10_000).alias("c"))
+    bucket = F.lit(0)
+    for i in range(19):
+        bucket = bucket + (F.col("x") > F.col("c")[i]).cast("int")
+    per = (
+        spend.crossJoin(F.broadcast(cuts))
+        .select(bucket.cast("bigint").alias("bucket"), "x")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("x").alias("bucket_spend"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_customers").alias("n_total"),
+        F.sum("bucket_spend").alias("spend_total"),
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    lorenz = per.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (F.col("n_customers") / F.col("n_total")).alias("w"),
+        (F.sum("bucket_spend").over(w_cum) / F.col("spend_total")).alias("L"),
+        F.col("n_total"),
+        F.col("spend_total"),
+    )
+    w_lag = Window.orderBy("bucket")
+    return lorenz.select(
+        "n_total",
+        "spend_total",
+        "w",
+        "L",
+        F.coalesce(F.lag("L").over(w_lag), F.lit(0.0)).alias("L_prev"),
+    ).agg(
+        F.max("n_total").cast("bigint").alias("n_customers"),
+        F.round(F.max("spend_total"), 2).alias("total_spend"),
+        F.round(
+            F.lit(1.0) - F.sum(F.col("w") * (F.col("L_prev") + F.col("L"))), 6
+        ).alias("gini_approx"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q236 — QQ table at scale: percentile_approx deciles, windowless
+# ---------------------------------------------------------------------------
+
+
+@query("q236_brand_price_qq_approx")  # approx deciles: rows-only check
+def q236_brand_price_qq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCALE form of q228's QQ table: per-brand deciles from ONE
+    percentile_approx aggregate instead of per-brand row_number sorts
+    (each a single-partition window once a brand's rows concentrate).
+    The whole query is two map-side-combined aggregations and a
+    1-row×1-row join — no window, no sort, no shuffle wider than the
+    two-brand filter's output. Greenwald-Khanna ε moves each decile by
+    at most ε·n ranks, so the QQ points converge to q228's exact order
+    statistics as accuracy rises; q228 stays the oracle anchor.
+    Covering checks: tests/test_scale.py::test_qq_approx_* (deciles
+    monotone, within data range, near the exact table at test scale)
+    plus a windowless-plan assertion in tests/test_plan_shapes.py."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    s = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(F.col("p_brand").isin("Brand#11", "Brand#22"))
+        .select("p_brand", F.col("l_extendedprice").cast("double").alias("v"))
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    cuts = (
+        s.groupBy("p_brand")
+        .agg(F.percentile_approx("v", qs, 10_000).alias("c"))
+    )
+    exploded = cuts.select(
+        "p_brand", F.posexplode("c").alias("pos", "price")
+    ).select(
+        "p_brand", (F.col("pos") + 1).cast("bigint").alias("decile"), "price"
+    )
+    a = exploded.filter(F.col("p_brand") == "Brand#11").select(
+        "decile", F.col("price").alias("brand11_price")
+    )
+    c = exploded.filter(F.col("p_brand") == "Brand#22").select(
+        "decile", F.col("price").alias("brand22_price")
+    )
+    return a.join(c, "decile").orderBy("decile")

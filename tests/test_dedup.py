@@ -971,3 +971,35 @@ def test_duplication_index_exact_on_planted_corpus(spark):
         .j
     )
     assert est == pytest.approx(1.0 / 6.0, abs=1e-12)
+
+
+def test_ngram_jaccard_candidate_guard_fails_fast(spark):
+    """The exact (quadratic) tier must refuse blind calls whose prefix
+    index implies a candidate blow-up: the in-plan guard raises at
+    EXECUTION (construction/explain stay lazy and job-free), the error
+    names minhash_lsh_pairs and the estimate, and defaults leave small
+    corpora untouched."""
+    import pytest as _pytest
+
+    from sales_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    # 30 identical docs: every prefix shingle lands in every doc
+    # -> est = C(30,2) = 435 raw pairs on the single indexed shingle
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(30)],
+        "doc_id long, text string",
+    )
+    guarded = ngram_jaccard_pairs(
+        docs, threshold=0.9, max_candidates=100, persist=False
+    )
+    guarded.explain()  # lazy: constructing/explaining runs no guard
+    with _pytest.raises(Exception, match="minhash_lsh_pairs"):
+        guarded.count()
+    # defaults: results intact on a small corpus
+    n = ngram_jaccard_pairs(docs, threshold=0.9, persist=False).count()
+    assert n == 30 * 29 // 2  # identical docs: every pair at J=1
+    # None skips the guard entirely
+    n2 = ngram_jaccard_pairs(
+        docs, threshold=0.9, max_candidates=None, persist=False
+    ).count()
+    assert n2 == n

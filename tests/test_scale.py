@@ -446,3 +446,82 @@ def test_hll_estimate_empty_register_table_is_zero(spark):
     )
     est = hll_estimate(empty, p=12).first().estimate
     assert est == 0.0
+
+
+def test_gini_approx_close_to_exact_and_bounded(spark, sf_dir):
+    """q235's Lorenz-trapezoid Gini must sit in [0, 1), count every
+    customer, and land near q135's exact value at test scale (the
+    trapezoid inscribes the convex Lorenz curve, so it estimates from
+    BELOW up to cut-point epsilon; 20 buckets keeps the gap small)."""
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    approx = QUERIES["q235_spend_gini_approx"].fn(spark, sf_dir).collect()[0]
+    exact = QUERIES["q135_spend_gini"].fn(spark, sf_dir).collect()[0]
+    assert approx.n_customers == exact.n_customers
+    assert abs(float(approx.total_spend) - float(exact.total_spend)) < 0.01
+    assert 0.0 <= approx.gini_approx < 1.0
+    assert abs(approx.gini_approx - exact.gini) < 0.05, (
+        approx.gini_approx,
+        exact.gini,
+    )
+
+
+def test_gini_approx_plan_windowless_over_data(spark, sf_dir):
+    """q235's windows (cumulative Lorenz + lag) run over the ≤20-row
+    bucket aggregate only — the |customers| aggregate is never
+    globally sorted (no row_number/ntile ranking of customers)."""
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    spark.catalog.clearCache()
+    df = QUERIES["q235_spend_gini_approx"].fn(spark, sf_dir)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert "row_number" not in plan, plan
+    assert "ntile(" not in plan, plan
+    import re as _re
+
+    # both windows sit AFTER the bucket groupBy (ordered by the
+    # synthetic `bucket` column over the ≤20-row aggregate)
+    win_nodes = _re.findall(r"^\(\d+\) Window", plan, flags=_re.M)
+    assert len(win_nodes) <= 2, plan
+
+
+def test_qq_approx_monotone_and_near_exact(spark, sf_dir):
+    """q236's approx deciles: 9 rows, monotone nondecreasing per
+    brand, inside the observed price range, and each within a small
+    relative distance of q228's exact order statistics (GK epsilon at
+    accuracy 10k is far below a decile gap at test scale)."""
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    rows = sorted(
+        QUERIES["q236_brand_price_qq_approx"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    exact = {
+        r.decile: r
+        for r in QUERIES["q228_brand_price_qq"].fn(spark, sf_dir).collect()
+    }
+    assert [r.decile for r in rows] == list(range(1, 10))
+    for col in ("brand11_price", "brand22_price"):
+        vals = [getattr(r, col) for r in rows]
+        assert vals == sorted(vals)
+        for r in rows:
+            e = getattr(exact[r.decile], col)
+            assert abs(getattr(r, col) - e) / e < 0.05, (r.decile, col)
+
+
+def test_qq_approx_plan_windowless(spark, sf_dir):
+    """q236 must contain NO window at all — per-brand deciles come
+    from one percentile_approx aggregate, never per-brand sorts."""
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    spark.catalog.clearCache()
+    df = QUERIES["q236_brand_price_qq_approx"].fn(spark, sf_dir)
+    plan = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    import re as _re
+
+    assert not _re.findall(r"^\(\d+\) Window", plan, flags=_re.M), plan
+    assert "row_number" not in plan, plan
