@@ -1003,3 +1003,53 @@ def test_ngram_jaccard_candidate_guard_fails_fast(spark):
         docs, threshold=0.9, max_candidates=None, persist=False
     ).count()
     assert n2 == n
+
+
+def test_incremental_dedup_bucketed_history_no_history_exchange(spark, sf_dir):
+    """The docstring's exchange-free claim, pinned: with the fingerprint
+    index written bucketed by fp (operators/scale.write_bucketed),
+    incremental_dedup's anti join must show NO Exchange on the history
+    side — ingesting a batch shuffles ONLY the batch. Also checks the
+    dedup result itself against the unbucketed path."""
+    from sales_data_pipeline_spark.operators.dedup import (
+        fingerprint,
+        incremental_dedup,
+    )
+    from sales_data_pipeline_spark.operators.scale import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    spark.catalog.clearCache()
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        docs = table(spark, sf_dir, "documents")
+        history = docs.filter(F.col("doc_id") % 3 == 0).select(
+            fingerprint("text").alias("fp")
+        )
+        write_bucketed(history, "t_fp_history_b", "fp", n_buckets=32)
+        batch = docs.filter(F.col("doc_id") % 3 != 0).select("doc_id", "text")
+        surv_bucketed = incremental_dedup(batch, read_bucketed(spark, "t_fp_history_b"))
+        plan = surv_bucketed._jdf.queryExecution().executedPlan().toString()
+        assert "LeftAnti" in plan and "t_fp_history_b" in plan, plan
+        # structural proof: vs the identical query over UNBUCKETED
+        # history, the bucketed plan has exactly ONE fewer Exchange —
+        # the history side's (the batch side keeps its shuffles), and
+        # the history subtree reads Sort->Project->Filter->FileScan
+        surv_plain = incremental_dedup(batch, history.select("fp"))
+        plain_plan = surv_plain._jdf.queryExecution().executedPlan().toString()
+        n_bucketed = plan.count("Exchange hashpartitioning")
+        n_plain = plain_plan.count("Exchange hashpartitioning")
+        assert n_bucketed == n_plain - 1, (plan, plain_plan)
+        # the bucketed scan feeds the anti join through no Exchange:
+        # scan line up to the join shows only Sort/Project/Filter
+        scan_pos = plan.find("t_fp_history_b")
+        history_subtree = plan[plan.rfind("+- Sort", 0, scan_pos) : scan_pos]
+        assert "Exchange" not in history_subtree, history_subtree
+        # equivalence with the plain (unbucketed) history path
+        got = sorted(r.doc_id for r in surv_bucketed.collect())
+        want = sorted(r.doc_id for r in surv_plain.collect())
+        assert got == want and len(got) > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_fp_history_b")

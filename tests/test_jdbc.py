@@ -123,3 +123,75 @@ def test_pipeline_jdbc_topology_end_to_end(spark, tmp_path):
     assert res2.accepted_files == []
     assert read_jdbc(spark, url, topo.customer_mart_table,
                      properties=DERBY_PROPS).count() == pq_cust.count()
+
+
+def test_chaos_crash_window_jdbc_topology_resumes_without_duplicates(
+    spark, tmp_path, monkeypatch
+):
+    """The crash window (marts committed, archive + 'I' flip never ran)
+    under the JDBC deployment shape: the rerun must resume exactly the
+    stale-active files and republish both marts to the database WITHOUT
+    duplicating rows (idempotent overwrite, not the reference's blind
+    append)."""
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.pipeline import (
+        JdbcTopology,
+        PipelineConfig,
+        run_pipeline_jdbc,
+    )
+    from sales_data_pipeline_spark.pipeline import sales_pipeline as sp
+    from sales_data_pipeline_spark.pipeline.state import AuditState
+    from tests.fixtures import dim_frames, write_sales_csv
+
+    url = f"jdbc:derby:{tmp_path / 'chaosdb'};create=true"
+    topo = JdbcTopology(url=url, properties=DERBY_PROPS)
+    customer, store, team = dim_frames(spark)
+    for df, t in ((customer, topo.customer_table), (store, topo.store_table),
+                  (team, topo.sales_team_table)):
+        write_jdbc(df, url, t, mode="overwrite", properties=DERBY_PROPS)
+
+    (tmp_path / "in").mkdir()
+    write_sales_csv(tmp_path / "in" / "sales1.csv", n=250, seed=31)
+    cfg = PipelineConfig(
+        input_dir=str(tmp_path / "in"),
+        quarantine_dir=str(tmp_path / "err"),
+        processed_dir=str(tmp_path / "done"),
+        output_dir=str(tmp_path / "out"),
+        state_dir=str(tmp_path / "state"),
+    )
+
+    real_move = sp.fs.move_file
+
+    def crash_on_archive(spark_, src, dst_dir):
+        if dst_dir == cfg.processed_dir:
+            raise RuntimeError("chaos: killed before archive/flip")
+        return real_move(spark_, src, dst_dir)
+
+    monkeypatch.setattr(sp.fs, "move_file", crash_on_archive)
+    with pytest.raises(RuntimeError, match="chaos"):
+        run_pipeline_jdbc(spark, cfg, topo)
+    monkeypatch.setattr(sp.fs, "move_file", real_move)
+
+    # crash state: parquet marts committed; JDBC marts never published
+    # (the publish sits after archive/flip); state shows 'A'
+    state = AuditState(spark, cfg.state_dir)
+    assert [p.rsplit("/", 1)[-1] for p in state.stale_active_files()] == [
+        "sales1.csv"
+    ]
+    pq_total = (
+        spark.read.parquet(f"{cfg.output_dir}/customers_data_mart")
+        .agg(F.sum("total_sales"))
+        .collect()[0][0]
+    )
+
+    res = run_pipeline_jdbc(spark, cfg, topo)
+    assert [p.rsplit("/", 1)[-1] for p in res.resumed_files] == ["sales1.csv"]
+    assert res.n_fact_rows == 250
+    assert state.stale_active_files() == []
+    db_cust = read_jdbc(spark, url, topo.customer_mart_table, properties=DERBY_PROPS)
+    pq_cust = spark.read.parquet(res.customer_mart_path)
+    assert db_cust.count() == pq_cust.count()  # no append-duplication
+    assert db_cust.agg(F.sum("total_sales")).collect()[0][0] == pq_total
+    db_team = read_jdbc(spark, url, topo.sales_team_mart_table, properties=DERBY_PROPS)
+    assert db_team.count() == spark.read.parquet(res.sales_team_mart_path).count()

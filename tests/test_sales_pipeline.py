@@ -282,3 +282,67 @@ def test_pipeline_observe_metrics_match_fact(spark, tmp_path):
     # the observed money sum equals the mart total (conservation)
     mart = spark.read.parquet(res.customer_mart_path)
     assert mart.agg(F.sum("total_sales")).collect()[0][0] == m["sum_cost"]
+
+
+def test_chaos_crash_between_mart_commit_and_state_flip(spark, cfg, monkeypatch):
+    """The reference's failure window (main.py:403-448): both marts
+    committed, then the run dies BEFORE archive + mark_inactive. The
+    rerun must (a) surface exactly the stale-active files in
+    resumed_files, (b) re-process them (they still sit in input_dir),
+    (c) leave the marts without duplicated rows (overwrite semantics),
+    and (d) complete the archive + 'I' flip."""
+    from sales_data_pipeline_spark.pipeline import sales_pipeline as sp
+
+    p1 = write_sales_csv(_in(cfg) / "day1.csv", n=200, seed=21)
+    p2 = write_sales_csv(_in(cfg) / "day2.csv", n=100, seed=22)
+    customer, store, team = dim_frames(spark)
+
+    real_move = sp.fs.move_file
+
+    def crash_on_archive(spark_, src, dst_dir):
+        if dst_dir == cfg.processed_dir:
+            raise RuntimeError("chaos: killed between mart commit and flip")
+        return real_move(spark_, src, dst_dir)
+
+    monkeypatch.setattr(sp.fs, "move_file", crash_on_archive)
+    with pytest.raises(RuntimeError, match="chaos"):
+        run_pipeline(spark, cfg, customer, store, team)
+    monkeypatch.setattr(sp.fs, "move_file", real_move)
+
+    # crashed state: marts ARE committed, inputs NOT archived, state 'A'
+    cust_total_1 = (
+        spark.read.parquet(f"{cfg.output_dir}/customers_data_mart")
+        .agg(F.sum("total_sales"))
+        .collect()[0][0]
+    )
+    team_rows_1 = spark.read.parquet(
+        f"{cfg.output_dir}/sales_team_data_mart"
+    ).count()
+    assert sorted(p.name for p in _in(cfg).iterdir()) == ["day1.csv", "day2.csv"]
+    state = AuditState(spark, cfg.state_dir)
+
+    def names(paths):
+        return sorted(p.rsplit("/", 1)[-1] for p in paths)
+
+    assert names(state.stale_active_files()) == ["day1.csv", "day2.csv"]
+
+    # rerun: resumes exactly the stale files, no mart duplication
+    res = run_pipeline(spark, cfg, customer, store, team)
+    assert names(res.resumed_files) == ["day1.csv", "day2.csv"]
+    assert names(res.accepted_files) == ["day1.csv", "day2.csv"]
+    assert res.n_fact_rows == 300
+    cust_total_2 = (
+        spark.read.parquet(res.customer_mart_path)
+        .agg(F.sum("total_sales"))
+        .collect()[0][0]
+    )
+    assert cust_total_2 == cust_total_1  # re-run rewrote, never appended
+    assert spark.read.parquet(res.sales_team_mart_path).count() == team_rows_1
+    assert state.stale_active_files() == []
+    assert list(_in(cfg).iterdir()) == []  # archived this time
+    from pathlib import Path
+
+    assert sorted(p.name for p in Path(cfg.processed_dir).iterdir()) == [
+        "day1.csv",
+        "day2.csv",
+    ]
