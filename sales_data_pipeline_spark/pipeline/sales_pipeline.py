@@ -29,8 +29,14 @@ from sales_data_pipeline_spark.operators.normalize import (
     validate_headers,
 )
 from sales_data_pipeline_spark.pipeline import fs
+from sales_data_pipeline_spark.pipeline.logutil import get_logger
 from sales_data_pipeline_spark.pipeline.state import AuditState
 from sales_data_pipeline_spark.schemas import MANDATORY_COLUMNS, SALES_CONTRACT
+
+# run-stage log (reference wires a logger through every transform,
+# logging_config.py:1-4; silent unless the run opts in via
+# logutil.configure_pipeline_logging)
+log = get_logger(__name__)
 
 
 @dataclass(frozen=True)
@@ -77,9 +83,16 @@ def run_pipeline(
     #    again (reference: main.py:56-73). They still sit in input_dir
     #    because archive only happens post-commit.
     result.resumed_files = state.stale_active_files()
+    if result.resumed_files:
+        log.warning(
+            "failed-run probe: %d stale-active file(s) from a crashed "
+            "run will be resumed: %s",
+            len(result.resumed_files), result.resumed_files,
+        )
 
     # 2. discovery (replaces boto3 list+download, aws_read.py:7-23)
     discovered = fs.list_files(spark, cfg.input_dir, suffix=".csv")
+    log.info("discovered %d input file(s) in %s", len(discovered), cfg.input_dir)
     if not discovered:
         return result
 
@@ -87,6 +100,7 @@ def run_pipeline(
     #    state write (reference ordering, main.py:142-188)
     report = validate_headers(spark, discovered, MANDATORY_COLUMNS)
     for path, missing in report.quarantined.items():
+        log.warning("quarantining %s (missing columns: %s)", path, missing)
         fs.move_file(spark, path, cfg.quarantine_dir)
     result.quarantined_files = dict(report.quarantined)
     if not report.valid:
@@ -94,6 +108,7 @@ def run_pipeline(
 
     # 4. audit trail: accepted files become status 'A' (main.py:196-225)
     result.accepted_files = report.valid_paths
+    log.info("accepted %d file(s); marking active", len(result.accepted_files))
     state.mark_active(result.accepted_files)
 
     # 5. single-pass read + normalize + union; cached because it feeds
@@ -120,6 +135,7 @@ def run_pipeline(
     )
     result.n_fact_rows = fact.count()
     result.ingest_metrics = dict(obs.get)
+    log.info("ingested %d fact rows; metrics=%s", result.n_fact_rows, result.ingest_metrics)
 
     # 6. enrichment (broadcast star joins, rename-before-join)
     enriched = sales_enrichment(fact, customer, store, sales_team)
@@ -138,11 +154,16 @@ def run_pipeline(
         "sales_month", "store_id"
     ).format(cfg.mart_format).save(result.sales_team_mart_path)
     fact.unpersist()
+    log.info(
+        "marts committed: %s, %s",
+        result.customer_mart_path, result.sales_team_mart_path,
+    )
 
     # 8. post-commit: archive inputs, flip state to 'I' (main.py:403-448)
     for path in result.accepted_files:
         fs.move_file(spark, path, cfg.processed_dir)
     state.mark_inactive(result.accepted_files)
+    log.info("archived %d file(s); state flipped to inactive", len(result.accepted_files))
     return result
 
 

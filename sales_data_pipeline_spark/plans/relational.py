@@ -8629,3 +8629,305 @@ def q236_brand_price_qq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decile", F.col("price").alias("brand22_price")
     )
     return a.join(c, "decile").orderBy("decile")
+
+
+# ---------------------------------------------------------------------------
+# q237 — dominant-supplier screen (TPC-H Q20 shape, adapted: no partsupp)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q237_dominant_suppliers",
+    oracle="""
+    WITH sp AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sup_qty
+      FROM lineitem WHERE year(l_shipdate) = 1996
+      GROUP BY 1, 2
+    ),
+    pt AS (
+      SELECT l_partkey, CAST(SUM(sup_qty) AS BIGINT) AS part_qty
+      FROM sp GROUP BY 1
+    )
+    SELECT s.s_name,
+           CAST(count(*) AS BIGINT) AS n_dominated_parts,
+           CAST(SUM(sp.sup_qty) AS BIGINT) AS dominated_qty
+    FROM sp JOIN pt ON sp.l_partkey = pt.l_partkey
+    JOIN supplier s ON s.s_suppkey = sp.l_suppkey
+    WHERE 2 * sp.sup_qty > pt.part_qty
+    GROUP BY s.s_name
+    ORDER BY s.s_name
+    """,
+)
+def q237_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who shipped MORE THAN HALF of some part's 1996 volume
+    — the single-source-risk screen a procurement team runs, and the
+    TPC-H Q20 shape (correlated `> 0.5 * SUM(...)` threshold per
+    part/supplier) decorrelated the way Q20 should be at scale: one
+    map-side-combined groupBy to (part, supplier) sums, a reaggregate
+    to part totals (second agg runs over the FIRST aggregate, never
+    the fact table twice), an equi-join between the two aggregates,
+    and a broadcast of the bounded supplier dim for names. The
+    `2·sup > part` predicate stays in exact BIGINTs (never `0.5 *`,
+    whose decimal-vs-double literal parse diverges cross-engine — the
+    q153 lesson). Reference has no analytics; engine extension
+    (SURVEY §2k)."""
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.year("l_shipdate") == 1996
+    )
+    sp = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("bigint")).alias("sup_qty")
+    )
+    pt = sp.groupBy("l_partkey").agg(F.sum("sup_qty").alias("part_qty"))
+    supplier = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        sp.join(pt, "l_partkey")
+        .filter(F.lit(2) * F.col("sup_qty") > F.col("part_qty"))
+        .join(F.broadcast(supplier), sp.l_suppkey == supplier.s_suppkey)
+        .groupBy("s_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_dominated_parts"),
+            F.sum("sup_qty").cast("bigint").alias("dominated_qty"),
+        )
+        .orderBy("s_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q238 — discount elasticity of demand per brand (closed-form OLS)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q238_discount_elasticity",
+    oracle="""
+    WITH pts AS (
+      SELECT p_brand,
+        CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS d,
+        CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    m AS (
+      SELECT p_brand,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(d) AS BIGINT) AS sd,
+        CAST(SUM(q) AS BIGINT) AS sq,
+        CAST(SUM(d * q) AS BIGINT) AS sdq,
+        CAST(SUM(d * d) AS BIGINT) AS sdd
+      FROM pts GROUP BY p_brand
+    )
+    SELECT p_brand, n AS n_lines,
+      CAST(n * sdq - sd * sq AS DOUBLE)
+        / CAST(n * sdd - sd * sd AS DOUBLE) AS qty_per_discount_pct
+    FROM m WHERE n * sdd - sd * sd != 0
+    ORDER BY p_brand
+    """,
+)
+def q238_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-weighted OLS slope of quantity on discount level per brand
+    — does discounting actually move volume for this brand? (The
+    merchandising follow-up to q143's price trend, on the discount
+    axis.) Numerics: discount becomes an INTEGER percent through the
+    decimal-cent pattern (CAST(dec(4,2))*100 → BIGINT — double*100
+    truncation diverges cross-engine, the q229 lesson), quantities are
+    integral; every OLS moment (Σd, Σq, Σdq, Σd²) is an exact BIGINT
+    sum, and the slope is ONE double division of exact integers —
+    bitwise identical in both engines with no rounding step (q149/q162
+    closed-form discipline). Plan: one broadcast join (bounded part
+    dim), one map-side-combined groupBy to |brands| rows. Zero-variance
+    brands (single discount level) are excluded exactly."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    pts = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        (F.col("l_discount").cast("decimal(4,2)") * 100)
+        .cast("bigint")
+        .alias("d"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    m = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("d").cast("bigint").alias("sd"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum(F.col("d") * F.col("q")).cast("bigint").alias("sdq"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sdd"),
+    )
+    denom = F.col("n") * F.col("sdd") - F.col("sd") * F.col("sd")
+    return (
+        m.filter(denom != 0)
+        .select(
+            "p_brand",
+            F.col("n").alias("n_lines"),
+            (
+                (F.col("n") * F.col("sdq") - F.col("sd") * F.col("sq")).cast(
+                    "double"
+                )
+                / denom.cast("double")
+            ).alias("qty_per_discount_pct"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q239 — co-purchase link prediction (common-neighbor score)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q239_link_prediction",
+    oracle="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    e AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey
+      WHERE a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    und AS (
+      SELECT pa, pb FROM e UNION ALL SELECT pb, pa FROM e
+    ),
+    cand AS (
+      SELECT x.pa AS a, y.pb AS c,
+             CAST(count(DISTINCT x.pb) AS BIGINT) AS common_neighbors
+      FROM und x JOIN und y ON x.pb = y.pa
+      WHERE x.pa < y.pb
+      GROUP BY 1, 2
+    )
+    SELECT a AS part_a, c AS part_b, common_neighbors
+    FROM cand
+    WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.pa = cand.a AND e.pb = cand.c)
+    ORDER BY common_neighbors DESC, part_a, part_b
+    LIMIT 15
+    """,
+)
+def q239_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor link prediction on the co-purchase graph: part
+    pairs NEVER bought together whose neighborhoods overlap most — the
+    classic 'customers who bought X also bought things bought with Y'
+    recommender primitive (the integer-exact member of the
+    Adamic-Adar family: counts only, no 1/log(deg) floats whose libm
+    last-bits differ cross-engine). Pipeline: distinct (order, part)
+    incidence → basket-local pair edges kept only at SUPPORT ≥ 2
+    (repeat co-purchases) → symmetric closure → 2-hop wedge join
+    keyed on the shared neighbor → anti-join the direct edges →
+    top-15 with a total deterministic order. The support floor is the
+    load-bearing scale step, exactly as in q146's association rules:
+    single-co-occurrence edges are noise AND the wedge blow-up (at
+    sf0.1 it turns 1.2M edges / an OOM-ing Σdeg² into 3.6k edges /
+    10k wedges — measured); after it the wedge join is linear in
+    wedge count with max degree in single digits. Residual hubs at
+    100 TB: degree-cap or salt the neighbor key (operators/scale.py)."""
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey"), F.col("l_partkey").alias("pb"))
+    e = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("__sup"))
+        .filter(F.col("__sup") >= 2)
+        .select("pa", "pb")
+    )
+    und = e.unionByName(e.select(F.col("pb").alias("pa"), F.col("pa").alias("pb")))
+    x = und.select(F.col("pa").alias("a"), F.col("pb").alias("n"))
+    y = und.select(F.col("pa").alias("n"), F.col("pb").alias("c"))
+    cand = (
+        x.join(y, "n")
+        .filter(F.col("a") < F.col("c"))
+        .groupBy("a", "c")
+        .agg(F.count_distinct("n").cast("bigint").alias("common_neighbors"))
+    )
+    return (
+        cand.join(
+            e,
+            (cand.a == e.pa) & (cand.c == e.pb),
+            "left_anti",
+        )
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("c").alias("part_b"),
+            "common_neighbors",
+        )
+        .orderBy(F.desc("common_neighbors"), "part_a", "part_b")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q242 — supplier-nation market share per region-year (TPC-H Q8 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q242_market_share",
+    oracle="""
+    WITH rev AS (
+      SELECT r.r_name AS region,
+             n.n_name AS nation,
+             CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                 * (1 - CAST(l.l_discount AS DECIMAL(4,2)))) AS nrev
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY 1, 2, 3
+    )
+    SELECT region, nation, ship_year,
+      CAST(nrev AS DOUBLE) AS nation_revenue,
+      round(CAST(nrev AS DOUBLE)
+            / CAST(SUM(nrev) OVER (PARTITION BY region, ship_year)
+                   AS DOUBLE), 6) AS market_share
+    FROM rev
+    ORDER BY region, ship_year, nation
+    """,
+)
+def q242_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each supplier-nation's share of its region's discounted revenue
+    per ship year — the TPC-H Q8 'national market share' shape over
+    this schema's supplier geography. Money stays DECIMAL through the
+    extendedprice·(1−discount) product and the sum (double sums are
+    partition-order noise — the standing money rule), becomes DOUBLE
+    only at the output boundary, and each share is one double division
+    of exact decimal sums over a window on the BOUNDED
+    (region × nation × year) aggregate (~|nations|·|years| rows — the
+    q136 tiny-aggregate window class, never a window over lineitem).
+    Plan: the fact table shuffles once into the first groupBy;
+    supplier/nation/region dims all broadcast."""
+    li = table(spark, sf_dir, "lineitem")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    rev = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region"),
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(12,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+            ).alias("nrev")
+        )
+    )
+    w = Window.partitionBy("region", "ship_year")
+    return rev.select(
+        "region",
+        "nation",
+        "ship_year",
+        F.col("nrev").cast("double").alias("nation_revenue"),
+        F.round(
+            F.col("nrev").cast("double") / F.sum("nrev").over(w).cast("double"),
+            6,
+        ).alias("market_share"),
+    ).orderBy("region", "ship_year", "nation")

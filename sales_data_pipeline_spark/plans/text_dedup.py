@@ -1860,3 +1860,150 @@ def q231_effective_dataset_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.sum("tok1").cast("double") / F.sum("tok_all").cast("double")
         ).alias("dup_token_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q240 — duplicated passage census (exact 8-token window sharing)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q240_duplicated_passages",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    win AS (
+      SELECT DISTINCT doc_id,
+        array_to_string(list_slice(t, i, i + 7), ' ') AS passage
+      FROM toks, unnest(generate_series(1, len(t) - 7)) AS u(i)
+      WHERE len(t) >= 8
+    ),
+    census AS (
+      SELECT passage, CAST(count(*) AS BIGINT) AS n_docs
+      FROM win GROUP BY passage
+      HAVING count(*) >= 2
+    )
+    SELECT passage, n_docs
+    FROM census
+    ORDER BY n_docs DESC, passage
+    LIMIT 15
+    """,
+)
+def q240_duplicated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-PASSAGE census: every 8-token sliding window,
+    ranked by how many distinct documents contain it verbatim — the
+    fine-grained sibling of whole-doc dedup (q21) and long-span
+    substring dedup (q179): memorization audits care about any
+    verbatim span crossing document boundaries (boilerplate headers,
+    license blocks, templated intros), not just full-doc copies.
+    Windows are PLAIN STRINGS (q226's oracle-transparency rule:
+    hashed shingles are oracle-blind, strings rebuild bit-identically
+    in DuckDB). Plan: window generation is a map-side transform over
+    the token array (explode_outer + null-filter, the
+    InferFiltersFromGenerate guard), per-doc distinct + the census are
+    passage-keyed mergeable groupBys — linear in total window volume,
+    no pair joins anywhere; the top-15 is a TakeOrdered over the
+    census, never a global sort. At 100 TB swap the passage STRING key
+    for its 128-bit hash and keep one exemplar string per bucket —
+    same plan shape, fixed-width shuffle keys."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    win_arr = F.when(
+        F.size(toks) >= 8,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 8),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, 8)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    win = (
+        docs.select("doc_id", F.explode_outer(win_arr).alias("passage"))
+        .filter(F.col("passage").isNotNull())
+    )
+    return (
+        win.groupBy("passage")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), "passage")
+        .limit(15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q241 — length-vs-duplication calibration (is length a dedup proxy?)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q241_length_dup_calibration",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars, md5(trim(text)) AS fp FROM documents
+    ),
+    g AS (
+      SELECT fp, CAST(count(*) AS BIGINT) AS group_size FROM d GROUP BY fp
+    ),
+    ranked AS (
+      SELECT d.doc_id, d.n_chars, g.group_size,
+        row_number() OVER (ORDER BY d.n_chars, d.doc_id) AS rn,
+        count(*) OVER () AS n
+      FROM d JOIN g ON g.fp = d.fp
+    )
+    SELECT CAST((5 * (rn - 1)) // n + 1 AS BIGINT) AS length_quintile,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(min(n_chars) AS BIGINT) AS min_chars,
+      CAST(max(n_chars) AS BIGINT) AS max_chars,
+      CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_duplicated,
+      CAST(SUM(CASE WHEN group_size > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        / count(*) AS dup_rate
+    FROM ranked
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q241_length_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate rate by document-length quintile — the calibration
+    readout behind the folk heuristic 'short docs are mostly dups':
+    if dup_rate falls monotonically with length, cheap length filters
+    deduplicate cheaply before any fingerprint pass. Exactness:
+    duplicate membership is the md5 full-text fingerprint (q21's
+    definition), quintile boundaries use the integer-exact
+    ⌊5(rn−1)/n⌋+1 rank arithmetic (never float n/5 — the q153/q158
+    multiples-misround lesson), and dup_rate is one double division
+    of exact integers. The ranking window IS a global sort over
+    |documents| — this is the oracle-anchor tier; at 10⁹ docs swap
+    the quintile assignment for percentile_approx cut-points exactly
+    as q235/q236 do for Gini/QQ (same recipe, registered there)."""
+    docs = table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "n_chars", F.md5(F.trim(F.col("text"))).alias("fp")
+    )
+    g = d.groupBy("fp").agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
+    ranked = d.join(g, "fp").select(
+        "n_chars",
+        "group_size",
+        F.row_number()
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    dup = (F.col("group_size") > 1).cast("int")
+    return (
+        ranked.groupBy(
+            (F.expr("(5 * (rn - 1)) div n") + 1).alias("length_quintile")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
+            F.sum(dup).cast("bigint").alias("n_duplicated"),
+            (
+                F.sum(dup).cast("double") / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
+        .orderBy("length_quintile")
+    )

@@ -732,7 +732,8 @@ def test_isqrt_no_overflow_at_int64_edge(spark):
     """isqrt correction terms used to overflow int64 (ANSI
     ARITHMETIC_OVERFLOW) for x in [3037000499^2, 2^63-1] — a band
     inside the documented n_units*scale headroom. The clamp
-    s0 <= 3037000499 removes the error without changing results."""
+    s0 <= 3037000498 (one below the max int64 isqrt, so (s0+1)^2
+    also fits) removes the error without changing results."""
     import math
 
     from pyspark.sql import functions as F

@@ -346,3 +346,53 @@ def test_chaos_crash_between_mart_commit_and_state_flip(spark, cfg, monkeypatch)
         "day1.csv",
         "day2.csv",
     ]
+# ---------------------------------------------------------------------------
+# logging wiring (pipeline/logutil.py): library silence by default,
+# opt-in run configuration, idempotent reconfiguration, stage logs
+# ---------------------------------------------------------------------------
+
+import logging
+
+
+def test_get_logger_is_silent_by_default(capsys):
+    from sales_data_pipeline_spark.pipeline.logutil import get_logger
+
+    get_logger("some.module").info("should go nowhere")
+    captured = capsys.readouterr()
+    assert "should go nowhere" not in captured.err + captured.out
+
+
+def test_configure_is_idempotent_and_writes_file(tmp_path):
+    from sales_data_pipeline_spark.pipeline.logutil import (
+        configure_pipeline_logging,
+        get_logger,
+    )
+
+    logf = tmp_path / "run.log"
+    try:
+        configure_pipeline_logging(log_file=str(logf))
+        configure_pipeline_logging(log_file=str(logf))  # no duplicate handlers
+        get_logger("t").info("one line only")
+        text = logf.read_text()
+        assert text.count("one line only") == 1
+    finally:
+        root = logging.getLogger("sales_data_pipeline_spark")
+        for h in list(root.handlers):
+            if not isinstance(h, logging.NullHandler):
+                root.removeHandler(h)
+                h.close()
+
+
+def test_run_pipeline_emits_stage_logs(spark, cfg, caplog):
+    from tests.fixtures import dim_frames, write_sales_csv
+
+    write_sales_csv(_in(cfg) / "day1.csv", n=50, seed=41)
+    customer, store, team = dim_frames(spark)
+    with caplog.at_level(logging.INFO, logger="sales_data_pipeline_spark"):
+        run_pipeline(spark, cfg, customer, store, team)
+    text = caplog.text
+    assert "discovered 1 input file" in text
+    assert "accepted 1 file" in text
+    assert "ingested 50 fact rows" in text
+    assert "marts committed" in text
+    assert "state flipped to inactive" in text
