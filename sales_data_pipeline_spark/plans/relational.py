@@ -8931,3 +8931,154 @@ def q242_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("market_share"),
     ).orderBy("region", "ship_year", "nation")
+
+
+# ---------------------------------------------------------------------------
+# q243 — burst detection (bot screen: ≥3 events inside any 30 min span)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q243_burst_users",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+        epoch_us(ts) - lag(epoch_us(ts), 2)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id) AS span_us,
+        ts
+      FROM events
+    )
+    SELECT user_id,
+      CAST(count(*) AS BIGINT) AS n_burst_points,
+      strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS first_burst_at
+    FROM g WHERE span_us <= 1800000000
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q243_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse screen over the event stream: users who fired 3+
+    events inside some 30-minute span (thresholds sized to this
+    generator's event density; a production bot screen would run
+    5-in-60s — same plan, two literals). The exact detector is the
+    ORDER-STATISTIC trick — event e is a burst point iff its
+    2nd-predecessor (same user, event-time order) lies within the
+    span — which turns 'any k-in-window exists' into one lag(k-1) over a
+    per-user window: no range self-join, no candidate explosion, and
+    the window partitions by user_id so it scales as an ordinary
+    keyed shuffle (millions of small per-user sorts, never a global
+    one). Time stays INTEGER epoch-micros end to end (unix_micros /
+    epoch_us — double seconds would drift cross-engine) with
+    (ts, event_id) as the total tie-break; the first-burst timestamp
+    leaves as a formatted STRING (the q84/q149 date-column parity
+    rule)."""
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    span = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 2).over(w))
+    return (
+        ev.select("user_id", "ts", span.alias("span_us"))
+        .filter(F.col("span_us") <= 1_800_000_000)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_burst_points"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "first_burst_at"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q245 — return-rate shift test (two-proportion z, 1996 vs 1997)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q245_return_rate_shift",
+    oracle="""
+    WITH c AS (
+      SELECT p_brand,
+        CAST(SUM(CASE WHEN year(l_shipdate) = 1996 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN year(l_shipdate) = 1996
+                       AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+             AS BIGINT) AS r1,
+        CAST(SUM(CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN year(l_shipdate) = 1997
+                       AND l_returnflag = 'R' THEN 1 ELSE 0 END)
+             AS BIGINT) AS r2
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      GROUP BY p_brand
+    )
+    SELECT p_brand, n1 AS n_1996, n2 AS n_1997,
+      CAST(r1 AS DOUBLE) / n1 AS rate_1996,
+      CAST(r2 AS DOUBLE) / n2 AS rate_1997,
+      (CAST(r1 AS DOUBLE) / n1 - CAST(r2 AS DOUBLE) / n2)
+        / sqrt((CAST(r1 + r2 AS DOUBLE) / (n1 + n2))
+               * (1 - CAST(r1 + r2 AS DOUBLE) / (n1 + n2))
+               * (CAST(1 AS DOUBLE) / n1 + CAST(1 AS DOUBLE) / n2)) AS z
+    FROM c
+    WHERE n1 > 0 AND n2 > 0 AND r1 + r2 > 0 AND r1 + r2 < n1 + n2
+    ORDER BY p_brand
+    """,
+)
+def q245_return_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did any brand's RETURN RATE move between 1996 and 1997? —
+    two-proportion z-test per brand, the categorical companion of
+    q223's Mann-Whitney. Cross-engine exactness without rounding:
+    all counts are BIGINT CASE-sums off ONE map-side-combined groupBy
+    (no per-year scans), each rate is one double division of exact
+    integers, and the z statistic composes only IEEE
+    correctly-rounded operations (±, ×, ÷, sqrt) on those
+    exact-integer-derived doubles in identical written order — so
+    both engines produce the identical bits with no round() step
+    (the q204 sqrt discipline generalized). Degenerate brands
+    (no traffic in a year, all-or-nothing returns) are excluded by
+    exact integer predicates, not float epsilons."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    y = F.year("l_shipdate")
+    c = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(F.when(y == 1996, 1).otherwise(0)).cast("bigint").alias("n1"),
+            F.sum(
+                F.when((y == 1996) & (F.col("l_returnflag") == "R"), 1).otherwise(0)
+            ).cast("bigint").alias("r1"),
+            F.sum(F.when(y == 1997, 1).otherwise(0)).cast("bigint").alias("n2"),
+            F.sum(
+                F.when((y == 1997) & (F.col("l_returnflag") == "R"), 1).otherwise(0)
+            ).cast("bigint").alias("r2"),
+        )
+    )
+    p1 = F.col("r1").cast("double") / F.col("n1")
+    p2 = F.col("r2").cast("double") / F.col("n2")
+    pp = (F.col("r1") + F.col("r2")).cast("double") / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pp
+        * (1 - pp)
+        * (
+            F.lit(1).cast("double") / F.col("n1")
+            + F.lit(1).cast("double") / F.col("n2")
+        )
+    )
+    return (
+        c.filter(
+            (F.col("n1") > 0)
+            & (F.col("n2") > 0)
+            & (F.col("r1") + F.col("r2") > 0)
+            & (F.col("r1") + F.col("r2") < F.col("n1") + F.col("n2"))
+        )
+        .select(
+            "p_brand",
+            F.col("n1").alias("n_1996"),
+            F.col("n2").alias("n_1997"),
+            p1.alias("rate_1996"),
+            p2.alias("rate_1997"),
+            z.alias("z"),
+        )
+        .orderBy("p_brand")
+    )

@@ -2007,3 +2007,86 @@ def q241_length_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("length_quintile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q244 — source marginal novelty ladder (data-mixing ROI curve)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q244_source_novelty_ladder",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+      WHERE len(t) >= 3
+    ),
+    firsts AS (
+      SELECT g, min(source) AS first_source FROM tri GROUP BY g
+    ),
+    ladder AS (
+      SELECT first_source AS source,
+             CAST(count(*) AS BIGINT) AS n_new_trigrams
+      FROM firsts GROUP BY 1
+    )
+    SELECT source, n_new_trigrams,
+      CAST(SUM(n_new_trigrams)
+           OVER (ORDER BY source ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS BIGINT) AS cum_distinct_trigrams
+    FROM ladder ORDER BY source
+    """,
+)
+def q244_source_novelty_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marginal-novelty ladder over sources: adding sources in
+    (deterministic, alphabetical) order, how many NEW distinct word
+    trigrams does each contribute — the data-mixing ROI curve behind
+    'is the next crawl worth ingesting?', and the source-level
+    aggregate of q226's per-doc novelty. The prefix-set semantics
+    ('not seen in any earlier source') collapses to one expression:
+    a trigram is new AT its alphabetically-minimal source — so the
+    whole ladder is trigram-explode → min-per-trigram → count-per-
+    source, two mergeable groupBys keyed by trigram, LINEAR in
+    trigram volume with no anti-join ladder and no per-prefix passes
+    (an n-sources × corpus rescan is the naive form this replaces).
+    Trigrams are plain strings (oracle-transparent, q226 rule); the
+    cumulative sum runs over the ≤|sources| ladder — the bounded-
+    aggregate window class."""
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tri_arr = F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(toks, i + 1),
+                    F.element_at(toks, i + 2),
+                    F.element_at(toks, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = (
+        docs.select("source", F.explode_outer(tri_arr).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    ladder = (
+        tri.groupBy("g")
+        .agg(F.min("source").alias("source"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new_trigrams"))
+    )
+    w = Window.orderBy("source").rowsBetween(Window.unboundedPreceding, 0)
+    return ladder.select(
+        "source",
+        "n_new_trigrams",
+        F.sum("n_new_trigrams").over(w).cast("bigint").alias(
+            "cum_distinct_trigrams"
+        ),
+    ).orderBy("source")
