@@ -8670,10 +8670,15 @@ def q237_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a broadcast of the bounded supplier dim for names. The
     `2·sup > part` predicate stays in exact BIGINTs (never `0.5 *`,
     whose decimal-vs-double literal parse diverges cross-engine — the
-    q153 lesson). Reference has no analytics; engine extension
-    (SURVEY §2k)."""
+    q153 lesson). The year filter is written as a TIMESTAMP RANGE,
+    not year()=1996: a function over the column defeats parquet
+    row-group pruning, the range reaches the scan as PushedFilters —
+    at 100 TB that is the difference between scanning one year and
+    scanning the table (plan-shape test pins it). Reference has no
+    analytics; engine extension (SURVEY §2k)."""
     li = table(spark, sf_dir, "lineitem").filter(
-        F.year("l_shipdate") == 1996
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     sp = li.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast("bigint")).alias("sup_qty")

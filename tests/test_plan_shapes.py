@@ -603,3 +603,62 @@ def test_logistic_moment_pass_is_single_exchange(spark, sf_dir):
     plan = _plan(agg)
     assert len(re.findall(r"\n\(\d+\) Exchange", plan)) == 1
     assert "partial_sum" in plan
+
+
+def test_q237_range_filter_pushed_and_supplier_broadcast(spark, sf_dir):
+    """q237's 1996 filter must reach the lineitem scan as a pushed
+    range on l_shipdate (a year() call would defeat row-group
+    pruning), and the bounded supplier dim must broadcast."""
+    df = QUERIES["q237_dominant_suppliers"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q238_single_fact_shuffle_to_brand_agg(spark, sf_dir):
+    """q238: broadcast part join, then ONE exchange into the brand
+    moment aggregate — the fact table never shuffles twice."""
+    df = QUERIES["q238_discount_elasticity"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    # exchanges: one partial->final agg shuffle + the final orderBy's
+    # range exchange over the 25-row brand aggregate
+    assert _n_exchanges(plan) <= 2, plan
+
+
+def test_q240_no_pair_joins_linear_census(spark, sf_dir):
+    """q240 must contain NO join at all — passage census is explode +
+    two mergeable groupBys; the top-15 is TakeOrdered, not a global
+    Sort."""
+    df = QUERIES["q240_duplicated_passages"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_q242_all_dims_broadcast_one_fact_shuffle(spark, sf_dir):
+    """q242 (Q8 shape): supplier/nation/region all broadcast; the fact
+    table shuffles once into the group aggregate; the share window
+    runs over the bounded (region x nation x year) aggregate."""
+    df = QUERIES["q242_market_share"].fn(spark, sf_dir)
+    plan = _plan(df)
+    import re as _re
+
+    # formatted plans list each node in the tree AND in the details
+    # section — count tree nodes only
+    assert len(_re.findall(r"^\(\d+\) BroadcastHashJoin", plan, _re.M)) == 3, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q243_window_partitioned_by_user(spark, sf_dir):
+    """q243's lag window partitions by user_id — an ordinary keyed
+    shuffle, never a global single-partition sort."""
+    df = QUERIES["q243_burst_users"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Window" in plan, plan
+    import re as _re
+
+    # no empty partition spec: every Window node must carry user_id
+    # in its partition clause
+    for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "user_id" in m.group(1), m.group(0)
