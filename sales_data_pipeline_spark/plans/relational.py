@@ -9087,3 +9087,63 @@ def q245_return_rate_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# q247 — gross margin by supplier nation-year (TPC-H Q9 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q247_nation_gross_margin",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l.l_discount AS DECIMAL(4,2)))
+                    - CAST(p.p_retailprice AS DECIMAL(12,2))
+                      * CAST(l.l_quantity AS BIGINT) * CAST(0.6 AS DECIMAL(3,2)))
+                AS DOUBLE) AS gross_margin
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q247_nation_gross_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gross margin on 'red' parts by supplier nation and ship year
+    — the TPC-H Q9 'product type profit' shape adapted to this schema
+    (no partsupp table, so unit cost is the standard retail-margin
+    model: 60% of p_retailprice, an exact DECIMAL(3,2) literal — both
+    engines parse 0.6 as exact decimal, never a double 0.6⋯02). The
+    whole margin expression stays DECIMAL through products and the
+    sum (revenue minus cost per line, summed once — not two sums
+    subtracted at double), cast to double only at the boundary.
+    Plan: part/supplier/nation broadcast; the LIKE filter on the
+    broadcast part side prunes the fact join hash table, and the fact
+    table shuffles once into the (nation, year) aggregate."""
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("%red%")
+    ).select("p_partkey", "p_retailprice")
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    margin = F.col("l_extendedprice").cast("decimal(12,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    ) - F.col("p_retailprice").cast("decimal(12,2)") * F.col("l_quantity").cast(
+        "bigint"
+    ) * F.lit("0.6").cast("decimal(3,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        )
+        .agg(F.sum(margin).cast("double").alias("gross_margin"))
+        .orderBy("nation", "ship_year")
+    )
