@@ -8538,7 +8538,7 @@ def q235_spend_gini_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     curve); q135 stays the exactness anchor. Covering checks:
     tests/test_scale.py::test_gini_approx_* (close to q135's exact
     value at test scale, bounds respected, windowless-over-data plan
-    in tests/test_plan_shapes.py)."""
+    — all in tests/test_scale.py)."""
     orders = table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -8603,8 +8603,8 @@ def q236_brand_price_qq_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     at most ε·n ranks, so the QQ points converge to q228's exact order
     statistics as accuracy rises; q228 stays the oracle anchor.
     Covering checks: tests/test_scale.py::test_qq_approx_* (deciles
-    monotone, within data range, near the exact table at test scale)
-    plus a windowless-plan assertion in tests/test_plan_shapes.py."""
+    monotone, within data range, near the exact table at test scale,
+    plus the no-window plan assertion)."""
     li = table(spark, sf_dir, "lineitem")
     part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     s = (
