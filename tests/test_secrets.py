@@ -47,7 +47,7 @@ def test_wrong_passphrase_and_tamper_are_loud():
 
 
 def test_credentials_mapping_roundtrip():
-    creds = {"user": "etl", "password": "s3cr3t", "host": "db.internal"}
+    creds = {"user": "etl", "password": "s3cr3t", "host": "db.example.com"}
     tok = encrypt_credentials(creds, "master")
     assert decrypt_credentials(tok, "master") == creds
     with pytest.raises(ValueError):
