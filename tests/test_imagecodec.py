@@ -390,3 +390,48 @@ def test_jpeg_ahash_hamming_bound_exhaustive_residues():
         ham = int((_ahash_bits(rgb) != _ahash_bits(dec)).sum())
         worst = max(worst, ham)
     assert worst <= 6, worst
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): lossless invariants over generated rasters
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    w=st.integers(1, 24),
+    h=st.integers(1, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_png_roundtrip_property(w, h, seed):
+    """decode(encode(raster)) == raster for ANY dimensions and pixel
+    content — the PNG losslessness contract, not just the golden
+    cases."""
+    rgb = _noise(h, w, seed=seed)
+    dw, dh, out = decode_png(encode_png(w, h, rgb.tobytes()))
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(out, rgb)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+    quality=st.sampled_from([50, 85, 95]),
+)
+def test_jpeg_decoder_total_on_own_encoder_property(w, h, seed, quality):
+    """The decoder must accept EVERY stream the encoder can produce
+    (any dims incl. non-multiple-of-8/16, any content, any quality)
+    and return a raster of the right shape with bounded worst-case
+    error (255 would mean a desynced entropy stream; random noise at
+    q50 stays far below that)."""
+    rgb = _noise(h, w, seed=seed)
+    dw, dh, out = decode_jpeg_baseline(encode_jpeg_baseline(rgb, quality=quality))
+    assert (dw, dh) == (w, h)
+    assert out.shape == (h, w, 3)
+    err = np.abs(out.astype(int) - rgb.astype(int))
+    assert err.max() <= 200, err.max()  # desync guard, not a quality bound
