@@ -318,3 +318,87 @@ def session_rollup_stream(
             "total_value",
         )
     )
+
+
+BURST_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_burst_points_batch", LongType(), True),
+        StructField("n_burst_points_total", LongType(), True),
+        StructField("last_burst_at", TimestampType(), True),
+    ]
+)
+
+# state: the last (k-1) event times (µs, ascending) + lifetime burst count
+# + last burst time (µs; -1 = none) — a few longs per user, bounded by k
+BURST_STATE_SCHEMA = "times array<long>, n_total long, last_burst_us long"
+
+
+def _burst_fn(k: int, window_seconds: int):
+    window_us = window_seconds * 1_000_000
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns → µs
+
+        if state.exists:
+            times, n_total, last_burst_us = state.get
+            times = list(times)
+        else:
+            times, n_total, last_burst_us = [], 0, -1
+
+        n_batch = 0
+        for t in ts_us:
+            if len(times) >= k - 1 and t - times[-(k - 1)] <= window_us:
+                n_batch += 1
+                last_burst_us = t
+            times.append(t)
+            if len(times) > k - 1:
+                times = times[-(k - 1) :]
+        n_total += n_batch
+        state.update((times, n_total, last_burst_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "n_burst_points_batch": [n_batch],
+                "n_burst_points_total": [n_total],
+                "last_burst_at": [
+                    pd.to_datetime(last_burst_us, unit="us")
+                    if last_burst_us >= 0
+                    else pd.NaT
+                ],
+            }
+        )
+
+    return fn
+
+
+def burst_monitor_stateful(
+    events: DataFrame, k: int = 3, window_seconds: int = 1800
+) -> DataFrame:
+    """Streaming burst/bot monitor: flags every event whose (k−1)-back
+    predecessor (same user) lies within ``window_seconds`` — the
+    STREAMING face of the batch detector q243_burst_users (the lag(k−1)
+    order-statistic trick), evaluated incrementally so abuse is visible
+    within one micro-batch instead of at the next batch ETL run.
+
+    State per user is the last k−1 event times plus two counters — a
+    handful of longs, BOUNDED regardless of stream length or user
+    activity (contrast a windowed-join formulation, whose state grows
+    with the rate×window product). Grouped by user_id →
+    applyInPandasWithState scales horizontally with the key space like
+    sessionize_stateful. Semantics note: events are processed in
+    (batch, event-time-within-batch) order; an event arriving a batch
+    late is evaluated at arrival — exact parity with the batch query
+    holds for in-order delivery (the covering test), the standard
+    at-arrival contract for unwatermarked custom state."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _burst_fn(k, window_seconds),
+        outputStructType=BURST_OUTPUT_SCHEMA,
+        stateStructType=BURST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -743,3 +743,56 @@ def test_session_window_stream_merges_fragments_across_batches(spark, tmp_path):
     assert spark.sql(
         "SELECT count(*) c FROM sessions_builtin WHERE user_id = 9"
     ).collect()[0].c == 0
+
+
+def test_burst_monitor_state_spans_batches_and_matches_batch_rule(spark, tmp_path):
+    """Streaming burst monitor (k=3 in 1800s): a burst whose three
+    events STRADDLE a micro-batch boundary must still be counted (state
+    carries the last k-1 times), totals accumulate across batches, and
+    a user with spread-out events never flags — the same rule as
+    q243_burst_users evaluated incrementally."""
+    from sales_data_pipeline_spark.streaming.events import (
+        burst_monitor_stateful,
+        read_event_stream,
+    )
+
+    src = tmp_path / "events"
+    # batch 1: user 1 -> two events 100s apart (no burst yet: k=3);
+    #          user 2 -> two events 3000s apart (never bursts)
+    _write_events(spark, str(src / "f1"), [
+        (0, 1, "a", 1.0), (100, 1, "a", 1.0),
+        (0, 2, "a", 1.0), (3000, 2, "a", 1.0),
+    ])
+    time.sleep(1.1)
+    # batch 2: user 1's third event at t=200 -> 200-0 <= 1800 => burst
+    # point counted ACROSS the batch boundary; then t=5000 (no burst),
+    # then 5100, 5200 -> one more burst point (5200-5000 <= 1800)
+    _write_events(spark, str(src / "f2"), [
+        (200, 1, "a", 1.0), (5000, 1, "a", 1.0),
+        (5100, 1, "a", 1.0), (5200, 1, "a", 1.0),
+        (6000, 2, "a", 1.0),
+    ])
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        burst_monitor_stateful(stream, k=3, window_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("bursts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT * FROM bursts ORDER BY n_burst_points_total"
+    ).collect()
+    by_user_final = {}
+    for r in rows:  # update mode: last row per user wins
+        by_user_final[r.user_id] = r
+    u1, u2 = by_user_final[1], by_user_final[2]
+    # u1: burst at t=200 (cross-batch) + bursts at 5200 AND... check:
+    # 5100: 5100-100? times kept are last 2: at 5100 the 2-back is 200
+    # -> 4900 > 1800 no; 5200: 2-back 5000 -> 200 <= 1800 yes.
+    assert u1.n_burst_points_total == 2
+    assert u1.last_burst_at == dt.datetime(2024, 1, 1) + dt.timedelta(seconds=5200)
+    assert u2.n_burst_points_total == 0 and u2.last_burst_at is None
