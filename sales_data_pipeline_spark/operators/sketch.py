@@ -272,3 +272,112 @@ def hll_estimate(registers: DataFrame, p: int = 12) -> DataFrame:
         (raw <= 2.5 * m) & (zeros > 0), linear
     ).otherwise(raw)
     return agg.select(est.alias("estimate"))
+
+
+def _hll_estimate_expr(regs: Column, p: int) -> Column:
+    """HLL estimate as a pure column expression over a DENSE register
+    array (length 2^p, 0 = empty register): the same bias-corrected
+    harmonic mean + linear-counting math as :func:`hll_estimate`, but
+    usable per-ROW — which is what makes grouped and pairwise-union
+    estimates one JVM-side expression instead of one job each."""
+    m = 1 << p
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(p, 0.7213 / (1 + 1.079 / m))
+    s = F.aggregate(
+        regs,
+        F.lit(0.0),
+        lambda acc, r: acc + F.pow(F.lit(2.0), -r.cast("double")),
+    )
+    zeros = F.aggregate(
+        regs, F.lit(0), lambda acc, r: acc + F.when(r == 0, 1).otherwise(0)
+    )
+    raw = F.lit(alpha * m * m) / s
+    linear = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    return F.when((raw <= 2.5 * m) & (zeros > 0), linear).otherwise(raw)
+
+
+def hll_group_registers(
+    df: DataFrame, group_col: str, key_col: str, p: int = 12
+) -> DataFrame:
+    """One DENSE HLL register array per group: (group, regs array<int>
+    of length 2^p). Built by the same xxhash64 split as
+    :func:`hll_build`, folded with per-(group, idx) MAX (map-side
+    combined — the shuffle carries ≤ |groups|·2^p tiny rows no matter
+    the corpus size), then densified into a fixed-length array via a
+    map lookup over sequence(0, 2^p-1). The dense form is the
+    mergeable currency: union of any two groups = element-wise max,
+    a zip_with — no rescan of the data."""
+    if not 4 <= p <= 14:
+        raise ValueError(f"hll_group_registers: p={p} outside [4, 14]")
+    h = F.xxhash64(F.col(key_col).cast("string"), F.lit(25))
+    idx = F.pmod(h, F.lit(1 << p)).cast("int")
+    width = 64 - p
+    suffix = F.shiftrightunsigned(h, p)
+    bl = F.lit(0)
+    rem = suffix
+    for shift in (32, 16, 8, 4, 2, 1):
+        cond = rem >= F.lit(1 << shift).cast("bigint")
+        bl = F.when(cond, bl + shift).otherwise(bl)
+        rem = F.when(cond, F.shiftrightunsigned(rem, shift)).otherwise(rem)
+    bl = bl + F.when(suffix > 0, 1).otherwise(0)
+    rho = F.when(suffix == 0, F.lit(width + 1)).otherwise(F.lit(width + 1) - bl)
+    sparse = (
+        df.select(
+            F.col(group_col).alias("group"),
+            idx.alias("idx"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy("group", "idx")
+        .agg(F.max("rho").alias("rho"))
+    )
+    reg_map = F.map_from_entries(
+        F.collect_list(F.struct(F.col("idx"), F.col("rho")))
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit((1 << p) - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__m"), i), F.lit(0)),
+    )
+    return (
+        sparse.groupBy("group")
+        .agg(reg_map.alias("__m"))
+        .select("group", dense.alias("regs"))
+    )
+
+
+def hll_pairwise_overlap(
+    df: DataFrame, group_col: str, key_col: str, p: int = 12
+) -> DataFrame:
+    """Estimated DISTINCT-KEY OVERLAP between every unordered group
+    pair via HLL inclusion-exclusion: |A∩B| ≈ est(A) + est(B) −
+    est(A∪B), with the union sketch as element-wise max of the two
+    dense register arrays (zip_with — sketches merge, data is never
+    rescanned). The sketch-tier scale path of the EXACT cross-source
+    overlap queries (q227's weighted Jaccard, q169's dup matrix):
+    exact pairwise overlap needs a key-keyed join over the full corpus
+    per pair, this needs ONE linear sketch pass plus |groups|²·2^p of
+    pure column arithmetic — at 20 sources and p=12 that is ~1.6M
+    integers, driver never involved. Error: each estimate carries
+    RSE ≈ 1.04/√2^p; inclusion-exclusion ADDS absolute errors, so
+    small overlaps between huge sets drown in noise — the documented
+    contract (the covering test pins the envelope); raise p when the
+    overlap of interest is small. Returns (source_a, source_b, est_a,
+    est_b, est_union, est_overlap), overlap clipped at 0."""
+    regs = hll_group_registers(df, group_col, key_col, p)
+    a = regs.select(
+        F.col("group").alias("source_a"), F.col("regs").alias("ra")
+    )
+    b = regs.select(
+        F.col("group").alias("source_b"), F.col("regs").alias("rb")
+    )
+    pairs = a.join(b, F.col("source_a") < F.col("source_b"))
+    union = F.zip_with("ra", "rb", lambda x, y: F.greatest(x, y))
+    est_a = _hll_estimate_expr(F.col("ra"), p)
+    est_b = _hll_estimate_expr(F.col("rb"), p)
+    est_u = _hll_estimate_expr(union, p)
+    return pairs.select(
+        "source_a",
+        "source_b",
+        est_a.alias("est_a"),
+        est_b.alias("est_b"),
+        est_u.alias("est_union"),
+        F.greatest(est_a + est_b - est_u, F.lit(0.0)).alias("est_overlap"),
+    )

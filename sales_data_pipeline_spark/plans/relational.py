@@ -8976,7 +8976,9 @@ def q243_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     epoch_us — double seconds would drift cross-engine) with
     (ts, event_id) as the total tie-break; the first-burst timestamp
     leaves as a formatted STRING (the q84/q149 date-column parity
-    rule)."""
+    rule). Streaming face: streaming/events.burst_monitor_stateful
+    evaluates the identical rule incrementally with bounded
+    k−1-timestamp state per user."""
     ev = table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     span = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts", 2).over(w))

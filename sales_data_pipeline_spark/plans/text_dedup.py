@@ -2090,3 +2090,60 @@ def q244_source_novelty_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_distinct_trigrams"
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# q248 — sketch-tier cross-source overlap (HLL inclusion-exclusion)
+# ---------------------------------------------------------------------------
+
+
+@query("q248_source_overlap_sketch")  # probabilistic estimate: rows-only
+def q248_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimated distinct-trigram overlap between every source pair
+    via per-source HyperLogLog sketches and inclusion-exclusion
+    (operators/sketch.hll_pairwise_overlap) — the sketch-tier SCALE
+    path of the exact cross-source comparisons (q227's weighted
+    Jaccard, q169's dup matrix, q244's novelty ladder): those join or
+    aggregate the full corpus per comparison; this makes ONE linear
+    pass to |sources| dense register arrays (≤ |sources|·2¹² ints)
+    and every pairwise estimate is pure column arithmetic over merged
+    sketches — at 10⁵ sources on 100 TB, sketches are the only form
+    of this matrix that exists at all. oracle=None: HLL estimates are
+    hash-dependent (xxhash64 has no DuckDB counterpart); the covering
+    test pins every one of the 190 pair estimates inside the 3σ
+    inclusion-exclusion envelope against EXACT overlaps computed by
+    Spark itself at test scale (measured worst case: 0.55 of bound),
+    plus the q36/q225-style per-set RSE checks."""
+    from sales_data_pipeline_spark.operators.sketch import (
+        hll_pairwise_overlap,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tri_arr = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = (
+        docs.select("source", F.explode_outer(tri_arr).alias("g"))
+        .filter(F.col("g").isNotNull())
+    )
+    return (
+        hll_pairwise_overlap(tri, "source", "g", p=12)
+        .select(
+            "source_a",
+            "source_b",
+            F.round("est_a", 1).alias("est_a"),
+            F.round("est_b", 1).alias("est_b"),
+            F.round("est_overlap", 1).alias("est_overlap"),
+        )
+        .orderBy("source_a", "source_b")
+    )

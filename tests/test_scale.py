@@ -525,3 +525,53 @@ def test_qq_approx_plan_windowless(spark, sf_dir):
 
     assert not _re.findall(r"^\(\d+\) Window", plan, flags=_re.M), plan
     assert "row_number" not in plan, plan
+
+
+def test_hll_pairwise_overlap_within_inclusion_exclusion_envelope(spark, sf_dir):
+    """Every source-pair overlap estimate (q248's operator) must land
+    inside 3σ of the inclusion-exclusion error budget, 3·RSE·(|A|+|B|)
+    with RSE = 1.04/√2¹², against EXACT overlaps — and the pair grid
+    must be the complete unordered |sources| choose 2."""
+    import math
+
+    from sales_data_pipeline_spark.operators.sketch import hll_pairwise_overlap
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tri = docs.select(
+        "source",
+        F.explode(
+            F.when(
+                F.size(toks) >= 3,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 3),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(toks, i + 1),
+                        F.element_at(toks, i + 2),
+                        F.element_at(toks, i + 3),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    est = {
+        (r.source_a, r.source_b): (r.est_overlap, r.est_a, r.est_b)
+        for r in hll_pairwise_overlap(tri, "source", "g", p=12).collect()
+    }
+    a = tri.select(F.col("source").alias("sa"), "g").distinct()
+    b = tri.select(F.col("source").alias("sb"), "g").distinct()
+    exact = {
+        (r.sa, r.sb): r.n
+        for r in a.join(b, "g")
+        .filter(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    n_sources = tri.select("source").distinct().count()
+    assert len(est) == n_sources * (n_sources - 1) // 2
+    rse = 1.04 / math.sqrt(1 << 12)
+    for k, n_exact in exact.items():
+        e_over, e_a, e_b = est[k]
+        assert abs(e_over - n_exact) <= 3 * rse * (e_a + e_b), (k, n_exact, e_over)
