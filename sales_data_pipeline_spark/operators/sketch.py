@@ -360,8 +360,21 @@ def hll_pairwise_overlap(
     small overlaps between huge sets drown in noise — the documented
     contract (the covering test pins the envelope); raise p when the
     overlap of interest is small. Returns (source_a, source_b, est_a,
-    est_b, est_union, est_overlap), overlap clipped at 0."""
-    regs = hll_group_registers(df, group_col, key_col, p)
+    est_b, est_union, est_overlap), overlap clipped at 0.
+
+    The register table is PERSISTED (MEMORY_AND_DISK): it feeds both
+    sides of the pairwise self-join, and Spark re-executes common
+    subplans per consumer — unpersisted, the corpus would be scanned
+    TWICE, exactly the cost the sketch tier exists to avoid (the
+    plan-shape test pins one scan). It is |groups|·2^p ints — safely
+    cacheable at any corpus size. Cache ownership follows the dedup
+    convention: released with the session, or explicitly via
+    .unpersist() on a retained reference in long-lived sessions."""
+    from pyspark import StorageLevel
+
+    regs = hll_group_registers(df, group_col, key_col, p).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     a = regs.select(
         F.col("group").alias("source_a"), F.col("regs").alias("ra")
     )

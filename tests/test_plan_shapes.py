@@ -662,3 +662,30 @@ def test_q243_window_partitioned_by_user(spark, sf_dir):
     # in its partition clause
     for m in _re.finditer(r"windowspecdefinition\(([^)]*)\)", plan):
         assert "user_id" in m.group(1), m.group(0)
+
+
+def test_q244_novelty_ladder_no_joins(spark, sf_dir):
+    """q244's prefix-set semantics must collapse to explode + two
+    trigram-keyed groupBys: no join anywhere, and the only window runs
+    over the bounded per-source ladder."""
+    df = QUERIES["q244_source_novelty_ladder"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    import re as _re
+
+    assert len(_re.findall(r"^\(\d+\) Window", plan, _re.M)) == 1, plan
+
+
+def test_q248_sketch_join_is_register_sized(spark, sf_dir):
+    """q248's pairwise stage joins the |sources|-row register table to
+    itself — the corpus-sized relation must appear only below the
+    sketch aggregation, never in the join (the whole point of the
+    sketch tier). The non-equi pair join over the tiny register table
+    broadcasts (a nested-loop over |sources| rows), and exactly two
+    aggregate exchanges exist: (group, idx) partials and the group
+    densify."""
+    df = QUERIES["q248_source_overlap_sketch"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    # the documents scan appears exactly once (one linear sketch pass)
+    assert plan.count("documents.parquet") == 1, plan
