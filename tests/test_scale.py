@@ -575,3 +575,23 @@ def test_hll_pairwise_overlap_within_inclusion_exclusion_envelope(spark, sf_dir)
     for k, n_exact in exact.items():
         e_over, e_a, e_b = est[k]
         assert abs(e_over - n_exact) <= 3 * rse * (e_a + e_b), (k, n_exact, e_over)
+
+
+def test_hll_pairwise_overlap_degenerate_inputs(spark):
+    """Empty input and a single group must both yield an empty pair
+    table (not an error, not a self-pair); two disjoint groups must
+    estimate near-zero overlap."""
+    from sales_data_pipeline_spark.operators.sketch import hll_pairwise_overlap
+
+    empty = spark.createDataFrame([], "source string, g string")
+    assert hll_pairwise_overlap(empty, "source", "g").count() == 0
+    one = spark.createDataFrame([("a", f"k{i}") for i in range(50)],
+                                "source string, g string")
+    assert hll_pairwise_overlap(one, "source", "g").count() == 0
+    two = spark.createDataFrame(
+        [("a", f"x{i}") for i in range(500)] + [("b", f"y{i}") for i in range(500)],
+        "source string, g string",
+    )
+    row = hll_pairwise_overlap(two, "source", "g").collect()[0]
+    # disjoint sets: overlap estimate within the noise floor
+    assert row.est_overlap <= 3 * (1.04 / (1 << 6)) * (row.est_a + row.est_b)
