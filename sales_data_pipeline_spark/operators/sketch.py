@@ -367,14 +367,13 @@ def hll_pairwise_overlap(
     subplans per consumer — unpersisted, the corpus would be scanned
     TWICE, exactly the cost the sketch tier exists to avoid (the
     plan-shape test pins one scan). It is |groups|·2^p ints — safely
-    cacheable at any corpus size. Cache ownership follows the dedup
-    convention: released with the session, or explicitly via
-    .unpersist() on a retained reference in long-lived sessions."""
-    from pyspark import StorageLevel
+    cacheable at any corpus size. The persist registers in the dedup
+    cache ledger, so operators/dedup.release_caches() frees it with
+    the other operator intermediates (one ledger per session, not one
+    per module)."""
+    from sales_data_pipeline_spark.operators.dedup import _persist
 
-    regs = hll_group_registers(df, group_col, key_col, p).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    regs = _persist(hll_group_registers(df, group_col, key_col, p))
     a = regs.select(
         F.col("group").alias("source_a"), F.col("regs").alias("ra")
     )
