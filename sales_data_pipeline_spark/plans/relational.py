@@ -9149,3 +9149,112 @@ def q247_nation_gross_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(margin).cast("double").alias("gross_margin"))
         .orderBy("nation", "ship_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# q249 — price dispersion decomposition (within- vs between-part variance)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q249_price_dispersion_decomposition",
+    oracle="""
+    WITH c AS (
+      SELECT p_brand, l_partkey,
+        CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+    ),
+    per_part AS (
+      SELECT p_brand, l_partkey,
+        CAST(count(*) AS BIGINT) AS n,
+        CAST(SUM(cents) AS BIGINT) AS s,
+        CAST(SUM(cents * cents) AS BIGINT) AS ss
+      FROM c GROUP BY 1, 2
+    ),
+    per_brand AS (
+      SELECT p_brand,
+        CAST(SUM(n) AS BIGINT) AS n,
+        CAST(SUM(s) AS BIGINT) AS s,
+        CAST(SUM(ss) AS BIGINT) AS ss,
+        list_reduce(
+          list(CAST(s AS DOUBLE) * s / n ORDER BY l_partkey),
+          (a, b) -> a + b) AS group_sq
+      FROM per_part GROUP BY 1
+    )
+    SELECT p_brand, n AS n_lines,
+      (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n * 10000.0)
+        AS total_var,
+      (CAST(ss AS DOUBLE) - group_sq) / (n * 10000.0) AS within_var,
+      (group_sq - CAST(s AS DOUBLE) * s / n) / (n * 10000.0) AS between_var
+    FROM per_brand
+    WHERE n > 0
+    ORDER BY p_brand
+    """,
+)
+def q249_price_dispersion_decomposition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Law-of-total-variance decomposition of line-price dispersion
+    per brand: total = within-part + between-part — the pricing
+    question 'is this brand's price spread product mix, or
+    inconsistent pricing of the SAME part?' answered in one pass.
+    Numerics: prices become exact integer CENTS (the q229 decimal
+    pattern), all moments (n, Σx, Σx²) are exact BIGINT sums at both
+    levels, and each variance term is a closed-form expression over
+    those integers with per-part s²/n as the only intermediate
+    double (one division per part). Σs²/n is the one double SUM — and
+    a plain aggregate sum is PARTITION-ORDER NOISE (measured: last
+    bits differed per engine) — so both engines fold the per-part
+    terms SEQUENTIALLY IN l_partkey ORDER: Spark aggregates a sorted
+    collect_list, DuckDB list_reduce over an ORDER BY list — identical
+    operand order ⟹ identical doubles, bitwise (per-brand part counts
+    are bounded: parts is a dimension). The decomposition identity
+    total = within + between
+    holds EXACTLY by construction, not approximately — a covering
+    property test asserts it bitwise. Plan: broadcast part join, two
+    stacked map-side-combined groupBys (part level collapses the fact
+    table first; the brand level runs over |parts| rows)."""
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    c = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "p_brand",
+        "l_partkey",
+        (F.col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    per_part = c.groupBy("p_brand", "l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("ss"),
+    )
+    term = F.struct(
+        F.col("l_partkey"),
+        (F.col("s").cast("double") * F.col("s") / F.col("n")).alias("t"),
+    )
+    per_brand = per_part.groupBy("p_brand").agg(
+        F.sum("n").cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("s"),
+        F.sum("ss").cast("bigint").alias("ss"),
+        F.aggregate(
+            F.array_sort(F.collect_list(term)),
+            F.lit(0.0),
+            lambda acc, x: acc + x.getField("t"),
+        ).alias("group_sq"),
+    )
+    n, s, ss, gsq = (F.col("n"), F.col("s"), F.col("ss"), F.col("group_sq"))
+    return (
+        per_brand.filter(n > 0)
+        .select(
+            "p_brand",
+            n.alias("n_lines"),
+            ((ss.cast("double") - s.cast("double") * s / n) / (n * 10000.0)).alias(
+                "total_var"
+            ),
+            ((ss.cast("double") - gsq) / (n * 10000.0)).alias("within_var"),
+            ((gsq - s.cast("double") * s / n) / (n * 10000.0)).alias(
+                "between_var"
+            ),
+        )
+        .orderBy("p_brand")
+    )

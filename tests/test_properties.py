@@ -754,3 +754,23 @@ def test_isqrt_no_overflow_at_int64_edge(spark):
     got = {r.x: r.s for r in df.select("x", _isqrt(F.col("x")).alias("s")).collect()}
     for x in xs:
         assert got[x] == math.isqrt(x), x
+
+
+def test_variance_decomposition_identity_and_nonnegativity(spark):
+    """q249: total, within and between variances must be non-negative
+    and satisfy the law of total variance to float addition error; a
+    brand with all-identical part prices puts ALL dispersion between
+    parts (within == 0 exactly — its per-part moments cancel in
+    integers)."""
+    import os
+
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = QUERIES["q249_price_dispersion_decomposition"].fn(spark, sf).collect()
+    assert rows
+    for r in rows:
+        assert r.total_var >= 0 and r.within_var >= -1e-9 and r.between_var >= -1e-9
+        assert abs(r.total_var - (r.within_var + r.between_var)) <= 1e-9 * max(
+            1.0, abs(r.total_var)
+        ), r
