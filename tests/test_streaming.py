@@ -796,3 +796,53 @@ def test_burst_monitor_state_spans_batches_and_matches_batch_rule(spark, tmp_pat
     assert u1.n_burst_points_total == 2
     assert u1.last_burst_at == dt.datetime(2024, 1, 1) + dt.timedelta(seconds=5200)
     assert u2.n_burst_points_total == 0 and u2.last_burst_at is None
+
+
+def test_streaming_hll_registers_converge_to_batch_sketch(spark, tmp_path):
+    """Rolling-distinct registers folded over micro-batches must equal
+    the one-shot batch registers over the same keys (the HLL max-fold
+    monoid under streaming), the estimate must sit within the p=12
+    error envelope of the true distinct count, and re-running over the
+    same checkpoint must change nothing (idempotent fold)."""
+    import json as _json
+
+    from sales_data_pipeline_spark.operators.sketch import hll_build
+    from sales_data_pipeline_spark.streaming.cardinality import (
+        RollingDistinctConfig,
+        read_registers,
+        rolling_distinct_estimate,
+        run_rolling_distinct,
+    )
+
+    src = tmp_path / "shards"
+    src.mkdir()
+    # 300 distinct doc_ids split over two shards with overlap
+    rows1 = [(i, "x") for i in range(0, 200)]
+    rows2 = [(i, "x") for i in range(150, 300)]
+    for shard, rows in ((1, rows1), (2, rows2)):
+        with open(src / f"s{shard}.jsonl", "w") as f:
+            for i, t in rows:
+                f.write(_json.dumps({"doc_id": i, "text": t}) + "\n")
+    cfg = RollingDistinctConfig(
+        input_dir=str(src),
+        sketch_dir=str(tmp_path / "hll"),
+        checkpoint_dir=str(tmp_path / "ckpt_hll"),
+        max_files_per_trigger=1,  # force 2 micro-batches
+    )
+    run_rolling_distinct(spark, cfg)
+
+    streamed = {
+        (r.idx, r.rho) for r in read_registers(spark, cfg).collect()
+    }
+    whole = spark.createDataFrame(
+        rows1 + rows2, "doc_id long, text string"
+    )
+    batch = {(r.idx, r.rho) for r in hll_build(whole, "doc_id").collect()}
+    assert streamed == batch
+    est = rolling_distinct_estimate(spark, cfg)
+    assert abs(est - 300) <= 5 * 0.0163 * 300  # 5x RSE at p=12
+    # idempotence: draining again with the same checkpoint is a no-op
+    run_rolling_distinct(spark, cfg)
+    assert {
+        (r.idx, r.rho) for r in read_registers(spark, cfg).collect()
+    } == batch
