@@ -774,3 +774,80 @@ def test_variance_decomposition_identity_and_nonnegativity(spark):
         assert abs(r.total_var - (r.within_var + r.between_var)) <= 1e-9 * max(
             1.0, abs(r.total_var)
         ), r
+
+
+def test_dominant_supplier_uniqueness_invariant(spark):
+    """q237's predicate 2·sup_qty > part_qty admits AT MOST ONE
+    dominant supplier per part (two majorities cannot coexist), so the
+    sum of dominated-part counts over suppliers is bounded by the
+    number of parts shipped in the window."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.catalog import table
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = QUERIES["q237_dominant_suppliers"].fn(spark, sf).collect()
+    assert rows
+    n_parts = (
+        table(spark, sf, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_partkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_dominated_parts for r in rows) <= n_parts
+
+
+def test_source_novelty_ladder_telescopes(spark):
+    """q244's ladder must telescope: marginal counts are positive, the
+    cumulative column is their running sum, and the final cumulative
+    equals the corpus-wide distinct-trigram count (no trigram lost or
+    double-assigned by the min-source collapse)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.catalog import table
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    rows = sorted(
+        QUERIES["q244_source_novelty_ladder"].fn(spark, sf).collect(),
+        key=lambda r: r.source,
+    )
+    assert rows and all(r.n_new_trigrams > 0 for r in rows)
+    run = 0
+    for r in rows:
+        run += r.n_new_trigrams
+        assert r.cum_distinct_trigrams == run
+    docs = table(spark, sf, "documents")
+    toks = F.split("text", " ")
+    total = (
+        docs.select(
+            F.explode_outer(
+                F.when(
+                    F.size(toks) >= 3,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(toks) - 3),
+                        lambda i: F.concat_ws(
+                            " ",
+                            F.element_at(toks, i + 1),
+                            F.element_at(toks, i + 2),
+                            F.element_at(toks, i + 3),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<string>"))
+            ).alias("g")
+        )
+        .filter(F.col("g").isNotNull())
+        .select("g")
+        .distinct()
+        .count()
+    )
+    assert run == total
