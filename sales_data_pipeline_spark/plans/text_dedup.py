@@ -2147,3 +2147,60 @@ def q248_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q250 — edit-distance near-dup (character-level member of the dedup family)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q250_name_edit_neardup",
+    oracle="""
+    WITH names AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_distance
+    FROM names a JOIN names b ON a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ORDER BY edit_distance, name_a, name_b
+    """,
+)
+def q250_name_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-level near-duplicate pairs over the part-name catalog
+    (edit distance ≤ 2) — the typo/variant-spelling member of the
+    near-dup family (q22 token Jaccard, q23 MinHash, q24 SimHash, q52
+    embeddings, q200 images): entity catalogs dedupe on edit distance
+    where token methods are blind ('cold anvil' vs 'old anvil' share
+    no error model with shingles). Exactly oracle-able because
+    Levenshtein is the same integer DP in every engine — no floats
+    anywhere. Scale shape: the oracle compares all pairs; the engine
+    NEVER does — lev(a,b) ≤ k forces ||a|−|b|| ≤ k, so each name is
+    indexed under its 2k+1 length keys and candidates come from an
+    EQUI-join on the length key (the bipartite pigeonhole recipe of
+    simhash_near_pairs, zero recall loss), with the exact DP as the
+    verify filter. At a 10⁸-name catalog add a second block key that
+    is also necessary-condition-safe (e.g. length-k character
+    q-gram overlap), same template. The distinct-name projection
+    collapses the fact table first — the pair stage runs on the
+    CATALOG, not the corpus."""
+    part = table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct().select(
+        "p_name", F.length("p_name").alias("l")
+    )
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.explode(
+            F.sequence(F.greatest(F.col("l") - 2, F.lit(0)), F.col("l") + 2)
+        ).alias("lk"),
+    )
+    b = names.select(F.col("p_name").alias("name_b"), F.col("l").alias("lk"))
+    d = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "lk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b")
+        .distinct()
+        .filter(d <= 2)
+        .select("name_a", "name_b", d.cast("bigint").alias("edit_distance"))
+        .orderBy("edit_distance", "name_a", "name_b")
+    )

@@ -1053,3 +1053,36 @@ def test_incremental_dedup_bucketed_history_no_history_exchange(spark, sf_dir):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS t_fp_history_b")
+
+
+def test_edit_neardup_blocking_equals_brute_force(spark, sf_dir):
+    """q250's length-key blocking must be lossless: candidates from the
+    length-band equi-join, verified by exact Levenshtein, must equal
+    the all-pairs answer computed by brute force on the same names."""
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    got = {
+        (r.name_a, r.name_b, r.edit_distance)
+        for r in QUERIES["q250_name_edit_neardup"].fn(spark, sf_dir).collect()
+    }
+    names = [
+        r.p_name
+        for r in table(spark, sf_dir, "part").select("p_name").distinct().collect()
+    ]
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    brute = {
+        (a, b, lev(a, b))
+        for i, a in enumerate(sorted(names))
+        for b in sorted(names)[i + 1 :]
+        if lev(a, b) <= 2
+    }
+    assert got == brute and brute
