@@ -134,8 +134,12 @@ def lint_plan(df: DataFrame) -> list[PlanFinding]:
     # nothing beyond inferred IsNotNull checks: the predicate shape
     # (function-over-column, UDF) defeated pushdown — it never appears
     # in DataFilters at all, it stays a separate Filter above the scan
+    # tree section only: details headers start at column 0 as "(n) Node"
+    # and would create false Filter/Scan adjacencies
     tree_lines = [
-        ln for ln in plan.splitlines() if re.search(r"\(\d+\)", ln)
+        ln
+        for ln in plan.splitlines()
+        if re.search(r"\(\d+\)", ln) and not re.match(r"^\(\d+\) ", ln)
     ]
 
     def _real_predicate(filter_line: str) -> bool:

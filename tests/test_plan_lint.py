@@ -83,3 +83,21 @@ def test_unpushed_filter_flagged_for_function_over_column(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     ).select("l_orderkey")
     assert "unpushed-filter" not in _codes(lint_plan(good))
+
+
+def test_entire_catalog_has_no_error_level_findings(spark):
+    """Catalog-wide standing invariant: NO query's physical plan may
+    contain an error-severity anti-pattern (cartesian product,
+    row-at-a-time Python UDF) — the two classes with no legitimate
+    judgment call. Warning classes (bounded-aggregate global windows,
+    broadcast-scalar nested loops, deterministic-output sorts,
+    documented quadratic tiers) are the author-judgment tier and are
+    pinned per-query in test_plan_shapes instead. Runs at sf0.001 so
+    construction-eager queries (IVF training, cut-point collects) stay
+    cheap."""
+    errors = []
+    for name, q in sorted(QUERIES.items()):
+        for f in lint_plan(q.fn(spark, "/root/testdata/sf0.001")):
+            if f.severity == "error":
+                errors.append((name, f.code))
+    assert errors == []
