@@ -9,6 +9,7 @@ spark-submit:
   python -m sales_data_pipeline_spark incremental --input-dir ... --output-dir ...
   python -m sales_data_pipeline_spark query q01_pricing_summary --sf-dir ...
   python -m sales_data_pipeline_spark list
+  python -m sales_data_pipeline_spark lint q01_pricing_summary   # or --all
   python -m sales_data_pipeline_spark compact --table-dir ... --partition-cols k1,k2
 
 Dimension tables for the sales pipeline default to the seed frames the
@@ -133,6 +134,34 @@ def _cmd_list(args) -> int:
     return 0
 
 
+
+def _cmd_lint(args) -> int:
+    """Advisory physical-plan lint of one query or the whole catalog
+    (plans/lint.py): exit 1 if any ERROR-severity finding exists, so a
+    CI step can gate on `lint --all`."""
+    from sales_data_pipeline_spark.plans import QUERIES
+    from sales_data_pipeline_spark.plans.lint import lint_plan
+
+    if not args.all and not args.name:
+        print("lint: give a query name or --all", file=sys.stderr)
+        return 2
+    names = sorted(QUERIES) if args.all else [args.name]
+    unknown = [n for n in names if n not in QUERIES]
+    if unknown:
+        print(f"unknown query {unknown[0]!r}; see `list`", file=sys.stderr)
+        return 2
+    spark = _spark("plan-lint")
+    n_err = 0
+    for name in names:
+        findings = lint_plan(QUERIES[name].fn(spark, args.sf_dir))
+        for f in findings:
+            n_err += f.severity == "error"
+            print(f"{name}\t{f.severity}\t{f.code}\t{f.message}")
+        if not findings and not args.all:
+            print(f"{name}\tclean")
+    return 1 if n_err else 0
+
+
 def _cmd_compact(args) -> int:
     from sales_data_pipeline_spark.pipeline.maintenance import compact_partitions
 
@@ -234,6 +263,14 @@ def main(argv: list[str] | None = None) -> int:
 
     sl = sub.add_parser("list", help="list catalog queries")
     sl.set_defaults(fn=_cmd_list)
+
+    slint = sub.add_parser(
+        "lint", help="advisory physical-plan lint (scale anti-patterns)"
+    )
+    slint.add_argument("name", nargs="?", default=None)
+    slint.add_argument("--all", action="store_true", help="lint every catalog query")
+    slint.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    slint.set_defaults(fn=_cmd_lint)
 
     sc = sub.add_parser("compact", help="compact small files in a partitioned table")
     sc.add_argument("--table-dir", required=True)

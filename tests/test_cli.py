@@ -129,3 +129,14 @@ def test_cli_mask_export_and_cdc_apply(spark, tmp_path, capsys):
     assert rc == 0
     got = {r.k: (r.name, r.bal) for r in spark.read.parquet(str(snap2)).collect()}
     assert got == {1: ("Alicia", 1300.0), 3: ("Cara", 9.0)}
+
+
+def test_cli_lint_single_and_bad_name(spark, capsys):
+    """`lint <query>` prints findings (or 'clean') and exits 0 when no
+    error-severity finding exists; unknown names exit 2; missing args
+    exit 2."""
+    assert main(["lint", "q01_pricing_summary"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_pricing_summary" in out
+    assert main(["lint", "q_nope"]) == 2
+    assert main(["lint"]) == 2
