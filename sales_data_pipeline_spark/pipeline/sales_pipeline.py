@@ -197,7 +197,10 @@ def run_pipeline_jdbc(
     re-run republishes from it. Dims are tiny (bounded) — a
     single-partition pull each is the right plan; large dims would pass
     range-partition bounds through read_jdbc."""
-    from sales_data_pipeline_spark.sources.jdbc import read_jdbc, write_jdbc
+    from sales_data_pipeline_spark.sources.jdbc import (
+        read_jdbc,
+        write_jdbc_atomic,
+    )
 
     dims = [
         read_jdbc(spark, topo.url, t, properties=topo.properties)
@@ -209,11 +212,15 @@ def run_pipeline_jdbc(
             (result.customer_mart_path, topo.customer_mart_table),
             (result.sales_team_mart_path, topo.sales_team_mart_table),
         ):
-            write_jdbc(
+            # staging-swap publish: readers of the DB marts never see
+            # a dropped/half-loaded table during the reload (plain
+            # overwrite = drop-then-load; sources/jdbc.py
+            # write_jdbc_atomic docstring has the crash analysis)
+            write_jdbc_atomic(
+                spark,
                 spark.read.format(cfg.mart_format).load(path),
                 topo.url,
                 table,
-                mode="overwrite",
                 properties=topo.properties,
             )
     return result

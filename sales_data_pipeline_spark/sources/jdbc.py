@@ -69,3 +69,78 @@ def write_jdbc(
     for k, v in (properties or {}).items():
         writer = writer.option(k, v)
     writer.save()
+
+
+def _jdbc_connection(spark: SparkSession, url: str, properties: dict[str, str] | None):
+    """Driver-side JDBC connection via the JVM DriverManager (used only
+    for tiny DDL statements — data always moves through executors)."""
+    jvm = spark.sparkContext._jvm
+    props = jvm.java.util.Properties()
+    for k, v in (properties or {}).items():
+        props.setProperty(k, v)
+    if "driver" in (properties or {}):
+        jvm.java.lang.Class.forName(properties["driver"])
+    return jvm.java.sql.DriverManager.getConnection(url, props)
+
+
+def _table_exists(conn, table: str) -> bool:
+    meta = conn.getMetaData()
+    rs = meta.getTables(None, None, table.upper(), None)
+    try:
+        return rs.next()
+    finally:
+        rs.close()
+
+
+def write_jdbc_atomic(
+    spark: SparkSession,
+    df: DataFrame,
+    url: str,
+    table: str,
+    properties: dict[str, str] | None = None,
+    batch_size: int = 10_000,
+) -> None:
+    """Publish ``df`` to ``table`` WITHOUT a reader-visible gap.
+
+    ``mode="overwrite"`` (plain :func:`write_jdbc`) drops the target
+    table and then reloads it — for the marts' real deployment
+    (dashboards querying the DB, reference main.py:390-398) that is a
+    window, as long as the whole reload, where readers see a missing
+    or half-loaded table, and a crash mid-write leaves it that way.
+    Staging-swap protocol instead:
+
+      1. load the FULL data into ``<table>__staging`` (drop any stale
+         staging leftover first — a previous crash's debris);
+      2. swap names in DDL: drop old, RENAME staging → live.
+
+    Readers see the old table until the swap, then the new one; the
+    swap itself is two sub-second DDL statements instead of the whole
+    reload. A crash before step 2 leaves the LIVE table untouched
+    (the rerun rebuilds staging from scratch — the pipeline's
+    republish-from-lake recipe); a crash between the drop and the
+    rename narrows the gap to the DDL pair, the best a database
+    without transactional DDL-over-rename (Derby) can do — engines
+    with atomic rename-swap (MySQL ``RENAME TABLE a TO b, c TO a``)
+    plug into the same protocol with a true zero-gap swap. Data moves
+    through executors exactly as in write_jdbc; only the tiny DDL runs
+    on the driver connection."""
+    staging = f"{table}__staging"
+    conn = _jdbc_connection(spark, url, properties)
+    try:
+        stmt = conn.createStatement()
+        if _table_exists(conn, staging):
+            stmt.executeUpdate(f"DROP TABLE {staging}")
+        stmt.close()
+    finally:
+        conn.close()
+    write_jdbc(df, url, staging, mode="overwrite",
+               properties=properties, batch_size=batch_size)
+    conn = _jdbc_connection(spark, url, properties)
+    try:
+        stmt = conn.createStatement()
+        if _table_exists(conn, table):
+            stmt.executeUpdate(f"DROP TABLE {table}")
+        stmt.executeUpdate(f"RENAME TABLE {staging} TO {table}")
+        stmt.close()
+    finally:
+        conn.close()

@@ -195,3 +195,33 @@ def test_chaos_crash_window_jdbc_topology_resumes_without_duplicates(
     assert db_cust.agg(F.sum("total_sales")).collect()[0][0] == pq_total
     db_team = read_jdbc(spark, url, topo.sales_team_mart_table, properties=DERBY_PROPS)
     assert db_team.count() == spark.read.parquet(res.sales_team_mart_path).count()
+
+
+def test_write_jdbc_atomic_swap_and_crash_safety(spark, derby_url, mart_df):
+    """Staging-swap publish: the live table is replaced only AFTER the
+    full reload lands in staging — a failure during the (simulated)
+    staging load leaves the previous live table fully readable, stale
+    staging debris is cleaned up on the next publish, and a successful
+    publish leaves exactly the new rows under the live name."""
+    from sales_data_pipeline_spark.sources.jdbc import write_jdbc_atomic
+
+    t = "atomic_mart"
+    v1 = mart_df
+    write_jdbc_atomic(spark, v1, derby_url, t, properties=DERBY_PROPS)
+    assert read_jdbc(spark, derby_url, t, properties=DERBY_PROPS).count() == v1.count()
+
+    # simulate a crash mid-staging-load: write staging debris directly,
+    # never swap — the live table must be untouched
+    write_jdbc(v1.limit(1), derby_url, f"{t}__staging", mode="overwrite",
+               properties=DERBY_PROPS)
+    assert read_jdbc(spark, derby_url, t, properties=DERBY_PROPS).count() == v1.count()
+
+    # next publish must clean the debris and swap in the new version
+    v2 = v1.limit(2)
+    write_jdbc_atomic(spark, v2, derby_url, t, properties=DERBY_PROPS)
+    assert read_jdbc(spark, derby_url, t, properties=DERBY_PROPS).count() == 2
+    # staging name must not linger as a readable table
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        read_jdbc(spark, derby_url, f"{t}__staging", properties=DERBY_PROPS).count()
