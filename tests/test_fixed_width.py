@@ -99,3 +99,58 @@ def test_fixed_width_scale_beyond_detector_raises_at_plan_time(spark, tmp_path):
     path = _write(tmp_path, ["000042" + "0.00000000000000000001".rjust(24)])
     with pytest.raises(ValueError, match="scale"):
         read_fixed_width(spark, path, layout)
+
+
+# ---------------------------------------------------------------------------
+# property test: random layouts round-trip (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_fw_settings = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_fw_settings)
+@given(
+    widths=st.lists(st.integers(3, 12), min_size=2, max_size=4),
+    n_rows=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+)
+def test_fixed_width_random_layouts_roundtrip(spark, tmp_path_factory, widths, n_rows, seed):
+    """For ANY layout of int fields and ANY in-range values, formatting
+    rows positionally and reading them back must reproduce every value
+    with zero quarantined rows — and truncating the last line must
+    quarantine exactly that line."""
+    import random
+
+    rng = random.Random(seed)
+    start, layout = 1, []
+    for i, w in enumerate(widths):
+        layout.append(FixedWidthField(f"f{i}", start, w, "int"))
+        start += w
+    rows = [
+        # int fields are 32-bit: cap wide columns at INT_MAX, not 10^w
+        [rng.randint(0, min(10 ** (f.width - 1) - 1, 2**31 - 1)) for f in layout]
+        for _ in range(n_rows)
+    ]
+    lines = [
+        "".join(str(v).rjust(f.width) for v, f in zip(r, layout)) for r in rows
+    ]
+    tmp = tmp_path_factory.mktemp("fwfuzz")
+    p = tmp / "data.txt"
+    p.write_text("\n".join(lines) + "\n")
+    clean, bad = split_corrupt(read_fixed_width(spark, str(p), layout))
+    got = sorted(tuple(r[f.name] for f in layout) for r in clean.collect())
+    assert got == sorted(map(tuple, rows))
+    assert bad.count() == 0
+    # truncate the final line below the layout width -> quarantined
+    p2 = tmp / "trunc.txt"
+    p2.write_text("\n".join(lines[:-1] + [lines[-1][: start - 3]]) + "\n")
+    clean2, bad2 = split_corrupt(read_fixed_width(spark, str(p2), layout))
+    assert clean2.count() == n_rows - 1
+    assert bad2.count() == 1
