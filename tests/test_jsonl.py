@@ -110,3 +110,65 @@ def test_xml_read_mart_export_shape(spark, tmp_path):
     got = back.agg(F.sum("total_sales")).collect()[0][0]
     want = mart.agg(F.sum("total_sales")).collect()[0][0]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# property test: corrupt-line routing is a partition (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_fuzz_settings = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@settings(**_fuzz_settings)
+@given(
+    n_good=st.integers(1, 8),
+    corrupt_at=st.lists(st.integers(0, 7), max_size=4, unique=True),
+    mangle=st.sampled_from(["truncate", "notjson", "arraytop"]),
+    seed=st.integers(0, 10_000),
+)
+def test_jsonl_corrupt_routing_partitions_lines(
+    spark, tmp_path_factory, n_good, corrupt_at, mangle, seed
+):
+    """For ANY mix of valid docs and corrupted lines (truncated JSON,
+    non-JSON garbage, top-level arrays), clean ∪ corrupt must PARTITION
+    the input: every valid doc parses with its values intact, every
+    mangled line lands raw in the corrupt side, nothing is dropped or
+    double-routed."""
+    import json as _json
+    import random
+
+    rng = random.Random(seed)
+    good = {
+        i: {"doc_id": i, "text": f"t{rng.randint(0, 99)}", "lang": "en"}
+        for i in range(n_good)
+    }
+    lines, n_bad = [], 0
+    for i in range(n_good):
+        line = _json.dumps(good[i])
+        if i in corrupt_at:
+            n_bad += 1
+            if mangle == "truncate":
+                line = line[: len(line) // 2]
+            elif mangle == "notjson":
+                line = f"garbage line {i} :::"
+            else:
+                line = f"[{line}]"
+        lines.append(line)
+    tmp = tmp_path_factory.mktemp("jsonlfuzz")
+    f = tmp / "docs.jsonl"
+    f.write_text("\n".join(lines) + "\n")
+    clean, bad = split_corrupt(read_jsonl(spark, str(f), DOC_CONTRACT))
+    rows = {r.doc_id: r for r in clean.collect()}
+    expect_good = {i for i in range(n_good) if i not in corrupt_at}
+    assert set(rows) == expect_good
+    for i in expect_good:
+        assert rows[i].text == good[i]["text"]
+    assert bad.count() == n_bad
+    spark.catalog.clearCache()
