@@ -10,6 +10,7 @@ spark-submit:
   python -m sales_data_pipeline_spark query q01_pricing_summary --sf-dir ...
   python -m sales_data_pipeline_spark list
   python -m sales_data_pipeline_spark lint q01_pricing_summary   # or --all
+  python -m sales_data_pipeline_spark secret encrypt 'db-password'
   python -m sales_data_pipeline_spark compact --table-dir ... --partition-cols k1,k2
 
 Dimension tables for the sales pipeline default to the seed frames the
@@ -133,6 +134,34 @@ def _cmd_list(args) -> int:
         print(f"{name}\t{kind}{head}")
     return 0
 
+
+
+def _cmd_secret(args) -> int:
+    """Encrypt/decrypt config secrets (pipeline/secrets.py) — the
+    runnable face of the reference's encrypt_decrypt.py utility, minus
+    its hardcoded salt/IV (every token carries fresh random salt+nonce
+    under AES-256-GCM). Reads the passphrase from $SECRET_PASSPHRASE or
+    an interactive prompt, NEVER argv (process lists leak argv)."""
+    import getpass
+    import os
+
+    from sales_data_pipeline_spark.pipeline.secrets import (
+        decrypt_secret,
+        encrypt_secret,
+    )
+
+    passphrase = os.environ.get("SECRET_PASSPHRASE") or getpass.getpass(
+        "passphrase: "
+    )
+    try:
+        if args.action == "encrypt":
+            print(encrypt_secret(args.value, passphrase))
+        else:
+            print(decrypt_secret(args.value, passphrase))
+    except ValueError as ex:
+        print(f"secret: {ex}", file=sys.stderr)
+        return 2
+    return 0
 
 
 def _cmd_lint(args) -> int:
@@ -271,6 +300,13 @@ def main(argv: list[str] | None = None) -> int:
     slint.add_argument("--all", action="store_true", help="lint every catalog query")
     slint.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     slint.set_defaults(fn=_cmd_lint)
+
+    ss = sub.add_parser(
+        "secret", help="encrypt/decrypt a config secret (AES-256-GCM)"
+    )
+    ss.add_argument("action", choices=["encrypt", "decrypt"])
+    ss.add_argument("value", help="plaintext (encrypt) or token (decrypt)")
+    ss.set_defaults(fn=_cmd_secret)
 
     sc = sub.add_parser("compact", help="compact small files in a partitioned table")
     sc.add_argument("--table-dir", required=True)

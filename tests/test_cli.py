@@ -140,3 +140,14 @@ def test_cli_lint_single_and_bad_name(spark, capsys):
     assert "q01_pricing_summary" in out
     assert main(["lint", "q_nope"]) == 2
     assert main(["lint"]) == 2
+
+
+def test_cli_secret_roundtrip_and_bad_token(capsys, monkeypatch):
+    monkeypatch.setenv("SECRET_PASSPHRASE", "master")
+    assert main(["secret", "encrypt", "db-password"]) == 0
+    token = capsys.readouterr().out.strip()
+    assert main(["secret", "decrypt", token]) == 0
+    assert capsys.readouterr().out.strip() == "db-password"
+    assert main(["secret", "decrypt", "not-a-token"]) == 2
+    monkeypatch.setenv("SECRET_PASSPHRASE", "wrong")
+    assert main(["secret", "decrypt", token]) == 2
