@@ -84,12 +84,18 @@ def _jdbc_connection(spark: SparkSession, url: str, properties: dict[str, str] |
 
 
 def _table_exists(conn, table: str) -> bool:
+    """Case-folding differs per catalog: Derby/Oracle store unquoted
+    identifiers UPPER, MySQL as-written, Postgres lower — probe all
+    three spellings through DatabaseMetaData."""
     meta = conn.getMetaData()
-    rs = meta.getTables(None, None, table.upper(), None)
-    try:
-        return rs.next()
-    finally:
-        rs.close()
+    for candidate in dict.fromkeys((table, table.upper(), table.lower())):
+        rs = meta.getTables(None, None, candidate, None)
+        try:
+            if rs.next():
+                return True
+        finally:
+            rs.close()
+    return False
 
 
 def write_jdbc_atomic(
