@@ -396,3 +396,54 @@ def test_run_pipeline_emits_stage_logs(spark, cfg, caplog):
     assert "ingested 50 fact rows" in text
     assert "marts committed" in text
     assert "state flipped to inactive" in text
+
+
+# ---------------------------------------------------------------------------
+# property test: header-contract validation over random column sets
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sales_data_pipeline_spark.operators.normalize import validate_headers
+from sales_data_pipeline_spark.schemas import MANDATORY_COLUMNS
+from tests.fixtures import HEADER8
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    drop=st.lists(st.sampled_from(sorted(MANDATORY_COLUMNS)), max_size=3, unique=True),
+    extras=st.lists(
+        st.sampled_from(["payment_mode", "coupon", "channel"]), max_size=2, unique=True
+    ),
+    seed=st.integers(0, 10_000),
+)
+def test_validate_headers_contract_over_random_column_sets(
+    spark, tmp_path_factory, drop, extras, seed
+):
+    """For ANY header built by dropping mandatory columns and/or adding
+    extras: a file missing ANY mandatory column is quarantined with
+    exactly the missing set reported; extra columns alone never
+    quarantine — the reference's accept/reject rule (main.py:142-188)
+    generalized beyond its two golden cases."""
+    import csv as _csv
+
+    header = [c for c in HEADER8 if c not in drop] + list(extras)
+    tmp = tmp_path_factory.mktemp("hdrfuzz")
+    path = tmp / "f.csv"
+    with open(path, "w", newline="") as f:
+        w = _csv.writer(f)
+        w.writerow(header)
+        w.writerow(["1"] * len(header))
+    report = validate_headers(spark, [str(path)], MANDATORY_COLUMNS)
+    if drop:
+        assert report.valid_paths == []
+        missing = set(next(iter(report.quarantined.values())))
+        assert missing == set(drop)
+    else:
+        assert len(report.valid_paths) == 1
+        assert report.quarantined == {}
