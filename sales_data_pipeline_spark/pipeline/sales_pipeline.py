@@ -224,3 +224,35 @@ def run_pipeline_jdbc(
                 properties=topo.properties,
             )
     return result
+
+
+def replay_quarantine(spark: SparkSession, cfg: PipelineConfig) -> dict[str, list[str]]:
+    """Recovery path for quarantined inputs — the loop the reference
+    lacks entirely (its error folder is a dead end, move_files.py:26-62
+    moves files in and nothing ever looks again). After the producer
+    fixes a file in place (or the contract is relaxed), replaying
+    RE-VALIDATES every quarantined file against the current mandatory
+    columns: passes move back to ``input_dir`` for the next
+    run_pipeline to ingest through the normal audit path; failures
+    stay quarantined with their (possibly new) missing-column sets.
+
+    Returns {"requeued": [...], "still_bad": [...]}; file names only,
+    mirroring PipelineResult's reporting. Validation is header-probe
+    cheap (one-line read per file); no state is written here — the
+    requeued file earns its audit 'A' row from the pipeline run that
+    ingests it, keeping a single writer for the state log."""
+    from sales_data_pipeline_spark.operators.normalize import validate_headers
+
+    out: dict[str, list[str]] = {"requeued": [], "still_bad": []}
+    quarantined = fs.list_files(spark, cfg.quarantine_dir, suffix=".csv")
+    if not quarantined:
+        return out
+    report = validate_headers(spark, quarantined, MANDATORY_COLUMNS)
+    for path in report.valid_paths:
+        fs.move_file(spark, path, cfg.input_dir)
+        out["requeued"].append(path.rsplit("/", 1)[-1])
+        log.info("replay: requeued %s", path)
+    for path, missing in report.quarantined.items():
+        out["still_bad"].append(path.rsplit("/", 1)[-1])
+        log.info("replay: %s still missing %s", path, missing)
+    return out

@@ -447,3 +447,37 @@ def test_validate_headers_contract_over_random_column_sets(
     else:
         assert len(report.valid_paths) == 1
         assert report.quarantined == {}
+
+
+def test_replay_quarantine_requeues_fixed_files(spark, cfg):
+    """A quarantined file fixed in place is re-validated and moved back
+    to the input dir, where the next pipeline run ingests it through
+    the normal audit path; unfixed files stay quarantined."""
+    from pathlib import Path
+
+    from sales_data_pipeline_spark.pipeline.sales_pipeline import (
+        replay_quarantine,
+    )
+
+    write_sales_csv(_in(cfg) / "good.csv", n=50, seed=61)
+    write_sales_csv(_in(cfg) / "bad1.csv", n=20, seed=62, drop_store_id=True)
+    write_sales_csv(_in(cfg) / "bad2.csv", n=20, seed=63, drop_store_id=True)
+    customer, store, team = dim_frames(spark)
+    res1 = run_pipeline(spark, cfg, customer, store, team)
+    assert len(res1.quarantined_files) == 2 and res1.n_fact_rows == 50
+
+    # producer fixes bad1 IN PLACE (full header now); bad2 stays broken
+    write_sales_csv(Path(cfg.quarantine_dir) / "bad1.csv", n=20, seed=64)
+    replay = replay_quarantine(spark, cfg)
+    assert replay == {"requeued": ["bad1.csv"], "still_bad": ["bad2.csv"]}
+    assert sorted(p.name for p in Path(cfg.quarantine_dir).iterdir()) == ["bad2.csv"]
+
+    res2 = run_pipeline(spark, cfg, customer, store, team)
+    assert [p.rsplit("/", 1)[-1] for p in res2.accepted_files] == ["bad1.csv"]
+    assert res2.n_fact_rows == 20
+    # replayed file completed the full audit cycle
+    state = AuditState(spark, cfg.state_dir)
+    assert state.stale_active_files() == []
+    # empty quarantine: replay is a no-op
+    write_sales_csv(Path(cfg.quarantine_dir) / "bad2.csv", n=1, seed=65, drop_store_id=True)
+    assert replay_quarantine(spark, cfg)["requeued"] == []
