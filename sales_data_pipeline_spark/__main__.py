@@ -11,6 +11,7 @@ spark-submit:
   python -m sales_data_pipeline_spark list
   python -m sales_data_pipeline_spark lint q01_pricing_summary   # or --all
   python -m sales_data_pipeline_spark secret encrypt 'db-password'
+  python -m sales_data_pipeline_spark replay --input-dir ... --output-dir ...
   python -m sales_data_pipeline_spark compact --table-dir ... --partition-cols k1,k2
 
 Dimension tables for the sales pipeline default to the seed frames the
@@ -134,6 +135,26 @@ def _cmd_list(args) -> int:
         print(f"{name}\t{kind}{head}")
     return 0
 
+
+
+def _cmd_replay(args) -> int:
+    """Re-validate quarantined inputs and requeue the fixed ones
+    (pipeline.sales_pipeline.replay_quarantine)."""
+    from sales_data_pipeline_spark.pipeline import PipelineConfig
+    from sales_data_pipeline_spark.pipeline.sales_pipeline import (
+        replay_quarantine,
+    )
+
+    spark = _spark("quarantine-replay")
+    cfg = PipelineConfig(
+        input_dir=args.input_dir,
+        quarantine_dir=args.quarantine_dir or f"{args.output_dir}/_quarantine",
+        processed_dir=args.processed_dir or f"{args.output_dir}/_processed",
+        output_dir=args.output_dir,
+        state_dir=args.state_dir or f"{args.output_dir}/_state",
+    )
+    print(json.dumps(replay_quarantine(spark, cfg)))
+    return 0
 
 
 def _cmd_secret(args) -> int:
@@ -300,6 +321,16 @@ def main(argv: list[str] | None = None) -> int:
     slint.add_argument("--all", action="store_true", help="lint every catalog query")
     slint.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     slint.set_defaults(fn=_cmd_lint)
+
+    sr = sub.add_parser(
+        "replay", help="re-validate quarantined inputs, requeue fixed files"
+    )
+    sr.add_argument("--input-dir", required=True)
+    sr.add_argument("--output-dir", required=True)
+    sr.add_argument("--quarantine-dir")
+    sr.add_argument("--processed-dir")
+    sr.add_argument("--state-dir")
+    sr.set_defaults(fn=_cmd_replay)
 
     ss = sub.add_parser(
         "secret", help="encrypt/decrypt a config secret (AES-256-GCM)"

@@ -151,3 +151,30 @@ def test_cli_secret_roundtrip_and_bad_token(capsys, monkeypatch):
     assert main(["secret", "decrypt", "not-a-token"]) == 2
     monkeypatch.setenv("SECRET_PASSPHRASE", "wrong")
     assert main(["secret", "decrypt", token]) == 2
+
+
+def test_cli_replay_requeues_fixed_file(spark, tmp_path, capsys):
+    from pathlib import Path
+
+    from tests.fixtures import write_sales_csv as _w
+
+    (tmp_path / "in").mkdir()
+    _w(tmp_path / "in" / "bad.csv", n=10, seed=71, drop_store_id=True)
+    rc = main([
+        "pipeline",
+        "--input-dir", str(tmp_path / "in"),
+        "--output-dir", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    capsys.readouterr()
+    # fix in place, then replay
+    _w(Path(tmp_path / "out" / "_quarantine") / "bad.csv", n=10, seed=72)
+    rc = main([
+        "replay",
+        "--input-dir", str(tmp_path / "in"),
+        "--output-dir", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"requeued": ["bad.csv"], "still_bad": []}
+    assert (tmp_path / "in" / "bad.csv").exists()
