@@ -130,17 +130,20 @@ _fuzz_settings = dict(
 @given(
     n_good=st.integers(1, 8),
     corrupt_at=st.lists(st.integers(0, 7), max_size=4, unique=True),
-    mangle=st.sampled_from(["truncate", "notjson", "arraytop"]),
+    mangle=st.sampled_from(["truncate", "notjson", "badcomma"]),
     seed=st.integers(0, 10_000),
 )
 def test_jsonl_corrupt_routing_partitions_lines(
     spark, tmp_path_factory, n_good, corrupt_at, mangle, seed
 ):
     """For ANY mix of valid docs and corrupted lines (truncated JSON,
-    non-JSON garbage, top-level arrays), clean ∪ corrupt must PARTITION
+    non-JSON garbage, malformed syntax), clean ∪ corrupt must PARTITION
     the input: every valid doc parses with its values intact, every
     mangled line lands raw in the corrupt side, nothing is dropped or
-    double-routed."""
+    double-routed. (Top-level ARRAYS are deliberately absent from the
+    corruption classes: Spark's JSON-lines reader legitimately explodes
+    an array line into its element rows — hypothesis found that
+    assumption bug in this test's first version.)"""
     import json as _json
     import random
 
@@ -159,7 +162,7 @@ def test_jsonl_corrupt_routing_partitions_lines(
             elif mangle == "notjson":
                 line = f"garbage line {i} :::"
             else:
-                line = f"[{line}]"
+                line = '{"doc_id": %d,,}' % i  # malformed comma
         lines.append(line)
     tmp = tmp_path_factory.mktemp("jsonlfuzz")
     f = tmp / "docs.jsonl"
