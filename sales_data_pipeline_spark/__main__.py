@@ -162,7 +162,11 @@ def _cmd_secret(args) -> int:
     runnable face of the reference's encrypt_decrypt.py utility, minus
     its hardcoded salt/IV (every token carries fresh random salt+nonce
     under AES-256-GCM). Reads the passphrase from $SECRET_PASSPHRASE or
-    an interactive prompt, NEVER argv (process lists leak argv)."""
+    an interactive prompt, NEVER argv (process lists leak argv). The
+    same argv-leak rationale applies to the VALUE being encrypted: pass
+    ``-`` (or omit it) to read the plaintext/token from stdin — a value
+    given on the command line is visible in process listings and shell
+    history, so prefer ``printf '%s' "$secret" | ... secret encrypt -``."""
     import getpass
     import os
 
@@ -174,11 +178,17 @@ def _cmd_secret(args) -> int:
     passphrase = os.environ.get("SECRET_PASSPHRASE") or getpass.getpass(
         "passphrase: "
     )
+    value = args.value
+    if value is None or value == "-":
+        value = sys.stdin.readline().rstrip("\n")
+        if not value:
+            print("secret: empty value on stdin", file=sys.stderr)
+            return 2
     try:
         if args.action == "encrypt":
-            print(encrypt_secret(args.value, passphrase))
+            print(encrypt_secret(value, passphrase))
         else:
-            print(decrypt_secret(args.value, passphrase))
+            print(decrypt_secret(value, passphrase))
     except ValueError as ex:
         print(f"secret: {ex}", file=sys.stderr)
         return 2
@@ -336,7 +346,13 @@ def main(argv: list[str] | None = None) -> int:
         "secret", help="encrypt/decrypt a config secret (AES-256-GCM)"
     )
     ss.add_argument("action", choices=["encrypt", "decrypt"])
-    ss.add_argument("value", help="plaintext (encrypt) or token (decrypt)")
+    ss.add_argument(
+        "value",
+        nargs="?",
+        default=None,
+        help="plaintext (encrypt) or token (decrypt); '-' or omitted = "
+        "read from stdin (argv leaks via process lists / shell history)",
+    )
     ss.set_defaults(fn=_cmd_secret)
 
     sc = sub.add_parser("compact", help="compact small files in a partitioned table")

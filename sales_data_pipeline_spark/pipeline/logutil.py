@@ -37,7 +37,14 @@ def configure_pipeline_logging(
     """Opt-in run configuration: attach a console handler (and
     optionally a file handler) to the package logger. Idempotent —
     calling twice replaces the handlers instead of duplicating every
-    line (the classic re-run symptom of configure-at-import)."""
+    line (the classic re-run symptom of configure-at-import).
+
+    Once run handlers are attached, ``propagate`` is switched off so an
+    application that also configured the Python root logger (e.g.
+    ``logging.basicConfig`` in a driver script) doesn't emit every
+    pipeline line twice — our handlers become the single output path.
+    Before configuration (NullHandler only) propagation stays on, the
+    normal library posture."""
     root = logging.getLogger(_ROOT_NAME)
     for h in list(root.handlers):
         if not isinstance(h, logging.NullHandler):
@@ -52,4 +59,5 @@ def configure_pipeline_logging(
         fileh.setFormatter(formatter)
         root.addHandler(fileh)
     root.setLevel(level)
+    root.propagate = False
     return root

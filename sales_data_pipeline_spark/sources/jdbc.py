@@ -16,7 +16,46 @@ needing a network database.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, DataFrameReader, SparkSession
+
+# Identifiers we are willing to interpolate into DDL (write_jdbc_atomic).
+# JDBC DDL cannot be parameterized, so the guard is a strict whitelist:
+# a plain SQL identifier — letters/digits/underscore, not digit-leading.
+# Schema-qualified or quoted names are deliberately rejected; the atomic
+# publish targets simple mart table names (SURVEY §2a S14's own
+# never-f-string-interpolate lesson applied to ourselves).
+_IDENTIFIER_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+
+
+def _require_plain_identifier(name: str, what: str) -> None:
+    if not _IDENTIFIER_RE.match(name):
+        raise ValueError(
+            f"{what} {name!r} is not a plain SQL identifier "
+            "([A-Za-z_][A-Za-z0-9_]*); refusing to interpolate it into DDL"
+        )
+
+
+def _rename_ddl(url: str, staging: str, table: str) -> str:
+    """Dialect-keyed rename statement, selected off the JDBC subprotocol.
+
+    ``RENAME TABLE a TO b`` is Derby/MySQL syntax; Postgres (and most
+    ANSI catalogs) spell it ``ALTER TABLE a RENAME TO b``. Unknown
+    subprotocols raise loudly rather than ship DDL that may parse as
+    something else entirely.
+    """
+    m = re.match(r"^jdbc:([a-zA-Z0-9]+):", url)
+    subprotocol = m.group(1).lower() if m else ""
+    if subprotocol in ("derby", "mysql", "mariadb"):
+        return f"RENAME TABLE {staging} TO {table}"
+    if subprotocol in ("postgresql", "h2", "sqlite", "oracle"):
+        return f"ALTER TABLE {staging} RENAME TO {table}"
+    raise ValueError(
+        f"write_jdbc_atomic: unknown JDBC subprotocol {subprotocol!r} in "
+        f"{url!r}; supported dialects: derby/mysql/mariadb (RENAME TABLE), "
+        "postgresql/h2/sqlite/oracle (ALTER TABLE ... RENAME TO)"
+    )
 
 
 def read_jdbc(
@@ -129,8 +168,18 @@ def write_jdbc_atomic(
     with atomic rename-swap (MySQL ``RENAME TABLE a TO b, c TO a``)
     plug into the same protocol with a true zero-gap swap. Data moves
     through executors exactly as in write_jdbc; only the tiny DDL runs
-    on the driver connection."""
+    on the driver connection.
+
+    Identifier/dialect contract: ``table`` must be a plain identifier
+    (whitelist-validated before any DDL interpolation — JDBC DDL can't
+    be parameterized, so names never pass through unchecked), and the
+    rename statement is keyed off the JDBC subprotocol (see
+    :func:`_rename_ddl` for the supported-dialect matrix; unknown
+    dialects raise instead of guessing)."""
+    _require_plain_identifier(table, "table")
     staging = f"{table}__staging"
+    _require_plain_identifier(staging, "staging table")
+    rename_sql = _rename_ddl(url, staging, table)  # validate dialect up front
     conn = _jdbc_connection(spark, url, properties)
     try:
         stmt = conn.createStatement()
@@ -146,7 +195,7 @@ def write_jdbc_atomic(
         stmt = conn.createStatement()
         if _table_exists(conn, table):
             stmt.executeUpdate(f"DROP TABLE {table}")
-        stmt.executeUpdate(f"RENAME TABLE {staging} TO {table}")
+        stmt.executeUpdate(rename_sql)
         stmt.close()
     finally:
         conn.close()

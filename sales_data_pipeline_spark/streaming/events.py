@@ -341,7 +341,14 @@ def _burst_fn(k: int, window_seconds: int):
         key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        # (ts, event_id) total order — the SAME tiebreak the batch
+        # detector q243 uses, so equal-timestamp events are processed
+        # deterministically (mergesort = stable; a ts-only sort leaves
+        # ties in Arrow-batch arrival order, breaking the exact-parity
+        # claim for in-order delivery).
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        sort_cols = ["ts", "event_id"] if "event_id" in rows.columns else ["ts"]
+        rows = rows.sort_values(sort_cols, kind="mergesort")
         ts_us = (rows["ts"].astype("int64") // 1000).tolist()  # ns → µs
 
         if state.exists:
@@ -394,7 +401,13 @@ def burst_monitor_stateful(
     (batch, event-time-within-batch) order; an event arriving a batch
     late is evaluated at arrival — exact parity with the batch query
     holds for in-order delivery (the covering test), the standard
-    at-arrival contract for unwatermarked custom state."""
+    at-arrival contract for unwatermarked custom state.
+
+    ``k`` must be ≥ 2: a "burst" compares an event to its (k−1)-back
+    predecessor, so k=1 has no predecessor to compare against (and
+    would index an empty state list)."""
+    if k < 2:
+        raise ValueError(f"burst_monitor_stateful requires k >= 2, got k={k}")
     return events.groupBy("user_id").applyInPandasWithState(
         _burst_fn(k, window_seconds),
         outputStructType=BURST_OUTPUT_SCHEMA,

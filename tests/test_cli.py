@@ -178,3 +178,20 @@ def test_cli_replay_requeues_fixed_file(spark, tmp_path, capsys):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out == {"requeued": ["bad.csv"], "still_bad": []}
     assert (tmp_path / "in" / "bad.csv").exists()
+
+
+def test_cli_secret_reads_value_from_stdin(capsys, monkeypatch):
+    """argv leaks via process lists — `-` (or omitting the value) reads
+    the plaintext/token from stdin instead, and an empty stdin is a
+    usage error, not an encrypted empty string."""
+    import io
+
+    monkeypatch.setenv("SECRET_PASSPHRASE", "master")
+    monkeypatch.setattr("sys.stdin", io.StringIO("stdin-secret\n"))
+    assert main(["secret", "encrypt", "-"]) == 0
+    token = capsys.readouterr().out.strip()
+    monkeypatch.setattr("sys.stdin", io.StringIO(token + "\n"))
+    assert main(["secret", "decrypt"]) == 0
+    assert capsys.readouterr().out.strip() == "stdin-secret"
+    monkeypatch.setattr("sys.stdin", io.StringIO(""))
+    assert main(["secret", "encrypt", "-"]) == 2

@@ -225,3 +225,32 @@ def test_write_jdbc_atomic_swap_and_crash_safety(spark, derby_url, mart_df):
 
     with _pytest.raises(Exception):
         read_jdbc(spark, derby_url, f"{t}__staging", properties=DERBY_PROPS).count()
+
+
+def test_write_jdbc_atomic_rejects_injection_shaped_names(spark, derby_url, mart_df):
+    """Identifier whitelist: table names are interpolated into DDL (JDBC
+    DDL cannot be parameterized), so anything beyond a plain SQL
+    identifier must be rejected BEFORE any statement runs — including
+    before the staging load (no partial work on a bad name)."""
+    from sales_data_pipeline_spark.sources.jdbc import write_jdbc_atomic
+
+    for bad in ("mart; DROP TABLE users", 'mart"x', "mart-2024", "1mart", "a.b"):
+        with pytest.raises(ValueError, match="plain SQL identifier"):
+            write_jdbc_atomic(spark, mart_df, derby_url, bad, properties=DERBY_PROPS)
+
+
+def test_write_jdbc_atomic_dialect_matrix():
+    """The rename DDL is keyed off the JDBC subprotocol: RENAME TABLE
+    for Derby/MySQL/MariaDB, ALTER TABLE ... RENAME TO for
+    Postgres-family catalogs, and a loud ValueError (naming the
+    supported set) for anything unrecognized."""
+    from sales_data_pipeline_spark.sources.jdbc import _rename_ddl
+
+    assert _rename_ddl("jdbc:derby:/tmp/db", "s", "t") == "RENAME TABLE s TO t"
+    assert _rename_ddl("jdbc:mysql://h/db", "s", "t") == "RENAME TABLE s TO t"
+    assert (
+        _rename_ddl("jdbc:postgresql://h/db", "s", "t")
+        == "ALTER TABLE s RENAME TO t"
+    )
+    with pytest.raises(ValueError, match="supported dialects"):
+        _rename_ddl("jdbc:exoticdb://h/db", "s", "t")

@@ -381,6 +381,39 @@ def test_configure_is_idempotent_and_writes_file(tmp_path):
             if not isinstance(h, logging.NullHandler):
                 root.removeHandler(h)
                 h.close()
+        root.propagate = True  # restore library default for other tests
+
+
+def test_configure_disables_propagation_no_double_emit(tmp_path):
+    """An application that ALSO configured the Python root logger (e.g.
+    logging.basicConfig in a driver script) must not see every pipeline
+    line twice: once run handlers are attached, the package logger stops
+    propagating — our handlers are the single output path."""
+    import io
+
+    from sales_data_pipeline_spark.pipeline.logutil import (
+        configure_pipeline_logging,
+        get_logger,
+    )
+
+    app_stream = io.StringIO()
+    app_handler = logging.StreamHandler(app_stream)
+    logging.getLogger().addHandler(app_handler)  # simulate basicConfig
+    logf = tmp_path / "run.log"
+    try:
+        root = configure_pipeline_logging(log_file=str(logf))
+        assert root.propagate is False
+        get_logger("t").info("exactly once")
+        assert logf.read_text().count("exactly once") == 1
+        assert "exactly once" not in app_stream.getvalue()  # not doubled via root
+    finally:
+        logging.getLogger().removeHandler(app_handler)
+        root = logging.getLogger("sales_data_pipeline_spark")
+        for h in list(root.handlers):
+            if not isinstance(h, logging.NullHandler):
+                root.removeHandler(h)
+                h.close()
+        root.propagate = True
 
 
 def test_run_pipeline_emits_stage_logs(spark, cfg, caplog):

@@ -886,3 +886,55 @@ def test_burst_monitor_at_arrival_contract_for_late_events(spark, tmp_path):
     # exactly the documented at-arrival divergence for late data
     assert final.n_burst_points_total == 1
     assert final.last_burst_at == dt.datetime(2024, 1, 1) + dt.timedelta(seconds=300)
+
+
+def test_burst_monitor_rejects_k_below_2(spark, tmp_path):
+    """k=1 has no (k-1)-back predecessor to compare against — the
+    constructor must reject it loudly instead of raising IndexError on
+    the first event deep inside the state function."""
+    from sales_data_pipeline_spark.streaming.events import burst_monitor_stateful
+
+    src = tmp_path / "events"
+    _write_events(spark, str(src / "f1"), [(0, 1, "a", 1.0)])
+    stream = read_event_stream(spark, str(src))
+    with pytest.raises(ValueError, match="k >= 2"):
+        burst_monitor_stateful(stream, k=1)
+
+
+def test_burst_fn_equal_timestamp_ties_use_event_id_order():
+    """Determinism for simultaneous events: the micro-batch sort is
+    (ts, event_id) — the SAME total order the batch detector q243 uses —
+    so equal-timestamp events always process in event_id order no matter
+    how Arrow happened to batch them. Verified by feeding the same rows
+    in two different arrival orders through the raw state function and
+    asserting identical outputs (a ts-only sort would leave ties in
+    arrival order and let last_burst/state drift between runs)."""
+    import pandas as pd
+
+    from sales_data_pipeline_spark.streaming.events import _burst_fn
+
+    class _StubState:
+        exists = False
+
+        def update(self, v):
+            self.stored = v
+
+    base = dt.datetime(2024, 1, 1)
+
+    def run(order):
+        pdf = pd.DataFrame(
+            {
+                "event_id": [order[i] for i in range(3)],
+                "ts": [base, base, base],  # all simultaneous
+                "user_id": [1, 1, 1],
+            }
+        )
+        st = _StubState()
+        out = list(_burst_fn(k=3, window_seconds=1800)((1,), [pdf], st))[0]
+        return st.stored, out.to_dict("records")[0]
+
+    state_a, out_a = run([10, 20, 30])
+    state_b, out_b = run([30, 10, 20])  # same rows, different arrival order
+    assert state_a == state_b
+    assert out_a == out_b
+    assert out_a["n_burst_points_batch"] == 1  # third simultaneous event bursts
