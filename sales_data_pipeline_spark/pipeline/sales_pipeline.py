@@ -53,6 +53,12 @@ class PipelineConfig:
     # predicate pushdown; parquet is the default lake choice, orc the
     # Hive-ecosystem one.
     mart_format: str = "parquet"
+    # physical-plan lint of the mart plans BEFORE anything is written
+    # (plans/lint.py — the scale checklist as a runtime guard, not just
+    # a CI invariant): "off" = skip, "warn" = log findings and proceed,
+    # "strict" = raise on any error-severity finding (cartesian product,
+    # row-at-a-time Python UDF) so a scale-killer plan never publishes.
+    lint: str = "warn"
 
 
 @dataclass
@@ -67,6 +73,29 @@ class PipelineResult:
     # scan): n_rows, n_null_cost, sum_cost — the run-report numbers an
     # operator reads before trusting a publish
     ingest_metrics: dict = field(default_factory=dict)
+
+
+def _lint_mart_plans(mode: str, **marts: DataFrame) -> None:
+    """Runtime face of the plan linter (plans/lint.py): warn-log every
+    finding; in strict mode raise on error-severity ones (cartesian
+    product, row-at-a-time Python UDF) BEFORE any sink action runs."""
+    if mode == "off":
+        return
+    if mode not in ("warn", "strict"):
+        raise ValueError(f"PipelineConfig.lint must be off|warn|strict, got {mode!r}")
+    from sales_data_pipeline_spark.plans.lint import lint_plan
+
+    errors: list[str] = []
+    for name, df in marts.items():
+        for f in lint_plan(df):
+            log.warning("plan lint [%s] %s/%s: %s", f.severity, name, f.code, f.message)
+            if f.severity == "error":
+                errors.append(f"{name}: {f.code} — {f.message}")
+    if errors and mode == "strict":
+        raise RuntimeError(
+            "strict plan lint failed; refusing to publish marts:\n  "
+            + "\n  ".join(errors)
+        )
 
 
 def run_pipeline(
@@ -145,12 +174,19 @@ def run_pipeline(
     #    (main.py:363-368); dynamic partition overwrite keeps re-runs
     #    idempotent per partition instead of append-duplicating
     #    (SURVEY §2j.7).
+    cust_mart = customer_monthly_mart(enriched, cfg.strict_compat)
+    team_mart = sales_team_mart(enriched, cfg.strict_compat)
+    # lint BOTH plans before EITHER write: a strict failure must leave
+    # zero marts published, not one (half-published is the worst state)
+    _lint_mart_plans(
+        cfg.lint, customers_data_mart=cust_mart, sales_team_data_mart=team_mart
+    )
     result.customer_mart_path = f"{cfg.output_dir}/customers_data_mart"
-    customer_monthly_mart(enriched, cfg.strict_compat).write.mode("overwrite").format(
+    cust_mart.write.mode("overwrite").format(
         cfg.mart_format
     ).save(result.customer_mart_path)
     result.sales_team_mart_path = f"{cfg.output_dir}/sales_team_data_mart"
-    sales_team_mart(enriched, cfg.strict_compat).write.mode("overwrite").partitionBy(
+    team_mart.write.mode("overwrite").partitionBy(
         "sales_month", "store_id"
     ).format(cfg.mart_format).save(result.sales_team_mart_path)
     fact.unpersist()

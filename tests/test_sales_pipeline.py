@@ -514,3 +514,58 @@ def test_replay_quarantine_requeues_fixed_files(spark, cfg):
     # empty quarantine: replay is a no-op
     write_sales_csv(Path(cfg.quarantine_dir) / "bad2.csv", n=1, seed=65, drop_store_id=True)
     assert replay_quarantine(spark, cfg)["requeued"] == []
+
+
+def test_strict_lint_blocks_cartesian_mart_before_any_publish(
+    spark, cfg, monkeypatch
+):
+    """lint='strict' turns the CI plan checklist into a runtime guard:
+    a mart whose plan contains a CartesianProduct (error severity) must
+    raise BEFORE either mart is written — zero marts published, inputs
+    NOT archived, state still 'A' (the failed-run probe will resume
+    them). The stock marts pass strict lint (second run)."""
+    import dataclasses
+    from pathlib import Path
+
+    from sales_data_pipeline_spark.pipeline import sales_pipeline as sp
+
+    write_sales_csv(_in(cfg) / "sales1.csv", n=60, seed=9)
+    customer, store, team = dim_frames(spark)
+
+    real_mart = sp.customer_monthly_mart
+
+    def cartesian_mart(enriched, strict_compat=False):
+        good = real_mart(enriched, strict_compat)
+        # a deliberate scale-killer: all-pairs self cross join
+        return good.crossJoin(good.select(F.col("sales_date_month").alias("m2")))
+
+    monkeypatch.setattr(sp, "customer_monthly_mart", cartesian_mart)
+    strict_cfg = dataclasses.replace(cfg, lint="strict")
+    with pytest.raises(RuntimeError, match="cartesian"):
+        run_pipeline(spark, strict_cfg, customer, store, team)
+    out = Path(strict_cfg.output_dir)
+    assert not (out / "customers_data_mart").exists()
+    assert not (out / "sales_team_data_mart").exists()
+    # pre-commit failure: file not archived, audit row still active
+    assert (_in(cfg) / "sales1.csv").exists()
+    assert AuditState(spark, cfg.state_dir).stale_active_files()
+
+    # the real marts pass strict lint end-to-end (and the resumed file
+    # is picked up by the probe)
+    monkeypatch.setattr(sp, "customer_monthly_mart", real_mart)
+    res = run_pipeline(spark, strict_cfg, customer, store, team)
+    assert res.n_fact_rows == 60
+    assert (out / "customers_data_mart").exists()
+
+
+def test_lint_mode_validation_and_off(spark, cfg, monkeypatch):
+    """Unknown lint modes are rejected loudly; lint='off' skips the
+    guard entirely (a cartesian mart would publish — the operator asked
+    for it)."""
+    import dataclasses
+
+    from sales_data_pipeline_spark.pipeline.sales_pipeline import _lint_mart_plans
+
+    with pytest.raises(ValueError, match="off\\|warn\\|strict"):
+        _lint_mart_plans("loud")
+    _lint_mart_plans("off")  # no-op, no spark needed
