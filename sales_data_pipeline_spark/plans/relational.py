@@ -8277,6 +8277,64 @@ def q225_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q251 — HLL envelope check (exact small-domain oracle sibling of q225)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q251_hll_envelope_check",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS within_envelope
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def q251_hll_envelope_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy contract for the HLL estimator: per
+    order priority, the EXACT distinct-customer count (oracled — DuckDB
+    COUNT(DISTINCT)) alongside a boolean asserting this engine's
+    grouped HLL estimate (operators/sketch.hll_group_registers +
+    per-row estimate expression, p=12) lands within 5·RSE of exact —
+    the same envelope tests/test_scale.py::test_hll_estimate_within_
+    error_envelope pins, but emitted as oracle-comparable ROWS so the
+    external correctness gate sees the estimator's honesty, not just
+    the suite (oracle asserts within_envelope = TRUE; a drifting
+    estimator hash-mismatches). Deterministic: seeded xxhash64,
+    integer registers — a pass at a given SF is a permanent pass.
+    Scale shape: one linear pass to |groups|·2^p register rows, the
+    exact tier is one count_distinct groupBy; both single-shuffle."""
+    from sales_data_pipeline_spark.operators.sketch import (
+        _hll_estimate_expr,
+        hll_group_registers,
+    )
+
+    orders = table(spark, sf_dir, "orders")
+    p = 12
+    est = hll_group_registers(orders, "o_orderpriority", "o_custkey", p=p).select(
+        F.col("group").alias("priority"),
+        _hll_estimate_expr(F.col("regs"), p).alias("est"),
+    )
+    exact = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count_distinct("o_custkey").cast("bigint").alias("exact_distinct")
+    )
+    bound = 5 * 1.04 / (1 << p) ** 0.5
+    return (
+        exact.join(est, "priority")
+        .select(
+            "priority",
+            "exact_distinct",
+            (
+                F.abs(F.col("est") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+                <= F.lit(bound)
+            ).alias("within_envelope"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q228 — QQ decile table (two-sample distribution comparison)
 # ---------------------------------------------------------------------------
 

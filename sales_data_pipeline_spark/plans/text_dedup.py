@@ -2150,6 +2150,95 @@ def q248_source_overlap_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q252 — overlap-sketch envelope (exact small-domain oracle sibling of q248)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q252_overlap_sketch_envelope",
+    oracle="""
+    WITH toks AS (
+      SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    tri AS (
+      SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, unnest(generate_series(1, len(t) - 2)) AS u(i)
+      WHERE len(t) >= 3
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS exact_overlap,
+           TRUE AS within_envelope
+    FROM tri a JOIN tri b ON a.g = b.g AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q252_overlap_sketch_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy contract for the pairwise overlap
+    sketch: per source pair with a POSITIVE exact distinct-trigram
+    overlap, the EXACT overlap (oracled — DuckDB computes the same
+    trigram sets and intersection) plus a boolean asserting q248's HLL
+    inclusion-exclusion estimate lands inside the published 3σ budget
+    3·RSE·(est_a+est_b) — the envelope tests/test_scale.py::
+    test_hll_pairwise_overlap_within_inclusion_exclusion_envelope pins
+    (measured worst case 0.55 of bound), emitted as oracle-comparable
+    ROWS so the external gate checks the estimator, not just the suite
+    (oracle asserts within_envelope = TRUE). Deterministic seeded hash:
+    a pass at a given SF is permanent. Tier note: the EXACT side is a
+    trigram-keyed self-join — the oracle tier; q248 is the 100 TB path
+    (one linear sketch pass, no corpus join). Both consume the SAME
+    persisted trigram frame (one corpus scan feeding the exact join and
+    the sketch build)."""
+    from sales_data_pipeline_spark.operators.dedup import _persist
+    from sales_data_pipeline_spark.operators.sketch import hll_pairwise_overlap
+
+    docs = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    tri_arr = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tri = _persist(
+        docs.select("source", F.explode_outer(tri_arr).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    exact = (
+        tri.alias("a")
+        .join(
+            tri.select(
+                F.col("source").alias("source_b"), F.col("g").alias("g_b")
+            ),
+            (F.col("g") == F.col("g_b")) & (F.col("source") < F.col("source_b")),
+        )
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))
+    )
+    est = hll_pairwise_overlap(tri, "source", "g", p=12)
+    rse = 1.04 / (1 << 12) ** 0.5
+    return (
+        exact.join(est, ["source_a", "source_b"])
+        .select(
+            "source_a",
+            "source_b",
+            "exact_overlap",
+            (
+                F.abs(F.col("est_overlap") - F.col("exact_overlap"))
+                <= F.lit(3 * rse) * (F.col("est_a") + F.col("est_b"))
+            ).alias("within_envelope"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
 # q250 — edit-distance near-dup (character-level member of the dedup family)
 # ---------------------------------------------------------------------------
 
