@@ -938,3 +938,64 @@ def test_burst_fn_equal_timestamp_ties_use_event_id_order():
     assert state_a == state_b
     assert out_a == out_b
     assert out_a["n_burst_points_batch"] == 1  # third simultaneous event bursts
+
+
+def test_burst_and_session_state_survive_rocksdb_store_swap(spark, tmp_path):
+    """Production clusters run stateful queries on the RocksDB state
+    store (spillable, incremental-checkpoint), not the default
+    HDFS-backed in-memory map the rest of this suite exercises. The
+    bounded-state contracts (k-1 timestamps per user for the burst
+    monitor) must be store-agnostic: same inputs, same outputs, state
+    still spanning micro-batches, under
+    RocksDBStateStoreProvider. Guarded: skips if the provider class is
+    absent from this Spark build (it ships in Spark 3.4+)."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(provider)
+    except Exception:
+        pytest.skip("RocksDB state store provider not in this build")
+
+    from sales_data_pipeline_spark.streaming.events import (
+        burst_monitor_stateful,
+        read_event_stream,
+    )
+
+    src = tmp_path / "events"
+    # the same scenario as the cross-batch burst test: burst spans the
+    # micro-batch boundary, so a store that loses state between batches
+    # would report 0
+    _write_events(spark, str(src / "f1"), [(0, 1, "a", 1.0), (100, 1, "a", 1.0)])
+    time.sleep(1.1)
+    _write_events(spark, str(src / "f2"), [
+        (200, 1, "a", 1.0), (5000, 1, "a", 1.0),
+        (5100, 1, "a", 1.0), (5200, 1, "a", 1.0),
+    ])
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+        q = (
+            burst_monitor_stateful(stream, k=3, window_seconds=1800)
+            .writeStream.format("memory")
+            .queryName("bursts_rocksdb")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+    rows = spark.sql("SELECT * FROM bursts_rocksdb").collect()
+    final = max(rows, key=lambda r: r.n_burst_points_total)
+    # 200 bursts across the batch boundary (200-0 <= 1800); 5200 bursts
+    # within batch 2 (5200-5000 <= 1800) — identical to the HDFS-store
+    # cross-batch test's expectation
+    assert final.n_burst_points_total == 2
+    assert final.last_burst_at == dt.datetime(2024, 1, 1) + dt.timedelta(seconds=5200)
