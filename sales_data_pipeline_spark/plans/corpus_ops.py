@@ -1156,3 +1156,61 @@ def q204_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_sqrt(
         docs, domain_col="source", size_col="n_tokens"
     ).orderBy("domain")
+
+
+# ---------------------------------------------------------------------------
+# q255 — compaction bin-packing plan (small-file maintenance planner)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q255_compaction_plan",
+    oracle="""
+    WITH sized AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n_chars AS before_me
+      FROM documents
+    )
+    SELECT source, CAST(before_me // 2048 AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_chars) AS BIGINT) AS bin_bytes
+    FROM sized GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q255_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLANNER: assign each input object (here
+    documents stand in for a file inventory: source = table partition,
+    n_chars = file size) to a target-size output bin by scan-order
+    first-fit — bin = exclusive-prefix-sum(size) div target — and
+    report each planned bin's file count and byte total. This is the
+    queryable face of the maintenance compactor (pipeline/maintenance
+    .py): at 100 TB the listing itself is big data, so the PLAN must
+    be a distributed query, not a driver loop over a listing. Scan-
+    order first-fit is the deliberate choice over size-sorted packing:
+    it preserves the partition's existing order (time-ordered files
+    stay time-local for pruning) and needs only a PARTITIONED window
+    prefix sum — one shuffle by partition key, no global sort, no
+    driver state; bins overshoot the target by at most one file, the
+    standard compactor contract. Oracle: identical window arithmetic
+    in DuckDB (integer sizes, exact)."""
+    docs = table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    before = (F.sum("n_chars").over(w) - F.col("n_chars")).alias("before_me")
+    return (
+        docs.select("source", "n_chars", before)
+        .groupBy(
+            "source",
+            F.floor(F.col("before_me") / 2048).cast("bigint").alias("bin"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_chars").cast("bigint").alias("bin_bytes"),
+        )
+        .orderBy("source", "bin")
+    )

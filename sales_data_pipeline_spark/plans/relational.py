@@ -9316,3 +9316,241 @@ def q249_price_dispersion_decomposition(
         )
         .orderBy("p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# q253 — exact two-sample Kolmogorov–Smirnov over return flags
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q253_ks_returnflag_price",
+    oracle="""
+    WITH pairs(flag_a, flag_b) AS (VALUES ('A','N'), ('A','R'), ('N','R')),
+    tagged AS (
+      SELECT p.flag_a, p.flag_b, l.l_extendedprice AS v, l.l_returnflag AS f
+      FROM lineitem l JOIN pairs p ON l.l_returnflag IN (p.flag_a, p.flag_b)
+    ),
+    by_value AS (
+      SELECT flag_a, flag_b, v,
+             SUM(CASE WHEN f = flag_a THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN f = flag_b THEN 1 ELSE 0 END) AS cb
+      FROM tagged GROUP BY 1, 2, 3
+    ),
+    cum AS (
+      SELECT flag_a, flag_b,
+             SUM(ca) OVER w AS cum_a, SUM(cb) OVER w AS cum_b,
+             SUM(ca) OVER (PARTITION BY flag_a, flag_b) AS n_a,
+             SUM(cb) OVER (PARTITION BY flag_a, flag_b) AS n_b
+      FROM by_value
+      WINDOW w AS (PARTITION BY flag_a, flag_b ORDER BY v
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT flag_a, flag_b,
+           CAST(MAX(n_a) AS BIGINT) AS n_a, CAST(MAX(n_b) AS BIGINT) AS n_b,
+           MAX(ABS(CAST(cum_a AS DOUBLE) / n_a
+                   - CAST(cum_b AS DOUBLE) / n_b)) AS d_stat
+    FROM cum GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q253_ks_returnflag_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov D between the price
+    distributions of every return-flag pair — the distribution-shift
+    screen that complements q223's rank test (Mann–Whitney detects
+    location shift; KS detects ANY cdf divergence). Exact and
+    engine-portable by construction: D is evaluated at the pooled
+    jump points (the distinct values of the union — sufficient for
+    step ECDFs), using integer cumulative counts divided once per
+    point (exact-int-derived doubles compare bitwise; the q229
+    lesson). Scale shape: one groupBy per (pair, value) with map-side
+    combine (|distinct prices| rows), then a PARTITIONED window per
+    pair — no global window, no driver collect; 3 pairs × distinct
+    values, each pair's window sorting only its own partition."""
+    li = table(spark, sf_dir, "lineitem")
+    pairs = spark.createDataFrame(
+        [("A", "N"), ("A", "R"), ("N", "R")], "flag_a string, flag_b string"
+    )
+    tagged = li.join(
+        F.broadcast(pairs),
+        (F.col("l_returnflag") == F.col("flag_a"))
+        | (F.col("l_returnflag") == F.col("flag_b")),
+    )
+    by_value = tagged.groupBy(
+        "flag_a", "flag_b", F.col("l_extendedprice").alias("v")
+    ).agg(
+        F.sum(F.when(F.col("l_returnflag") == F.col("flag_a"), 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("l_returnflag") == F.col("flag_b"), 1).otherwise(0)).alias("cb"),
+    )
+    w = (
+        Window.partitionBy("flag_a", "flag_b")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wp = Window.partitionBy("flag_a", "flag_b")
+    cum = by_value.select(
+        "flag_a",
+        "flag_b",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+        F.sum("ca").over(wp).alias("n_a"),
+        F.sum("cb").over(wp).alias("n_b"),
+    )
+    return (
+        cum.groupBy("flag_a", "flag_b")
+        .agg(
+            F.max("n_a").cast("bigint").alias("n_a"),
+            F.max("n_b").cast("bigint").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("cum_a").cast("double") / F.col("n_a")
+                    - F.col("cum_b").cast("double") / F.col("n_b")
+                )
+            ).alias("d_stat"),
+        )
+        .orderBy("flag_a", "flag_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q254 — Z-order layout report (Morton-interleaved clustering keys)
+# ---------------------------------------------------------------------------
+
+
+def _morton_spread(x: Column) -> Column:
+    """Spread an 8-bit value's bits to even positions (16-bit result)
+    with the classic mask ladder — integer ops only, the identical
+    arithmetic the DuckDB oracle runs."""
+    x = x.bitwiseAND(F.lit(255))
+    x = (x.bitwiseOR(x * F.lit(16))).bitwiseAND(F.lit(0x0F0F))
+    x = (x.bitwiseOR(x * F.lit(4))).bitwiseAND(F.lit(0x3333))
+    x = (x.bitwiseOR(x * F.lit(2))).bitwiseAND(F.lit(0x5555))
+    return x
+
+
+@query(
+    "q254_zorder_layout",
+    oracle="""
+    WITH dims AS (
+      SELECT (l_partkey % 256) AS d1,
+             (CAST(date_diff('day', DATE '1992-01-01',
+                             CAST(l_shipdate AS DATE)) AS BIGINT) % 256) AS d2
+      FROM lineitem
+    ),
+    spread AS (
+      SELECT d1, d2,
+        (((((d1 | (d1 * 16)) & 3855) | (((d1 | (d1 * 16)) & 3855) * 4)) & 13107)
+          | ((((((d1 | (d1 * 16)) & 3855) | (((d1 | (d1 * 16)) & 3855) * 4)) & 13107) * 2))) & 21845 AS s1,
+        (((((d2 | (d2 * 16)) & 3855) | (((d2 | (d2 * 16)) & 3855) * 4)) & 13107)
+          | ((((((d2 | (d2 * 16)) & 3855) | (((d2 | (d2 * 16)) & 3855) * 4)) & 13107) * 2))) & 21845 AS s2
+      FROM dims
+    )
+    SELECT CAST((s1 | (s2 * 2)) // 256 AS BIGINT) AS zbucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(d1) AS BIGINT) AS min_d1, CAST(MAX(d1) AS BIGINT) AS max_d1,
+           CAST(MIN(d2) AS BIGINT) AS min_d2, CAST(MAX(d2) AS BIGINT) AS max_d2
+    FROM spread GROUP BY 1 ORDER BY 1
+    """,
+)
+def q254_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering-key report over lineitem on the two
+    most-filtered dimensions (part bucket × ship-day bucket): the data
+    LAYOUT operator behind multi-dimension data skipping — writing a
+    fact table sorted by z-value gives every file a narrow min/max
+    range on BOTH dims simultaneously, so parquet row-group stats
+    prune either predicate (a single-column sort gives pruning on one
+    dim only). Output: per 256-wide z-bucket (a would-be file), row
+    count and the min/max window of each dimension — the clustering-
+    quality evidence: both per-bucket windows stay narrow (~16 wide at
+    8-bit dims), where a d1-sorted layout would leave d2 windows
+    spanning the full 0..255. The interleave is the classic mask-
+    ladder bit spread in portable integer arithmetic (bitwiseAND/OR +
+    multiplies — identical math in the DuckDB oracle, whole-stage
+    codegen'd JVM-side here). Scale shape: pure map + one groupBy —
+    this report is O(rows) with map-side combine; the layout write
+    itself is repartitionByRange(zvalue), the standard lakehouse
+    OPTIMIZE ZORDER recipe."""
+    li = table(spark, sf_dir, "lineitem")
+    d1 = F.pmod(F.col("l_partkey"), F.lit(256))
+    d2 = F.pmod(
+        F.datediff(F.col("l_shipdate").cast("date"), F.lit("1992-01-01").cast("date")),
+        F.lit(256),
+    ).cast("long")
+    z = _morton_spread(d1).bitwiseOR(_morton_spread(d2) * F.lit(2))
+    return (
+        li.select(d1.alias("d1"), d2.alias("d2"), z.alias("z"))
+        .groupBy((F.col("z") / 256).cast("bigint").alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("d1").cast("bigint").alias("min_d1"),
+            F.max("d1").cast("bigint").alias("max_d1"),
+            F.min("d2").cast("bigint").alias("min_d2"),
+            F.max("d2").cast("bigint").alias("max_d2"),
+        )
+        .orderBy("zbucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q256 — anti-entropy table fingerprint (order-independent xor checksum)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q256_table_fingerprint",
+    oracle="""
+    SELECT (c_custkey % 16) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(('0x' || substr(md5(
+                 CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
+                 CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+               ), 1, 13))::UBIGINT) AS BIGINT) AS fingerprint
+    FROM customer GROUP BY 1 ORDER BY 1
+    """,
+)
+def q256_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy reconciliation checksum: per key-range bucket, an
+    ORDER-INDEPENDENT xor fold of 52-bit md5 row hashes — the cheap
+    way two replicas of a 100 TB table (lake copy vs JDBC mart, two
+    regions, pre/post migration) prove byte-equality without moving
+    data: ship 16 (bucket, count, fingerprint) rows, compare, and a
+    mismatched bucket pinpoints WHERE to drill (recurse into that
+    bucket with a finer pmod — a merkle descent, each level one scan
+    of one bucket). xor is the right fold because it is commutative,
+    associative, and self-inverse: partition order, shuffle order and
+    re-runs cannot change it, and it map-side combines to one long per
+    bucket. 52-bit md5 prefix = the repo's engine-portable hash
+    currency (same construction as the q44/q66 md5 contracts; DuckDB
+    computes the identical value). Columns hashed are the
+    string/integer identity columns — doubles are excluded because
+    cross-engine decimal RENDERING of floats diverges (the q229
+    lesson applied to hashing)."""
+    cust = table(spark, sf_dir, "customer")
+    row_hash = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("c_custkey").cast("string"),
+                    F.col("c_name"),
+                    F.col("c_nationkey").cast("string"),
+                    F.col("c_mktsegment"),
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        cust.select(
+            F.pmod(F.col("c_custkey"), F.lit(16)).alias("bucket"),
+            row_hash.alias("__h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(__h)").alias("fingerprint"),
+        )
+        .orderBy("bucket")
+    )

@@ -1,0 +1,229 @@
+"""Measured scaling curve: sf0.1 → sf1 (10×) per-query time ratios.
+
+Every 100×-scale claim in this repo is otherwise static analysis (plan
+shapes, the linter). This tool produces the one dynamic datapoint the
+sandbox can hold: generate an sf1 dataset (10× sf0.1), run the headline
++ dedup/curation queries at both SFs under the bench protocol
+(warmup pass, then N clearCache'd timed passes, per-query median,
+noop sink), and record sec(sf1)/sec(sf0.1) per query in SCALING.json.
+A plan that survives 10× with a ~linear ratio is evidence; one that
+goes superlinear is a finding (diagnosed in SCALING.md).
+
+sf1 generation — a strict superset of the driver's sf0.1 testdata
+(replica 0 is the identity), so sf0.1 results embed in sf1:
+- replicas 1..9 shift every key column (PK and FK consistently) by
+  replica * 10_000_000 — key spaces stay disjoint, join fan-outs and
+  group sizes scale in COUNT, not depth, matching how a real corpus
+  grows;
+- document text gets a per-replica token suffix (bijective token remap:
+  shingle/dup structure within a replica is preserved EXACTLY, while
+  cross-replica shingle overlap is zero) — so the duplicate RATE is
+  constant and dedup outputs scale ~10×, not combinatorially, which is
+  what "same corpus, 10× bigger" means; n_chars is recomputed;
+- part names get per-replica triple-character prefixes (pairwise
+  prefix edit distance 3 > q250's k=2), keeping the edit-distance
+  near-dup structure per replica and none across;
+- events get fresh user-id spaces per replica (state scales
+  horizontally with the key space, per-user depth constant);
+- embeddings replicate with shifted vec_ids (identical vectors across
+  replicas: ANN timing is magnitude-driven; ties don't change cost);
+- nation/region stay fixed (bounded dims, as in TPC-H).
+
+Usage:
+  python tools/scaling.py generate   # write .scaling/sf1 (idempotent)
+  python tools/scaling.py measure    # run both SFs, write SCALING.json
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # runnable as `python tools/scaling.py`
+    sys.path.insert(0, REPO)
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF1_DIR = os.path.join(REPO, ".scaling", "sf1")
+N_REPLICAS = 10
+STRIDE = 10_000_000
+ITERS = int(os.environ.get("SPARK_GRAFT_BENCH_ITERS", "3"))
+
+# 11 headline queries + the rest of the dedup/curation family
+QUERY_NAMES = [
+    "q01_pricing_summary",
+    "q02_customer_monthly_mart",
+    "q03_team_incentive_mart",
+    "q04_star_enrichment",
+    "q14_events_hourly",
+    "q146_association_rules",
+    "q157_waiting_suppliers",
+    "q25_ann_cosine_topk",
+    "q22_ngram_jaccard_pairs",
+    "q23_minhash_lsh_pairs",
+    "q33_corpus_curation",
+    "q21_dedup_exact",
+    "q24_simhash_pairs",
+    "q250_name_edit_neardup",
+]
+
+# ratio above which a query is flagged for plan diagnosis: 10× data on a
+# fixed 32-core box should be ≤ ~10× work for linear plans; 12 leaves
+# room for shuffle constants and output-size growth.
+LINEAR_BUDGET = 12.0
+
+_PREFIX = ["", "bbb ", "ddd ", "fff ", "hhh ", "jjj ", "kkk ", "mmm ",
+           "ppp ", "qqq "]  # replica part-name prefixes, pairwise lev 3
+
+
+def _spark():
+    from sales_data_pipeline_spark.session import get_spark
+
+    spark = get_spark(app_name="sales_data_pipeline_spark-scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def generate() -> None:
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.catalog import TABLES, table
+
+    if os.path.exists(os.path.join(SF1_DIR, "_DONE")):
+        print(f"sf1 already generated at {SF1_DIR}")
+        return
+    spark = _spark()
+    os.makedirs(SF1_DIR, exist_ok=True)
+
+    key_cols = {
+        "customer": ["c_custkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+        "part": ["p_partkey"],
+        "supplier": ["s_suppkey"],
+        "events": ["event_id", "user_id"],
+        "documents": ["doc_id"],
+        "embeddings": ["vec_id"],
+        "nation": [],   # fixed dims: copied once, not replicated
+        "region": [],
+    }
+    for name in TABLES:
+        src = table(spark, SF01, name)
+        if not key_cols[name]:
+            out = src
+        else:
+            parts = []
+            for r in range(N_REPLICAS):
+                rep = src
+                for k in key_cols[name]:
+                    rep = rep.withColumn(k, F.col(k) + F.lit(r * STRIDE))
+                if name == "documents" and r > 0:
+                    # bijective token remap: within-replica shingle/dup
+                    # structure preserved, cross-replica overlap zero
+                    rep = rep.withColumn(
+                        "text",
+                        F.array_join(
+                            F.transform(
+                                F.split("text", " "),
+                                lambda t: F.concat(t, F.lit(f"_r{r}")),
+                            ),
+                            " ",
+                        ),
+                    ).withColumn("n_chars", F.length("text"))
+                if name == "part" and r > 0:
+                    rep = rep.withColumn(
+                        "p_name", F.concat(F.lit(_PREFIX[r]), F.col("p_name"))
+                    )
+                parts.append(rep)
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{SF1_DIR}/{name}.parquet")
+        print(f"wrote {name}")
+    open(os.path.join(SF1_DIR, "_DONE"), "w").close()
+    print(f"sf1 generated at {SF1_DIR}")
+
+
+def _time_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
+    """Bench protocol: one warmup pass (also records output row counts
+    for output-growth diagnosis), then ITERS clearCache'd timed passes,
+    per-query median through a noop sink. Failures (e.g. q22's exact-
+    tier blow-up guard firing at sf1 — by design) are recorded, not
+    fatal."""
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    rows: dict[str, int] = {}
+    errors: dict[str, str] = {}
+    live = []
+    spark.catalog.clearCache()
+    for name in QUERY_NAMES:
+        try:
+            rows[name] = QUERIES[name].fn(spark, sf_dir).count()
+            live.append(name)
+        except Exception as ex:  # guard-fired / resource failure: record
+            msg = str(ex).splitlines()[0][:300]
+            errors[name] = msg
+            print(f"  {name}: FAILED ({msg[:120]})", file=sys.stderr)
+    samples: dict[str, list[float]] = {n: [] for n in live}
+    for _ in range(ITERS):
+        spark.catalog.clearCache()
+        for name in live:
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples[name].append(time.perf_counter() - t0)
+    timings = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
+    return timings, rows, errors
+
+
+def measure() -> None:
+    if not os.path.exists(os.path.join(SF1_DIR, "_DONE")):
+        generate()
+    spark = _spark()
+    # warm the JVM so sf0.1's first query isn't billed JVM startup
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    print("== timing sf0.1 ==", file=sys.stderr)
+    t01, rows01, err01 = _time_queries(spark, SF01)
+    print("== timing sf1 ==", file=sys.stderr)
+    t1, rows1, err1 = _time_queries(spark, SF1_DIR)
+
+    out = {
+        "protocol": {
+            "iters": ITERS,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "sf_small": SF01,
+            "sf_big": SF1_DIR,
+            "data_ratio": N_REPLICAS,
+            "linear_budget": LINEAR_BUDGET,
+        },
+        "queries": {},
+        "errors": {"sf0.1": err01, "sf1": err1},
+    }
+    for name in QUERY_NAMES:
+        if name in t01 and name in t1:
+            ratio = round(t1[name] / t01[name], 2) if t01[name] > 0 else None
+            out["queries"][name] = {
+                "sf0.1_sec": t01[name],
+                "sf1_sec": t1[name],
+                "ratio": ratio,
+                "rows_sf0.1": rows01.get(name),
+                "rows_sf1": rows1.get(name),
+                "row_ratio": (
+                    round(rows1[name] / rows01[name], 2)
+                    if rows01.get(name) else None
+                ),
+                "superlinear": bool(ratio and ratio > LINEAR_BUDGET),
+            }
+    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out["queries"], indent=2))
+    flagged = [n for n, q in out["queries"].items() if q["superlinear"]]
+    print(f"flagged superlinear (> {LINEAR_BUDGET}x): {flagged or 'none'}")
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "measure"
+    {"generate": generate, "measure": measure}[cmd]()
