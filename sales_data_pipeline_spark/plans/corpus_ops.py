@@ -1214,3 +1214,117 @@ def q255_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# q257 — Gopher-style quality rule census (per-source filter report)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q257_gopher_rules",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t,
+             len(replace(text, ' ', '')) AS n_alpha
+      FROM documents
+    ),
+    top AS (
+      SELECT doc_id, max(c) AS topcnt FROM (
+        SELECT doc_id, tok, count(*) AS c
+        FROM toks, unnest(t) AS u(tok) GROUP BY 1, 2
+      ) GROUP BY 1
+    ),
+    flags AS (
+      SELECT k.source,
+        CASE WHEN len(t) BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS ok_wordcount,
+        CASE WHEN CAST(n_alpha AS DOUBLE) / len(t) >= 4.0
+              AND CAST(n_alpha AS DOUBLE) / len(t) <= 5.0 THEN 1 ELSE 0 END AS ok_meanlen,
+        CASE WHEN CAST(len(list_distinct(t)) AS DOUBLE) / len(t) >= 0.4
+             THEN 1 ELSE 0 END AS ok_diversity,
+        CASE WHEN len(list_filter(t, x -> x IN ('a', 'the'))) >= 2
+             THEN 1 ELSE 0 END AS ok_stopwords,
+        CASE WHEN CAST(top.topcnt AS DOUBLE) / len(t) <= 0.15
+             THEN 1 ELSE 0 END AS ok_repetition
+      FROM toks k JOIN top ON k.doc_id = top.doc_id
+    )
+    SELECT source,
+      CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(SUM(ok_wordcount * ok_meanlen * ok_diversity * ok_stopwords
+               * ok_repetition) AS BIGINT) AS n_pass,
+      CAST(SUM(1 - ok_wordcount) AS BIGINT) AS fail_wordcount,
+      CAST(SUM(1 - ok_meanlen) AS BIGINT) AS fail_meanlen,
+      CAST(SUM(1 - ok_diversity) AS BIGINT) AS fail_diversity,
+      CAST(SUM(1 - ok_stopwords) AS BIGINT) AS fail_stopwords,
+      CAST(SUM(1 - ok_repetition) AS BIGINT) AS fail_repetition
+    FROM flags GROUP BY 1 ORDER BY 1
+    """,
+)
+def q257_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality RULE census per source — the published
+    rule-based pre-filter family (Rae et al. 2021 §A1.1: word-count
+    band, mean-word-length band, lexical diversity, required stopwords,
+    repetition screen), with thresholds tuned to this generator's
+    density so every rule discriminates (probed: words 10–99, mean
+    word length 3.7–5.3, diversity 0.28–1.0). Reported as a per-source
+    census (docs, full passes, per-rule failure counts) — the shape a
+    curation run reviews before committing a filter, and the
+    rule-based complement of the learned quality score (q19).
+
+    Engine-exact: every ratio is exact-integer/exact-integer divided
+    once (chars/words, distinct/words, topcount/words) — both engines
+    produce the identical double before the threshold compare. Scale
+    shape: four rules are pure per-row expressions inside codegen; the
+    repetition rule needs per-(doc, token) counts — one explode +
+    map-side-combined groupBy, linear, the same shape as token
+    counting; final census is one tiny groupBy(source)."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    n = F.size(t)
+    n_alpha = F.length(F.regexp_replace("text", " ", ""))
+    topcnt = (
+        docs.select("doc_id", F.explode(t).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("topcnt"))
+    )
+    ok = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    flags = (
+        docs.join(topcnt, "doc_id")
+        .select(
+            "source",
+            ok((n >= 20) & (n <= 80)).alias("ok_wordcount"),
+            ok(
+                (n_alpha.cast("double") / n >= 4.0)
+                & (n_alpha.cast("double") / n <= 5.0)
+            ).alias("ok_meanlen"),
+            ok(F.size(F.array_distinct(t)).cast("double") / n >= 0.4).alias(
+                "ok_diversity"
+            ),
+            ok(
+                F.size(F.filter(t, lambda x: x.isin("a", "the"))) >= 2
+            ).alias("ok_stopwords"),
+            ok(F.col("topcnt").cast("double") / n <= 0.15).alias("ok_repetition"),
+        )
+    )
+    s = lambda c: F.sum(c).cast("bigint")  # noqa: E731
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            s(
+                F.col("ok_wordcount")
+                * F.col("ok_meanlen")
+                * F.col("ok_diversity")
+                * F.col("ok_stopwords")
+                * F.col("ok_repetition")
+            ).alias("n_pass"),
+            s(1 - F.col("ok_wordcount")).alias("fail_wordcount"),
+            s(1 - F.col("ok_meanlen")).alias("fail_meanlen"),
+            s(1 - F.col("ok_diversity")).alias("fail_diversity"),
+            s(1 - F.col("ok_stopwords")).alias("fail_stopwords"),
+            s(1 - F.col("ok_repetition")).alias("fail_repetition"),
+        )
+        .orderBy("source")
+    )

@@ -2293,3 +2293,173 @@ def q250_name_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("name_a", "name_b", d.cast("bigint").alias("edit_distance"))
         .orderBy("edit_distance", "name_a", "name_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# q258 — passage-level dedup REWRITE (Dolma/CCNet-style paragraph dedup)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q258_passage_dedup_rewrite",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+      SELECT doc_id, i AS idx,
+             array_to_string(t[(i*8+1):(i*8+8)], ' ') AS chunk
+      FROM toks,
+           unnest(range(0, CAST((len(t) + 7) // 8 AS BIGINT))) AS u(i)
+    ),
+    ranked AS (
+      SELECT doc_id, idx, chunk,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, idx) AS rn
+      FROM chunks
+    ),
+    tot AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1),
+    re AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(chunk, ' ' ORDER BY idx) AS new_text
+      FROM ranked WHERE rn = 1 GROUP BY doc_id
+    )
+    SELECT t.doc_id, CAST(t.n_chunks AS BIGINT) AS n_chunks,
+           CAST(COALESCE(re.n_kept, 0) AS BIGINT) AS n_kept,
+           COALESCE(re.new_text, '') AS new_text
+    FROM tot t LEFT JOIN re ON t.doc_id = re.doc_id
+    """,
+)
+def q258_passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Passage-level dedup as a REWRITE, not just a census: split every
+    document into non-overlapping 8-token passages, keep only each
+    passage's GLOBAL first occurrence (min (doc_id, position) — the
+    deterministic keeper rule), and reassemble each document from its
+    surviving passages in original order. This is the
+    CCNet/Dolma-style paragraph dedup that removes boilerplate
+    repeated ACROSS documents while q21/q22 operate on whole docs —
+    the corpus keeps one copy of every repeated span and every doc
+    keeps its unique content. q240 is this operator's census face
+    (which passages are shared); this emits the deduplicated corpus
+    itself (doc_id, passage counts, rewritten text — '' when a doc was
+    entirely boilerplate).
+
+    Scale shape: one passage-keyed shuffle (window partitioned BY
+    passage — each partition is one passage's tiny occurrence list, no
+    global sort) and one doc-keyed shuffle to reassemble; both linear
+    with map-side-combinable sizes. Reassembly is order-pinned on both
+    engines (array_sort on (idx, chunk) structs here, string_agg ...
+    ORDER BY idx in the oracle) so the rewritten text is byte-stable."""
+    docs = table(spark, sf_dir, "documents")
+    t = F.split("text", " ")
+    n_chunks_arr = F.floor((F.size(t) + 7) / 8).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks_arr - 1),
+        lambda i: F.array_join(F.slice(t, i * 8 + 1, 8), " "),
+    )
+    chunks = docs.select(
+        "doc_id", F.posexplode(chunk_arr).alias("idx", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
+    ranked = chunks.select(
+        "doc_id", "idx", "chunk", F.row_number().over(w).alias("rn")
+    )
+    tot = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    re = (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("idx"), F.col("chunk")))
+                    ),
+                    lambda x: x.getField("chunk"),
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+    return tot.join(re, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q259 — MinHash estimator envelope (exact oracle sibling for q23's Ĵ)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q259_minhash_estimate_envelope",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           n_common / (sa.n_sh + sb.n_sh - n_common) AS jaccard,
+           TRUE AS within_envelope
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    """,
+)
+def q259_minhash_estimate_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable accuracy contract for the MinHash estimator
+    behind q23: for every TRUE near-dup pair (exact 3-gram Jaccard ≥
+    0.6 — the oracled ground truth, same SQL as q22), the exact
+    Jaccard plus a boolean asserting the 64-permutation MinHash
+    estimate Ĵ = (#matching components)/64 lands within the published
+    envelope |Ĵ − J| ≤ 0.3 (std of Ĵ is √(J(1−J)/64) ≤ 0.0625, so the
+    bound is ~5σ — generous for a deterministic single draw, still an
+    order-of-magnitude tripwire for any signature bug: the r3
+    permutation-seed collapse this suite caught would push Ĵ to 0/1
+    on shifted sets and fail every row). Completes the sketch-honesty
+    family (q251 HLL, q252 overlap, now Ĵ): every probabilistic
+    estimator in the engine has an exact oracled sibling the external
+    gate can check. Scale shape: signatures are map-only (zero
+    shuffles, q23's own path); the pair list is the exact tier's."""
+    from sales_data_pipeline_spark.operators.dedup import (
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.6).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", n=3, num_perm=64)
+    sa = sigs.select(
+        F.col("doc").alias("doc_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(64)],
+    )
+    sb = sigs.select(
+        F.col("doc").alias("doc_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(64)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(64)
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "jaccard",
+            (
+                F.abs(matches.cast("double") / 64 - F.col("jaccard")) <= 0.3
+            ).alias("within_envelope"),
+        )
+    )
