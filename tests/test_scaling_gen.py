@@ -1,0 +1,91 @@
+"""Invariants of the scaling-data generator (tools/scaling.py) — the
+protocol behind SCALING.json's measured curve. If generation were
+subtly wrong (lost rows, broken FKs, cross-replica duplicate leakage),
+the curve's ratios would be measuring the wrong workload; these pin the
+three properties the SCALING.md protocol claims, at test scale
+(sf0.001 × 3 replicas)."""
+
+from __future__ import annotations
+
+import sys
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"))
+
+SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def gen_dir(spark, tmp_path_factory):
+    from scaling import generate
+
+    dst = str(tmp_path_factory.mktemp("scalegen") / "sf3x")
+    generate(src_dir=SRC, dst_dir=dst, n_replicas=3, spark=spark)
+    return dst
+
+
+def test_counts_scale_exactly_and_dims_stay_fixed(spark, gen_dir):
+    for t in ("lineitem", "orders", "customer", "documents", "events"):
+        a = spark.read.parquet(f"{SRC}/{t}.parquet").count()
+        b = spark.read.parquet(f"{gen_dir}/{t}.parquet").count()
+        assert b == 3 * a, t
+    for t in ("nation", "region"):
+        a = spark.read.parquet(f"{SRC}/{t}.parquet").count()
+        assert spark.read.parquet(f"{gen_dir}/{t}.parquet").count() == a, t
+
+
+def test_replica_zero_is_identity_superset(spark, gen_dir):
+    """Replica 0 must be the source rows byte-for-byte, so sf-small
+    results embed in sf-big (the 'strict superset' claim)."""
+    src = spark.read.parquet(f"{SRC}/documents.parquet")
+    rep0 = spark.read.parquet(f"{gen_dir}/documents.parquet").filter(
+        F.col("doc_id") < 10_000_000
+    )
+    assert rep0.exceptAll(src).count() == 0
+    assert src.exceptAll(rep0).count() == 0
+
+
+def test_fk_consistency_no_orphans(spark, gen_dir):
+    """Key shifts must be FK-consistent: every lineitem order/part key
+    resolves, every order's customer resolves — a broken shift would
+    quietly empty the join-heavy queries at sf1."""
+    li = spark.read.parquet(f"{gen_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{gen_dir}/orders.parquet")
+    part = spark.read.parquet(f"{gen_dir}/part.parquet")
+    cust = spark.read.parquet(f"{gen_dir}/customer.parquet")
+    assert li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").count() == 0
+    assert li.join(part, li.l_partkey == part.p_partkey, "left_anti").count() == 0
+    assert orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti").count() == 0
+
+
+def test_duplicate_structure_is_replica_disjoint(spark, gen_dir):
+    """The 'duplicate rate constant' claim: document token spaces are
+    disjoint across replicas (zero shared shingles → zero cross-replica
+    near-dups), and part-name edit distance across replicas exceeds
+    q250's k=2 (prefix distance 3)."""
+    docs = spark.read.parquet(f"{gen_dir}/documents.parquet")
+    toks = docs.select(
+        (F.col("doc_id") / 10_000_000).cast("int").alias("rep"),
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).distinct()
+    cross = (
+        toks.groupBy("tok")
+        .agg(F.count_distinct("rep").alias("n_reps"))
+        .filter(F.col("n_reps") > 1)
+    )
+    assert cross.count() == 0
+    part = spark.read.parquet(f"{gen_dir}/part.parquet").select(
+        (F.col("p_partkey") / 10_000_000).cast("int").alias("rep"), "p_name"
+    )
+    a = part.filter(F.col("rep") == 0).select(F.col("p_name").alias("na"))
+    b = part.filter(F.col("rep") == 1).select(F.col("p_name").alias("nb"))
+    # sample-bounded exact check: no cross-replica pair within lev<=2
+    close = (
+        a.limit(200)
+        .crossJoin(b.limit(200))
+        .filter(F.levenshtein("na", "nb") <= 2)
+    )
+    assert close.count() == 0

@@ -86,16 +86,28 @@ def _spark():
     return spark
 
 
-def generate() -> None:
+def generate(
+    src_dir: str | None = None,
+    dst_dir: str | None = None,
+    n_replicas: int = N_REPLICAS,
+    spark=None,
+) -> None:
+    """Write ``dst_dir`` = ``src_dir`` replicated ``n_replicas``× as a
+    strict superset (replica 0 = identity). Parametrized so the
+    invariants (superset, exact count ratio, replica-disjoint dup
+    structure) are testable at sf0.001 (tests/test_scaling_gen.py);
+    the measurement path uses the module defaults."""
     from pyspark.sql import functions as F
 
     from sales_data_pipeline_spark.catalog import TABLES, table
 
-    if os.path.exists(os.path.join(SF1_DIR, "_DONE")):
-        print(f"sf1 already generated at {SF1_DIR}")
+    src_dir = src_dir or SF01
+    dst_dir = dst_dir or SF1_DIR
+    if os.path.exists(os.path.join(dst_dir, "_DONE")):
+        print(f"already generated at {dst_dir}")
         return
-    spark = _spark()
-    os.makedirs(SF1_DIR, exist_ok=True)
+    spark = spark or _spark()
+    os.makedirs(dst_dir, exist_ok=True)
 
     key_cols = {
         "customer": ["c_custkey"],
@@ -110,12 +122,12 @@ def generate() -> None:
         "region": [],
     }
     for name in TABLES:
-        src = table(spark, SF01, name)
+        src = table(spark, src_dir, name)
         if not key_cols[name]:
             out = src
         else:
             parts = []
-            for r in range(N_REPLICAS):
+            for r in range(n_replicas):
                 rep = src
                 for k in key_cols[name]:
                     rep = rep.withColumn(k, F.col(k) + F.lit(r * STRIDE))
@@ -140,10 +152,10 @@ def generate() -> None:
             out = parts[0]
             for p in parts[1:]:
                 out = out.unionByName(p)
-        out.write.mode("overwrite").parquet(f"{SF1_DIR}/{name}.parquet")
+        out.write.mode("overwrite").parquet(f"{dst_dir}/{name}.parquet")
         print(f"wrote {name}")
-    open(os.path.join(SF1_DIR, "_DONE"), "w").close()
-    print(f"sf1 generated at {SF1_DIR}")
+    open(os.path.join(dst_dir, "_DONE"), "w").close()
+    print(f"generated at {dst_dir}")
 
 
 def _time_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
