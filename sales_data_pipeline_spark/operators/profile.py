@@ -200,3 +200,49 @@ def check_expectations(df: DataFrame, expectations: Sequence[tuple]) -> DataFram
         "status",
         F.when(F.col("n_violations") == 0, F.lit("pass")).otherwise(F.lit("fail")),
     )
+
+
+def table_fingerprint(
+    df: DataFrame,
+    key_col: str,
+    cols: Sequence[str],
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Anti-entropy reconciliation checksum (q256's operator form): per
+    key-range bucket ``pmod(key, n_buckets)``, an ORDER-INDEPENDENT
+    ``bit_xor`` fold of 52-bit md5 row hashes over ``cols`` — two
+    replicas of a 100 TB table (lake vs mart, two regions, pre/post
+    migration) prove byte-equality by shipping ``n_buckets`` rows each
+    and comparing; a mismatched bucket pinpoints where to drill
+    (recurse with a finer pmod — a merkle descent, one scan of one
+    bucket per level).
+
+    xor is the right fold: commutative + associative (partition and
+    shuffle order can't change it), self-inverse (a re-sent row pair
+    cancels), and it map-side combines to one long per bucket. Hash
+    only string/integer identity columns — float RENDERING diverges
+    across engines (the q229 lesson applied to hashing).
+
+    Returns (bucket, n_rows, fingerprint). Reference check:
+    ``tests/test_r6_operators.py`` pins order-invariance and
+    single-row sensitivity."""
+    row_hash = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in cols])),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (
+        df.select(
+            F.pmod(F.col(key_col), F.lit(n_buckets)).alias("bucket"),
+            row_hash.alias("__h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(__h)").alias("fingerprint"),
+        )
+    )

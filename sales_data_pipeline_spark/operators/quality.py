@@ -335,3 +335,70 @@ def decontaminate(
         .select(F.col("__doc").alias(id_col))
     )
     return corpus.join(offenders, id_col, "left_anti")
+
+
+def passage_dedup_rewrite(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+) -> DataFrame:
+    """Passage-level dedup REWRITE (q258's operator form, the
+    CCNet/Dolma paragraph recipe): split every document into
+    non-overlapping ``chunk_tokens``-token passages, keep only each
+    passage's GLOBAL first occurrence — deterministic keeper = min
+    (id, position) — and reassemble each document from its surviving
+    passages in original order. Complements :func:`remove_boilerplate`
+    (which drops segments appearing in ≥ m docs — a frequency rule
+    that keeps ALL copies of rare-enough segments): this keeps EXACTLY
+    ONE copy of every passage corpus-wide, the contract training-data
+    dedup wants (no span is learned twice, no span is lost).
+
+    Returns (id, n_chunks, n_kept, new_text) — new_text = '' when a
+    document was entirely made of already-seen passages.
+
+    Scale shape: one passage-keyed shuffle (window PARTITIONED by
+    passage, each partition one passage's small occurrence list) and
+    one id-keyed shuffle to reassemble; reassembly order is pinned via
+    array_sort over (position, passage) structs so the rewritten text
+    is byte-stable across partitionings."""
+    from pyspark.sql import Window
+
+    t = F.split(text_col, " ")
+    n_chunks_arr = F.floor((F.size(t) + chunk_tokens - 1) / chunk_tokens).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks_arr - 1),
+        lambda i: F.array_join(F.slice(t, i * chunk_tokens + 1, chunk_tokens), " "),
+    )
+    chunks = docs.select(
+        F.col(id_col).alias("__id"), F.posexplode(chunk_arr).alias("idx", "chunk")
+    )
+    w = Window.partitionBy("chunk").orderBy("__id", "idx")
+    ranked = chunks.select(
+        "__id", "idx", "chunk", F.row_number().over(w).alias("rn")
+    )
+    tot = chunks.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
+    )
+    kept = (
+        ranked.filter(F.col("rn") == 1)
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("idx"), F.col("chunk")))
+                    ),
+                    lambda x: x.getField("chunk"),
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+    return tot.join(kept, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )

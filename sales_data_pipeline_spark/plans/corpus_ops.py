@@ -1183,16 +1183,19 @@ def q255_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Small-file compaction PLANNER: assign each input object (here
     documents stand in for a file inventory: source = table partition,
     n_chars = file size) to a target-size output bin by scan-order
-    first-fit — bin = exclusive-prefix-sum(size) div target — and
-    report each planned bin's file count and byte total. This is the
-    queryable face of the maintenance compactor (pipeline/maintenance
-    .py): at 100 TB the listing itself is big data, so the PLAN must
-    be a distributed query, not a driver loop over a listing. Scan-
-    order first-fit is the deliberate choice over size-sorted packing:
-    it preserves the partition's existing order (time-ordered files
-    stay time-local for pruning) and needs only a PARTITIONED window
-    prefix sum — one shuffle by partition key, no global sort, no
-    driver state; bins overshoot the target by at most one file, the
+    PREFIX BUCKETING — bin = exclusive-prefix-sum(size) div target —
+    and report each planned bin's file count and byte total. This is
+    the queryable face of the maintenance compactor (pipeline/
+    maintenance.py): at 100 TB the listing itself is big data, so the
+    PLAN must be a distributed query, not a driver loop over a
+    listing. Scan-order bucketing is the deliberate choice over
+    size-sorted packing: it preserves the partition's existing order
+    (time-ordered files stay time-local for pruning) and needs only a
+    PARTITIONED window prefix sum — one shuffle by partition key, no
+    global sort, no driver state. Bound (pinned in
+    tests/test_r6_operators.py): with every file ≤ target, each bin's
+    bytes land within ONE file of the target on either side — the
+    straddling file at a bucket boundary is the only slack, the
     standard compactor contract. Oracle: identical window arithmetic
     in DuckDB (integer sizes, exact)."""
     docs = table(spark, sf_dir, "documents")

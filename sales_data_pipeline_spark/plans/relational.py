@@ -9523,34 +9523,15 @@ def q256_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes the identical value). Columns hashed are the
     string/integer identity columns — doubles are excluded because
     cross-engine decimal RENDERING of floats diverges (the q229
-    lesson applied to hashing)."""
+    lesson applied to hashing). Operator form:
+    operators/profile.table_fingerprint (order-invariance and
+    single-row-sensitivity pinned in tests/test_r6_operators.py)."""
+    from sales_data_pipeline_spark.operators.profile import table_fingerprint
+
     cust = table(spark, sf_dir, "customer")
-    row_hash = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    F.col("c_custkey").cast("string"),
-                    F.col("c_name"),
-                    F.col("c_nationkey").cast("string"),
-                    F.col("c_mktsegment"),
-                )
-            ),
-            1,
-            13,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    return (
-        cust.select(
-            F.pmod(F.col("c_custkey"), F.lit(16)).alias("bucket"),
-            row_hash.alias("__h"),
-        )
-        .groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.expr("bit_xor(__h)").alias("fingerprint"),
-        )
-        .orderBy("bucket")
-    )
+    return table_fingerprint(
+        cust,
+        "c_custkey",
+        ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
+        n_buckets=16,
+    ).orderBy("bucket")

@@ -2349,46 +2349,16 @@ def q258_passage_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort) and one doc-keyed shuffle to reassemble; both linear
     with map-side-combinable sizes. Reassembly is order-pinned on both
     engines (array_sort on (idx, chunk) structs here, string_agg ...
-    ORDER BY idx in the oracle) so the rewritten text is byte-stable."""
+    ORDER BY idx in the oracle) so the rewritten text is byte-stable.
+    Operator form: operators/quality.passage_dedup_rewrite (planted-
+    duplicate and chunk-conservation invariants pinned in
+    tests/test_r6_operators.py)."""
+    from sales_data_pipeline_spark.operators.quality import (
+        passage_dedup_rewrite,
+    )
+
     docs = table(spark, sf_dir, "documents")
-    t = F.split("text", " ")
-    n_chunks_arr = F.floor((F.size(t) + 7) / 8).cast("int")
-    chunk_arr = F.transform(
-        F.sequence(F.lit(0), n_chunks_arr - 1),
-        lambda i: F.array_join(F.slice(t, i * 8 + 1, 8), " "),
-    )
-    chunks = docs.select(
-        "doc_id", F.posexplode(chunk_arr).alias("idx", "chunk")
-    )
-    w = Window.partitionBy("chunk").orderBy("doc_id", "idx")
-    ranked = chunks.select(
-        "doc_id", "idx", "chunk", F.row_number().over(w).alias("rn")
-    )
-    tot = chunks.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_chunks")
-    )
-    re = (
-        ranked.filter(F.col("rn") == 1)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(F.struct(F.col("idx"), F.col("chunk")))
-                    ),
-                    lambda x: x.getField("chunk"),
-                ),
-                " ",
-            ).alias("new_text"),
-        )
-    )
-    return tot.join(re, "doc_id", "left").select(
-        "doc_id",
-        "n_chunks",
-        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
-        F.coalesce("new_text", F.lit("")).alias("new_text"),
-    )
+    return passage_dedup_rewrite(docs, "doc_id", "text", chunk_tokens=8)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,193 @@
+"""Operator-level semantics for the round-6 additions, beyond the
+DuckDB parity sweep: independent references and planted-defect
+sensitivity for the KS statistic, Morton interleave, compaction
+planner, table fingerprint, and passage dedup rewrite."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_morton_mask_ladder_matches_bitloop_operator(spark):
+    """q254's oracle-portable mask-ladder interleave must agree with the
+    existing per-bit zorder_key operator (operators/scale.py) on the
+    ENTIRE 8-bit × 8-bit domain — two formulations, one curve."""
+    from sales_data_pipeline_spark.operators.scale import zorder_key
+    from sales_data_pipeline_spark.plans.relational import _morton_spread
+
+    dom = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("a"), (F.col("id") / 256).cast("bigint").alias("b")
+    )
+    ladder = _morton_spread(F.col("a")).bitwiseOR(
+        _morton_spread(F.col("b")) * F.lit(2)
+    )
+    mismatches = dom.select(
+        ladder.alias("z1"), zorder_key("a", "b", bits=8).alias("z2")
+    ).filter(F.col("z1") != F.col("z2"))
+    assert mismatches.count() == 0
+
+
+def test_zorder_buckets_bound_both_dimension_windows(spark):
+    """The point of the layout: per-z-bucket min/max windows on BOTH
+    dims stay narrow (each 256-wide z-bucket covers a 16×16 rectangle
+    of the 256×256 grid), where a d1-sorted layout leaves d2 spanning
+    the full domain."""
+    from sales_data_pipeline_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q254_zorder_layout"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.max_d1 - r.min_d1 <= 15
+        assert r.max_d2 - r.min_d2 <= 15
+
+
+def test_ks_statistic_matches_python_reference(spark):
+    """Exact D for each flag pair vs a direct python ECDF evaluation
+    over the same parquet — an implementation-independent reference
+    (numpy/pandas, no SQL)."""
+    import pandas as pd
+
+    from sales_data_pipeline_spark.plans.registry import QUERIES
+
+    got = {
+        (r.flag_a, r.flag_b): (r.d_stat, r.n_a, r.n_b)
+        for r in QUERIES["q253_ks_returnflag_price"].fn(spark, SF).collect()
+    }
+    li = pd.read_parquet(f"{SF}/lineitem.parquet")[["l_returnflag", "l_extendedprice"]]
+    for fa, fb in [("A", "N"), ("A", "R"), ("N", "R")]:
+        a = sorted(li[li.l_returnflag == fa].l_extendedprice)
+        b = sorted(li[li.l_returnflag == fb].l_extendedprice)
+        points = sorted(set(a) | set(b))
+        import bisect
+
+        d = max(
+            abs(
+                bisect.bisect_right(a, v) / len(a)
+                - bisect.bisect_right(b, v) / len(b)
+            )
+            for v in points
+        )
+        d_got, n_a, n_b = got[(fa, fb)]
+        assert (n_a, n_b) == (len(a), len(b))
+        assert d_got == pytest.approx(d, abs=1e-12)
+
+
+def test_compaction_bins_respect_prefix_bucketing_bounds(spark):
+    """Prefix-bucketing contract (bin = exclusive-prefix-sum div
+    target): with every file ≤ target, bins are contiguous 0..max per
+    source and each bin's bytes sit within one file of the target —
+    strictly above target − max_file for non-last bins (the bin spans
+    a full target-width prefix window minus at most one straddling
+    file) and strictly below target + max_file everywhere (overshoot
+    is at most the straddling file)."""
+    from sales_data_pipeline_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q255_compaction_plan"].fn(spark, SF).collect()
+    target = 2048
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    max_file = {
+        r.source: r.mx
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .groupBy("source")
+        .agg(F.max("n_chars").alias("mx"))
+        .collect()
+    }
+    for source, bins in by_source.items():
+        assert max_file[source] <= target  # precondition for contiguity
+        idxs = [b.bin for b in bins]
+        assert idxs == list(range(len(idxs))), source  # contiguous
+        for b in bins[:-1]:
+            assert b.bin_bytes > target - max_file[source], (source, b.bin)
+        for b in bins:
+            assert b.bin_bytes < target + max_file[source], (source, b.bin)
+
+
+def test_table_fingerprint_order_invariant_and_row_sensitive(spark):
+    """xor fold: any input order / partitioning gives identical
+    fingerprints; mutating ONE row changes EXACTLY its bucket (and no
+    other), which is what makes merkle drill-down work."""
+    from sales_data_pipeline_spark.operators.profile import table_fingerprint
+
+    rows = [(i, f"name{i}", i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "k bigint, name string, grp int")
+    base = {
+        r.bucket: (r.n_rows, r.fingerprint)
+        for r in table_fingerprint(df, "k", ["k", "name", "grp"]).collect()
+    }
+    shuffled = {
+        r.bucket: (r.n_rows, r.fingerprint)
+        for r in table_fingerprint(
+            df.orderBy(F.rand(7)).repartition(13), "k", ["k", "name", "grp"]
+        ).collect()
+    }
+    assert base == shuffled
+    mutated_rows = [(i, "MUTANT" if i == 57 else f"name{i}", i % 7) for i in range(200)]
+    mutated = {
+        r.bucket: (r.n_rows, r.fingerprint)
+        for r in table_fingerprint(
+            spark.createDataFrame(mutated_rows, "k bigint, name string, grp int"),
+            "k",
+            ["k", "name", "grp"],
+        ).collect()
+    }
+    diff = {b for b in base if base[b] != mutated[b]}
+    assert diff == {57 % 16}
+
+
+def test_passage_dedup_rewrite_planted_duplicates(spark):
+    """Planted cross-doc duplicate passages: the FIRST occurrence
+    survives, later copies are cut, unique content is untouched, and
+    the union of kept passages equals the distinct passage set (one
+    copy of everything, nothing lost)."""
+    from sales_data_pipeline_spark.operators.quality import passage_dedup_rewrite
+
+    boiler = "x1 x2 x3 x4"  # 4-token passage shared by docs 1 and 3
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " a1 a2 a3 a4"),
+            (2, "b1 b2 b3 b4"),
+            (3, boiler + " c1 c2 c3 c4"),
+            (4, boiler),  # entirely boilerplate -> rewritten to ''
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in passage_dedup_rewrite(docs, chunk_tokens=4).collect()
+    }
+    assert out[1].new_text == boiler + " a1 a2 a3 a4"  # first occurrence keeps
+    assert out[2].new_text == "b1 b2 b3 b4"
+    assert out[3].new_text == "c1 c2 c3 c4"  # boilerplate cut, unique kept
+    assert out[4].new_text == "" and out[4].n_kept == 0
+    assert out[3].n_chunks == 2 and out[3].n_kept == 1
+    # conservation: kept passages across docs == distinct passages
+    kept_passages = [
+        c for r in out.values() if r.new_text for c in [r.new_text]
+    ]
+    all_chunks = ["x1 x2 x3 x4", "a1 a2 a3 a4", "b1 b2 b3 b4", "c1 c2 c3 c4"]
+    joined = " ".join(sorted(" ".join(kept_passages).split(" ")))
+    assert joined == " ".join(sorted(" ".join(all_chunks).split(" ")))
+
+
+def test_gopher_rules_census_totals_consistent(spark):
+    """Census arithmetic: per-source failures can exceed docs only via
+    multi-rule failures, and n_pass ≤ n_docs − max(single-rule fails);
+    totals over sources cover the whole corpus exactly once."""
+    from sales_data_pipeline_spark.plans.registry import QUERIES
+
+    rows = QUERIES["q257_gopher_rules"].fn(spark, SF).collect()
+    n_docs_total = sum(r.n_docs for r in rows)
+    assert n_docs_total == spark.read.parquet(f"{SF}/documents.parquet").count()
+    for r in rows:
+        worst = max(
+            r.fail_wordcount, r.fail_meanlen, r.fail_diversity,
+            r.fail_stopwords, r.fail_repetition,
+        )
+        assert 0 <= r.n_pass <= r.n_docs - worst
