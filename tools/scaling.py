@@ -67,6 +67,15 @@ QUERY_NAMES = [
     "q21_dedup_exact",
     "q24_simhash_pairs",
     "q250_name_edit_neardup",
+    # round-6 additions: sketch-envelope, layout, maintenance, text ops
+    "q252_overlap_sketch_envelope",
+    "q253_ks_returnflag_price",
+    "q254_zorder_layout",
+    "q255_compaction_plan",
+    "q256_table_fingerprint",
+    "q257_gopher_rules",
+    "q258_passage_dedup_rewrite",
+    "q259_minhash_estimate_envelope",
 ]
 
 # ratio above which a query is flagged for plan diagnosis: 10× data on a
