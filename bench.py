@@ -127,6 +127,14 @@ def main() -> None:
             out["regressions"] = regressions
         if resolved:
             out["resolved_by_recheck"] = resolved
+        # the adjudicated headline: flagged queries contribute their
+        # same-process recheck median (the warm evidence), everything
+        # else its primary median — "value" itself stays the honest
+        # cold-run number
+        adjusted = dict(timings)
+        for name, entry in {**regressions, **resolved}.items():
+            adjusted[name] = entry["recheck_sec"]
+        out["value_after_recheck"] = round(sum(adjusted.values()), 3)
     print(json.dumps(out))
 
 
