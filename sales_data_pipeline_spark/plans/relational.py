@@ -9363,9 +9363,19 @@ def q253_ks_returnflag_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     step ECDFs), using integer cumulative counts divided once per
     point (exact-int-derived doubles compare bitwise; the q229
     lesson). Scale shape: one groupBy per (pair, value) with map-side
-    combine (|distinct prices| rows), then a PARTITIONED window per
-    pair — no global window, no driver collect; 3 pairs × distinct
-    values, each pair's window sorting only its own partition."""
+    combine (|distinct prices| rows), then the TWO-PHASE parallel scan
+    for the cumulative counts (the distributed_prefix_sum recipe, per
+    pair): a naive per-pair window would put each pair's ENTIRE
+    distinct-value domain through one reducer — 3 partitions, a
+    near-global sort at 100 TB. Instead values are range-bucketed
+    (bounds attached as a broadcast scalar, no eager job), running
+    sums run per (pair, bucket) in parallel, and only the
+    pairs × buckets bucket-total relation — trivially small — pays a
+    per-pair offset window. The cumulative counts are identical
+    integers either way, so the oracle (a plain window — fine for
+    DuckDB at oracle scale) matches bitwise."""
+    from sales_data_pipeline_spark.operators.dedup import _persist
+
     li = table(spark, sf_dir, "lineitem")
     pairs = spark.createDataFrame(
         [("A", "N"), ("A", "R"), ("N", "R")], "flag_a string, flag_b string"
@@ -9375,25 +9385,79 @@ def q253_ks_returnflag_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_returnflag") == F.col("flag_a"))
         | (F.col("l_returnflag") == F.col("flag_b")),
     )
-    by_value = tagged.groupBy(
-        "flag_a", "flag_b", F.col("l_extendedprice").alias("v")
-    ).agg(
-        F.sum(F.when(F.col("l_returnflag") == F.col("flag_a"), 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("l_returnflag") == F.col("flag_b"), 1).otherwise(0)).alias("cb"),
+    # persisted: feeds the bucketed inner scan AND the bounds scalar —
+    # unpersisted, every consumer re-aggregates lineitem
+    by_value = _persist(
+        tagged.groupBy(
+            "flag_a", "flag_b", F.col("l_extendedprice").alias("v")
+        ).agg(
+            F.sum(
+                F.when(F.col("l_returnflag") == F.col("flag_a"), 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col("l_returnflag") == F.col("flag_b"), 1).otherwise(0)
+            ).alias("cb"),
+        )
     )
-    w = (
-        Window.partitionBy("flag_a", "flag_b")
+    n_buckets = 32
+    bounds = by_value.agg(F.min("v").alias("__lo"), F.max("v").alias("__hi"))
+    width = F.greatest(
+        (F.col("__hi") - F.col("__lo")) / n_buckets, F.lit(1e-9)
+    )
+    bucketed = (
+        by_value.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__b",
+            F.least(
+                F.floor((F.col("v") - F.col("__lo")) / width).cast("int"),
+                F.lit(n_buckets - 1),
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+    w_in = (
+        Window.partitionBy("flag_a", "flag_b", "__b")
         .orderBy("v")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    wp = Window.partitionBy("flag_a", "flag_b")
-    cum = by_value.select(
+    inner = bucketed.select(
         "flag_a",
         "flag_b",
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
-        F.sum("ca").over(wp).alias("n_a"),
-        F.sum("cb").over(wp).alias("n_b"),
+        "__b",
+        F.sum("ca").over(w_in).alias("run_a"),
+        F.sum("cb").over(w_in).alias("run_b"),
+    )
+    # bucket totals = the last running value (counts are non-negative),
+    # pairs × buckets rows — the only relation the offset window sorts
+    totals = inner.groupBy("flag_a", "flag_b", "__b").agg(
+        F.max("run_a").alias("tot_a"), F.max("run_b").alias("tot_b")
+    )
+    w_off = (
+        Window.partitionBy("flag_a", "flag_b")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "flag_a",
+        "flag_b",
+        "__b",
+        F.coalesce(F.sum("tot_a").over(w_off), F.lit(0)).alias("off_a"),
+        F.coalesce(F.sum("tot_b").over(w_off), F.lit(0)).alias("off_b"),
+    )
+    n_pair = totals.groupBy("flag_a", "flag_b").agg(
+        F.sum("tot_a").alias("n_a"), F.sum("tot_b").alias("n_b")
+    )
+    cum = (
+        inner.join(F.broadcast(offsets), ["flag_a", "flag_b", "__b"])
+        .join(F.broadcast(n_pair), ["flag_a", "flag_b"])
+        .select(
+            "flag_a",
+            "flag_b",
+            (F.col("run_a") + F.col("off_a")).alias("cum_a"),
+            (F.col("run_b") + F.col("off_b")).alias("cum_b"),
+            "n_a",
+            "n_b",
+        )
     )
     return (
         cum.groupBy("flag_a", "flag_b")
