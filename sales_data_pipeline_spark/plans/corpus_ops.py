@@ -1197,19 +1197,63 @@ def q255_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes land within ONE file of the target on either side — the
     straddling file at a bucket boundary is the only slack, the
     standard compactor contract. Oracle: identical window arithmetic
-    in DuckDB (integer sizes, exact)."""
-    docs = table(spark, sf_dir, "documents")
-    w = (
-        Window.partitionBy("source")
+    in DuckDB (integer sizes, exact).
+
+    The prefix sum itself uses the TWO-PHASE parallel scan (the
+    distributed_prefix_sum recipe, per source): a window partitioned
+    only by source puts every file of a partition through ONE reducer
+    — the canonical 100 TB trap when partitions hold millions of
+    listing rows. Files are range-bucketed on the scan key (bounds as
+    a broadcast scalar — lazy), running sums run per (source, bucket)
+    in parallel, offsets come from the tiny sources × buckets totals
+    relation. Identical integers to the plain window, so the oracle
+    is unchanged."""
+    from sales_data_pipeline_spark.operators.dedup import _persist
+
+    docs = _persist(
+        table(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    )
+    n_buckets = 32
+    bounds = docs.agg(F.min("doc_id").alias("__lo"), F.max("doc_id").alias("__hi"))
+    width = F.greatest(
+        F.ceil((F.col("__hi") - F.col("__lo") + 1) / n_buckets), F.lit(1)
+    )
+    bucketed = (
+        docs.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__b",
+            F.floor((F.col("doc_id") - F.col("__lo")) / width).cast("int"),
+        )
+        .drop("__lo", "__hi")
+    )
+    w_in = (
+        Window.partitionBy("source", "__b")
         .orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    before = (F.sum("n_chars").over(w) - F.col("n_chars")).alias("before_me")
+    inner = bucketed.select(
+        "source",
+        "__b",
+        "n_chars",
+        F.sum("n_chars").over(w_in).alias("__run"),
+    )
+    totals = inner.groupBy("source", "__b").agg(F.max("__run").alias("__tot"))
+    w_off = (
+        Window.partitionBy("source")
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        "source",
+        "__b",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    before = F.col("__run") + F.col("__off") - F.col("n_chars")
     return (
-        docs.select("source", "n_chars", before)
+        inner.join(F.broadcast(offsets), ["source", "__b"])
         .groupBy(
             "source",
-            F.floor(F.col("before_me") / 2048).cast("bigint").alias("bin"),
+            F.floor(before / 2048).cast("bigint").alias("bin"),
         )
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_files"),
