@@ -352,3 +352,81 @@ def bloom_semi_filter(
     return probed.filter(cond).drop(
         *[f"__bw{i}" for i in range(n_hashes)], *[f"__bp{i}" for i in range(n_hashes)]
     )
+
+
+def grouped_running_sum(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value: Column,
+    out_col: str,
+    bucket_col: str | None = None,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Per-group running sum — ``SUM(value) OVER (PARTITION BY groups
+    ORDER BY order_cols ROWS UNBOUNDED PRECEDING..CURRENT ROW)`` — via
+    the two-phase parallel scan, for LOW-CARDINALITY groups.
+
+    :func:`distributed_prefix_sum` fixes the GLOBAL ordered-window
+    trap; this is its grouped sibling for the subtler version: a
+    window partitioned by a 3-value column (return flag, source, label)
+    is "partitioned" in name only — each group's entire row set still
+    funnels through ONE reducer, the same death at 100 TB, merely
+    three of them. Rows are range-bucketed on ``bucket_col`` (default:
+    the leading order column — the split must be monotone in the
+    window order, which a leading-column range split is), running sums
+    run per (group, bucket) in parallel, and only the
+    groups × buckets bucket-total relation pays a per-group window.
+    Bounds attach as a broadcast scalar — lazy, no plan-time job.
+
+    ``value`` must be NON-NEGATIVE (bucket totals are read as the max
+    running value, so the bucketed relation is walked once; with
+    ``F.lit(1)`` the output is exactly ``row_number`` when order_cols
+    form a total order). Running sums are bitwise identical to the
+    plain window's — exact integers/decimals either way — so oracles
+    written against the naive window stay valid."""
+    bucket_col = bucket_col or order_cols[0]
+    bounds = df.agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    width = F.greatest(
+        (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets)),
+        F.lit(1e-9),
+    )
+    bucketed = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__b",
+            F.least(
+                F.floor((F.col(bucket_col) - F.col("__lo")) / width).cast("int"),
+                F.lit(n_buckets - 1),
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+    from pyspark.sql.window import Window
+
+    w_in = (
+        Window.partitionBy(*group_cols, "__b")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    inner = bucketed.withColumn("__run", F.sum(value).over(w_in))
+    totals = inner.groupBy(*group_cols, "__b").agg(
+        F.max("__run").alias("__tot")
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *group_cols,
+        "__b",
+        F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off"),
+    )
+    return (
+        inner.join(F.broadcast(offsets), [*group_cols, "__b"])
+        .withColumn(out_col, F.col("__run") + F.col("__off"))
+        .drop("__b", "__run", "__off")
+    )

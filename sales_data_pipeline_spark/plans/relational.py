@@ -4644,21 +4644,29 @@ def q153_winsorized_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     the last float bits, but an order statistic is an actual data
     value — bitwise identical by construction. The clipped sum runs in
     DECIMAL (prices are 2dp-exact), so the mean is order-independent
-    and the round(…, 6) is safe. Plan: one partitioned window sort
-    (keyed by the group — parallel across groups, no global sort), a
-    tiny per-group bounds aggregate joined back broadcast-style, one
-    keyed aggregation."""
+    and the round(…, 6) is safe. Plan: ranks via the grouped TWO-PHASE
+    scan (operators/scale.grouped_running_sum of 1s — a window
+    partitioned by a 3-value flag funnels each group through one
+    reducer at 100 TB; range-bucketed running sums parallelize it with
+    bitwise-identical ranks), a tiny per-group bounds aggregate joined
+    back broadcast-style, one keyed aggregation."""
+    from sales_data_pipeline_spark.operators.scale import grouped_running_sum
+
     li = table(spark, sf_dir, "lineitem")
-    w = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    wn = Window.partitionBy("l_returnflag")
-    r = li.select(
+    base = li.select(
         "l_returnflag",
         F.col("l_extendedprice").alias("p"),
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "l_orderkey",
+        "l_linenumber",
     )
+    counts = base.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    r = grouped_running_sum(
+        base,
+        ["l_returnflag"],
+        ["p", "l_orderkey", "l_linenumber"],
+        F.lit(1),
+        "rn",
+    ).join(F.broadcast(counts), "l_returnflag")
     b = r.groupBy("l_returnflag").agg(
         F.max(
             F.when(
@@ -4894,24 +4902,32 @@ def q158_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     carry different volumes (a plain median over-weights small lots).
     All weight arithmetic in DECIMAL (quantities are integral), and the
     half-total test is 2·cw ≥ tw in decimal — no 0.5 float anywhere,
-    so both engines pick the identical row. One partitioned window
-    sort (parallel across groups) + one keyed aggregation; the median
-    itself is an order statistic, bitwise identical by construction
-    (same defense as q153's winsorization bounds)."""
+    so both engines pick the identical row. Cumulative weights via the
+    grouped TWO-PHASE scan (operators/scale.grouped_running_sum — the
+    3-value flag would otherwise funnel each group through one
+    reducer; decimal running sums are order-pinned and bitwise
+    identical either way) + one keyed aggregation; the median itself
+    is an order statistic, bitwise identical by construction (same
+    defense as q153's winsorization bounds)."""
+    from sales_data_pipeline_spark.operators.scale import grouped_running_sum
+
     li = table(spark, sf_dir, "lineitem")
-    w_cum = (
-        Window.partitionBy("l_returnflag")
-        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    w_all = Window.partitionBy("l_returnflag")
     qty = F.col("l_quantity").cast("decimal(18,2)")
-    r = li.select(
+    base = li.select(
         "l_returnflag",
         F.col("l_extendedprice").alias("p"),
-        F.sum(qty).over(w_cum).alias("cw"),
-        F.sum(qty).over(w_all).alias("tw"),
+        "l_orderkey",
+        "l_linenumber",
+        qty.alias("__qty"),
     )
+    tot = base.groupBy("l_returnflag").agg(F.sum("__qty").alias("tw"))
+    r = grouped_running_sum(
+        base,
+        ["l_returnflag"],
+        ["p", "l_orderkey", "l_linenumber"],
+        F.col("__qty"),
+        "cw",
+    ).join(F.broadcast(tot), "l_returnflag")
     return r.groupBy("l_returnflag").agg(
         F.max("tw").cast("double").alias("total_weight"),
         F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("p"))).alias(
@@ -5025,20 +5041,28 @@ def q161_mad_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     (deviation, first-pass rank) — every selected value is an actual
     data point or an exact difference of one and the bitwise-identical
     median, so no cross-engine float hazard anywhere. Integer rank
-    arithmetic only. Plan: two partitioned window sorts (parallel
-    across groups) + two keyed aggregates; the per-group median table
-    joins back broadcast-small."""
+    arithmetic only. Plan: BOTH rank passes run the grouped TWO-PHASE
+    scan (operators/scale.grouped_running_sum of 1s — the 3-value flag
+    would otherwise put each group through one reducer, twice) + two
+    keyed aggregates; the per-group median table joins back
+    broadcast-small."""
+    from sales_data_pipeline_spark.operators.scale import grouped_running_sum
+
     li = table(spark, sf_dir, "lineitem")
-    w1 = Window.partitionBy("l_returnflag").orderBy(
-        "l_extendedprice", "l_orderkey", "l_linenumber"
-    )
-    wn = Window.partitionBy("l_returnflag")
-    r = li.select(
+    base = li.select(
         "l_returnflag",
         F.col("l_extendedprice").alias("p"),
-        F.row_number().over(w1).alias("rn"),
-        F.count(F.lit(1)).over(wn).alias("n"),
+        "l_orderkey",
+        "l_linenumber",
     )
+    counts = base.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+    r = grouped_running_sum(
+        base,
+        ["l_returnflag"],
+        ["p", "l_orderkey", "l_linenumber"],
+        F.lit(1),
+        "rn",
+    ).join(F.broadcast(counts), "l_returnflag")
     med = r.groupBy("l_returnflag").agg(
         F.max(
             F.when(F.col("rn") == F.floor((F.col("n") + 1) / 2), F.col("p"))
@@ -5047,12 +5071,13 @@ def q161_mad_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     dev_base = r.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag", "median", F.abs(F.col("p") - F.col("median")).alias("d"), "rn"
     )
-    w2 = Window.partitionBy("l_returnflag").orderBy("d", "rn")
-    dev = dev_base.select(
-        "l_returnflag", "median", "d",
-        F.row_number().over(w2).alias("rn2"),
-        F.count(F.lit(1)).over(wn).alias("n"),
-    )
+    dev = grouped_running_sum(
+        dev_base,
+        ["l_returnflag"],
+        ["d", "rn"],
+        F.lit(1),
+        "rn2",
+    ).join(F.broadcast(counts), "l_returnflag")
     return dev.groupBy("l_returnflag", "median").agg(
         F.max(
             F.when(F.col("rn2") == F.floor((F.col("n") + 1) / 2), F.col("d"))
