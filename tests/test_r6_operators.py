@@ -191,3 +191,51 @@ def test_gopher_rules_census_totals_consistent(spark):
             r.fail_stopwords, r.fail_repetition,
         )
         assert 0 <= r.n_pass <= r.n_docs - worst
+
+
+def test_grouped_running_sum_matches_naive_window(spark):
+    """The two-phase grouped scan must be BITWISE-identical to the
+    plain per-group window it replaces — on data with duplicate order
+    keys (ties broken by the id column), decimal values, and groups of
+    very different sizes — and F.lit(1) must reproduce row_number
+    exactly."""
+    import random
+
+    from decimal import Decimal
+
+    from pyspark.sql import Window
+
+    from sales_data_pipeline_spark.operators.scale import grouped_running_sum
+
+    rng = random.Random(13)
+    rows = [
+        (i, ["x", "y", "z"][i % 3] if i < 900 else "x",
+         float(rng.choice([1.0, 2.5, 2.5, 7.0, 7.0, 9.25])),
+         Decimal(rng.randint(1, 50)).quantize(Decimal("0.01")))
+        for i in range(1000)
+    ]
+    df = spark.createDataFrame(
+        rows, "rid bigint, g string, v double, qty decimal(18,2)"
+    )
+    w = (
+        Window.partitionBy("g")
+        .orderBy("v", "rid")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    naive = df.select(
+        "rid",
+        F.sum("qty").over(w).alias("cum"),
+        F.row_number().over(Window.partitionBy("g").orderBy("v", "rid")).alias("rn"),
+    )
+    two_phase_cum = grouped_running_sum(
+        df, ["g"], ["v", "rid"], F.col("qty"), "cum", n_buckets=7
+    ).select("rid", "cum")
+    two_phase_rn = grouped_running_sum(
+        df, ["g"], ["v", "rid"], F.lit(1), "rn", n_buckets=7
+    ).select("rid", F.col("rn").cast("int").alias("rn"))
+    got = {
+        r.rid: (r.cum, r.rn)
+        for r in two_phase_cum.join(two_phase_rn, "rid").collect()
+    }
+    want = {r.rid: (r.cum, r.rn) for r in naive.collect()}
+    assert got == want
