@@ -337,7 +337,13 @@ def bloom_semi_filter(
     arr = [0] * n_words
     for r in words:
         arr[r.w] = r.bits
-    blob = F.lit(arr)
+    # pin the literal's element type: PySpark infers array<int> when
+    # every word VALUE happens to fit 32 bits (tiny key sets), and
+    # bit_get's valid position range follows the ARGUMENT TYPE — an
+    # int-typed word makes any probe position >= 32 raise
+    # BIT_POSITION_RANGE (found by the hypothesis no-false-negative
+    # property on a 1-key filter). Words are 64-bit by construction.
+    blob = F.lit(arr).cast("array<bigint>")
     probed = fact.filter(F.col(fact_col).isNotNull())
     probe_val = F.col(fact_col).cast(ktype)
     tests = []

@@ -595,3 +595,20 @@ def test_hll_pairwise_overlap_degenerate_inputs(spark):
     row = hll_pairwise_overlap(two, "source", "g").collect()[0]
     # disjoint sets: overlap estimate within the noise floor
     assert row.est_overlap <= 3 * (1.04 / (1 << 6)) * (row.est_a + row.est_b)
+
+
+def test_bloom_semi_filter_single_key_small_words(spark):
+    """Regression (hypothesis find, r6): with a tiny key set every
+    64-bit word VALUE can fit in 32 bits, PySpark then inferred the
+    word-array literal as array<int>, and bit_get's position range
+    follows the argument type — any probe position >= 32 raised
+    BIT_POSITION_RANGE. The literal is now pinned to array<bigint>;
+    the falsifying example (keys=[216], fact=[1]) plus a sweep of
+    single-key filters must probe cleanly with zero false negatives."""
+    from sales_data_pipeline_spark.operators.scale import bloom_semi_filter
+
+    for key in (216, 0, 1, 499):
+        kdf = spark.createDataFrame([(key,)], "k bigint")
+        fdf = spark.createDataFrame([(1,), (key,)], "k bigint")
+        out = {r.k for r in bloom_semi_filter(fdf, "k", kdf, "k", num_bits=1 << 12).collect()}
+        assert key in out  # never a false negative
