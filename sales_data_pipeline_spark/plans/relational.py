@@ -9624,3 +9624,171 @@ def q256_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"],
         n_buckets=16,
     ).orderBy("bucket")
+
+
+# ---------------------------------------------------------------------------
+# q260 — zone-map pruning effectiveness report (data-skipping audit)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q260_zonemap_pruning",
+    oracle="""
+    WITH tagged AS (
+      SELECT 'insert_order' AS layout, l_orderkey // 4096 AS file_id,
+             l_shipdate
+      FROM lineitem
+      UNION ALL
+      SELECT 'date_clustered' AS layout,
+             datediff('day', DATE '1992-01-01', l_shipdate::DATE) // 16
+               AS file_id,
+             l_shipdate
+      FROM lineitem
+    ),
+    f AS (
+      SELECT layout, file_id,
+             COUNT(*) AS n_rows,
+             MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi,
+             SUM(CASE WHEN l_shipdate >= TIMESTAMP '1996-01-01'
+                       AND l_shipdate <  TIMESTAMP '1996-04-01'
+                      THEN 1 ELSE 0 END) AS n_match
+      FROM tagged GROUP BY 1, 2
+    )
+    SELECT layout,
+           CASE
+             WHEN hi <  TIMESTAMP '1996-01-01'
+               OR lo >= TIMESTAMP '1996-04-01' THEN 'pruned'
+             WHEN lo >= TIMESTAMP '1996-01-01'
+              AND hi <  TIMESTAMP '1996-04-01' THEN 'inside'
+             ELSE 'straddle'
+           END AS zone_class,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(n_rows) AS BIGINT) AS file_rows,
+           CAST(SUM(n_match) AS BIGINT) AS match_rows
+    FROM f GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q260_zonemap_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max statistics) pruning AUDIT, as a layout A/B:
+    group lineitem into would-be files under TWO layouts — insert
+    order (orderkey div 4096, what a naive ingest produces) and
+    date-clustered (16-day shipdate buckets, what a time-partitioned
+    rewrite produces) — compute each file's shipdate min/max zone map,
+    and classify every file against a quarter-range predicate exactly
+    the way a parquet row-group pruner does: 'pruned' (window disjoint
+    — the scan never opens the file), 'inside' (window contained —
+    every row matches, the filter column needn't even be decoded),
+    'straddle' (read and filter row-by-row). The A/B is the point: on
+    insert-ordered data every file STRADDLES a date predicate (a
+    4096-order file's shipdate window spans months) so the scan reads
+    file_rows to return match_rows — that ratio is the measured I/O
+    amplification, and at 100 TB it is the bill for not clustering;
+    the date-clustered layout prunes all but the handful of boundary
+    files. This is the audit that justifies q254's z-order rewrite
+    and q255's compaction plan. Scale shape: ONE scan fanned to both
+    layouts via an inline 2-element explode (no second read, no
+    self-union of the scan), groupBy (layout, file_id) with map-side
+    combine, then a 6-key reclassification agg — no joins, no
+    windows; the file-inventory relation (~25M rows for 100 TB at
+    4 MB files) never leaves the executors."""
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1996-04-01").cast("timestamp")
+    tagged = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("insert_order").alias("layout"),
+                    (F.col("l_orderkey") / 4096).cast("bigint").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("date_clustered").alias("layout"),
+                    (
+                        F.datediff(
+                            F.col("l_shipdate").cast("date"),
+                            F.lit("1992-01-01").cast("date"),
+                        )
+                        / 16
+                    )
+                    .cast("bigint")
+                    .alias("file_id"),
+                ),
+            )
+        ).alias("t"),
+        "l_shipdate",
+    ).select("t.layout", "t.file_id", "l_shipdate")
+    files = tagged.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_shipdate").alias("lo"),
+        F.max("l_shipdate").alias("hi"),
+        F.sum(
+            F.when((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi), 1).otherwise(0)
+        ).alias("n_match"),
+    )
+    zone_class = (
+        F.when((F.col("hi") < lo) | (F.col("lo") >= hi), F.lit("pruned"))
+        .when((F.col("lo") >= lo) & (F.col("hi") < hi), F.lit("inside"))
+        .otherwise(F.lit("straddle"))
+    )
+    return (
+        files.groupBy("layout", zone_class.alias("zone_class"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("file_rows"),
+            F.sum("n_match").cast("bigint").alias("match_rows"),
+        )
+        .orderBy("layout", "zone_class")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q261 — late-shipment order-priority census (TPC-H Q4 shape)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q261_late_shipment_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q261_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4's 'order priority checking' shape (public benchmark),
+    adapted to this schema's dates: orders from one quarter that had
+    at least one line item shipped more than 60 days after the order
+    date, counted per priority — the fulfilment-SLA census. The
+    EXISTS compiles to a LEFT SEMI join on l_orderkey with the
+    late-shipment predicate as a join condition: the quarter filter
+    pushes into the orders parquet scan (partition pruning at 100 TB
+    cuts the probe side ~16×), the semi join shuffles each side once
+    on orderkey and emits at most one row per order regardless of how
+    many lines are late (no post-join dedup), and the final 5-key
+    priority agg map-side combines. Q4's textbook trap — rewriting
+    EXISTS as an inner join + DISTINCT, which doubles the shuffle
+    width — is exactly what the semi join avoids."""
+    orders = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
