@@ -9792,3 +9792,72 @@ def q261_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q262 — incremental mart maintenance (delta merge vs full recompute)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q262_incremental_mart",
+    oracle="""
+    SELECT l_returnflag,
+           strftime(l_shipdate, '%Y-%m') AS ship_month,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             AS revenue
+    FROM lineitem
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q262_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MAINTENANCE of a materialized mart, proved against
+    the full recompute: the (returnflag × ship-month) sales mart is
+    built as base partial (lines shipped before 1997 — standing in
+    for the already-materialized mart) plus a delta partial (the 1997+
+    append batch), folded by operators/incremental.
+    merge_partial_aggregates — union of the two mart-sized partials,
+    one groupBy re-sum. The oracle is the ONE-SHOT recompute over the
+    whole fact; bitwise equality holds because every measure stays an
+    exact monoid through the fold (BIGINT counts/quantities, DECIMAL
+    revenue — order of summation cannot matter), doubles appear only
+    at the output boundary. This is the query-shaped face of the
+    production contract: at 100 TB the nightly batch scans ONLY the
+    delta (partition-pruned to the new ship dates), and the fold
+    shuffles mart-cardinality rows (~returnflags × months), not the
+    fact; retractions ride the same fold as sign-negated delta rows
+    (pinned in tests/test_r6_operators.py). A full-outer-join merge —
+    the naive formulation — would re-shuffle both sides per batch and
+    need per-column coalesce; the union fold is associative, so a
+    week of deltas folds in one pass."""
+    from sales_data_pipeline_spark.operators.incremental import (
+        aggregate_partial,
+        merge_partial_aggregates,
+    )
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        "l_quantity",
+        "l_extendedprice",
+        F.col("l_shipdate").cast("timestamp").alias("__ts"),
+    )
+    cutoff = F.lit("1997-01-01").cast("timestamp")
+    keys = ["l_returnflag", "ship_month"]
+    measures = {
+        "n_rows": F.count(F.lit(1)).cast("bigint"),
+        "sum_qty": F.sum(F.col("l_quantity").cast("bigint")).cast("bigint"),
+        "revenue": F.sum(F.col("l_extendedprice").cast(_PRICE)),
+    }
+    base = aggregate_partial(li.filter(F.col("__ts") < cutoff), keys, measures)
+    delta = aggregate_partial(li.filter(F.col("__ts") >= cutoff), keys, measures)
+    merged = merge_partial_aggregates([base, delta], keys)
+    return merged.select(
+        "l_returnflag",
+        "ship_month",
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        F.col("revenue").cast("double").alias("revenue"),
+    ).orderBy("l_returnflag", "ship_month")

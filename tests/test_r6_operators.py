@@ -239,3 +239,118 @@ def test_grouped_running_sum_matches_naive_window(spark):
     }
     want = {r.rid: (r.cum, r.rn) for r in naive.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# incremental mart maintenance (operators/incremental.py, q262)
+# ---------------------------------------------------------------------------
+
+
+def _mart_measures():
+    from pyspark.sql import functions as F
+
+    return {
+        "n_rows": F.count(F.lit(1)).cast("bigint"),
+        "total": F.sum(F.col("amount").cast("decimal(12,2)")),
+    }
+
+
+def test_incremental_merge_equals_recompute(spark):
+    """base ∪ delta folded per key == one-shot aggregate of all rows."""
+    from sales_data_pipeline_spark.operators.incremental import (
+        aggregate_partial,
+        merge_partial_aggregates,
+    )
+
+    rows = [("a", i, f"{i}.25") for i in range(10)] + [
+        ("b", i, f"{i}.75") for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        [(k, i, amt) for k, i, amt in rows], "k string, i int, amount string"
+    )
+    base = aggregate_partial(df.filter(F.col("i") < 5), ["k"], _mart_measures())
+    delta = aggregate_partial(df.filter(F.col("i") >= 5), ["k"], _mart_measures())
+    merged = merge_partial_aggregates([base, delta], ["k"])
+    oneshot = aggregate_partial(df, ["k"], _mart_measures())
+    got = {r.k: (r.n_rows, r.total) for r in merged.collect()}
+    want = {r.k: (r.n_rows, r.total) for r in oneshot.collect()}
+    assert got == want
+
+
+def test_incremental_merge_retraction_roundtrip(spark):
+    """A CDC delete is a sign-negated delta row; an update is a
+    delete+insert pair. Applying insert → update → delete through the
+    SAME fold lands the mart exactly where a recompute of the
+    surviving rows would."""
+    from sales_data_pipeline_spark.operators.incremental import (
+        aggregate_partial,
+        merge_partial_aggregates,
+    )
+
+    base_rows = spark.createDataFrame(
+        [("a", "10.00"), ("a", "2.50"), ("b", "5.00")], "k string, amount string"
+    )
+    base = aggregate_partial(base_rows, ["k"], _mart_measures())
+    # update a:2.50 -> 4.00 (retract + insert), delete b:5.00
+    delta = spark.createDataFrame(
+        [("a", -1, "-2.50"), ("a", 1, "4.00"), ("b", -1, "-5.00")],
+        "k string, n_rows int, amount string",
+    ).select(
+        "k",
+        F.col("n_rows").cast("bigint"),
+        F.col("amount").cast("decimal(12,2)").alias("total"),
+    )
+    merged = merge_partial_aggregates([base, delta], ["k"]).collect()
+    got = {r.k: (r.n_rows, str(r.total)) for r in merged}
+    assert got["a"] == (2, "14.00")
+    assert got["b"] == (0, "0.00")  # retracted to empty, not dropped
+
+
+def test_incremental_merge_multi_delta_associative(spark):
+    """A week of deltas folds in ONE pass: [base, d1, d2, d3] together
+    equals ((base+d1)+d2)+d3."""
+    from sales_data_pipeline_spark.operators.incremental import (
+        aggregate_partial,
+        merge_partial_aggregates,
+    )
+
+    df = spark.createDataFrame(
+        [("k%d" % (i % 3), i, "%d.10" % i) for i in range(20)],
+        "k string, i int, amount string",
+    )
+    parts = [
+        aggregate_partial(df.filter((F.col("i") % 4) == j), ["k"], _mart_measures())
+        for j in range(4)
+    ]
+    flat = merge_partial_aggregates(parts, ["k"])
+    nested = parts[0]
+    for p in parts[1:]:
+        nested = merge_partial_aggregates([nested, p], ["k"])
+    got = sorted((r.k, r.n_rows, str(r.total)) for r in flat.collect())
+    want = sorted((r.k, r.n_rows, str(r.total)) for r in nested.collect())
+    assert got == want
+    oneshot = aggregate_partial(df, ["k"], _mart_measures())
+    assert got == sorted((r.k, r.n_rows, str(r.total)) for r in oneshot.collect())
+
+
+def test_incremental_merge_refuses_float_measures(spark):
+    """Folding float partials is order-dependent — the operator must
+    refuse rather than drift from the recompute by last-bit noise."""
+    from sales_data_pipeline_spark.operators.incremental import (
+        merge_partial_aggregates,
+    )
+
+    p = spark.createDataFrame([("a", 1.5)], "k string, total double")
+    with pytest.raises(ValueError, match="order-dependent"):
+        merge_partial_aggregates([p, p], ["k"])
+
+
+def test_incremental_merge_refuses_schema_drift(spark):
+    from sales_data_pipeline_spark.operators.incremental import (
+        merge_partial_aggregates,
+    )
+
+    p1 = spark.createDataFrame([("a", 1)], "k string, n bigint")
+    p2 = spark.createDataFrame([("a", 1)], "k string, m bigint")
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_partial_aggregates([p1, p2], ["k"])
