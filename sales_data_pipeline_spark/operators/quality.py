@@ -31,7 +31,7 @@ shuffle representation at scale).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.operators.text import tokens
@@ -401,4 +401,79 @@ def passage_dedup_rewrite(
         "n_chunks",
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
         F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )
+
+
+def compressed_size(col: Column | str, level: int = 6) -> Column:
+    """DEFLATE-compressed byte size of a text column — the
+    compressibility quality signal (CCNet/Gopher-class pipelines gate
+    on it: near-incompressible text is binary junk or high-entropy
+    spam, extreme compressibility is boilerplate/template repetition;
+    cheaper than an LM-perplexity pass and catches much of the same
+    mass). The only Python in the pipeline's quality stack: zlib has
+    no SQL analogue, so this is an Arrow-batched scalar pandas UDF —
+    one Python round-trip per column batch, NOT per row; everything
+    downstream (ratios, per-source aggregation, gating) stays
+    JVM-side on the exact integer it returns. Sizes are computed on
+    utf-8 bytes at a pinned level so the number is reproducible run
+    to run on one zlib build; treat cross-build drift like a
+    tokenizer-version change (a pipeline config constant, not a
+    correctness bug)."""
+    import pandas as pd  # noqa: F401 — resolves the UDF's type hints
+    from pyspark.sql.functions import pandas_udf
+
+    def _zsize_fn(s):
+        import zlib
+
+        return s.map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+            if t is not None
+            else None
+        ).astype("Int64")
+
+    _zsize_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _zsize = pandas_udf("bigint")(_zsize_fn)
+
+    return _zsize(F.col(col) if isinstance(col, str) else col)
+
+
+def compressibility_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    level: int = 6,
+    flag_below: float = 0.4,
+    flag_above: float = 1.0,
+) -> DataFrame:
+    """Per-group compressibility census: doc counts, exact byte totals
+    (raw utf-8 vs DEFLATE), the group's overall compression ratio, and
+    how many documents fall outside the [flag_below, flag_above)
+    per-doc ratio band (too compressible = templated/repetitive; ratio
+    ≥ 1 = already-compressed/random payloads masquerading as text).
+    Shape: one scan, the pandas UDF runs inside the map stage, then a
+    single map-side-combined groupBy on exact BIGINT sums — the group
+    ratio is one double division of exact integers at the output
+    boundary, so results are partition-order independent."""
+    sized = df.select(
+        F.col(group_col).alias("group"),
+        F.octet_length(F.col(text_col)).cast("bigint").alias("raw_b"),
+        compressed_size(text_col, level=level).alias("z_b"),
+    ).filter(F.col("raw_b") > 0)
+    per_doc_ratio = F.col("z_b") / F.col("raw_b")
+    return (
+        sized.withColumn(
+            "flagged",
+            ((per_doc_ratio < F.lit(flag_below)) | (per_doc_ratio >= F.lit(flag_above)))
+            .cast("int"),
+        )
+        .groupBy("group")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("raw_b").cast("bigint").alias("text_bytes"),
+            F.sum("z_b").cast("bigint").alias("zlib_bytes"),
+            F.sum("flagged").cast("bigint").alias("n_flagged"),
+        )
+        .withColumn(
+            "compression_ratio", F.col("zlib_bytes") / F.col("text_bytes")
+        )
     )

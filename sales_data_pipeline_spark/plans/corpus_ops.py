@@ -1375,3 +1375,35 @@ def q257_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q263 — compressibility quality census (zlib ratio per source)
+# ---------------------------------------------------------------------------
+
+
+@query("q263_compressibility")
+def q263_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility quality census per source: exact utf-8 vs
+    DEFLATE byte totals, the per-source compression ratio, and the
+    count of documents outside the healthy per-doc ratio band
+    (too-compressible = templated repetition, ≥1 = non-text payloads)
+    — the cheap entropy-style gate production corpus pipelines run
+    beside the Gopher rules (q257) and LM perplexity (q121). No
+    oracle: DuckDB has no DEFLATE, so this carries the rows-only
+    driver check; bitwise correctness is pinned instead by a
+    python-ref test (tests/test_r6_operators.py) that recomputes
+    every byte total with the same zlib out-of-engine. Scale shape:
+    the zlib call is the pipeline's only Python and runs as an
+    Arrow-batched scalar pandas UDF inside the map stage; sums are
+    exact BIGINTs with map-side combine, and each group's ratio is
+    one double division at the output boundary — partition-order
+    independent by construction."""
+    from sales_data_pipeline_spark.operators.quality import compressibility_stats
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        compressibility_stats(docs, text_col="text", group_col="source")
+        .withColumnRenamed("group", "source")
+        .orderBy("source")
+    )

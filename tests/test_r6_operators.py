@@ -354,3 +354,70 @@ def test_incremental_merge_refuses_schema_drift(spark):
     p2 = spark.createDataFrame([("a", 1)], "k string, m bigint")
     with pytest.raises(ValueError, match="schemas differ"):
         merge_partial_aggregates([p1, p2], ["k"])
+
+
+# ---------------------------------------------------------------------------
+# compressibility census (operators/quality.compressibility_stats, q263)
+# ---------------------------------------------------------------------------
+
+
+def test_compressibility_matches_python_ref(spark):
+    """Spark's per-source byte totals must equal an out-of-engine
+    recomputation with the same zlib — the UDF is a pure function of
+    the text, so totals are exact and partition-order free."""
+    import zlib
+
+    import duckdb
+
+    from sales_data_pipeline_spark.plans.registry import QUERIES
+
+    got = {
+        r.source: (r.n_docs, r.text_bytes, r.zlib_bytes, r.n_flagged)
+        for r in QUERIES["q263_compressibility"].fn(spark, SF).collect()
+    }
+    rows = duckdb.connect().execute(
+        f"SELECT source, text FROM '{SF}/documents.parquet' WHERE text IS NOT NULL"
+    ).fetchall()
+    want = {}
+    for source, text in rows:
+        raw = len(text.encode("utf-8"))
+        if raw == 0:
+            continue
+        z = len(zlib.compress(text.encode("utf-8"), 6))
+        n, tb, zb, fl = want.get(source, (0, 0, 0, 0))
+        ratio = z / raw
+        want[source] = (
+            n + 1,
+            tb + raw,
+            zb + z,
+            fl + (1 if (ratio < 0.4 or ratio >= 1.0) else 0),
+        )
+    assert got == want
+    assert sum(v[0] for v in want.values()) > 0
+
+
+def test_compressibility_flags_planted_outliers(spark):
+    """A templated (highly compressible) doc and an incompressible
+    blob must both land in n_flagged; normal prose must not."""
+    from sales_data_pipeline_spark.operators.quality import compressibility_stats
+
+    import random
+
+    rng = random.Random(7)
+    # short + high-entropy: DEFLATE's header/overhead exceeds any gain,
+    # so the ratio lands >= 1 — the "noise masquerading as text" class
+    alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    incompressible = "".join(rng.choice(alphabet) for _ in range(24))
+    df = spark.createDataFrame(
+        [
+            ("tpl", "spam spam " * 300),
+            ("rand", incompressible),
+            ("prose", "the quick brown fox jumps over the lazy dog and then "
+                      "wanders off to inspect a shuffle boundary in the query plan"),
+        ],
+        "source string, text string",
+    )
+    out = {r.group: r for r in compressibility_stats(df).collect()}
+    assert out["tpl"].n_flagged == 1
+    assert out["rand"].n_flagged == 1
+    assert out["prose"].n_flagged == 0
