@@ -999,3 +999,85 @@ def test_burst_and_session_state_survive_rocksdb_store_swap(spark, tmp_path):
     # cross-batch test's expectation
     assert final.n_burst_points_total == 2
     assert final.last_burst_at == dt.datetime(2024, 1, 1) + dt.timedelta(seconds=5200)
+
+
+# ---------------------------------------------------------------------------
+# streaming mart maintenance (streaming/mart.py — foreachBatch fold)
+# ---------------------------------------------------------------------------
+
+
+def _mart_measures():
+    return {
+        "n_events": F.count(F.lit(1)).cast("bigint"),
+        "total": F.sum(F.col("value").cast("decimal(12,2)")),
+    }
+
+
+def test_mart_stream_matches_batch_recompute(spark, tmp_path):
+    """After the stream drains, the externally-stored mart must equal a
+    one-shot batch aggregation of every event ever ingested — the
+    exactly-once-at-the-mart contract."""
+    from sales_data_pipeline_spark.streaming.mart import mart_maintainer, read_mart
+
+    src = tmp_path / "events"
+    _write_events_with_ids(spark, str(src / "f1"), [
+        (1, 0, 1, "click", 1.25), (2, 60, 1, "view", 2.50), (3, 120, 2, "click", 3.75),
+    ])
+    time.sleep(1.1)
+    _write_events_with_ids(spark, str(src / "f2"), [
+        (4, 180, 2, "click", 4.00), (5, 240, 3, "buy", 10.00),
+    ])
+    mart_path = str(tmp_path / "mart")
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        stream.writeStream.foreachBatch(
+            mart_maintainer(mart_path, ["event_type"], _mart_measures())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt_mart"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.event_type: (r.n_events, str(r.total))
+        for r in read_mart(spark, mart_path).collect()
+    }
+    assert got == {
+        "click": (3, "9.00"),
+        "view": (1, "2.50"),
+        "buy": (1, "10.00"),
+    }
+
+
+def test_mart_batch_replay_is_skipped(spark, tmp_path):
+    """foreachBatch is at-least-once: re-applying an already-published
+    batch_id must be a no-op (the published version IS the ledger)."""
+    from sales_data_pipeline_spark.streaming.mart import apply_mart_batch, read_mart
+
+    mart_path = str(tmp_path / "mart")
+    batch = spark.createDataFrame([("click", 1.0), ("click", 2.0)], "event_type string, value double")
+    assert apply_mart_batch(spark, batch, 0, mart_path, ["event_type"], _mart_measures())
+    # crash replay of batch 0 — same id, same (or partially different) data
+    assert not apply_mart_batch(spark, batch, 0, mart_path, ["event_type"], _mart_measures())
+    rows = read_mart(spark, mart_path).collect()
+    assert len(rows) == 1 and rows[0].n_events == 2 and str(rows[0].total) == "3.00"
+
+
+def test_mart_version_retention(spark, tmp_path):
+    """Only the trailing keep_versions committed marts survive; the
+    reader always resolves the newest."""
+    from sales_data_pipeline_spark.streaming.mart import (
+        _versions,
+        apply_mart_batch,
+        read_mart,
+    )
+
+    mart_path = str(tmp_path / "mart")
+    for b in range(5):
+        batch = spark.createDataFrame([("click", 1.0)], "event_type string, value double")
+        apply_mart_batch(
+            spark, batch, b, mart_path, ["event_type"], _mart_measures(), keep_versions=2
+        )
+    assert _versions(spark, mart_path) == [3, 4]
+    rows = read_mart(spark, mart_path).collect()
+    assert rows[0].n_events == 5
