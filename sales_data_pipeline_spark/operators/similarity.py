@@ -861,3 +861,145 @@ def pca_project(
             )
         )
     return df.withColumn(out_col, F.array(*outs))
+
+
+def pq_train_encode(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    ksub: int = 16,
+    iters: int = 4,
+):
+    """Product quantization (Jégou et al., TPAMI 2011 — the ANN
+    compression standard behind IVF-PQ indexes): split each vector into
+    ``m`` contiguous subvectors, k-means each subspace independently
+    (``ksub`` codes), and store each vector as ``m`` small codes —
+    ``m·log2(ksub)`` bits instead of ``dim·32``. This is the missing
+    tier between this module's exact rerank (float vectors) and its
+    bucketing (LSH/IVF): at 100 TB the CODES fit in memory where the
+    vectors never will, so candidate scoring runs over codes
+    (asymmetric distance via a per-query lookup table) and only the
+    final shortlist touches raw vectors.
+
+    Training mirrors kmeans_clusters' scalable shape, run for ALL
+    subspaces at once: explode rows to (id, sub, subvec) — one corpus
+    scan per iteration, assignment by squared-L2 against the broadcast
+    m×ksub×(dim/m) codebook entirely in codegen, M-step one keyed
+    shuffle of (sub, code, pos) partial sums; only the codebook
+    (m·ksub·dim/m = dim·ksub doubles) ever reaches the driver. Same
+    determinism contract as kmeans_clusters: init = first ksub vectors
+    in id order (sliced per subspace), distances rounded to 9 digits
+    before the argmin so shuffle-order last-bit noise cannot flip a
+    code, ties to the LOWEST code; empty cells keep their previous
+    centroid. dim must divide evenly by m (raises otherwise — a padding
+    policy would silently change distances).
+
+    Returns ``(codes, codebook)``: codes = (id_col, codes array<int>
+    of length m, recon_err double — the vector's total squared
+    quantization error, the fidelity number PQ tuning sweeps); codebook
+    = the m×ksub×dsub nested list for downstream ADC scoring.
+    """
+    import numpy as np
+
+    first = corpus.select(vec_col).first()
+    if first is None:
+        raise ValueError("pq_train_encode: empty corpus")
+    dim = len(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    dsub = dim // m
+
+    init_rows = corpus.select(id_col, vec_col).orderBy(id_col).limit(ksub).collect()
+    if len(init_rows) < ksub:
+        raise ValueError(f"need >= ksub={ksub} vectors, have {len(init_rows)}")
+    full = np.asarray([r[1] for r in init_rows], dtype=np.float64)
+    # codebook[sub] = ksub × dsub
+    books = [full[:, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+
+    base = corpus.select(
+        F.col(id_col), as_double_array(vec_col).alias("__vd")
+    ).select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("sub"),
+                        F.slice("__vd", s * dsub + 1, dsub).alias("sv"),
+                    )
+                    for s in range(m)
+                ]
+            )
+        ).alias("e"),
+    ).select(id_col, "e.sub", "e.sv")
+
+    def assign(bks: list[np.ndarray]) -> DataFrame:
+        # book_lit[sub][code] = centroid array; struct(-dist, -code) so
+        # array_max picks min distance, ties to the lowest code.
+        book_lit = F.array(
+            *[
+                F.array(
+                    *[
+                        F.array(*[F.lit(float(x)) for x in c])
+                        for c in bks[s]
+                    ]
+                )
+                for s in range(m)
+            ]
+        )
+        cands = F.transform(
+            F.element_at(book_lit, F.col("sub") + 1),
+            lambda c, i: F.struct(
+                (
+                    -F.round(
+                        F.aggregate(
+                            F.zip_with("sv", c, lambda x, y: (x - y) * (x - y)),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        ),
+                        9,
+                    )
+                ).alias("negdist"),
+                (-i).alias("negcode"),
+            ),
+        )
+        best = F.array_max(cands)
+        return base.select(
+            id_col,
+            "sub",
+            "sv",
+            (-best["negcode"]).cast("int").alias("code"),
+            (-best["negdist"]).alias("dist"),
+        )
+
+    for _ in range(max(iters, 1)):
+        assigned = assign(books)
+        stats = (
+            assigned.select("sub", "code", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("sub", "code", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, tuple[float, int]]] = {}
+        for r in stats:
+            acc.setdefault((r["sub"], r["code"]), {})[r["pos"]] = (r["s"], r["n"])
+        for (s, c), dims in acc.items():
+            books[s][c] = np.array([dims[p][0] / dims[p][1] for p in sorted(dims)])
+
+    final = assign(books)
+    codes = (
+        final.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sub"), F.col("code")))
+            ).alias("__sc"),
+            F.sum("dist").alias("recon_err"),
+        )
+        .select(
+            id_col,
+            F.transform("__sc", lambda e: e["code"]).alias("codes"),
+            "recon_err",
+        )
+    )
+    return codes, [b.tolist() for b in books]

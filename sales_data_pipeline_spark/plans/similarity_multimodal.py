@@ -615,3 +615,42 @@ def q218_embedding_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("top2_var_ratio", F.round(F.lit(ratio2), 4))
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q264 — product-quantization fidelity profile (ANN compression tier)
+# ---------------------------------------------------------------------------
+
+
+@query("q264_pq_fidelity", oracle=None)  # iterative Lloyd training: not SQL-expressible
+def q264_pq_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization fidelity profile over the embeddings table:
+    train an m=4 × ksub=16 codebook (operators/similarity.
+    pq_train_encode — distributed Lloyd per subspace, deterministic
+    init/tie rules), encode every vector to 4 codes, and report per
+    label: vector count, mean/max squared reconstruction error, and
+    the distinct code-word count actually used — the table an ANN
+    operator sweeps to pick the recall/compression point before
+    building an IVF-PQ index (q27 is the IVF half; this is the PQ
+    half). Compression here is dim·32 bits → m·log2(ksub) = 16 bits
+    per vector. Rows-only driver check (training is iterative); the
+    operator's determinism, numpy-Lloyd parity, planted-codebook
+    exactness, and refusal guards are pinned in
+    tests/test_r6_operators.py. Scale: per iteration one corpus scan
+    + one (sub, code, pos) keyed shuffle; only the dim×ksub-double
+    codebook touches the driver."""
+    from sales_data_pipeline_spark.operators.similarity import pq_train_encode
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes, _book = pq_train_encode(emb, m=4, ksub=16, iters=3)
+    labeled = codes.join(emb.select("vec_id", "label"), "vec_id")
+    return (
+        labeled.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.avg("recon_err").alias("mean_sq_err"),
+            F.max("recon_err").alias("max_sq_err"),
+            F.countDistinct("codes").cast("bigint").alias("n_codewords"),
+        )
+        .orderBy("label")
+    )

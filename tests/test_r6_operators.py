@@ -421,3 +421,112 @@ def test_compressibility_flags_planted_outliers(spark):
     assert out["tpl"].n_flagged == 1
     assert out["rand"].n_flagged == 1
     assert out["prose"].n_flagged == 0
+
+
+# ---------------------------------------------------------------------------
+# product quantization (operators/similarity.pq_train_encode, q264)
+# ---------------------------------------------------------------------------
+
+
+def _pq_numpy_ref(vecs, m, ksub, iters):
+    """Reference Lloyd with the operator's exact contract: init = first
+    ksub vectors (id order) sliced per subspace, squared-L2 rounded to
+    9 digits, argmin ties to the lowest code, empty cells frozen."""
+    import numpy as np
+
+    X = np.asarray(vecs, dtype=np.float64)
+    dim = X.shape[1]
+    dsub = dim // m
+    books = [X[:ksub, s * dsub : (s + 1) * dsub].copy() for s in range(m)]
+    codes = None
+    for _ in range(iters):
+        codes = []
+        for s in range(m):
+            sub = X[:, s * dsub : (s + 1) * dsub]
+            d = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+            codes.append(np.round(d, 9).argmin(axis=1))
+        for s in range(m):
+            sub = X[:, s * dsub : (s + 1) * dsub]
+            for c in range(ksub):
+                mask = codes[s] == c
+                if mask.any():
+                    books[s][c] = sub[mask].mean(axis=0)
+    final = []
+    for s in range(m):
+        sub = X[:, s * dsub : (s + 1) * dsub]
+        d = ((sub[:, None, :] - books[s][None, :, :]) ** 2).sum(axis=2)
+        final.append(np.round(d, 9).argmin(axis=1))
+    return list(map(list, zip(*final)))
+
+
+def test_pq_matches_numpy_lloyd(spark):
+    """Same init, same rounding, same tie rule → the Spark codes must
+    equal the out-of-engine Lloyd exactly at test scale."""
+    import random
+
+    from sales_data_pipeline_spark.operators.similarity import pq_train_encode
+
+    rng = random.Random(11)
+    vecs = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    codes, book = pq_train_encode(df, m=4, ksub=8, iters=3)
+    got = {r.vec_id: list(r.codes) for r in codes.collect()}
+    want = _pq_numpy_ref([v for _, v in vecs], 4, 8, 3)
+    assert got == {i: want[i] for i in range(64)}
+    assert len(book) == 4 and all(len(b) == 8 for b in book)
+
+
+def test_pq_planted_codebook_reconstructs_exactly(spark):
+    """Vectors drawn exactly FROM a ksub-word codebook per subspace →
+    Lloyd recovers it and every reconstruction error is ~0."""
+    import random
+
+    from sales_data_pipeline_spark.operators.similarity import pq_train_encode
+
+    rng = random.Random(3)
+    words = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(4)]
+    vecs = []
+    # first ksub vectors use word i in EVERY subspace → the first-k
+    # init IS the planted codebook (Lloyd can only keep it: every
+    # cluster's mean is its word); the rest are random combinations
+    for i in range(4):
+        vecs.append((i, words[i] * 4))
+    for i in range(4, 48):
+        v = []
+        for _s in range(4):
+            v.extend(words[rng.randrange(4)])
+        vecs.append((i, v))
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    codes, _ = pq_train_encode(df, m=4, ksub=4, iters=6)
+    errs = [r.recon_err for r in codes.collect()]
+    assert len(errs) == 48 and max(errs) < 1e-12
+
+
+def test_pq_refuses_indivisible_dim(spark):
+    from sales_data_pipeline_spark.operators.similarity import pq_train_encode
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id bigint, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train_encode(df, m=2, ksub=1, iters=1)
+
+
+def test_pq_training_reduces_error(spark):
+    """More Lloyd iterations must not worsen total quantization error."""
+    import random
+
+    from sales_data_pipeline_spark.operators.similarity import pq_train_encode
+
+    rng = random.Random(5)
+    vecs = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    err1 = sum(
+        r.recon_err for r in pq_train_encode(df, m=2, ksub=4, iters=1)[0].collect()
+    )
+    err4 = sum(
+        r.recon_err for r in pq_train_encode(df, m=2, ksub=4, iters=4)[0].collect()
+    )
+    assert err4 <= err1 + 1e-9
