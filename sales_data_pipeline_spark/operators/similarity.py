@@ -1003,3 +1003,70 @@ def pq_train_encode(
         )
     )
     return codes, [b.tolist() for b in books]
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebook: list[list[list[float]]],
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k search over PQ codes — the
+    scoring half of IVF-PQ: for each query, precompute the tiny
+    m×ksub lookup table LUT[sub][code] = ||q_sub − centroid||² on the
+    driver (the codebook is dim×ksub doubles — the only thing that
+    ever leaves the cluster), then score every stored vector as
+    Σ_sub LUT[sub][codes[sub]] — m array lookups + adds per vector,
+    entirely in codegen, touching 16-BIT codes instead of the raw
+    float vectors. At 100 TB this is the difference between scanning
+    codes (~2 bytes/vector) and scanning embeddings (~KB/vector); the
+    exact rerank (cosine_topk) then runs on the shortlist only.
+
+    Output matches cosine_topk's shape: (query_id, neighbor_id,
+    adc_dist, rank), rank = row_number over (dist asc rounded to 9
+    digits, neighbor_id) — deterministic under ties. The distance is
+    the PQ approximation of squared L2; its fidelity is exactly the
+    reconstruction error q264 profiles.
+    """
+    import numpy as np
+    from pyspark.sql import Window
+
+    m = len(codebook)
+    books = [np.asarray(b, dtype=np.float64) for b in codebook]
+    dsub = books[0].shape[1]
+    q_rows = queries.select(id_col, as_double_array(vec_col).alias("qv")).collect()
+    lut_rows = []
+    for r in q_rows:
+        qv = np.asarray(r["qv"], dtype=np.float64)
+        lut = [
+            [float(((qv[s * dsub : (s + 1) * dsub] - c) ** 2).sum()) for c in books[s]]
+            for s in range(m)
+        ]
+        lut_rows.append((r[id_col], lut))
+    spark = codes.sparkSession
+    luts = spark.createDataFrame(
+        lut_rows, f"query_id bigint, lut array<array<double>>"
+    )
+    dist = F.round(
+        F.aggregate(
+            F.zip_with(
+                codes_col, "lut", lambda c, l: F.element_at(l, c + 1)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        9,
+    )
+    scored = (
+        codes.select(F.col(id_col).alias("neighbor_id"), codes_col)
+        .crossJoin(F.broadcast(luts))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", dist.alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_dist", "neighbor_id")
+    return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
+        F.col("rank") <= k
+    )

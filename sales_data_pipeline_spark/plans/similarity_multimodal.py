@@ -654,3 +654,60 @@ def q264_pq_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# q265 — PQ asymmetric-distance (ADC) top-k search quality audit
+# ---------------------------------------------------------------------------
+
+
+@query("q265_pq_adc_search", oracle=None)  # PQ training is iterative Lloyd
+def q265_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scoring half of IVF-PQ (q264 trains/encodes; this searches):
+    for a deterministic 8-query probe set (lowest vec_ids), build each
+    query's m×ksub squared-L2 lookup table on the driver — the codebook
+    is the ONLY thing that leaves the cluster — and rank the whole
+    corpus by Σ_sub LUT[sub][code], m array lookups per vector in pure
+    codegen over 16-BIT codes instead of 64-float embeddings. Reported
+    per query: top-10 neighbor count (sanity = 10) and the label-match
+    fraction of those neighbors — the recall proxy an ANN sweep reads
+    next to q264's reconstruction-error profile. Rows-only driver check
+    (training is iterative); ADC's bitwise numpy parity, lossless-
+    codebook exactness (ADC ≡ exact L2 when reconstruction is exact)
+    and tie determinism are pinned in tests/test_r6_operators.py.
+    Scale: one scan of the codes table, BroadcastNestedLoopJoin against
+    the |Q|-row LUT table, per-query top-k window on the (tiny) scored
+    stream — the corpus's raw vectors are never rescanned; the exact
+    rerank (cosine_topk) runs on the shortlist only."""
+    from sales_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_encode,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    codes, book = pq_train_encode(emb, m=4, ksub=16, iters=3)
+    probes = emb.orderBy("vec_id").limit(8)
+    hits = pq_adc_topk(codes, book, probes, k=10)
+    lbl = emb.select("vec_id", "label")
+    return (
+        hits.join(
+            F.broadcast(lbl.withColumnRenamed("vec_id", "query_id")).withColumnRenamed(
+                "label", "q_label"
+            ),
+            "query_id",
+        )
+        .join(
+            F.broadcast(
+                lbl.withColumnRenamed("vec_id", "neighbor_id")
+            ).withColumnRenamed("label", "n_label"),
+            "neighbor_id",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+            F.round(
+                F.avg((F.col("q_label") == F.col("n_label")).cast("double")), 4
+            ).alias("label_match_frac"),
+        )
+        .orderBy("query_id")
+    )

@@ -530,3 +530,110 @@ def test_pq_training_reduces_error(spark):
         r.recon_err for r in pq_train_encode(df, m=2, ksub=4, iters=4)[0].collect()
     )
     assert err4 <= err1 + 1e-9
+
+
+def test_pq_adc_matches_numpy(spark):
+    """ADC distance = sum over subspaces of LUT[sub][code]; Spark scores
+    must equal the out-of-engine lookup-table scan bitwise."""
+    import numpy as np
+
+    from sales_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_encode,
+    )
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(40, 8))
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    codes, book = pq_train_encode(df, m=4, ksub=8, iters=4)
+    out = pq_adc_topk(codes, book, df.filter("vec_id < 3"), k=5)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist) for r in out.collect()
+    }
+    books = [np.asarray(b) for b in book]
+    code_map = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    dsub = 2
+    for qid in range(3):
+        want = sorted(
+            (
+                round(
+                    sum(
+                        float(
+                            (
+                                (
+                                    vecs[qid][s * dsub : (s + 1) * dsub]
+                                    - books[s][code_map[nid][s]]
+                                )
+                                ** 2
+                            ).sum()
+                        )
+                        for s in range(4)
+                    ),
+                    9,
+                ),
+                nid,
+            )
+            for nid in range(40)
+            if nid != qid
+        )[:5]
+        for rank, (d, nid) in enumerate(want, start=1):
+            assert got[(qid, rank)] == (nid, d)
+
+
+def test_pq_adc_exact_when_vectors_on_codebook(spark):
+    """Vectors drawn exactly from the codebook reconstruct losslessly,
+    so ADC distance IS the true squared L2 and the ADC top-k equals the
+    exact brute-force top-k."""
+    import random
+
+    import numpy as np
+
+    from sales_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_encode,
+    )
+
+    rng = random.Random(3)
+    words = [[rng.uniform(-1, 1) for _ in range(4)] for _ in range(4)]
+    vecs = []
+    for i in range(4):
+        vecs.append((i, words[i] * 4))
+    for i in range(4, 32):
+        v = []
+        for _s in range(4):
+            v.extend(words[rng.randrange(4)])
+        vecs.append((i, v))
+    df = spark.createDataFrame(vecs, "vec_id bigint, embedding array<double>")
+    codes, book = pq_train_encode(df, m=4, ksub=4, iters=6)
+    out = pq_adc_topk(codes, book, df.filter("vec_id IN (0, 5)"), k=4)
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.adc_dist) for r in out.collect()
+    }
+    X = np.asarray([v for _, v in vecs])
+    for qid in (0, 5):
+        want = sorted(
+            (round(float(((X[qid] - X[nid]) ** 2).sum()), 9), nid)
+            for nid in range(32)
+            if nid != qid
+        )[:4]
+        for rank, (d, nid) in enumerate(want, start=1):
+            g_nid, g_d = got[(qid, rank)]
+            assert g_nid == nid
+            assert abs(g_d - d) < 1e-9
+
+
+def test_pq_adc_ties_break_by_neighbor_id(spark):
+    """Identical vectors tie on distance; rank order must be by
+    neighbor_id ascending — deterministic under any partitioning."""
+    from sales_data_pipeline_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_train_encode,
+    )
+
+    rows = [(i, [float(i % 2), 1.0 - (i % 2)] * 2) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    codes, book = pq_train_encode(df, m=2, ksub=2, iters=3)
+    out = pq_adc_topk(codes, book, df.filter("vec_id = 0"), k=5)
+    got = [r.neighbor_id for r in out.orderBy("rank").collect()]
+    assert got == [2, 4, 6, 8, 10]
