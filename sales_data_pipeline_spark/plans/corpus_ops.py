@@ -1407,3 +1407,114 @@ def q263_compressibility(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("group", "source")
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q266-q268 — BPE tokenizer induction (operators/bpe.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q266_bpe_pair_census",
+    oracle="""
+    WITH words AS (
+      SELECT w AS word, COUNT(*) AS freq
+      FROM documents,
+           UNNEST(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS t(w)
+      WHERE w <> '' GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(word, CAST(i AS INT), 1) AS left_sym,
+             substr(word, CAST(i AS INT) + 1, 1) AS right_sym,
+             freq
+      FROM words, UNNEST(range(1, length(word))) AS g(i)
+      UNION ALL
+      SELECT substr(word, length(word), 1), '</w>', freq FROM words
+    )
+    SELECT left_sym, right_sym, CAST(SUM(freq) AS BIGINT) AS pair_freq
+    FROM pairs GROUP BY 1, 2
+    ORDER BY pair_freq DESC, left_sym, right_sym LIMIT 30
+    """,
+)
+def q266_bpe_pair_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE iteration 0, exactly oracled: the adjacent symbol-pair
+    frequency census over the distinct word table (chars + '</w>'
+    end-of-word marker, Sennrich's formulation) — the statistic whose
+    argmax IS the first learned merge. Top 30 under the trainer's
+    pinned total order (freq DESC, left, right). Scale: one corpus
+    scan reduces to the vocabulary-sized word table; the census is one
+    explode + map-side-combined sum over that table, never the corpus.
+    The full iterative trainer is q267; this row gives the driver an
+    exact cross-engine hash of its inner statistic."""
+    from sales_data_pipeline_spark.operators.bpe import pair_census, word_freq_table
+
+    docs = table(spark, sf_dir, "documents")
+    return (
+        pair_census(word_freq_table(docs, "text"))
+        .orderBy(F.col("pair_freq").desc(), "left_sym", "right_sym")
+        .limit(30)
+    )
+
+
+@query("q267_bpe_merges")  # iterative argmax loop: not SQL-expressible
+def q267_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (Sennrich et al. 2016) over
+    the documents table: 16 merges, min pair freq 2. Returns the
+    learned merge table (rank, left, right, merged, pair_freq) — the
+    tokenizer artifact an LLM data pipeline ships to training. Rows-
+    only driver check (training is an iterative argmax loop); bitwise
+    parity of the whole merge list vs an out-of-engine reference
+    implementation, the greedy-overlap rule, tie determinism, and the
+    early-stop rule are pinned in tests/test_bpe.py. Scale: the corpus
+    is scanned ONCE into the vocabulary-sized word-frequency table;
+    each merge is one shuffle over that table plus a 1-row argmax
+    collect; symbol rewrites are pure codegen array folds
+    (operators/bpe.py module docstring has the full cost model)."""
+    from sales_data_pipeline_spark.operators.bpe import bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges, words = bpe_train(docs, text_col="text", num_merges=16, min_freq=2)
+    words.unpersist()
+    return spark.createDataFrame(
+        [
+            (m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"])
+            for m in merges
+        ],
+        "rank bigint, left_sym string, right_sym string, merged string, pair_freq bigint",
+    ).orderBy("rank")
+
+
+@query("q268_bpe_encoding_stats")  # depends on the iterative trainer
+def q268_bpe_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fidelity census: train 16 BPE merges, encode the
+    corpus with them (bpe_apply: per-rank folds on the DISTINCT word
+    table, then one equi-join + order-pinned reassembly back to
+    documents — per-rank work is vocabulary-sized), and report per
+    source: docs, total tokens, mean tokens/doc and chars-per-token
+    compression — the number a budgeted pretraining mix (q67/q76)
+    consumes. Exact integer sums; the two ratios are single divisions
+    at the output boundary. Rows-only driver check: the trainer is
+    iterative; encode parity vs the reference encoder is pinned in
+    tests/test_bpe.py."""
+    from sales_data_pipeline_spark.operators.bpe import bpe_apply, bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges, words = bpe_train(docs, text_col="text", num_merges=16, min_freq=2)
+    words.unpersist()
+    enc = bpe_apply(docs, merges, text_col="text", id_col="doc_id")
+    return (
+        docs.select("doc_id", "source", F.length("text").alias("n_chars"))
+        .join(enc.select("doc_id", "n_tokens"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.sum("n_tokens") / F.count(F.lit(1)), 4).alias(
+                "mean_tokens_per_doc"
+            ),
+            F.round(F.sum("n_chars") / F.sum("n_tokens"), 4).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("source")
+    )

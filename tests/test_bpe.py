@@ -1,0 +1,156 @@
+"""BPE vocabulary induction (operators/bpe.py) vs an out-of-engine
+reference implementation of Sennrich et al.'s algorithm with the
+operator's pinned tie rule (pair_freq DESC, left ASC, right ASC)."""
+
+from __future__ import annotations
+
+import collections
+import random
+
+import pytest
+
+from sales_data_pipeline_spark.operators.bpe import (
+    EOW,
+    bpe_apply,
+    bpe_train,
+    pair_census,
+    word_freq_table,
+)
+
+
+def _ref_train(texts: list[str], n: int, min_freq: int):
+    """Reference Sennrich BPE: word-frequency vocab, per-position pair
+    counts, greedy left-to-right merge, same tie rule as the operator."""
+    vocab = collections.Counter()
+    for t in texts:
+        for w in t.split():
+            vocab[w] += 1
+    sym_vocab = {}
+    for w, c in vocab.items():
+        sym_vocab[tuple(w) + (EOW,)] = sym_vocab.get(tuple(w) + (EOW,), 0) + c
+    merges = []
+    for rank in range(n):
+        stats = collections.Counter()
+        for sym, c in sym_vocab.items():
+            for i in range(len(sym) - 1):
+                stats[(sym[i], sym[i + 1])] += c
+        if not stats:
+            break
+        (a, b), f = min(stats.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if f < min_freq:
+            break
+        merges.append((rank, a, b, a + b, f))
+        new = {}
+        for sym, c in sym_vocab.items():
+            res: list[str] = []
+            for x in sym:
+                if res and res[-1] == a and x == b:
+                    res[-1] = a + b
+                else:
+                    res.append(x)
+            new[tuple(res)] = new.get(tuple(res), 0) + c
+        sym_vocab = new
+    return merges
+
+
+def _ref_encode(text: str, merges) -> list[str]:
+    out: list[str] = []
+    for w in text.split():
+        sym = list(w) + [EOW]
+        for _, a, b, _, _ in merges:
+            res: list[str] = []
+            for x in sym:
+                if res and res[-1] == a and x == b:
+                    res[-1] = a + b
+                else:
+                    res.append(x)
+            sym = res
+        out.extend(sym)
+    return out
+
+
+CORPUS = [
+    "low lower lowest low low",
+    "new newer newest new lower",
+    "aaa aa a low new",
+    "the newest lower bound is low",
+]
+
+
+def test_bpe_train_matches_reference(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id bigint, text string"
+    )
+    merges, words = bpe_train(docs, num_merges=12, min_freq=2)
+    words.unpersist()
+    got = [(m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"]) for m in merges]
+    assert got == _ref_train(CORPUS, 12, 2)
+
+
+def test_bpe_train_matches_reference_random_corpus(spark):
+    rng = random.Random(41)
+    alphabet = "abcdef"
+    texts = [
+        " ".join(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 6)))
+            for _ in range(rng.randint(3, 12))
+        )
+        for _ in range(30)
+    ]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id bigint, text string"
+    )
+    merges, words = bpe_train(
+        docs, num_merges=20, min_freq=2, checkpoint_every=5
+    )
+    words.unpersist()
+    got = [(m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"]) for m in merges]
+    assert got == _ref_train(texts, 20, 2)
+
+
+def test_bpe_overlapping_merge_is_greedy_left_to_right(spark):
+    """'aaaa' under merge (a,a): positions overlap — greedy scan yields
+    [aa, aa, </w>], never [a, aa, a, ...]."""
+    docs = spark.createDataFrame([(0, "aaaa aaaa aa")], "doc_id bigint, text string")
+    merges, words = bpe_train(docs, num_merges=1, min_freq=1)
+    words.unpersist()
+    assert (merges[0]["left"], merges[0]["right"]) == ("a", "a")
+    enc = bpe_apply(docs, merges)
+    row = enc.collect()[0]
+    assert list(row.tokens) == ["aa", "aa", EOW, "aa", "aa", EOW, "aa", EOW]
+
+
+def test_bpe_min_freq_stops_early(spark):
+    docs = spark.createDataFrame([(0, "ab cd ef")], "doc_id bigint, text string")
+    merges, words = bpe_train(docs, num_merges=10, min_freq=2)
+    words.unpersist()
+    assert merges == []  # every pair occurs once
+
+
+def test_bpe_rejects_bad_num_merges(spark):
+    docs = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="num_merges"):
+        bpe_train(docs, num_merges=0)
+
+
+def test_bpe_apply_matches_reference_encoding(spark):
+    docs = spark.createDataFrame(
+        list(enumerate(CORPUS)), "doc_id bigint, text string"
+    )
+    merges, words = bpe_train(docs, num_merges=10, min_freq=2)
+    words.unpersist()
+    got = {r.doc_id: list(r.tokens) for r in bpe_apply(docs, merges).collect()}
+    ref = [(m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"]) for m in merges]
+    for i, t in enumerate(CORPUS):
+        assert got[i] == _ref_encode(t, ref), f"doc {i}"
+        assert "".join(got[i]).replace(EOW, " ").strip() == " ".join(t.split())
+
+
+def test_pair_census_counts_every_position(spark):
+    docs = spark.createDataFrame([(0, "aaa aaa")], "doc_id bigint, text string")
+    words = word_freq_table(docs)
+    out = {
+        (r.left_sym, r.right_sym): r.pair_freq for r in pair_census(words).collect()
+    }
+    assert out[("a", "a")] == 4  # two positions per word x freq 2
+    assert out[("a", EOW)] == 2
