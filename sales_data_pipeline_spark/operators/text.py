@@ -322,3 +322,80 @@ def add_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(text_col).alias("quality"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def phrase_hits_scan(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact phrase occurrence counts per document, map-only: project
+    the token array once, then count positions i where
+    tokens[i..i+m-1] equals the phrase (overlapping occurrences count
+    — 'a a a' holds 'a a' twice). ZERO shuffles before the final
+    per-doc projection: at 100 TB this is one corpus scan with the
+    match evaluated in whole-stage codegen, the right plan when no
+    persistent index exists. The posting-list sibling
+    (phrase_hits_index) is the plan you run against an indexed corpus;
+    tests pin their bitwise equality. Returns (id_col, n_hits) for
+    docs with >= 1 hit."""
+    words = phrase.split()
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    m = len(words)
+    toks = F.split(F.regexp_replace(F.col(text_col), r"\s+", " "), " ")
+    base = docs.select(F.col(id_col), toks.alias("__t"))
+    npos = F.size("__t") - (m - 1)
+    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    def is_hit(i):
+        cond = F.element_at(F.col("__t"), i) == F.lit(words[0])
+        for k in range(1, m):
+            cond = cond & (
+                F.element_at(F.col("__t"), i + F.lit(k)) == F.lit(words[k])
+            )
+        return cond
+    return (
+        base.select(
+            id_col,
+            F.size(F.filter(positions, is_hit)).cast("bigint").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+def phrase_hits_index(
+    docs: DataFrame,
+    phrase: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Same contract as phrase_hits_scan via a positional inverted
+    index: postings (doc, pos, word) filtered to the phrase's terms
+    BEFORE any shuffle (posting lists stay query-sized, not
+    corpus-sized), then one equi-join per subsequent term on
+    (doc, pos - offset) — the standard positional-index phrase plan.
+    Worth it only when the index is built once and queried many times;
+    for one-shot queries phrase_hits_scan's single pass wins."""
+    words = phrase.split()
+    if not words:
+        raise ValueError("phrase must contain at least one token")
+    toks = F.split(F.regexp_replace(F.col(text_col), r"\s+", " "), " ")
+    postings = (
+        docs.select(
+            F.col(id_col), F.posexplode_outer(toks).alias("pos", "word")
+        )
+        .filter(F.col("word").isin(list(set(words))))
+    )
+    cur = postings.filter(F.col("word") == words[0]).select(id_col, "pos")
+    for k, w in enumerate(words[1:], start=1):
+        nxt = postings.filter(F.col("word") == w).select(
+            id_col, (F.col("pos") - k).alias("pos")
+        )
+        cur = cur.join(nxt, [id_col, "pos"])
+    return (
+        cur.groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )

@@ -1518,3 +1518,39 @@ def q268_bpe_encoding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q269 — exact phrase search (map-only scan plan; index sibling tested equal)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q269_phrase_search",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM toks, UNNEST(range(1, len(t))) AS g(i)
+    WHERE t[CAST(i AS INT)] = 'table' AND t[CAST(i AS INT) + 1] = 'hash'
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q269_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase query ('table hash') over the corpus: per-document
+    overlapping occurrence counts, docs with >= 1 hit. Registered plan
+    is the MAP-ONLY array scan (phrase_hits_scan: one corpus pass,
+    match in codegen, zero pre-agg shuffles) — the right shape for a
+    one-shot query at 100 TB; the positional-inverted-index plan
+    (phrase_hits_index: postings filtered to phrase terms before any
+    shuffle, one equi-join per term offset) is the repeated-query
+    sibling and is pinned bitwise-equal in tests/test_r6_operators.py.
+    Oracle replays the same position semantics in SQL."""
+    from sales_data_pipeline_spark.operators.text import phrase_hits_scan
+
+    docs = table(spark, sf_dir, "documents")
+    return phrase_hits_scan(docs, "table hash").orderBy("doc_id")

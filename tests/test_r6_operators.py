@@ -637,3 +637,76 @@ def test_pq_adc_ties_break_by_neighbor_id(spark):
     out = pq_adc_topk(codes, book, df.filter("vec_id = 0"), k=5)
     got = [r.neighbor_id for r in out.orderBy("rank").collect()]
     assert got == [2, 4, 6, 8, 10]
+
+
+# ---------------------------------------------------------------------------
+# phrase search (operators/text.phrase_hits_scan / phrase_hits_index, q269)
+# ---------------------------------------------------------------------------
+
+
+def test_phrase_scan_counts_overlapping_hits(spark):
+    from sales_data_pipeline_spark.operators.text import phrase_hits_scan
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a b"),          # 'a a' twice (overlap), 'a b' once
+            (1, "x a a y a a"),      # twice, non-adjacent
+            (2, "a b a b"),          # zero 'a a'
+            (3, ""),                 # empty doc
+            (4, "a"),                # shorter than the phrase
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r.n_hits for r in phrase_hits_scan(docs, "a a").collect()}
+    assert out == {0: 2, 1: 2}
+
+
+def test_phrase_index_equals_scan(spark):
+    """The posting-join plan and the map-only scan are the same
+    operator — bitwise-equal output on a corpus with overlaps, repeats
+    and three-term phrases."""
+    import random
+
+    from sales_data_pipeline_spark.operators.text import (
+        phrase_hits_index,
+        phrase_hits_scan,
+    )
+
+    rng = random.Random(13)
+    vocab = ["a", "b", "c", "d"]
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+            for i in range(60)
+        ],
+        "doc_id bigint, text string",
+    )
+    for phrase in ("a b", "a a", "b c a"):
+        scan = {
+            r.doc_id: r.n_hits for r in phrase_hits_scan(docs, phrase).collect()
+        }
+        idx = {
+            r.doc_id: r.n_hits for r in phrase_hits_index(docs, phrase).collect()
+        }
+        assert scan == idx, phrase
+
+
+def test_phrase_scan_is_shuffle_free(spark):
+    """The registered q269 plan must stay map-only up to the result:
+    no Exchange below the final sort/collect of per-doc rows."""
+    from sales_data_pipeline_spark.operators.text import phrase_hits_scan
+
+    spark.catalog.clearCache()
+    docs = spark.createDataFrame(
+        [(0, "table hash table hash")], "doc_id bigint, text string"
+    )
+    plan = phrase_hits_scan(docs, "table hash")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_phrase_rejects_empty(spark):
+    from sales_data_pipeline_spark.operators.text import phrase_hits_scan
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="phrase"):
+        phrase_hits_scan(docs, "   ")
