@@ -1554,3 +1554,63 @@ def q269_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return phrase_hits_scan(docs, "table hash").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# q270 — BPE round-trip lossless audit (oracled sibling of q267/q268)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q270_bpe_lossless_audit",
+    oracle="""
+    WITH w AS (
+      SELECT source, doc_id,
+             len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS n_words
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           TRUE AS all_lossless
+    FROM w GROUP BY source ORDER BY source
+    """,
+)
+def q270_bpe_lossless_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable BPE correctness gate (the q251/q252 exact-
+    sibling pattern): train 8 merges, encode the corpus, RECONSTRUCT
+    each document from its tokens (strip the </w> markers back to
+    spaces) and report per source: doc count, total whitespace-words,
+    and all_lossless = every reconstruction equals the normalized
+    original. The oracle computes the SQL-checkable side (counts) and
+    pins all_lossless = TRUE — any encoder defect (dropped word,
+    mis-ordered reassembly, bad merge fold) flips the boolean and
+    fails the driver's hash. Subword tokenization is lossless by
+    construction; this makes that theorem a driver-checked row.
+    Scale shape: bpe_apply's vocabulary-sized folds + one corpus
+    equi-join; the reconstruction equality is one map-side expression."""
+    from sales_data_pipeline_spark.operators.bpe import EOW, bpe_apply, bpe_train
+
+    docs = table(spark, sf_dir, "documents")
+    merges, words = bpe_train(docs, text_col="text", num_merges=8, min_freq=2)
+    words.unpersist()
+    enc = bpe_apply(docs, merges, text_col="text", id_col="doc_id")
+    norm = F.regexp_replace(F.col("text"), r"\s+", " ")
+    joined = docs.select("doc_id", "source", norm.alias("__norm")).join(
+        enc.select("doc_id", "tokens"), "doc_id", "left"
+    )
+    rebuilt = F.trim(
+        F.regexp_replace(F.concat_ws("", F.col("tokens")), EOW, " ")
+    )
+    ok = F.col("tokens").isNotNull() & (rebuilt == F.trim(F.col("__norm")))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.size(F.split(F.trim(F.col("__norm")), " ")))
+            .cast("bigint")
+            .alias("total_words"),
+            F.bool_and(ok).alias("all_lossless"),
+        )
+        .orderBy("source")
+    )
