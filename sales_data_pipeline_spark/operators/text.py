@@ -345,22 +345,27 @@ def phrase_hits_scan(
         raise ValueError("phrase must contain at least one token")
     m = len(words)
     toks = F.split(F.regexp_replace(F.col(text_col), r"\s+", " "), " ")
+    # Hit mask built from m aligned slices zipped together — NOT a
+    # positional filter() with element_at lookups: CollapseProject
+    # inlines a projected split() back into lambda bodies, so an
+    # element_at-per-position formulation re-evaluates the split
+    # O(positions·m) times per row (measured 8× slower at sf0.1, the
+    # same trap ngrams_from_tokens documents). Slices reference the
+    # array ≤ m times total; slice length 0 on short docs is an empty
+    # array, no guard branch needed.
     base = docs.select(F.col(id_col), toks.alias("__t"))
-    npos = F.size("__t") - (m - 1)
-    positions = F.when(npos >= 1, F.sequence(F.lit(1), npos)).otherwise(
-        F.array().cast("array<int>")
-    )
-    def is_hit(i):
-        cond = F.element_at(F.col("__t"), i) == F.lit(words[0])
-        for k in range(1, m):
-            cond = cond & (
-                F.element_at(F.col("__t"), i + F.lit(k)) == F.lit(words[k])
-            )
-        return cond
+    t = F.col("__t")
+    win = F.greatest(F.size(t) - (m - 1), F.lit(0))
+    def _and_eq(w):
+        return lambda o, x: o & (x == F.lit(w))
+
+    ok = F.transform(F.slice(t, 1, win), lambda x: x == F.lit(words[0]))
+    for k in range(1, m):
+        ok = F.zip_with(ok, F.slice(t, k + 1, win), _and_eq(words[k]))
     return (
         base.select(
             id_col,
-            F.size(F.filter(positions, is_hit)).cast("bigint").alias("n_hits"),
+            F.size(F.filter(ok, lambda b: b)).cast("bigint").alias("n_hits"),
         )
         .filter(F.col("n_hits") > 0)
     )

@@ -9861,3 +9861,114 @@ def q262_incremental_mart(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_qty").cast("bigint").alias("sum_qty"),
         F.col("revenue").cast("double").alias("revenue"),
     ).orderBy("l_returnflag", "ship_month")
+
+
+# ---------------------------------------------------------------------------
+# q271 — approx-percentile rank envelope (oracled sibling of q47)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q271_percentile_rank_envelope",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q271_percentile_rank_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable contract for q47's sketch (the q251/q252/q259
+    exact-sibling pattern): Greenwald-Khanna guarantees the returned
+    element's rank is within n/accuracy of the target rank. Per
+    priority, compute approx_percentile(p, accuracy=10000) for
+    p∈{.5,.95,.99}, then the EXACT rank interval of each estimate
+    ([#<est + 1, #<=est]) in a second aggregation over the broadcast
+    5-row estimate table, and emit p*_ok = that interval intersects
+    [p·n − n/acc − 1, p·n + n/acc + 1]. The oracle computes the
+    SQL-checkable side (group sizes) and pins every boolean TRUE — a
+    sketch regression (merge bug, accuracy drift) flips a boolean and
+    fails the driver hash. Scale: sketch agg is mergeable/bounded;
+    the rank check is one more scan with a broadcast join — both
+    single-shuffle."""
+    acc = 10000.0
+    orders = table(spark, sf_dir, "orders")
+    est = orders.groupBy("o_orderpriority").agg(
+        F.approx_percentile(
+            "o_totalprice", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), 10000
+        ).alias("pcts"),
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+    )
+    j = orders.select("o_orderpriority", "o_totalprice").join(
+        F.broadcast(est), "o_orderpriority"
+    )
+    aggs = [F.first("n_orders").alias("n_orders")]
+    for i, p in enumerate((0.5, 0.95, 0.99)):
+        e = F.col("pcts")[i]
+        aggs += [
+            F.sum((F.col("o_totalprice") < e).cast("long")).alias(f"lo_{i}"),
+            F.sum((F.col("o_totalprice") <= e).cast("long")).alias(f"hi_{i}"),
+        ]
+    ranked = j.groupBy("o_orderpriority").agg(*aggs)
+    out_cols = [F.col("o_orderpriority"), F.col("n_orders")]
+    for i, (p, nm) in enumerate(((0.5, "p50"), (0.95, "p95"), (0.99, "p99"))):
+        target = F.lit(p) * F.col("n_orders")
+        slack = F.col("n_orders") / F.lit(acc) + F.lit(1.0)
+        ok = ((F.col(f"lo_{i}") + 1) <= (target + slack)) & (
+            F.col(f"hi_{i}") >= (target - slack)
+        )
+        out_cols.append(ok.alias(f"{nm}_ok"))
+    return ranked.select(*out_cols).orderBy("o_orderpriority")
+
+
+# ---------------------------------------------------------------------------
+# q273 — rollup cascade: daily mart folded from hourly partials
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q273_rollup_cascade",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value,
+           CAST(MIN(value) AS DOUBLE) AS min_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events GROUP BY 1, 2 ORDER BY day, event_type
+    """,
+)
+def q273_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup reuse: the daily mart is folded from
+    the HOURLY mart's partials (count/decimal-sum/min/max — all
+    decomposable measures), never rescanning the event stream; the
+    oracle recomputes the daily mart directly from raw events, so the
+    hash pins cascade ≡ direct. This is the batch face of q262's
+    incremental fold and the storage pattern a 100 TB metrics store
+    uses (store hours once, derive days/weeks from 24× fewer rows).
+    Non-decomposable measures (count-distinct) are deliberately
+    excluded — their cascade is the HLL register fold
+    (streaming/cardinality.py), not row arithmetic. Decimal sums
+    end-to-end; doubles only at the output boundary."""
+    ev = table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("s"),
+        F.min("value").alias("mn"),
+        F.max("value").alias("mx"),
+    )
+    return (
+        hourly.groupBy(
+            F.date_format(F.date_trunc("day", "hour"), "yyyy-MM-dd").alias("day"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").cast("bigint").alias("n_events"),
+            F.sum("s").cast("double").alias("total_value"),
+            F.min("mn").cast("double").alias("min_value"),
+            F.max("mx").cast("double").alias("max_value"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -711,3 +711,58 @@ def q265_pq_adc_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q272 — standardization invariant audit (oracled sibling of q194)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q272_standardize_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(MAX(len(embedding)) AS BIGINT) AS n_dims,
+           TRUE AS means_zero, TRUE AS stds_one
+    FROM embeddings
+    """,
+)
+def q272_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable invariant for q194's standardization: after
+    per-dimension z-scoring, every dimension's recomputed mean is 0
+    and population std is 1 (to 1e-7 — moment sums are double and the
+    residual is orders below that at any SF). One row: vector/dim
+    counts (the SQL-checkable side) plus the two booleans the oracle
+    pins TRUE. A regression in the moment pass, the dim alignment, or
+    the eps floor flips a boolean and fails the driver hash. Scale:
+    the audit is the same single posexplode aggregation shape as the
+    operator itself."""
+    from sales_data_pipeline_spark.functions.vectors import as_double_array
+    from sales_data_pipeline_spark.operators.similarity import (
+        standardize_embeddings,
+    )
+
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", as_double_array("embedding")
+    )
+    std = standardize_embeddings(emb)
+    dim_stats = (
+        std.select(F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.avg("val").alias("mu"),
+            (F.sum(F.col("val") * F.col("val")) / F.count(F.lit(1))).alias("ms"),
+        )
+        .select(
+            "n",
+            F.abs("mu").alias("mu_err"),
+            F.abs(F.sqrt(F.greatest(F.col("ms") - F.col("mu") * F.col("mu"), F.lit(0.0))) - 1).alias("sd_err"),
+        )
+    )
+    return dim_stats.agg(
+        F.first("n").cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_dims"),
+        F.bool_and(F.col("mu_err") < 1e-7).alias("means_zero"),
+        F.bool_and(F.col("sd_err") < 1e-7).alias("stds_one"),
+    )

@@ -76,6 +76,12 @@ QUERY_NAMES = [
     "q257_gopher_rules",
     "q258_passage_dedup_rewrite",
     "q259_minhash_estimate_envelope",
+    # round-6 late additions: tokenizer induction, PQ, phrase search
+    "q264_pq_fidelity",
+    "q266_bpe_pair_census",
+    "q267_bpe_merges",
+    "q269_phrase_search",
+    "q270_bpe_lossless_audit",
 ]
 
 # ratio above which a query is flagged for plan diagnosis: 10× data on a
@@ -201,6 +207,14 @@ def _time_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
 
 
 def measure() -> None:
+    """Full run rewrites SCALING.json. SPARK_GRAFT_SCALE_QUERIES (comma
+    list) restricts the run to a subset and MERGES those entries into
+    the existing JSON — for re-measuring a query whose plan changed
+    without paying the whole matrix."""
+    global QUERY_NAMES
+    subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    if subset:
+        QUERY_NAMES = [n.strip() for n in subset.split(",") if n.strip()]
     if not os.path.exists(os.path.join(SF1_DIR, "_DONE")):
         generate()
     spark = _spark()
@@ -223,6 +237,14 @@ def measure() -> None:
         "queries": {},
         "errors": {"sf0.1": err01, "sf1": err1},
     }
+    scaling_path = os.path.join(REPO, "SCALING.json")
+    if subset and os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            prev = json.load(f)
+        out["queries"] = prev.get("queries", {})
+        out["errors"] = prev.get("errors", out["errors"])
+        out["errors"]["sf0.1"].update(err01)
+        out["errors"]["sf1"].update(err1)
     for name in QUERY_NAMES:
         if name in t01 and name in t1:
             ratio = round(t1[name] / t01[name], 2) if t01[name] > 0 else None
@@ -238,7 +260,7 @@ def measure() -> None:
                 ),
                 "superlinear": bool(ratio and ratio > LINEAR_BUDGET),
             }
-    with open(os.path.join(REPO, "SCALING.json"), "w") as f:
+    with open(scaling_path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out["queries"], indent=2))
     flagged = [n for n, q in out["queries"].items() if q["superlinear"]]
