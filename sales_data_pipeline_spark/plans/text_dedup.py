@@ -2433,3 +2433,117 @@ def q259_minhash_estimate_envelope(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("within_envelope"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q274/q275 — soundness audits for the probabilistic dedup tiers
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q274_bloom_soundness_audit",
+    oracle="""
+    WITH d AS (SELECT doc_id, md5(text) AS fp FROM documents),
+    hist AS (SELECT DISTINCT fp FROM d WHERE doc_id % 10 <> 0)
+    SELECT CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_batch,
+           CAST((SELECT COUNT(*) FROM d JOIN hist USING (fp)) AS BIGINT)
+             AS n_exact_seen,
+           TRUE AS all_seen_flagged,
+           TRUE AS fp_bound_ok
+    """,
+)
+def q274_bloom_soundness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable theorem for q219's bloom gate: a Bloom filter
+    has NO FALSE NEGATIVES (every history fingerprint probes exactly
+    the bits it set), so every batch doc whose fingerprint exists in
+    history MUST be flagged maybe_seen. The oracle computes the exact
+    seen-set size with its own md5 (SQL-checkable because both engines
+    implement standard MD5) and pins all_seen_flagged TRUE; a hashing
+    or bit-packing defect in bloom_build/bloom_gate flips it.
+    fp_bound_ok pins the false-positive side at a 500× safety margin:
+    at m=2^20/k=5 and these key counts the expected FP count is < 1e-8
+    per probe, so flagged − exact_seen ≤ max(16, 2% of new docs) is
+    deterministic headroom (seeded hashes, no RNG). Scale: the bitmap
+    is ≤ 16K longs broadcast once; both sides of the audit are one
+    scan + one broadcast-key join."""
+    from sales_data_pipeline_spark.operators.sketch import bloom_build, bloom_gate
+
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    bitmap = bloom_build(history, "fp")
+    gated = docs.join(bloom_gate(bitmap, docs, "fp"), "fp")
+    hist_fps = history.select("fp").distinct()
+    labeled = gated.join(
+        F.broadcast(hist_fps.withColumn("__seen", F.lit(True))), "fp", "left"
+    ).select(
+        "doc_id",
+        "maybe_seen",
+        F.coalesce(F.col("__seen"), F.lit(False)).alias("exact_seen"),
+    )
+    return labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_batch"),
+        F.sum(F.col("exact_seen").cast("long")).cast("bigint").alias("n_exact_seen"),
+        F.bool_and(~F.col("exact_seen") | F.col("maybe_seen")).alias(
+            "all_seen_flagged"
+        ),
+        (
+            (
+                F.sum(F.col("maybe_seen").cast("long"))
+                - F.sum(F.col("exact_seen").cast("long"))
+            )
+            <= F.greatest(
+                F.lit(16),
+                F.ceil(
+                    0.02 * F.sum((~F.col("exact_seen")).cast("long"))
+                ),
+            )
+        ).alias("fp_bound_ok"),
+    )
+
+
+@query(
+    "q275_simhash_exactdup_recall",
+    oracle="""
+    WITH g AS (
+      SELECT md5(text) AS fp, COUNT(*) AS n FROM documents GROUP BY 1
+    )
+    SELECT CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT)
+             AS n_exact_dup_pairs,
+           TRUE AS all_exact_pairs_found
+    FROM g WHERE n > 1
+    """,
+)
+def q275_simhash_exactdup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable theorem for q24's SimHash blocking: identical
+    texts have identical 64-bit signatures (hamming 0 ≤ any threshold)
+    and agree on every pigeonhole block, so EVERY exact-duplicate pair
+    must appear in the near-pair output — recall of exact dups is 1.0
+    by construction, not probabilistically. The oracle counts exact
+    dup pairs via its own md5 grouping (Σ C(n,2)) and pins the recall
+    boolean TRUE; a signature, blocking, or pair-dedup defect flips
+    it. Scale: exact pairs come from a fingerprint-keyed self-join
+    (group sizes = dup multiplicity, bounded), checked against the
+    blocked candidate set with one anti-join. Density note (probed,
+    not assumed): raw-byte-identical texts exist only at sf0.1+ in
+    this testdata (8 pairs there, 0 at sf0.01 — q21's dups are
+    NORMALIZED-equal, which SimHash does not guarantee), so the
+    boolean bites in the sf0.1 parity sweep; the planted-duplicate
+    pytest covers it at every run."""
+    from sales_data_pipeline_spark.operators.dedup import simhash_near_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    fps = docs.select("doc_id", F.md5("text").alias("fp"))
+    a = fps.select(F.col("fp"), F.col("doc_id").alias("doc_a"))
+    b = fps.select(F.col("fp"), F.col("doc_id").alias("doc_b"))
+    exact_pairs = a.join(b, "fp").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b"
+    )
+    found = simhash_near_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
+    missing = exact_pairs.join(found, ["doc_a", "doc_b"], "left_anti")
+    return exact_pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact_dup_pairs")
+    ).crossJoin(
+        missing.agg((F.count(F.lit(1)) == 0).alias("all_exact_pairs_found"))
+    )

@@ -1086,3 +1086,27 @@ def test_edit_neardup_blocking_equals_brute_force(spark, sf_dir):
         if lev(a, b) <= 2
     }
     assert got == brute and brute
+
+
+def test_simhash_exact_duplicates_always_pair(spark):
+    """Identical texts → identical signatures → hamming 0: every
+    exact-duplicate pair MUST appear in the blocked near-pair output
+    regardless of threshold (the q275 theorem, planted here so it is
+    exercised at every suite run, not only at SFs dense enough to
+    carry raw-byte duplicates)."""
+    from sales_data_pipeline_spark.operators.dedup import simhash_near_pairs
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # dup of 0
+        (2, "an entirely different document about spark plans"),
+        (3, "an entirely different document about spark plans"),  # dup of 2
+        (4, "an entirely different document about spark plans"),  # dup of 2
+        (5, "a third text with no duplicate partner anywhere"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(docs, max_hamming=0).collect()
+    }
+    assert {(0, 1), (2, 3), (2, 4), (3, 4)} <= got
