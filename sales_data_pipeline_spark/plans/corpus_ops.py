@@ -1614,3 +1614,53 @@ def q270_bpe_lossless_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# q276 — training-shard export audit (pipeline/export.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q276_training_export_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(8 AS BIGINT) AS n_shards,
+           TRUE AS all_rows_match,
+           TRUE AS all_fp_match
+    FROM documents
+    """,
+)
+def q276_training_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end audit of the training-shard exporter: publish the
+    documents table as 8 deterministic shards (xxhash64(doc_id) mod 8,
+    one shuffle, staging-dir atomic rename, sealed manifest with
+    per-shard bit_xor fingerprints), then RE-DERIVE every shard's rows
+    and fingerprint from the published parquet and compare to the
+    manifest. The oracle pins both match booleans TRUE and checks the
+    total row count — any loss, duplication, mis-assignment or
+    manifest drift in the write path flips a boolean and fails the
+    driver hash (per-shard counts are xxhash64-partitioned, which
+    DuckDB cannot replicate, so the audit folds them into booleans the
+    same way q274 folds bloom bits). Determinism, atomicity, crash
+    debris and tamper detection are pinned in tests/test_export.py.
+    Scale: one shuffle to write, one scan to verify."""
+    import os
+    import tempfile
+
+    from sales_data_pipeline_spark.pipeline.export import (
+        verify_export,
+        write_training_shards,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    out = os.path.join(tempfile.gettempdir(), f"spark_graft_export_{tag}")
+    man = write_training_shards(spark, docs, out, n_shards=8)
+    checks = verify_export(spark, out)
+    return checks.agg(
+        F.sum("n_rows").cast("bigint").alias("total_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.bool_and("rows_match").alias("all_rows_match"),
+        F.bool_and("fp_match").alias("all_fp_match"),
+    )

@@ -1,0 +1,127 @@
+"""Training-shard exporter (pipeline/export.py): determinism, manifest
+integrity, atomic publish, crash-debris recovery, tamper detection."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from sales_data_pipeline_spark.pipeline.export import (
+    MANIFEST,
+    read_manifest,
+    verify_export,
+    write_training_shards,
+)
+
+
+@pytest.fixture()
+def corpus(spark):
+    rows = [
+        (i, f"document body {i} " * (1 + i % 5), f"src{i % 3}")
+        for i in range(200)
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+
+
+def test_export_roundtrip_and_manifest(spark, corpus, tmp_path):
+    out = str(tmp_path / "shards")
+    man = write_training_shards(spark, corpus, out, n_shards=4)
+    assert man["total_rows"] == 200
+    assert len(man["shards"]) == 4
+    assert sum(s["n_rows"] for s in man["shards"]) == 200
+    # manifest on disk equals the returned dict
+    assert read_manifest(spark, out) == man
+    # every row present exactly once, shard column matches assignment
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+    assert back.select("doc_id").distinct().count() == 200
+    from pyspark.sql import functions as F
+
+    mismatched = back.filter(
+        F.pmod(F.xxhash64("doc_id"), F.lit(4)) != F.col("shard")
+    ).count()
+    assert mismatched == 0
+
+
+def test_export_verify_green(spark, corpus, tmp_path):
+    out = str(tmp_path / "shards")
+    write_training_shards(spark, corpus, out, n_shards=4)
+    checks = verify_export(spark, out).collect()
+    assert len(checks) == 4
+    assert all(r.rows_match and r.fp_match for r in checks)
+
+
+def test_export_is_deterministic_across_runs_and_layouts(spark, corpus, tmp_path):
+    a = write_training_shards(
+        spark, corpus, str(tmp_path / "a"), n_shards=8
+    )
+    b = write_training_shards(
+        spark, corpus.repartition(13), str(tmp_path / "b"), n_shards=8
+    )
+    assert a["shards"] == b["shards"]
+
+
+def test_export_atomic_over_previous_version(spark, corpus, tmp_path):
+    out = str(tmp_path / "shards")
+    write_training_shards(spark, corpus, out, n_shards=2)
+    smaller = corpus.filter("doc_id < 50")
+    man2 = write_training_shards(spark, smaller, out, n_shards=2)
+    assert man2["total_rows"] == 50
+    assert spark.read.parquet(out).count() == 50
+    assert not os.path.exists(out + ".staging")
+    assert all(r.rows_match and r.fp_match for r in verify_export(spark, out).collect())
+
+
+def test_export_clears_crash_debris(spark, corpus, tmp_path):
+    out = str(tmp_path / "shards")
+    debris = out + ".staging"
+    os.makedirs(debris)
+    open(os.path.join(debris, "leftover.parquet"), "w").write("junk")
+    man = write_training_shards(spark, corpus, out, n_shards=2)
+    assert man["total_rows"] == 200
+    assert not os.path.exists(debris)
+    back = spark.read.parquet(out)
+    assert back.count() == 200
+
+
+def test_export_empty_shards_verifiable(spark, tmp_path):
+    """n_shards > distinct ids: empty shards get (0 rows, fp 0) in the
+    manifest and verify green."""
+    one = spark.range(1).selectExpr("id AS doc_id", "'x' AS text")
+    out = str(tmp_path / "shards")
+    man = write_training_shards(spark, one, out, n_shards=4)
+    assert sum(s["n_rows"] for s in man["shards"]) == 1
+    assert sum(1 for s in man["shards"] if s["n_rows"] == 0) == 3
+    checks = verify_export(spark, out).collect()
+    assert len(checks) == 4 and all(r.rows_match and r.fp_match for r in checks)
+
+
+def test_export_detects_tampering(spark, corpus, tmp_path):
+    out = str(tmp_path / "shards")
+    write_training_shards(spark, corpus, out, n_shards=2)
+    man = read_manifest(spark, out)
+    man["shards"][0]["fingerprint"] ^= 0xDEADBEEF
+    with open(os.path.join(out, MANIFEST), "w") as f:
+        json.dump(man, f)
+    # drop Hadoop LocalFileSystem's CRC sidecar: the out-of-band write
+    # above invalidates it, and the checksum layer would (correctly)
+    # refuse the read before OUR fingerprint check gets to run — the
+    # scenario under test is a consistent-looking but wrong manifest
+    crc = os.path.join(out, f".{MANIFEST}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    checks = {r.shard: r for r in verify_export(spark, out).collect()}
+    assert not checks[0].fp_match
+    assert checks[0].rows_match
+    assert checks[1].fp_match
+
+
+def test_export_rejects_bad_args(spark, corpus, tmp_path):
+    with pytest.raises(ValueError, match="n_shards"):
+        write_training_shards(spark, corpus, str(tmp_path / "x"), n_shards=0)
+    with pytest.raises(ValueError, match="id column"):
+        write_training_shards(
+            spark, corpus, str(tmp_path / "y"), n_shards=2, id_col="nope"
+        )
