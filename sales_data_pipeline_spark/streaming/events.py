@@ -415,3 +415,110 @@ def burst_monitor_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming conversion funnel (CEP-lite): view -> click -> purchase
+# ---------------------------------------------------------------------------
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("stage", LongType(), True),
+        StructField("t_view", TimestampType(), True),
+        StructField("t_click", TimestampType(), True),
+        StructField("t_purchase", TimestampType(), True),
+    ]
+)
+
+# (-1 sentinel = stage not reached; GroupState structs round-trip
+# plain longs more portably than nullable timestamps)
+FUNNEL_STATE_SCHEMA = "view_us long, click_us long, purchase_us long"
+
+
+def _funnel_fn(stages: Tuple[str, str, str]):
+    s1, s2, s3 = stages
+
+    def fn(
+        key: Tuple[Any, ...], pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        sort_cols = ["ts", "event_id"] if "event_id" in rows.columns else ["ts"]
+        rows = rows.sort_values(sort_cols, kind="mergesort")
+
+        if state.exists:
+            view_us, click_us, purchase_us = state.get
+        else:
+            view_us, click_us, purchase_us = -1, -1, -1
+
+        for et, ts in zip(
+            rows["event_type"].tolist(),
+            (rows["ts"].astype("int64") // 1000).tolist(),  # ns -> µs
+        ):
+            if et == s1 and view_us < 0:
+                view_us = ts
+            elif et == s2 and view_us >= 0 and click_us < 0 and ts > view_us:
+                click_us = ts
+            elif (
+                et == s3
+                and click_us >= 0
+                and purchase_us < 0
+                and ts > click_us
+            ):
+                purchase_us = ts
+        state.update((view_us, click_us, purchase_us))
+        stage = 3 if purchase_us >= 0 else (2 if click_us >= 0 else (1 if view_us >= 0 else 0))
+
+        def _t(us):
+            return pd.to_datetime(us, unit="us") if us >= 0 else pd.NaT
+
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "stage": [stage],
+                "t_view": [_t(view_us)],
+                "t_click": [_t(click_us)],
+                "t_purchase": [_t(purchase_us)],
+            }
+        )
+
+    return fn
+
+
+def funnel_stateful(
+    events: DataFrame,
+    stages: Tuple[str, str, str] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """Streaming conversion funnel — the incremental face of the batch
+    funnel q60: per user, first ``stages[0]``, first ``stages[1]``
+    STRICTLY AFTER it, first ``stages[2]`` strictly after that (order
+    matters; a purchase before the click does not advance the funnel).
+    Emits the user's current (stage, stage timestamps) every
+    micro-batch that touches them (update mode).
+
+    State per user is exactly three longs — BOUNDED regardless of
+    stream length (contrast a stream-stream three-way join, whose
+    state grows with rate × watermark³ worst-case); grouped by user_id
+    → applyInPandasWithState scales horizontally with the key space.
+    Parity: for in-order delivery the greedy fold is EQUAL to q60's
+    min-then-filter aggregation chain (first view = min view ts; the
+    first later click encountered in ts order IS min(click ts >
+    t_view); induction up the funnel) — pinned by the covering test
+    against q60 itself over the same rows, including a funnel that
+    straddles micro-batch boundaries. Late events follow the same
+    at-arrival contract as burst_monitor_stateful: evaluated where
+    they land, the standard semantics for unwatermarked custom state.
+
+    CEP-lite note: three named stages cover the product-analytics
+    funnel; longer chains are the same fold with an array state (one
+    long per stage) — kept at three to match q60's oracle shape."""
+    if len(set(stages)) != 3:
+        raise ValueError(f"stages must be three distinct event types: {stages!r}")
+    return events.groupBy("user_id").applyInPandasWithState(
+        _funnel_fn(stages),
+        outputStructType=FUNNEL_OUTPUT_SCHEMA,
+        stateStructType=FUNNEL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
