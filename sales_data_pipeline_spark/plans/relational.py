@@ -9972,3 +9972,62 @@ def q273_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# q277 — temporal anti-join: viewers with no purchase within 7 days
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q277_view_no_purchase_7d",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    )
+    SELECT user_id, strftime(t_view, '%Y-%m-%d %H:%M:%S.%f') AS first_view_at
+    FROM v
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events e
+      WHERE e.user_id = v.user_id AND e.event_type = 'purchase'
+        AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 7 DAY
+    )
+    ORDER BY user_id
+    """,
+)
+def q277_view_no_purchase_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn-window census: users whose FIRST view was never followed
+    by a purchase within 7 days — the temporal ANTI-join (NOT EXISTS
+    with a range predicate) that plain q12-style anti-joins and
+    q80-style EXISTS don't cover. Plan shape: the anti-join carries
+    user_id as an EQUI key with the time range as a residual
+    condition, so Catalyst plans a hash/sort-merge anti join keyed on
+    user — one purchase-side shuffle, never a nested loop over facts
+    (the range alone would be quadratic; anchoring it on the key is
+    the scale move). Timestamps exported as strings on both sides
+    (the q84/q149 date-rendering rule)."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("t_view"))
+        & (F.col("p_ts") <= F.col("t_view") + F.expr("INTERVAL 7 DAYS"))
+    )
+    return (
+        v.join(p, cond, "left_anti")
+        .select(
+            "user_id",
+            F.date_format("t_view", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "first_view_at"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -689,3 +689,16 @@ def test_q248_sketch_join_is_register_sized(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan, plan
     # the documents scan appears exactly once (one linear sketch pass)
     assert plan.count("documents.parquet") == 1, plan
+
+
+def test_q277_temporal_anti_join_is_keyed_not_nested_loop(spark, sf_dir):
+    """q277's NOT-EXISTS-with-range must compile to a HASH/SMJ anti
+    join keyed on user_id (range as residual condition) — a
+    BroadcastNestedLoopJoin here would go quadratic on the fact side
+    at scale."""
+    spark.catalog.clearCache()
+    df = QUERIES["q277_view_no_purchase_7d"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
+    assert "LeftAnti" in plan, plan
