@@ -10031,3 +10031,61 @@ def q277_view_no_purchase_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# q278 — incremental join maintenance (delta algebra ≡ full recompute)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q278_incremental_join",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def q278_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN maintenance, hashed against the full recompute:
+    split orders and lineitem into base/delta by orderkey mod 5 (the
+    stand-in for yesterday's mart vs today's batch), maintain the
+    order×lineitem join as stored_base_join ∪ the three delta terms
+    (operators/incremental.incremental_join_delta — base⋈Δ, Δ⋈base,
+    Δ⋈Δ; base⋈base is the STORED mart in production, recomputed here
+    only because a catalog query owns no cross-run state), then
+    aggregate. The oracle joins the full tables directly, so the hash
+    pins the view-maintenance algebra ≡ one-shot join. Scale: every
+    maintained term joins a batch-sized delta; the fold is
+    mart-cardinality. Completes the IVM story: q262 maintains
+    aggregates, this maintains the join they hang off."""
+    from sales_data_pipeline_spark.operators.incremental import (
+        incremental_join_delta,
+    )
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_quantity"
+    )
+    base_o = o.filter(F.col("o_orderkey") % 5 != 0)
+    delta_o = o.filter(F.col("o_orderkey") % 5 == 0)
+    base_l = li.filter(F.col("o_orderkey") % 7 != 0)
+    delta_l = li.filter(F.col("o_orderkey") % 7 == 0)
+    stored = base_o.join(base_l, ["o_orderkey"])
+    maintained = stored.unionByName(
+        incremental_join_delta(base_o, delta_o, base_l, delta_l, ["o_orderkey"])
+    )
+    return (
+        maintained.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias(
+                "total_qty"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -710,3 +710,48 @@ def test_phrase_rejects_empty(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id bigint, text string")
     with pytest.raises(ValueError, match="phrase"):
         phrase_hits_scan(docs, "   ")
+
+
+# ---------------------------------------------------------------------------
+# incremental join maintenance (operators/incremental.incremental_join_delta)
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_join_delta_equals_full_join(spark):
+    """Union of stored base join + three delta terms must equal the
+    one-shot join of the full tables, bitwise, for every split — and
+    each delta term must never touch base ⋈ base."""
+    a_rows = [(k, f"a{k}") for k in range(40)]
+    b_rows = [(k % 25, f"b{i}") for i, k in enumerate(range(60))]
+    a = spark.createDataFrame(a_rows, "k bigint, av string")
+    b = spark.createDataFrame(b_rows, "k bigint, bv string")
+    from sales_data_pipeline_spark.operators.incremental import (
+        incremental_join_delta,
+    )
+
+    for mod_a, mod_b in ((3, 4), (2, 2), (5, 1)):
+        base_a, delta_a = a.filter(f"k % {mod_a} != 0"), a.filter(f"k % {mod_a} = 0")
+        base_b, delta_b = b.filter(f"k % {mod_b} != 0"), b.filter(f"k % {mod_b} = 0")
+        maintained = base_a.join(base_b, ["k"]).unionByName(
+            incremental_join_delta(base_a, delta_a, base_b, delta_b, ["k"])
+        )
+        full = a.join(b, ["k"])
+        got = sorted(tuple(r) for r in maintained.collect())
+        want = sorted(tuple(r) for r in full.collect())
+        assert got == want, (mod_a, mod_b)
+
+
+def test_incremental_join_delta_disjoint_from_stored(spark):
+    """No delta term may reproduce a stored (base x base) row — the
+    append to the mart must be duplicate-free by construction."""
+    a = spark.createDataFrame([(k, k) for k in range(30)], "k bigint, av bigint")
+    b = spark.createDataFrame([(k, -k) for k in range(30)], "k bigint, bv bigint")
+    from sales_data_pipeline_spark.operators.incremental import (
+        incremental_join_delta,
+    )
+
+    base_a, delta_a = a.filter("k % 2 != 0"), a.filter("k % 2 = 0")
+    base_b, delta_b = b.filter("k % 3 != 0"), b.filter("k % 3 = 0")
+    stored = base_a.join(base_b, ["k"])
+    delta = incremental_join_delta(base_a, delta_a, base_b, delta_b, ["k"])
+    assert delta.intersect(stored).count() == 0
