@@ -182,3 +182,56 @@ def expire_partitions(
         if not dry_run:
             fs.delete(jvm.org.apache.hadoop.fs.Path(root_p, name), True)
     return sorted(doomed)
+
+
+def backfill_partitions(
+    spark: SparkSession,
+    build: "object",
+    root: str,
+    partition_col: str,
+    values: list[str],
+) -> dict[str, int]:
+    """Partition-ranged backfill: recompute ONLY the named partitions
+    of a partitioned parquet dataset and swap them in atomically
+    per-partition via dynamic partition overwrite — the surgical
+    re-run a pipeline needs after an upstream fix lands for a date
+    range (reprocess days X..Y), without touching any other partition
+    and without the delete-then-rewrite gap a static overwrite leaves.
+
+    ``build(spark, values) -> DataFrame`` recomputes the replacement
+    rows; the frame MUST contain ``partition_col`` and only values in
+    ``values`` (asserted with one aggregation BEFORE any write — a
+    build that leaks rows into other partitions would silently expand
+    the blast radius; we refuse instead). Dynamic overwrite then
+    replaces exactly the partitions present in the frame. Returns
+    {partition_value: row_count} for the audit log.
+
+    Scale: the recompute is bounded by the backfilled range, the write
+    touches |values| directories, the guard is one groupBy over the
+    replacement frame (batch-sized). The reference's ETL has no
+    backfill story (failed days land in an error folder and stay
+    there, src/main/move/move_files.py:26-62); this plus
+    replay_quarantine is the recovery toolkit it was missing."""
+    df = build(spark, values)
+    if partition_col not in df.columns:
+        raise ValueError(f"build() result lacks partition column {partition_col!r}")
+    present = {
+        r[partition_col]: r["n"]
+        for r in df.groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    stray = sorted(set(map(str, present)) - set(map(str, values)))
+    if stray:
+        raise ValueError(
+            f"backfill build produced rows outside the requested partitions: "
+            f"{stray} (requested {sorted(map(str, values))}) — refusing to "
+            f"expand the blast radius"
+        )
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(root)
+    )
+    return {str(k): int(v) for k, v in present.items()}

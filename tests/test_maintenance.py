@@ -156,3 +156,74 @@ def test_expire_partitions_drops_old_keeps_new(spark, tmp_path):
     assert after == {m: c for m, c in before.items() if m >= "2023-03"}
     # idempotent: nothing left below the cutoff
     assert expire_partitions(spark, root, "sales_month", "2023-03") == []
+
+
+# ---------------------------------------------------------------------------
+# partition-ranged backfill (pipeline/maintenance.backfill_partitions)
+# ---------------------------------------------------------------------------
+
+
+def _day_rows(spark, day_to_vals: dict):
+    # partition values deliberately NOT date-shaped: Spark's partition
+    # type inference would read day=2024-01-01 back as DATE, changing
+    # the column type under the reader (a real gotcha, but not the one
+    # under test here)
+    rows = [
+        (d, i, v) for d, vals in day_to_vals.items() for i, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "day string, i bigint, v double")
+
+
+def test_backfill_replaces_only_requested_partitions(spark, tmp_path):
+    from sales_data_pipeline_spark.pipeline.maintenance import backfill_partitions
+
+    root = str(tmp_path / "mart")
+    _day_rows(
+        spark, {"d0101": [1.0, 2.0], "d0102": [3.0], "d0103": [4.0]}
+    ).write.partitionBy("day").parquet(root)
+
+    def build(s, values):
+        # the corrected day-02 data: one extra row, new values
+        return _day_rows(s, {"d0102": [30.0, 31.0]})
+
+    counts = backfill_partitions(spark, build, root, "day", ["d0102"])
+    assert counts == {"d0102": 2}
+    back = spark.read.parquet(root)
+    by_day = {
+        r.day: sorted(x.v for x in back.filter(back.day == r.day).collect())
+        for r in back.select("day").distinct().collect()
+    }
+    assert by_day["d0101"] == [1.0, 2.0]      # untouched
+    assert by_day["d0102"] == [30.0, 31.0]    # replaced wholesale
+    assert by_day["d0103"] == [4.0]           # untouched
+
+
+def test_backfill_refuses_blast_radius_expansion(spark, tmp_path):
+    import pytest as _pytest
+
+    from sales_data_pipeline_spark.pipeline.maintenance import backfill_partitions
+
+    root = str(tmp_path / "mart")
+    _day_rows(spark, {"d0101": [1.0]}).write.partitionBy("day").parquet(root)
+
+    def leaky_build(s, values):
+        return _day_rows(s, {"d0102": [9.0], "d0105": [6.66]})
+
+    with _pytest.raises(ValueError, match="blast radius"):
+        backfill_partitions(spark, leaky_build, root, "day", ["d0102"])
+    # and the refusal happened BEFORE any write: day-05 must not exist
+    days = {r.day for r in spark.read.parquet(root).select("day").distinct().collect()}
+    assert days == {"d0101"}
+
+
+def test_backfill_requires_partition_column(spark, tmp_path):
+    import pytest as _pytest
+
+    from sales_data_pipeline_spark.pipeline.maintenance import backfill_partitions
+
+    root = str(tmp_path / "mart")
+    _day_rows(spark, {"d0101": [1.0]}).write.partitionBy("day").parquet(root)
+    with _pytest.raises(ValueError, match="partition column"):
+        backfill_partitions(
+            spark, lambda s, v: s.range(3), root, "day", ["d0101"]
+        )
