@@ -13,6 +13,9 @@ spark-submit:
   python -m sales_data_pipeline_spark secret encrypt 'db-password'
   python -m sales_data_pipeline_spark replay --input-dir ... --output-dir ...
   python -m sales_data_pipeline_spark compact --table-dir ... --partition-cols k1,k2
+  python -m sales_data_pipeline_spark export-shards --table-dir ... --out-dir ... --n-shards 64
+  python -m sales_data_pipeline_spark verify-export --out-dir ...
+  python -m sales_data_pipeline_spark backfill --table-dir ... --source-dir ... --partition-col day --values d1,d2
 
 Dimension tables for the sales pipeline default to the seed frames the
 tests use (tests/fixtures.py mirrors the reference's seeded MySQL dims);
@@ -287,6 +290,46 @@ def _cmd_cdc_apply(args) -> int:
     return 0
 
 
+def _cmd_export_shards(args) -> int:
+    from sales_data_pipeline_spark.pipeline.export import write_training_shards
+
+    spark = _spark("export-shards")
+    df = spark.read.parquet(args.table_dir)
+    man = write_training_shards(
+        spark, df, args.out_dir, n_shards=args.n_shards, id_col=args.id_col
+    )
+    print(json.dumps({"out_dir": args.out_dir, "total_rows": man["total_rows"],
+                      "n_shards": man["n_shards"]}))
+    return 0
+
+
+def _cmd_verify_export(args) -> int:
+    from sales_data_pipeline_spark.pipeline.export import verify_export
+
+    spark = _spark("verify-export")
+    checks = verify_export(spark, args.out_dir).collect()
+    bad = [r.shard for r in checks if not (r.rows_match and r.fp_match)]
+    print(json.dumps({"n_shards": len(checks), "bad_shards": bad}))
+    return 1 if bad else 0
+
+
+def _cmd_backfill(args) -> int:
+    from sales_data_pipeline_spark.pipeline.maintenance import backfill_partitions
+
+    spark = _spark("backfill")
+    values = args.values.split(",")
+
+    def build(s, vals):
+        df = s.read.parquet(args.source_dir)
+        return df.filter(df[args.partition_col].isin(vals))
+
+    counts = backfill_partitions(
+        spark, build, args.table_dir, args.partition_col, values
+    )
+    print(json.dumps({"table_dir": args.table_dir, "replaced": counts}))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="sales_data_pipeline_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -392,6 +435,33 @@ def main(argv: list[str] | None = None) -> int:
     se.add_argument("--cutoff", required=True, help="partition values < cutoff are dropped")
     se.add_argument("--dry-run", action="store_true")
     se.set_defaults(fn=_cmd_expire)
+
+    sx = sub.add_parser(
+        "export-shards",
+        help="publish a table as N deterministic training shards + manifest",
+    )
+    sx.add_argument("--table-dir", required=True)
+    sx.add_argument("--out-dir", required=True)
+    sx.add_argument("--n-shards", type=int, required=True)
+    sx.add_argument("--id-col", default="doc_id")
+    sx.set_defaults(fn=_cmd_export_shards)
+
+    sv = sub.add_parser(
+        "verify-export",
+        help="re-derive shard counts/fingerprints and check the manifest",
+    )
+    sv.add_argument("--out-dir", required=True)
+    sv.set_defaults(fn=_cmd_verify_export)
+
+    sb = sub.add_parser(
+        "backfill",
+        help="replace only the named partitions from a corrected source",
+    )
+    sb.add_argument("--table-dir", required=True)
+    sb.add_argument("--source-dir", required=True)
+    sb.add_argument("--partition-col", required=True)
+    sb.add_argument("--values", required=True, help="comma-separated partition values")
+    sb.set_defaults(fn=_cmd_backfill)
 
     args = p.parse_args(argv)
     return args.fn(args)

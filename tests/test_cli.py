@@ -195,3 +195,54 @@ def test_cli_secret_reads_value_from_stdin(capsys, monkeypatch):
     assert capsys.readouterr().out.strip() == "stdin-secret"
     monkeypatch.setattr("sys.stdin", io.StringIO(""))
     assert main(["secret", "encrypt", "-"]) == 2
+
+
+def test_cli_export_verify_backfill(spark, tmp_path, capsys):
+    """export-shards -> verify-export (exit 0) -> corrupt a shard file
+    -> verify-export (exit 1, shard named) -> backfill replaces one
+    partition of a day-partitioned table from a corrected source."""
+    src = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id bigint, text string"
+    ).write.parquet(src)
+    out = str(tmp_path / "shards")
+    assert main([
+        "export-shards", "--table-dir", src, "--out-dir", out,
+        "--n-shards", "4",
+    ]) == 0
+    info = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert info["total_rows"] == 100 and info["n_shards"] == 4
+
+    assert main(["verify-export", "--out-dir", out]) == 0
+    ok = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert ok == {"n_shards": 4, "bad_shards": []}
+
+    # truncate one shard's parquet -> that shard must flag, exit 1
+    import glob as _glob
+    import os as _os
+
+    victim_dir = sorted(_glob.glob(out + "/shard=*"))[0]
+    victim = _glob.glob(victim_dir + "/*.parquet")[0]
+    _os.remove(victim)
+    shard_no = int(victim_dir.rsplit("=", 1)[1])
+    assert main(["verify-export", "--out-dir", out]) == 1
+    bad = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert bad["bad_shards"] == [shard_no]
+
+    # backfill: corrected source replaces exactly one day partition
+    tab = str(tmp_path / "daily")
+    spark.createDataFrame(
+        [("d1", 1.0), ("d2", 2.0)], "day string, v double"
+    ).write.partitionBy("day").parquet(tab)
+    fixed = str(tmp_path / "fixed_src")
+    spark.createDataFrame(
+        [("d2", 20.0), ("d3", 3.0)], "day string, v double"
+    ).write.parquet(fixed)
+    assert main([
+        "backfill", "--table-dir", tab, "--source-dir", fixed,
+        "--partition-col", "day", "--values", "d2",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["replaced"] == {"d2": 1}
+    vals = {r.day: r.v for r in spark.read.parquet(tab).collect()}
+    assert vals == {"d1": 1.0, "d2": 20.0}  # d3 NOT pulled in
