@@ -1166,3 +1166,60 @@ def test_funnel_stateful_rejects_duplicate_stages(spark):
 
     with _pytest.raises(ValueError, match="distinct"):
         funnel_stateful(df, stages=("a", "a", "b"))
+
+
+def test_watermark_drops_late_rows_and_accounts_for_them(spark, tmp_path):
+    """A row arriving behind the watermark must be EXCLUDED from its
+    (already-finalized) window and show up in the engine's
+    dropped-by-watermark accounting — the observability a production
+    stream needs to distinguish 'no late data' from 'late data
+    silently discarded'."""
+    from sales_data_pipeline_spark.streaming.events import (
+        hourly_event_rollup,
+        read_event_stream,
+    )
+
+    src = tmp_path / "events"
+    # batch 1: two clicks in hour 0
+    _write_events(spark, str(src / "f1"), [
+        (0, 1, "click", 1.0), (60, 1, "click", 2.0),
+    ])
+    time.sleep(1.1)
+    # batch 2: hour 10 event -> watermark (3h) will become 7h
+    _write_events(spark, str(src / "f2"), [(10 * 3600, 2, "view", 5.0)])
+    time.sleep(1.1)
+    # batch 3: watermark from batch 2 takes effect -> hour-0 window is
+    # EVICTED and emitted here (a late row arriving while its window
+    # state is still live would legitimately merge, not drop)
+    _write_events(spark, str(src / "f3"), [(10 * 3600 + 60, 2, "view", 1.0)])
+    time.sleep(1.1)
+    # batch 4: a LATE click for the already-finalized hour 0
+    _write_events(spark, str(src / "f4"), [
+        (120, 1, "click", 100.0),            # behind watermark: dropped
+        (10 * 3600 + 120, 2, "view", 1.0),
+    ])
+    stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        hourly_event_rollup(stream, watermark="3 hours")
+        .writeStream.format("memory")
+        .queryName("wm_rollup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.sql(
+        "SELECT * FROM wm_rollup WHERE event_type = 'click'"
+    ).collect()
+    # hour-0 click window was finalized at value 3.0; the late 100.0
+    # never re-opens it
+    assert len(rows) == 1
+    assert rows[0].n_events == 2 and rows[0].total_value == 3.0
+    # and the drop is ACCOUNTED, not silent
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for prog in q.recentProgress
+        for op in (prog["stateOperators"] or [])
+    )
+    assert dropped == 1
