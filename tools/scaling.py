@@ -82,6 +82,14 @@ QUERY_NAMES = [
     "q267_bpe_merges",
     "q269_phrase_search",
     "q270_bpe_lossless_audit",
+    # round-6 final additions: envelope audits, IVM, temporal anti-join
+    "q271_percentile_rank_envelope",
+    "q273_rollup_cascade",
+    "q274_bloom_soundness_audit",
+    "q275_simhash_exactdup_recall",
+    "q276_training_export_audit",
+    "q277_view_no_purchase_7d",
+    "q278_incremental_join",
 ]
 
 # ratio above which a query is flagged for plan diagnosis: 10× data on a
