@@ -702,3 +702,34 @@ def test_q277_temporal_anti_join_is_keyed_not_nested_loop(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan
     assert "LeftAnti" in plan, plan
+
+
+def test_q266_pair_census_single_scan_no_join(spark, sf_dir):
+    """BPE's pair census is one corpus scan reduced to the vocab-sized
+    word table — no join anywhere, exactly one parquet scan."""
+    spark.catalog.clearCache()
+    df = QUERIES["q266_bpe_pair_census"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1, plan
+
+
+def test_q273_rollup_cascade_no_join_two_aggs(spark, sf_dir):
+    """The daily-from-hourly fold is two HashAggregate pairs over one
+    scan — reusing partials must never introduce a join or a second
+    scan of the events table."""
+    spark.catalog.clearCache()
+    df = QUERIES["q273_rollup_cascade"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1, plan
+
+
+def test_q278_incremental_join_no_nested_loop(spark, sf_dir):
+    """Every IVM delta term joins on the order key — hash or SMJ only;
+    a nested loop would mean the delta algebra lost its equi key."""
+    spark.catalog.clearCache()
+    df = QUERIES["q278_incremental_join"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
