@@ -1070,3 +1070,52 @@ def pq_adc_topk(
     return scored.withColumn("rank", F.row_number().over(w).cast("bigint")).filter(
         F.col("rank") <= k
     )
+
+
+def jl_project(
+    df: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to k dimensions — the
+    cheap linear compression run before ANN indexing when PCA's two
+    passes (q218) are too expensive: out = x · R / sqrt(k) with R a
+    fixed dim×k Gaussian matrix. JL (1984, public result): pairwise
+    distances are preserved within (1±ε) w.h.p. for k = O(ln n / ε²);
+    E[‖out‖²] = ‖x‖² EXACTLY for any x (rows of R are unit-variance) —
+    the invariant the q279 audit pins.
+
+    Scale shape: R is derived DETERMINISTICALLY from ``seed`` on the
+    driver (dim×k doubles — for any real embedding width a few KB) and
+    baked into one map-side ``transform``: zero shuffles, zero joins,
+    zero corpus-dependent driver state; the same seed reproduces the
+    same projection on any cluster. Column k_j = Σ_i x_i·R_ij runs as
+    a zip_with/aggregate per output dim, all in codegen. Output:
+    (id_col, projected array<double> of length k)."""
+    import numpy as np
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    first = df.select(F.size(as_double_array(vec_col)).alias("d")).first()
+    if first is None:
+        raise ValueError("jl_project: empty input")
+    dim = first["d"]
+    rng = np.random.RandomState(seed)
+    R = rng.standard_normal((dim, k)) / np.sqrt(k)
+    cols = [
+        F.array(*[F.lit(float(R[i][j])) for i in range(dim)]) for j in range(k)
+    ]
+    x = as_double_array(vec_col)
+    out = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(x, cols[j], lambda a, b: a * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            for j in range(k)
+        ]
+    )
+    return df.select(F.col(id_col), out.alias("projected"))

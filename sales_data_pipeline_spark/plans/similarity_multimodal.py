@@ -766,3 +766,49 @@ def q272_standardize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and(F.col("mu_err") < 1e-7).alias("means_zero"),
         F.bool_and(F.col("sd_err") < 1e-7).alias("stds_one"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q279 — JL projection norm-preservation audit (oracled sibling pattern)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q279_jl_projection_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(16 AS BIGINT) AS k,
+           TRUE AS mean_norm_ratio_ok
+    FROM embeddings
+    """,
+)
+def q279_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable invariant for JL random projection (the cheap
+    one-pass compression before ANN indexing; PCA q218 is the two-pass
+    sibling): with unit-variance Gaussian rows, E[‖x·R/√k‖²] = ‖x‖²
+    exactly, so the corpus-mean squared-norm ratio must sit near 1 —
+    pinned to (0.8, 1.2), > 10σ of headroom at k=16 over this corpus,
+    and deterministic anyway (R is seed-derived, the fold order is
+    fixed). Bitwise numpy parity and the planted-neighbor property
+    are pinned in tests/test_r6_operators.py. Scale: R is baked into
+    ONE map-side transform — zero shuffles before the 1-row agg."""
+    from sales_data_pipeline_spark.functions.vectors import as_double_array
+    from sales_data_pipeline_spark.operators.similarity import jl_project
+
+    emb = table(spark, sf_dir, "embeddings")
+    x2 = F.aggregate(
+        as_double_array("embedding"), F.lit(0.0), lambda a, v: a + v * v
+    )
+    norms = emb.select("vec_id", x2.alias("orig_sq"))
+    p2 = F.aggregate(F.col("projected"), F.lit(0.0), lambda a, v: a + v * v)
+    proj = jl_project(emb, k=16).select("vec_id", p2.alias("proj_sq"))
+    joined = norms.join(proj, "vec_id").select(
+        (F.col("proj_sq") / F.col("orig_sq")).alias("ratio")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.lit(16).cast("bigint").alias("k"),
+        ((F.avg("ratio") > 0.8) & (F.avg("ratio") < 1.2)).alias(
+            "mean_norm_ratio_ok"
+        ),
+    )

@@ -755,3 +755,58 @@ def test_incremental_join_delta_disjoint_from_stored(spark):
     stored = base_a.join(base_b, ["k"])
     delta = incremental_join_delta(base_a, delta_a, base_b, delta_b, ["k"])
     assert delta.intersect(stored).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# JL random projection (operators/similarity.jl_project, q279)
+# ---------------------------------------------------------------------------
+
+
+def test_jl_projection_matches_numpy_bitwise(spark):
+    import numpy as np
+
+    from sales_data_pipeline_spark.operators.similarity import jl_project
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(50, 24))
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in X[i]]) for i in range(50)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = {r.vec_id: list(r.projected) for r in jl_project(df, k=8, seed=42).collect()}
+    R = np.random.RandomState(42).standard_normal((24, 8)) / np.sqrt(8)
+    want = X @ R
+    for i in range(50):
+        assert got[i] == list(want[i])  # same fold order -> bitwise
+
+
+def test_jl_projection_preserves_planted_neighborhood(spark):
+    """A planted near-duplicate pair must stay each other's nearest
+    neighbor after projection (the property ANN consumers rely on),
+    while the mean squared-norm ratio concentrates near 1."""
+    import numpy as np
+
+    from sales_data_pipeline_spark.operators.similarity import jl_project
+
+    rng = np.random.default_rng(9)
+    base = rng.normal(size=(40, 32))
+    base[1] = base[0] + rng.normal(scale=0.01, size=32)  # planted near-dup
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in base[i]]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    proj = {r.vec_id: np.array(r.projected) for r in jl_project(df, k=16).collect()}
+    d0 = sorted((np.sum((proj[0] - proj[j]) ** 2), j) for j in range(1, 40))
+    assert d0[0][1] == 1  # the planted twin is still the nearest
+    ratios = [np.sum(proj[i] ** 2) / np.sum(base[i] ** 2) for i in range(40)]
+    assert 0.8 < float(np.mean(ratios)) < 1.2
+
+
+def test_jl_projection_rejects_bad_k_and_empty(spark):
+    from sales_data_pipeline_spark.operators.similarity import jl_project
+
+    df = spark.createDataFrame([(0, [1.0, 2.0])], "vec_id bigint, embedding array<double>")
+    with pytest.raises(ValueError, match="k must be"):
+        jl_project(df, k=0)
+    with pytest.raises(ValueError, match="empty"):
+        jl_project(df.filter("vec_id < 0"), k=2)
