@@ -154,3 +154,49 @@ def test_pair_census_counts_every_position(spark):
     }
     assert out[("a", "a")] == 4  # two positions per word x freq 2
     assert out[("a", EOW)] == 2
+
+
+# ---------------------------------------------------------------------------
+# property test: trainer == reference on adversarial corpora (hypothesis)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_fuzz_settings = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# tiny alphabets maximize merge-overlap pathology ('aaaa', 'abab', the
+# merged-symbol-equals-next-left cases) per token
+_word = st.text(alphabet="ab", min_size=1, max_size=5)
+
+
+@settings(**_fuzz_settings)
+@given(
+    docs=st.lists(
+        st.lists(_word, min_size=1, max_size=8).map(" ".join),
+        min_size=1,
+        max_size=10,
+    ),
+    n_merges=st.integers(1, 10),
+)
+def test_bpe_trainer_matches_reference_on_fuzzed_corpora(spark, docs, n_merges):
+    """Any corpus over {a,b} — repeated chars, self-overlapping words,
+    merges whose output symbol equals the next merge's left side — must
+    produce the exact reference merge list AND a lossless encoding."""
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id bigint, text string"
+    )
+    merges, words = bpe_train(df, num_merges=n_merges, min_freq=2)
+    words.unpersist()
+    got = [
+        (m["rank"], m["left"], m["right"], m["merged"], m["pair_freq"])
+        for m in merges
+    ]
+    assert got == _ref_train(docs, n_merges, 2)
+    enc = {r.doc_id: list(r.tokens) for r in bpe_apply(df, merges).collect()}
+    for i, t in enumerate(docs):
+        assert enc[i] == _ref_encode(t, got), (i, t)
