@@ -1,0 +1,146 @@
+"""Grid-partitioned exact DBSCAN (Ester et al. 1996; distributed via
+the MR-DBSCAN cell-blocking idea — both public).
+
+Density clustering for LOW-dimensional spaces (2-4 dims: PCA/JL
+projections, geo coordinates, t-SNE-style layouts). In high dimensions
+ε-balls are meaningless and the 3^d neighbor-cell fan-out explodes, so
+the operator refuses d > 4 rather than silently going quadratic —
+cluster raw embeddings with k-means (q85) or SemDeDup (q86) instead.
+
+Exactness with NO n² stage: a pair within distance ε must lie in the
+same or ADJACENT ε-sided grid cells (per-axis |Δ| ≤ ε ⇒ cell index Δ
+∈ {-1,0,1}), so
+  1. each point computes its cell (pure map),
+  2. the LEFT side replicates each point to its 3^d neighbor cells
+     (explode of a literal offset array — ×3^d, the blocking cost),
+  3. one equi-join on cell + exact distance filter yields every
+     ε-pair exactly once per direction — candidates are cell-local,
+     never all-pairs,
+  4. core points: |N_ε(p)| ≥ min_pts (self-inclusive, the standard
+     convention),
+  5. clusters: connected components over core↔core ε-edges
+     (operators/graph.connected_components — pointer jumping,
+     cluster id = min member id, deterministic),
+  6. border points attach to the MINIMUM cluster id among core
+     neighbors (plain DBSCAN says "any"; min is pinned so output is
+     partition-order independent), noise = -1.
+
+Distances in float64 with a 9-digit round before the ε comparison so
+the accept/reject decision is accumulation-order stable (the same
+discipline as cosine_topk).
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["dbscan"]
+
+
+def _sq_dist(a, b):
+    return F.round(
+        F.aggregate(
+            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        9,
+    )
+
+
+def dbscan(
+    df: DataFrame,
+    eps: float,
+    min_pts: int,
+    vec_col: str = "vec",
+    id_col: str = "vec_id",
+    dims: int | None = None,
+) -> DataFrame:
+    """(id_col, cluster bigint, is_core boolean) for every input row;
+    noise rows carry cluster = -1. See module docstring for the
+    algorithm and determinism contract."""
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    if min_pts < 1:
+        raise ValueError(f"min_pts must be >= 1, got {min_pts}")
+    first = df.select(F.size(vec_col).alias("d")).first()
+    if first is None:
+        raise ValueError("dbscan: empty input")
+    d = dims or first["d"]
+    if d > 4:
+        raise ValueError(
+            f"dbscan is a low-dimensional operator (got d={d} > 4): the "
+            f"3^d cell fan-out and the emptiness of high-d eps-balls make "
+            f"it the wrong tool — project first (pca_project/jl_project) "
+            f"or cluster with kmeans/semantic_dedup"
+        )
+    pts = df.select(
+        F.col(id_col).alias("pid"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    )
+    cell = F.array(
+        *[F.floor(F.col("v")[i] / F.lit(float(eps))).cast("long") for i in range(d)]
+    )
+    home = pts.select("pid", "v", cell.alias("cell"))
+    offsets = [list(o) for o in itertools.product((-1, 0, 1), repeat=d)]
+    off_lit = F.array(
+        *[F.array(*[F.lit(x) for x in o]) for o in offsets]
+    )
+    probe = home.select(
+        F.col("pid").alias("a_id"),
+        F.col("v").alias("a_v"),
+        F.explode(
+            F.transform(off_lit, lambda o: F.zip_with("cell", o, lambda c, x: c + x))
+        ).alias("cell"),
+    )
+    cand = probe.join(
+        home.select(
+            F.col("pid").alias("b_id"), F.col("v").alias("b_v"), "cell"
+        ),
+        "cell",
+    )
+    pairs = cand.filter(
+        _sq_dist(F.col("a_v"), F.col("b_v")) <= F.lit(float(eps) ** 2)
+    ).select("a_id", "b_id")
+    # |N_eps(p)| is self-inclusive: the a==b pair falls out of the join
+    counts = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_nb"))
+    core = counts.filter(F.col("n_nb") >= min_pts).select(
+        F.col("a_id").alias("pid")
+    )
+    core_edges = (
+        pairs.join(core.withColumnRenamed("pid", "a_id"), "a_id")
+        .join(core.withColumnRenamed("pid", "b_id"), "b_id")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select(F.col("a_id").alias("doc_a"), F.col("b_id").alias("doc_b"))
+    )
+    from sales_data_pipeline_spark.operators.graph import connected_components
+
+    comp = connected_components(core_edges)  # (node, cluster)
+    # isolated cores (no core neighbor) form singleton clusters of
+    # their own id; CC only returns nodes that appear in an edge
+    core_clusters = (
+        core.join(comp.withColumnRenamed("node", "pid"), "pid", "left")
+        .select("pid", F.coalesce("cluster", F.col("pid")).alias("cluster"))
+    )
+    # border points: non-core with >= 1 core eps-neighbor -> min cluster
+    border = (
+        pairs.join(core_clusters.withColumnRenamed("pid", "b_id"), "b_id")
+        .join(core.withColumnRenamed("pid", "a_id"), "a_id", "left_anti")
+        .groupBy("a_id")
+        .agg(F.min("cluster").alias("cluster"))
+        .select(F.col("a_id").alias("pid"), "cluster")
+    )
+    assigned = core_clusters.unionByName(border)
+    return (
+        pts.select("pid")
+        .join(assigned, "pid", "left")
+        .join(core.withColumn("__c", F.lit(True)), "pid", "left")
+        .select(
+            F.col("pid").alias(id_col),
+            F.coalesce("cluster", F.lit(-1)).cast("bigint").alias("cluster"),
+            F.coalesce("__c", F.lit(False)).alias("is_core"),
+        )
+    )

@@ -812,3 +812,54 @@ def q279_jl_projection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_norm_ratio_ok"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q280 — density clustering census (grid-partitioned exact DBSCAN)
+# ---------------------------------------------------------------------------
+
+
+@query("q280_dbscan_census")  # CC fixpoint is iterative: rows-only check
+def q280_dbscan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-clustering census of the embedding space: project to 2
+    dims (jl_project — one map-side pass) and run grid-partitioned
+    EXACT DBSCAN (operators/dbscan.py: ε-cell blocking → adjacent-cell
+    equi-joins, never all-pairs; cores by self-inclusive ε-counts;
+    clusters = connected components over core↔core edges; border→min
+    core cluster, noise −1). Report n_points / n_clusters / n_core /
+    n_noise / largest cluster — the density profile a curation
+    pipeline reads next to k-means' (q85) centroid view: DBSCAN finds
+    the arbitrary-shape dense regions and names the outliers, which
+    centroid methods cannot. Rows-only driver check (the CC fixpoint
+    is iterative); exact parity vs an O(n²) reference DBSCAN with
+    identical conventions is pinned across random layouts in
+    tests/test_dbscan.py. Scale: map (cell) → 3^d-replicated equi-join
+    → counts → pointer-jumping CC; every stage keys on cells or node
+    ids, nothing is corpus² anywhere."""
+    from sales_data_pipeline_spark.operators.dbscan import dbscan
+    from sales_data_pipeline_spark.operators.similarity import jl_project
+
+    emb = table(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, k=2).withColumnRenamed("projected", "vec")
+    out = dbscan(proj, eps=0.15, min_pts=4)
+    sizes = (
+        out.filter(F.col("cluster") >= 0)
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    return out.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.count_distinct(
+            F.when(F.col("cluster") >= 0, F.col("cluster"))
+        ).cast("bigint").alias("n_clusters"),
+        F.sum(F.col("is_core").cast("long")).cast("bigint").alias("n_core"),
+        F.sum((F.col("cluster") < 0).cast("long")).cast("bigint").alias("n_noise"),
+    ).crossJoin(
+        F.broadcast(
+            sizes.agg(
+                F.coalesce(F.max("sz"), F.lit(0))
+                .cast("bigint")
+                .alias("largest_cluster")
+            )
+        )
+    )

@@ -1,0 +1,122 @@
+"""Grid-partitioned DBSCAN (operators/dbscan.py) vs an exact O(n²)
+reference with identical conventions (self-inclusive neighbor counts,
+min-id cluster labels, border→min core cluster, noise = -1)."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from sales_data_pipeline_spark.operators.dbscan import dbscan
+
+
+def _ref_dbscan(pts: dict[int, tuple], eps: float, min_pts: int):
+    ids = sorted(pts)
+    def d2(a, b):
+        return round(sum((x - y) ** 2 for x, y in zip(pts[a], pts[b])), 9)
+    nb = {
+        i: [j for j in ids if d2(i, j) <= eps * eps] for i in ids
+    }
+    core = {i for i in ids if len(nb[i]) >= min_pts}
+    # union-find over core-core edges
+    parent = {i: i for i in core}
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for i in core:
+        for j in nb[i]:
+            if j in core and j != i:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[max(ri, rj)] = min(ri, rj)
+    cluster = {}
+    for i in core:
+        comp = [j for j in core if find(j) == find(i)]
+        cluster[i] = min(comp)
+    out = {}
+    for i in ids:
+        if i in core:
+            out[i] = (cluster[i], True)
+        else:
+            reach = [cluster[j] for j in nb[i] if j in core]
+            out[i] = (min(reach) if reach else -1, False)
+    return out
+
+
+def _run(spark, pts, eps, min_pts):
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in pts.items()],
+        "vec_id bigint, vec array<double>",
+    )
+    return {
+        r.vec_id: (r.cluster, r.is_core)
+        for r in dbscan(df, eps=eps, min_pts=min_pts).collect()
+    }
+
+
+def test_dbscan_two_blobs_and_noise(spark):
+    pts = {}
+    # blob A around (0,0), blob B around (10,10), 2 noise points
+    for i in range(8):
+        pts[i] = (0.1 * (i % 3), 0.1 * (i // 3))
+    for i in range(8, 16):
+        pts[i] = (10 + 0.1 * (i % 3), 10 + 0.1 * ((i - 8) // 3))
+    pts[100] = (5.0, 5.0)
+    pts[101] = (-7.0, 3.0)
+    got = _run(spark, pts, eps=0.5, min_pts=4)
+    want = _ref_dbscan(pts, 0.5, 4)
+    assert got == want
+    clusters = {c for c, _ in got.values() if c >= 0}
+    assert len(clusters) == 2
+    assert got[100] == (-1, False) and got[101] == (-1, False)
+
+
+def test_dbscan_matches_reference_on_random_layouts(spark):
+    rng = random.Random(17)
+    for trial in range(3):
+        pts = {
+            i: (rng.uniform(0, 4), rng.uniform(0, 4)) for i in range(60)
+        }
+        eps, mp = 0.6, 3
+        assert _run(spark, pts, eps, mp) == _ref_dbscan(pts, eps, mp), trial
+
+
+def test_dbscan_chain_links_through_cores_only(spark):
+    """A chain of core points merges into ONE cluster across many grid
+    cells; a border point touching two clusters takes the min id."""
+    pts = {i: (0.4 * i, 0.0) for i in range(10)}      # chain, eps=0.5
+    pts[50] = (0.4 * 4 + 0.2, 0.3)                    # extra density
+    got = _run(spark, pts, eps=0.5, min_pts=3)
+    want = _ref_dbscan(pts, 0.5, 3)
+    assert got == want
+    assert len({c for c, _ in got.values() if c >= 0}) == 1
+
+
+def test_dbscan_cross_cell_pairs_found(spark):
+    """Two points 0.99·eps apart but in DIFFERENT grid cells must still
+    pair (the adjacent-cell replication is the whole point)."""
+    pts = {0: (0.99, 0.0), 1: (1.01, 0.0), 2: (1.03, 0.0)}
+    got = _run(spark, pts, eps=0.05, min_pts=2)
+    want = _ref_dbscan(pts, 0.05, 2)
+    assert got == want
+    assert got[0][0] >= 0 and got[0][0] == got[1][0]
+
+
+def test_dbscan_3d_and_guards(spark):
+    rng = random.Random(5)
+    pts = {i: (rng.random(), rng.random(), rng.random()) for i in range(30)}
+    assert _run(spark, pts, 0.3, 3) == _ref_dbscan(pts, 0.3, 3)
+
+    df = spark.createDataFrame(
+        [(0, [0.0] * 8)], "vec_id bigint, vec array<double>"
+    )
+    with pytest.raises(ValueError, match="low-dimensional"):
+        dbscan(df, eps=0.5, min_pts=3)
+    with pytest.raises(ValueError, match="eps"):
+        dbscan(df, eps=0.0, min_pts=3)
+    with pytest.raises(ValueError, match="min_pts"):
+        dbscan(df, eps=0.5, min_pts=0)
