@@ -863,3 +863,52 @@ def q280_dbscan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q281 — PQ Lloyd-descent audit (oracled sibling of q264)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q281_pq_descent_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           TRUE AS error_nonincreasing,
+           TRUE AS codes_stay_in_range
+    FROM embeddings
+    """,
+)
+def q281_pq_descent_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable Lloyd theorem for the PQ trainer (q264): each
+    full assign+update iteration cannot increase total quantization
+    error (assignment minimizes per fixed codebook; the mean minimizes
+    per fixed assignment), so err(iters=3) ≤ err(iters=1) + fp-noise.
+    Also pins every emitted code into [0, ksub). The oracle carries
+    the SQL-checkable count and both booleans TRUE — a regression in
+    the tie rule, the empty-cell freeze, or the stats shuffle flips
+    one. Deterministic: fixed init/tie rounding, exact integer counts;
+    the 1e-6 tolerance covers double-sum association only. Cost: two
+    trainings over the corpus — the audit tier, not the build tier."""
+    from sales_data_pipeline_spark.operators.similarity import pq_train_encode
+
+    emb = table(spark, sf_dir, "embeddings")
+    c1, _ = pq_train_encode(emb, m=4, ksub=16, iters=1)
+    c3, _ = pq_train_encode(emb, m=4, ksub=16, iters=3)
+    e1 = c1.agg(F.sum("recon_err").alias("e")).collect()[0]["e"]
+    agg3 = c3.agg(
+        F.sum("recon_err").alias("e"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min(F.array_min("codes")).alias("cmin"),
+        F.max(F.array_max("codes")).alias("cmax"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(agg3["n"]),
+                bool(agg3["e"] <= e1 + 1e-6),
+                bool(agg3["cmin"] >= 0 and agg3["cmax"] < 16),
+            )
+        ],
+        "n_vectors bigint, error_nonincreasing boolean, codes_stay_in_range boolean",
+    )
