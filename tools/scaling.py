@@ -90,6 +90,9 @@ QUERY_NAMES = [
     "q276_training_export_audit",
     "q277_view_no_purchase_7d",
     "q278_incremental_join",
+    "q279_jl_projection_audit",
+    "q280_dbscan_census",
+    "q281_pq_descent_audit",
 ]
 
 # ratio above which a query is flagged for plan diagnosis: 10× data on a
