@@ -74,6 +74,7 @@ def write_training_shards(
     out_dir: str,
     n_shards: int,
     id_col: str = "doc_id",
+    max_rows_per_file: int | None = None,
 ) -> dict:
     """Export ``df`` as ``n_shards`` deterministic parquet shards under
     ``out_dir`` (shard=K/ subdirectories) with a sealed manifest.
@@ -93,12 +94,19 @@ def write_training_shards(
     with_shard = df.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     )
-    (
-        with_shard.repartition(n_shards, "shard")
-        .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(staging)
-    )
+    writer = with_shard.repartition(n_shards, "shard").write.mode("overwrite")
+    if max_rows_per_file is not None:
+        if max_rows_per_file < 1:
+            raise ValueError(
+                f"max_rows_per_file must be >= 1, got {max_rows_per_file}"
+            )
+        # bounded file sizes inside each shard: at 100 TB a shard is
+        # many files a trainer streams, not one monolith — Spark splits
+        # the task output at this row count; membership, fingerprints
+        # and the manifest are unaffected (order within a shard is not
+        # part of the contract)
+        writer = writer.option("maxRecordsPerFile", max_rows_per_file)
+    writer.partitionBy("shard").parquet(staging)
     stats = shard_fingerprints(df, id_col, n_shards, cols).collect()
     by_shard = {int(r["shard"]): r for r in stats}
     manifest = {

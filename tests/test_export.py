@@ -125,3 +125,31 @@ def test_export_rejects_bad_args(spark, corpus, tmp_path):
         write_training_shards(
             spark, corpus, str(tmp_path / "y"), n_shards=2, id_col="nope"
         )
+
+
+def test_export_bounds_file_sizes_without_changing_content(spark, corpus, tmp_path):
+    """max_rows_per_file splits each shard into bounded files; shard
+    membership, fingerprints and verification are unchanged."""
+    import glob
+
+    a = write_training_shards(spark, corpus, str(tmp_path / "a"), n_shards=2)
+    b = write_training_shards(
+        spark, corpus, str(tmp_path / "b"), n_shards=2, max_rows_per_file=25
+    )
+    assert a["shards"] == b["shards"]  # identical membership + fingerprints
+    for shard_dir in glob.glob(str(tmp_path / "b" / "shard=*")):
+        files = glob.glob(shard_dir + "/*.parquet")
+        assert len(files) >= 2  # ~100 rows/shard at 25/file
+        for f in files:
+            assert spark.read.parquet(f).count() <= 25
+    assert all(
+        r.rows_match and r.fp_match
+        for r in verify_export(spark, str(tmp_path / "b")).collect()
+    )
+
+
+def test_export_rejects_bad_max_rows(spark, corpus, tmp_path):
+    with pytest.raises(ValueError, match="max_rows_per_file"):
+        write_training_shards(
+            spark, corpus, str(tmp_path / "x"), n_shards=2, max_rows_per_file=0
+        )
