@@ -200,3 +200,11 @@ def test_bpe_trainer_matches_reference_on_fuzzed_corpora(spark, docs, n_merges):
     enc = {r.doc_id: list(r.tokens) for r in bpe_apply(df, merges).collect()}
     for i, t in enumerate(docs):
         assert enc[i] == _ref_encode(t, got), (i, t)
+
+
+def test_bpe_train_empty_corpus_yields_no_merges(spark):
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    merges, words = bpe_train(docs, num_merges=5, min_freq=1)
+    words.unpersist()
+    assert merges == []
+    assert words.count() == 0

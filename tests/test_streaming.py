@@ -1223,3 +1223,54 @@ def test_watermark_drops_late_rows_and_accounts_for_them(spark, tmp_path):
         for op in (prog["stateOperators"] or [])
     )
     assert dropped == 1
+
+
+def test_funnel_state_survives_rocksdb_store_swap(spark, tmp_path):
+    """The funnel's 3-long state must be store-agnostic too: the same
+    cross-batch completion scenario as the HDFS-store funnel test,
+    under RocksDBStateStoreProvider. Skips if the provider is absent."""
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(provider)
+    except Exception:
+        pytest.skip("RocksDB state store provider not in this build")
+
+    from sales_data_pipeline_spark.streaming.events import (
+        funnel_stateful,
+        read_event_stream,
+    )
+
+    src = tmp_path / "events"
+    _write_events_with_ids(spark, str(src / "f1"), [
+        (0, 0, 1, "view", 1.0), (1, 100, 1, "click", 1.0),
+    ])
+    time.sleep(1.1)
+    _write_events_with_ids(spark, str(src / "f2"), [
+        (2, 200, 1, "purchase", 1.0),
+    ])
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+        q = (
+            funnel_stateful(stream)
+            .writeStream.format("memory")
+            .queryName("funnel_rocksdb")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_fr"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+    rows = spark.sql("SELECT * FROM funnel_rocksdb").collect()
+    final = max(rows, key=lambda r: r.stage)
+    assert final.stage == 3  # completed ACROSS the store-backed boundary
+    assert final.t_view is not None and final.t_purchase is not None
