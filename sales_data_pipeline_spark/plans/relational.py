@@ -10089,3 +10089,77 @@ def q278_incremental_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# q282 — weekly-cohort conversion funnel (view -> purchase within 7 days)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q282_cohort_conversion",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    conv AS (
+      SELECT v.user_id, v.t_view,
+             CASE WHEN EXISTS (
+               SELECT 1 FROM events e
+               WHERE e.user_id = v.user_id AND e.event_type = 'purchase'
+                 AND e.ts > v.t_view AND e.ts <= v.t_view + INTERVAL 7 DAY
+             ) THEN 1 ELSE 0 END AS converted
+      FROM v
+    )
+    SELECT strftime(date_trunc('week', t_view), '%Y-%m-%d') AS cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_viewers,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           round(SUM(converted) * 1000 / COUNT(*) / 1000.0, 4) AS conversion_rate
+    FROM conv GROUP BY 1 ORDER BY cohort_week
+    """,
+)
+def q282_cohort_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly acquisition-cohort conversion: users grouped by the week
+    of their FIRST view; converted = a purchase lands in (t_view,
+    t_view + 7d]. The positive face of q277's temporal anti-join —
+    same keyed semi-join shape (EXISTS with a range residual on the
+    user_id equi key), aggregated into the cohort table a growth team
+    reads. Rate kept integer-exact to 4 digits on both engines
+    (×1000, integer division semantics avoided by a final single
+    division — the q229 discipline: one division per output, no
+    double re-rounding)."""
+    ev = table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("t_view"))
+        & (F.col("p_ts") <= F.col("t_view") + F.expr("INTERVAL 7 DAYS"))
+    )
+    conv = v.join(p, cond, "left_semi").select("user_id").withColumn(
+        "converted", F.lit(1)
+    )
+    labeled = v.join(conv, "user_id", "left").select(
+        F.date_format(F.date_trunc("week", "t_view"), "yyyy-MM-dd").alias(
+            "cohort_week"
+        ),
+        F.coalesce("converted", F.lit(0)).alias("converted"),
+    )
+    return (
+        labeled.groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_viewers"),
+            F.sum("converted").cast("bigint").alias("n_converted"),
+            F.round(
+                (F.sum("converted") * 1000 / F.count(F.lit(1))) / 1000.0, 4
+            ).alias("conversion_rate"),
+        )
+        .orderBy("cohort_week")
+    )
