@@ -912,3 +912,66 @@ def q281_pq_descent_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "n_vectors bigint, error_nonincreasing boolean, codes_stay_in_range boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# q283 — DBSCAN structural-invariant audit (oracled sibling of q280)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q283_dbscan_invariant_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           TRUE AS every_core_clustered,
+           TRUE AS noise_never_core,
+           TRUE AS labels_are_member_min
+    FROM embeddings
+    """,
+)
+def q283_dbscan_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable DBSCAN theorems (the envelope-audit pattern,
+    sibling of q280's census): (1) every core point belongs to a
+    cluster — a core is ε-reachable from itself, so cluster ≥ 0;
+    (2) noise (cluster −1) is never core; (3) each cluster's label
+    equals the minimum member id IN that cluster restricted to cores —
+    the pinned determinism convention (labels come from CC's min-id
+    contract; border points can only ATTACH to, never lower, a
+    label). The oracle carries the SQL-checkable corpus count and
+    pins all three booleans TRUE; a regression in the core rule, the
+    CC reuse, or the border assignment flips one. Same projection and
+    parameters as q280."""
+    from sales_data_pipeline_spark.operators.dbscan import dbscan
+    from sales_data_pipeline_spark.operators.similarity import jl_project
+
+    emb = table(spark, sf_dir, "embeddings")
+    proj = jl_project(emb, k=2).withColumnRenamed("projected", "vec")
+    out = dbscan(proj, eps=0.15, min_pts=4)
+    core_min = (
+        out.filter(F.col("is_core") & (F.col("cluster") >= 0))
+        .groupBy("cluster")
+        .agg(F.min("vec_id").alias("min_core_id"))
+    )
+    label_ok = core_min.agg(
+        F.bool_and(F.col("cluster") == F.col("min_core_id")).alias("ok")
+    )
+    return (
+        out.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.bool_and(~F.col("is_core") | (F.col("cluster") >= 0)).alias(
+                "every_core_clustered"
+            ),
+            F.bool_and((F.col("cluster") >= 0) | ~F.col("is_core")).alias(
+                "noise_never_core"
+            ),
+        )
+        .crossJoin(
+            F.broadcast(label_ok.select(F.col("ok").alias("labels_are_member_min")))
+        )
+        .select(
+            "n_points",
+            "every_core_clustered",
+            "noise_never_core",
+            "labels_are_member_min",
+        )
+    )
