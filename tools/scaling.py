@@ -93,6 +93,8 @@ QUERY_NAMES = [
     "q279_jl_projection_audit",
     "q280_dbscan_census",
     "q281_pq_descent_audit",
+    "q282_cohort_conversion",
+    "q283_dbscan_invariant_audit",
 ]
 
 # ratio above which a query is flagged for plan diagnosis: 10× data on a
