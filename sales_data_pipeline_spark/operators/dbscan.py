@@ -37,7 +37,7 @@ import itertools
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dbscan"]
+__all__ = ["dbscan", "eps_pairs"]
 
 
 def _sq_dist(a, b):
@@ -49,6 +49,63 @@ def _sq_dist(a, b):
         ),
         9,
     )
+
+
+def eps_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    eps: float,
+    dims: int,
+    vec_col: str = "vec",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact ε-pairs (a_id from ``left``, b_id from ``right``) via the
+    ε-sided grid-cell blocking in the module docstring: the left side
+    replicates each point to its 3^dims neighbor cells (pure map +
+    literal-array explode), the right side stays home, and ONE equi-join
+    on cell plus the exact distance filter yields every pair with
+    dist ≤ ε — candidates are cell-local, never all-pairs. Self-pairs
+    (a_id == b_id when left and right overlap) are NOT filtered; callers
+    decide. ``dims`` is explicit so an EMPTY left side is fine (yields
+    an empty pair set, no ``first()`` probe)."""
+    if eps <= 0:
+        raise ValueError(f"eps must be > 0, got {eps}")
+    if dims > 4:
+        raise ValueError(
+            f"eps_pairs is a low-dimensional blocking join (got dims={dims} "
+            f"> 4): the 3^d cell fan-out explodes — project first"
+        )
+    cell = F.array(
+        *[
+            F.floor(F.col("v")[i] / F.lit(float(eps))).cast("long")
+            for i in range(dims)
+        ]
+    )
+
+    def _home(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias("pid"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        ).select("pid", "v", cell.alias("cell"))
+
+    offsets = [list(o) for o in itertools.product((-1, 0, 1), repeat=dims)]
+    off_lit = F.array(*[F.array(*[F.lit(x) for x in o]) for o in offsets])
+    probe = _home(left).select(
+        F.col("pid").alias("a_id"),
+        F.col("v").alias("a_v"),
+        F.explode(
+            F.transform(off_lit, lambda o: F.zip_with("cell", o, lambda c, x: c + x))
+        ).alias("cell"),
+    )
+    cand = probe.join(
+        _home(right).select(
+            F.col("pid").alias("b_id"), F.col("v").alias("b_v"), "cell"
+        ),
+        "cell",
+    )
+    return cand.filter(
+        _sq_dist(F.col("a_v"), F.col("b_v")) <= F.lit(float(eps) ** 2)
+    ).select("a_id", "b_id")
 
 
 def dbscan(
@@ -81,30 +138,7 @@ def dbscan(
         F.col(id_col).alias("pid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    cell = F.array(
-        *[F.floor(F.col("v")[i] / F.lit(float(eps))).cast("long") for i in range(d)]
-    )
-    home = pts.select("pid", "v", cell.alias("cell"))
-    offsets = [list(o) for o in itertools.product((-1, 0, 1), repeat=d)]
-    off_lit = F.array(
-        *[F.array(*[F.lit(x) for x in o]) for o in offsets]
-    )
-    probe = home.select(
-        F.col("pid").alias("a_id"),
-        F.col("v").alias("a_v"),
-        F.explode(
-            F.transform(off_lit, lambda o: F.zip_with("cell", o, lambda c, x: c + x))
-        ).alias("cell"),
-    )
-    cand = probe.join(
-        home.select(
-            F.col("pid").alias("b_id"), F.col("v").alias("b_v"), "cell"
-        ),
-        "cell",
-    )
-    pairs = cand.filter(
-        _sq_dist(F.col("a_v"), F.col("b_v")) <= F.lit(float(eps) ** 2)
-    ).select("a_id", "b_id")
+    pairs = eps_pairs(pts, pts, eps, d, vec_col="v", id_col="pid")
     # |N_eps(p)| is self-inclusive: the a==b pair falls out of the join
     counts = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_nb"))
     core = counts.filter(F.col("n_nb") >= min_pts).select(

@@ -13,9 +13,11 @@ publishes it as N deterministic shards plus a verifiable manifest:
   the writer never re-reads or post-merges.
 - **Verifiable manifest**: per shard rows + an order-independent
   bit_xor fingerprint over xxhash64 of the exported columns (the same
-  anti-entropy recipe as q256), computed IN THE SAME JOB that writes —
-  a reader can re-derive both from the parquet and detect truncation
-  or corruption without any external state.
+  anti-entropy recipe as q256), computed FROM THE STAGED PARQUET after
+  the write — the manifest describes the bytes that will be published,
+  even for a nondeterministic input or a source that changed between
+  jobs — so a reader can re-derive both from the parquet and detect
+  truncation or corruption without any external state.
 - **Atomic publish**: everything is written to ``<dir>.staging`` and
   moved into place with ONE filesystem rename after the manifest is
   sealed — readers never observe a half-written export (the
@@ -107,7 +109,24 @@ def write_training_shards(
         # part of the contract)
         writer = writer.option("maxRecordsPerFile", max_rows_per_file)
     writer.partitionBy("shard").parquet(staging)
-    stats = shard_fingerprints(df, id_col, n_shards, cols).collect()
+    # Fingerprint the STAGED parquet, not the input df: re-evaluating a
+    # nondeterministic df (or one whose source changed between the write
+    # and fingerprint jobs) would seal a manifest describing different
+    # data than the published shards. One scan of staging, the exact
+    # recipe verify_export replays on the published dir.
+    stats = (
+        spark.read.parquet(staging)
+        .select(
+            F.col("shard").cast("int").alias("shard"),
+            F.xxhash64(*[F.col(c) for c in cols]).alias("__h"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr("bit_xor(__h)").cast("bigint").alias("fingerprint"),
+        )
+        .collect()
+    )
     by_shard = {int(r["shard"]): r for r in stats}
     manifest = {
         "n_shards": n_shards,

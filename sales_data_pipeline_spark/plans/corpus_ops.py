@@ -1566,7 +1566,7 @@ def q269_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH w AS (
       SELECT source, doc_id,
-             len(string_split(regexp_replace(text, '\\s+', ' ', 'g'), ' ')) AS n_words
+             len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' ')) AS n_words
       FROM documents
     )
     SELECT source,
@@ -1602,7 +1602,15 @@ def q270_bpe_lossless_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuilt = F.trim(
         F.regexp_replace(F.concat_ws("", F.col("tokens")), EOW, " ")
     )
-    ok = F.col("tokens").isNotNull() & (rebuilt == F.trim(F.col("__norm")))
+    # An empty / whitespace-only doc is trivially lossless: bpe_apply's
+    # posexplode+filter drops it entirely (tokens NULL), which is the
+    # correct encoding of "no words" — only a NULL against a NON-empty
+    # normalized text is a real loss (ADVICE r6).
+    ok = (
+        F.col("tokens").isNull() & (F.trim(F.col("__norm")) == F.lit(""))
+    ) | (
+        F.col("tokens").isNotNull() & (rebuilt == F.trim(F.col("__norm")))
+    )
     return (
         joined.groupBy("source")
         .agg(
@@ -1654,8 +1662,15 @@ def q276_training_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = table(spark, sf_dir, "documents")
+    # Per-process discriminator in the path: two concurrent runs at the
+    # same SF (parallel parity sweeps) must not race on one export dir —
+    # write_training_shards deletes the previous out_dir before its
+    # rename, so a shared path lets runs cross-verify or clobber each
+    # other (ADVICE r6).
     tag = os.path.basename(os.path.normpath(sf_dir))
-    out = os.path.join(tempfile.gettempdir(), f"spark_graft_export_{tag}")
+    out = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_export_{tag}_{os.getpid()}"
+    )
     man = write_training_shards(spark, docs, out, n_shards=8)
     checks = verify_export(spark, out)
     return checks.agg(

@@ -924,7 +924,7 @@ def q281_pq_descent_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
            TRUE AS every_core_clustered,
-           TRUE AS noise_never_core,
+           TRUE AS noise_has_no_core_neighbor,
            TRUE AS labels_are_member_min
     FROM embeddings
     """,
@@ -933,15 +933,21 @@ def q283_dbscan_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver-checkable DBSCAN theorems (the envelope-audit pattern,
     sibling of q280's census): (1) every core point belongs to a
     cluster — a core is ε-reachable from itself, so cluster ≥ 0;
-    (2) noise (cluster −1) is never core; (3) each cluster's label
-    equals the minimum member id IN that cluster restricted to cores —
-    the pinned determinism convention (labels come from CC's min-id
-    contract; border points can only ATTACH to, never lower, a
-    label). The oracle carries the SQL-checkable corpus count and
-    pins all three booleans TRUE; a regression in the core rule, the
-    CC reuse, or the border assignment flips one. Same projection and
-    parameters as q280."""
-    from sales_data_pipeline_spark.operators.dbscan import dbscan
+    (2) no noise row (cluster −1) has a core ε-neighbor — re-derived
+    INDEPENDENTLY of the operator's border stage by grid-joining the
+    noise set against the core set (eps_pairs) and requiring zero hits:
+    a hit is a missed border attachment, the defect class the original
+    contrapositive boolean could not see (ADVICE r6); (3) each
+    cluster's label equals the minimum member id IN that cluster
+    restricted to cores — the pinned determinism convention (labels
+    come from CC's min-id contract; border points can only ATTACH to,
+    never lower, a label). The oracle carries the SQL-checkable corpus
+    count and pins all three booleans TRUE; a regression in the core
+    rule, the CC reuse, or the border assignment flips one. Same
+    projection and parameters as q280. Scale: the noise×core probe is
+    the same 3^d cell-blocked equi-join as the operator itself — never
+    all-pairs."""
+    from sales_data_pipeline_spark.operators.dbscan import dbscan, eps_pairs
     from sales_data_pipeline_spark.operators.similarity import jl_project
 
     emb = table(spark, sf_dir, "embeddings")
@@ -955,15 +961,24 @@ def q283_dbscan_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     label_ok = core_min.agg(
         F.bool_and(F.col("cluster") == F.col("min_core_id")).alias("ok")
     )
+    noise_pts = proj.join(
+        out.filter(F.col("cluster") == -1).select("vec_id"), "vec_id"
+    )
+    core_pts = proj.join(out.filter(F.col("is_core")).select("vec_id"), "vec_id")
+    noise_ok = eps_pairs(noise_pts, core_pts, eps=0.15, dims=2).agg(
+        (F.count(F.lit(1)) == 0).alias("ok")
+    )
     return (
         out.agg(
             F.count(F.lit(1)).cast("bigint").alias("n_points"),
             F.bool_and(~F.col("is_core") | (F.col("cluster") >= 0)).alias(
                 "every_core_clustered"
             ),
-            F.bool_and((F.col("cluster") >= 0) | ~F.col("is_core")).alias(
-                "noise_never_core"
-            ),
+        )
+        .crossJoin(
+            F.broadcast(
+                noise_ok.select(F.col("ok").alias("noise_has_no_core_neighbor"))
+            )
         )
         .crossJoin(
             F.broadcast(label_ok.select(F.col("ok").alias("labels_are_member_min")))
@@ -971,7 +986,7 @@ def q283_dbscan_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_points",
             "every_core_clustered",
-            "noise_never_core",
+            "noise_has_no_core_neighbor",
             "labels_are_member_min",
         )
     )

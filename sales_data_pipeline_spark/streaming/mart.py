@@ -92,7 +92,17 @@ def apply_mart_batch(
     staging = f"{mart_path}/_staging_b{batch_id}"
     mart.write.mode("overwrite").parquet(staging)
     jvm, fs, staging_p = _fs(spark, staging)
-    fs.rename(staging_p, jvm.org.apache.hadoop.fs.Path(final))
+    if not bool(fs.rename(staging_p, jvm.org.apache.hadoop.fs.Path(final))):
+        # Hadoop rename signals failure by returning false (missing dest
+        # parent, a concurrent replay that created `final` between the
+        # path_exists probe and this rename, checksum-FS quirks). The
+        # batch was NOT published: clean staging, keep old versions, and
+        # either defer to the concurrent winner or surface the failure —
+        # never count the batch as applied.
+        delete_path(spark, staging, recursive=True)
+        if path_exists(spark, final):
+            return False
+        raise RuntimeError(f"mart publish rename failed: {staging} -> {final}")
     for v in _versions(spark, mart_path)[:-keep_versions] if keep_versions else []:
         delete_path(spark, f"{mart_path}/b{v}", recursive=True)
     return True
