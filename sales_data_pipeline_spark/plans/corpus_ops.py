@@ -1679,3 +1679,181 @@ def q276_training_export_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bool_and("rows_match").alias("all_rows_match"),
         F.bool_and("fp_match").alias("all_fp_match"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q284 — DSIR hashed-ngram importance weights (Xie et al. 2023, public)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q284_dsir_importance",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    bk AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(tok), 1, 13))::UBIGINT % 1024) AS b
+      FROM toks
+    ),
+    dist AS (
+      SELECT b,
+             CAST(count(*) AS BIGINT) AS c_raw,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_tgt
+      FROM bk GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+             CAST(SUM(c_tgt) AS BIGINT) AS n_tgt
+      FROM dist
+    )
+    SELECT bk.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           round(avg(
+             ln((d.c_tgt + 1.0) / (t.n_tgt + 1024.0))
+             - ln((d.c_raw + 1.0) / (t.n_raw + 1024.0))
+           ), 6) AS log_importance
+    FROM bk JOIN dist d ON bk.b = d.b CROSS JOIN tot t
+    GROUP BY bk.doc_id
+    """,
+)
+def q284_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, public): score every document by its average per-token log
+    importance ratio between a TARGET distribution (here the ``en``
+    slice, standing in for "text like my high-quality corpus") and the
+    RAW corpus distribution, both estimated over 1024 hashed unigram
+    buckets with add-1 smoothing. High scores = looks like the target;
+    resampling by these weights (q66's weighted sampler) is the DSIR
+    pipeline. Hashing is the repo's cross-engine md5-13-hex contract,
+    so the oracle replays bitwise; the score follows q121's discipline
+    (ln of smoothed integer ratios, avg, round 6).
+
+    Scale shape: ONE aux pass builds BOTH distributions (groupBy bucket
+    with a conditional count — 1024 rows, broadcast with its totals),
+    then one scoring pass joins the token stream to the broadcast
+    table and aggregates per doc. No shuffle wider than doc_id; the
+    importance model is KB-sized driver-free state. Reference scope:
+    the reference has no selection machinery; this is the
+    training-data extension scope (SURVEY §2k)."""
+    docs = table(spark, sf_dir, "documents")
+    bk = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("bigint")
+            % 1024
+        ).alias("b"),
+    )
+    dist = bk.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_raw"),
+        F.count_if(F.col("lang") == "en").cast("bigint").alias("c_tgt"),
+    )
+    tot = dist.agg(
+        F.sum("c_raw").cast("bigint").alias("n_raw"),
+        F.sum("c_tgt").cast("bigint").alias("n_tgt"),
+    )
+    lr = F.log(
+        (F.col("c_tgt") + F.lit(1.0)) / (F.col("n_tgt") + F.lit(1024.0))
+    ) - F.log((F.col("c_raw") + F.lit(1.0)) / (F.col("n_raw") + F.lit(1024.0)))
+    return (
+        bk.join(F.broadcast(dist), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.avg(lr), 6).alias("log_importance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q285 — reciprocal-rank-fusion quality ensemble (Cormack et al. 2009)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q285_quality_rank_fusion",
+    oracle="""
+    WITH sig AS (
+      SELECT doc_id,
+             n_chars AS len_sig,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS ttr_sig,
+             CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split(text, ' ')) AS wlen_sig
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY len_sig DESC, doc_id) AS r_len,
+             row_number() OVER (ORDER BY ttr_sig DESC, doc_id) AS r_ttr,
+             row_number() OVER (ORDER BY wlen_sig DESC, doc_id) AS r_wlen
+      FROM sig
+    )
+    SELECT doc_id,
+           CAST(r_len AS BIGINT) AS r_len,
+           CAST(r_ttr AS BIGINT) AS r_ttr,
+           CAST(r_wlen AS BIGINT) AS r_wlen,
+           round(1.0/(60 + r_len) + 1.0/(60 + r_ttr) + 1.0/(60 + r_wlen), 6)
+             AS rrf_score
+    FROM ranked
+    """,
+)
+def q285_quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009 —
+    public) over three cheap quality signals: document length, distinct
+    -word ratio (type-token ratio), and mean word length. Each signal
+    ranks the corpus independently (row_number with a doc_id tie-break
+    so ranks are total orders, engine-independent); the fused score is
+    the standard Σ 1/(60 + rank). RRF is the rank-fusion stage a
+    curation pipeline uses to combine heterogeneous quality scorers
+    (and the hybrid-search combiner for q172's BM25 + q25's dense
+    retrieval) without calibrating scales. The score is a FIXED
+    three-term expression (not a float aggregation), so it is bitwise
+    reproducible; round 6 per house style.
+
+    Scale note: the three global sorts are rank computations over
+    scalar signals — at 100 TB this becomes the two-phase distributed
+    rank pattern (q153/q158: range-partition on the signal, prefix-sum
+    partition offsets); registered with global windows here because
+    row_number over a scalar is the exact semantics the fusion needs,
+    and the q235/q236 scale-sibling pattern documents the rewrite."""
+    docs = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    sig = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("len_sig"),
+        (
+            F.size(F.array_distinct(words)).cast("double") / F.size(words)
+        ).alias("ttr_sig"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit("")))
+            .cast("double")
+            / F.size(words)
+        ).alias("wlen_sig"),
+    )
+    r = lambda c: F.row_number().over(
+        Window.orderBy(F.col(c).desc(), F.col("doc_id"))
+    )
+    ranked = sig.select(
+        "doc_id",
+        r("len_sig").cast("bigint").alias("r_len"),
+        r("ttr_sig").cast("bigint").alias("r_ttr"),
+        r("wlen_sig").cast("bigint").alias("r_wlen"),
+    )
+    rrf = (
+        F.lit(1.0) / (F.lit(60) + F.col("r_len"))
+        + F.lit(1.0) / (F.lit(60) + F.col("r_ttr"))
+        + F.lit(1.0) / (F.lit(60) + F.col("r_wlen"))
+    )
+    return ranked.select(
+        "doc_id", "r_len", "r_ttr", "r_wlen", F.round(rrf, 6).alias("rrf_score")
+    )
