@@ -20,3 +20,7 @@ from sales_data_pipeline_spark.streaming.incremental import (  # noqa: F401
     read_sales_stream,
     run_incremental,
 )
+from sales_data_pipeline_spark.streaming.ratelimit import (  # noqa: F401
+    debounce_batch,
+    debounce_stateful,
+)

@@ -1274,3 +1274,118 @@ def test_funnel_state_survives_rocksdb_store_swap(spark, tmp_path):
     final = max(rows, key=lambda r: r.stage)
     assert final.stage == 3  # completed ACROSS the store-backed boundary
     assert final.t_view is not None and final.t_purchase is not None
+
+
+# ---------------------------------------------------------------------------
+# per-key debounce / rate limit (streaming/ratelimit.py —
+# transformWithStateInPandas, the Spark-4 stateful-processor API)
+# ---------------------------------------------------------------------------
+
+
+def _rocksdb_or_skip(spark) -> str:
+    provider = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    try:
+        spark.sparkContext._jvm.java.lang.Class.forName(provider)
+    except Exception:
+        pytest.skip("RocksDB state store provider not in this build")
+    return provider
+
+
+def test_debounce_batch_greedy_fold_and_ties(spark):
+    """Greedy earliest-first selection with (ts, event_id) tie order:
+    the unique maximal cooldown-spaced subsequence per key."""
+    from sales_data_pipeline_spark.streaming.ratelimit import debounce_batch
+
+    rows = [
+        # user 1: 0 emit; 100/200 suppressed; 300 emit (cooldown 300);
+        # 300-tie by event_id: id 4 emits, id 5 suppressed
+        (1, dt.datetime(2024, 1, 1, 0, 0, 0), 1, "alert", 1.0),
+        (2, dt.datetime(2024, 1, 1, 0, 1, 40), 1, "alert", 1.0),
+        (3, dt.datetime(2024, 1, 1, 0, 3, 20), 1, "alert", 1.0),
+        (4, dt.datetime(2024, 1, 1, 0, 5, 0), 1, "alert", 1.0),
+        (5, dt.datetime(2024, 1, 1, 0, 5, 0), 1, "alert", 1.0),
+        # user 2: a single event always emits
+        (6, dt.datetime(2024, 1, 1, 0, 0, 30), 2, "alert", 2.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    got = {
+        r.event_id: r.n_suppressed_since_last
+        for r in debounce_batch(df, cooldown_seconds=300).collect()
+    }
+    assert got == {1: 0, 4: 2, 6: 0}
+
+    with pytest.raises(ValueError, match="cooldown_seconds"):
+        debounce_batch(df, cooldown_seconds=0)
+
+
+def test_debounce_stateful_matches_batch_across_boundary(spark, tmp_path):
+    """Stream (transformWithStateInPandas, RocksDB store) vs the batch
+    fold over the same in-order events, with user 1's cooldown window
+    AND a tail-of-batch suppression straddling the micro-batch boundary
+    — the pending-suppressed counter must survive in state."""
+    from sales_data_pipeline_spark.streaming.ratelimit import (
+        debounce_batch,
+        debounce_stateful,
+    )
+
+    provider = _rocksdb_or_skip(spark)
+    batch1 = [
+        (1, 0, 1, "alert", 1.0),     # emit
+        (2, 100, 1, "alert", 1.0),   # suppressed
+        (3, 200, 1, "alert", 1.0),   # suppressed (tail of batch 1)
+        (4, 0, 2, "alert", 2.0),     # emit
+    ]
+    batch2 = [
+        (5, 250, 1, "alert", 1.0),   # suppressed
+        (6, 400, 1, "alert", 1.0),   # emit: 3 suppressed since event 1
+        (7, 650, 1, "alert", 1.0),   # suppressed
+        (8, 800, 1, "alert", 1.0),   # emit: 1 suppressed
+        (9, 600, 2, "alert", 2.0),   # emit
+    ]
+    src = tmp_path / "ev_debounce"
+    _write_events_with_ids(spark, str(src / "f1"), batch1)
+    time.sleep(1.1)
+    _write_events_with_ids(spark, str(src / "f2"), batch2)
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+    try:
+        stream = read_event_stream(spark, str(src), max_files_per_trigger=1)
+        q = (
+            debounce_stateful(stream, cooldown_seconds=300)
+            .writeStream.format("memory")
+            .queryName("debounced")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_debounce"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", old)
+
+    got = {
+        r.event_id: r.n_suppressed_since_last
+        for r in spark.sql("SELECT * FROM debounced").collect()
+    }
+    assert got == {1: 0, 4: 0, 6: 3, 8: 1, 9: 0}
+
+    # exact parity with the batch fold over the full history
+    all_rows = spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, et, v)
+         for i, s, u, et, v in batch1 + batch2],
+        "event_id long, ts timestamp, user_id long, event_type string, value double",
+    )
+    want = {
+        r.event_id: r.n_suppressed_since_last
+        for r in debounce_batch(all_rows, cooldown_seconds=300).collect()
+    }
+    assert got == want
