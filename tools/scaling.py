@@ -95,6 +95,9 @@ QUERY_NAMES = [
     "q281_pq_descent_audit",
     "q282_cohort_conversion",
     "q283_dbscan_invariant_audit",
+    # round-7 additions: DSIR selection + RRF quality fusion
+    "q284_dsir_importance",
+    "q285_quality_rank_fusion",
 ]
 
 # ratio above which a query is flagged for plan diagnosis: 10× data on a
