@@ -89,3 +89,44 @@ def test_duplicate_structure_is_replica_disjoint(spark, gen_dir):
         .filter(F.levenshtein("na", "nb") <= 2)
     )
     assert close.count() == 0
+
+
+def test_second_decade_generation_composes(spark, gen_dir, tmp_path):
+    """measure_decade builds sf10 by re-running generate ON sf1 with a
+    10× stride — composition must keep the invariants: exact count
+    multiplication, replica-0 identity (sf1 embeds in sf10), and key
+    disjointness across the SECOND decade's replicas (stride 100M clears
+    the first decade's whole key span)."""
+    from scaling import generate
+
+    dst = str(tmp_path / "decade2")
+    generate(
+        src_dir=gen_dir, dst_dir=dst, n_replicas=2, spark=spark,
+        stride=100_000_000, tag="s",
+    )
+    for t in ("lineitem", "documents", "events"):
+        a = spark.read.parquet(f"{gen_dir}/{t}.parquet").count()
+        assert spark.read.parquet(f"{dst}/{t}.parquet").count() == 2 * a, t
+    src = spark.read.parquet(f"{gen_dir}/documents.parquet")
+    two = spark.read.parquet(f"{dst}/documents.parquet")
+    rep0 = two.filter(F.col("doc_id") < 100_000_000)
+    assert rep0.exceptAll(src).count() == 0
+    assert src.exceptAll(rep0).count() == 0
+    # disjoint key spaces between the decade-2 replicas
+    assert (
+        two.groupBy("doc_id").count().filter(F.col("count") > 1).count() == 0
+    )
+    # cross-replica duplicate leakage stays zero one decade up: the
+    # token remap suffixes again, so no exact-duplicate text group can
+    # span the decade-2 replicas
+    leak = (
+        two.select(
+            "text",
+            (F.col("doc_id") >= 100_000_000).cast("int").alias("rep"),
+        )
+        .groupBy("text")
+        .agg(F.countDistinct("rep").alias("n_reps"))
+        .filter(F.col("n_reps") > 1)
+        .count()
+    )
+    assert leak == 0

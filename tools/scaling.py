@@ -105,8 +105,17 @@ QUERY_NAMES = [
 # room for shuffle constants and output-size growth.
 LINEAR_BUDGET = 12.0
 
-_PREFIX = ["", "bbb ", "ddd ", "fff ", "hhh ", "jjj ", "kkk ", "mmm ",
-           "ppp ", "qqq "]  # replica part-name prefixes, pairwise lev 3
+_PREFIX = {
+    # replica part-name prefixes, pairwise lev 3 within AND across
+    # decades (decade tags select disjoint alphabets, so a decade-2
+    # replica of the identity can never collide with a decade-1
+    # replica copied through identically — the bug the composition
+    # test pins)
+    "r": ["", "bbb ", "ddd ", "fff ", "hhh ", "jjj ", "kkk ", "mmm ",
+          "ppp ", "qqq "],
+    "s": ["", "ttt ", "vvv ", "www ", "xxx ", "yyy ", "zzz ", "ccc ",
+          "ggg ", "lll "],
+}
 
 
 def _spark():
@@ -122,6 +131,8 @@ def generate(
     dst_dir: str | None = None,
     n_replicas: int = N_REPLICAS,
     spark=None,
+    stride: int = STRIDE,
+    tag: str = "r",
 ) -> None:
     """Write ``dst_dir`` = ``src_dir`` replicated ``n_replicas``× as a
     strict superset (replica 0 = identity). Parametrized so the
@@ -161,23 +172,32 @@ def generate(
             for r in range(n_replicas):
                 rep = src
                 for k in key_cols[name]:
-                    rep = rep.withColumn(k, F.col(k) + F.lit(r * STRIDE))
+                    rep = rep.withColumn(k, F.col(k) + F.lit(r * stride))
                 if name == "documents" and r > 0:
                     # bijective token remap: within-replica shingle/dup
-                    # structure preserved, cross-replica overlap zero
+                    # structure preserved, cross-replica overlap zero.
+                    # The suffix carries the DECADE TAG, not just the
+                    # replica index: composing generations (sf1 → sf10)
+                    # with one alphabet would collide decade-2 replica k
+                    # of the identity with decade-1 replica k copied
+                    # through ("tok_r5" twice) — inflating cross-replica
+                    # duplicates and breaking the constant-dup-rate
+                    # protocol claim (caught by the 29× pair growth in
+                    # the first sf10 run; re-measured after this fix).
                     rep = rep.withColumn(
                         "text",
                         F.array_join(
                             F.transform(
                                 F.split("text", " "),
-                                lambda t: F.concat(t, F.lit(f"_r{r}")),
+                                lambda t: F.concat(t, F.lit(f"_{tag}{r}")),
                             ),
                             " ",
                         ),
                     ).withColumn("n_chars", F.length("text"))
                 if name == "part" and r > 0:
                     rep = rep.withColumn(
-                        "p_name", F.concat(F.lit(_PREFIX[r]), F.col("p_name"))
+                        "p_name",
+                        F.concat(F.lit(_PREFIX[tag][r]), F.col("p_name")),
                     )
                 parts.append(rep)
             out = parts[0]
@@ -283,6 +303,84 @@ def measure() -> None:
     print(f"flagged superlinear (> {LINEAR_BUDGET}x): {flagged or 'none'}")
 
 
+SF10_DIR = os.path.join(REPO, ".scaling", "sf10")
+
+
+def measure_decade() -> None:
+    """Second measured decade: sf1 → sf10 (100× the driver's bench SF)
+    for the HEADLINE family. sf10 = sf1 replicated 10× with stride 100M
+    (same superset/disjoint-key/token-remap invariants, one decade up:
+    replica 0 of sf10 is sf1 itself). A plan whose sf0.1→sf1 ratio and
+    sf1→sf10 ratio are both ≈ linear has a measured two-decade cost
+    curve — the strongest dynamic evidence the sandbox can produce for
+    the 100 TB story. Writes SCALING10.json (same shape as
+    SCALING.json, keys sf1/sf10)."""
+    global QUERY_NAMES
+    headline = QUERY_NAMES[:11]
+    subset = os.environ.get("SPARK_GRAFT_SCALE_QUERIES")
+    if subset:
+        headline = [n.strip() for n in subset.split(",") if n.strip()]
+    QUERY_NAMES = headline
+    if not os.path.exists(os.path.join(SF1_DIR, "_DONE")):
+        generate()
+    if not os.path.exists(os.path.join(SF10_DIR, "_DONE")):
+        generate(
+            src_dir=SF1_DIR,
+            dst_dir=SF10_DIR,
+            n_replicas=10,
+            stride=100_000_000,
+            tag="s",  # decade-unique remap alphabet (see generate())
+        )
+    spark = _spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    print("== timing sf1 ==", file=sys.stderr)
+    t1, rows1, err1 = _time_queries(spark, SF1_DIR)
+    print("== timing sf10 ==", file=sys.stderr)
+    t10, rows10, err10 = _time_queries(spark, SF10_DIR)
+    out = {
+        "protocol": {
+            "iters": ITERS,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "sf_small": SF1_DIR,
+            "sf_big": SF10_DIR,
+            "data_ratio": 10,
+            "linear_budget": LINEAR_BUDGET,
+        },
+        "queries": {},
+        "errors": {"sf1": err1, "sf10": err10},
+    }
+    path = os.path.join(REPO, "SCALING10.json")
+    if subset and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        out["queries"] = prev.get("queries", {})
+        out["errors"]["sf1"] = {**prev.get("errors", {}).get("sf1", {}), **err1}
+        out["errors"]["sf10"] = {
+            **prev.get("errors", {}).get("sf10", {}),
+            **err10,
+        }
+    for name in headline:
+        if name in t1 and name in t10:
+            ratio = round(t10[name] / t1[name], 2) if t1[name] > 0 else None
+            out["queries"][name] = {
+                "sf1_sec": t1[name],
+                "sf10_sec": t10[name],
+                "ratio": ratio,
+                "rows_sf1": rows1.get(name),
+                "rows_sf10": rows10.get(name),
+                "row_ratio": (
+                    round(rows10[name] / rows1[name], 2)
+                    if rows1.get(name) else None
+                ),
+                "superlinear": bool(ratio and ratio > LINEAR_BUDGET),
+            }
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out["queries"], indent=2))
+    flagged = [n for n, q in out["queries"].items() if q["superlinear"]]
+    print(f"flagged superlinear (> {LINEAR_BUDGET}x): {flagged or 'none'}")
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "measure"
-    {"generate": generate, "measure": measure}[cmd]()
+    {"generate": generate, "measure": measure, "measure10": measure_decade}[cmd]()
