@@ -10163,3 +10163,72 @@ def q282_cohort_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week")
     )
+
+
+# ---------------------------------------------------------------------------
+# q286 — per-user debounce census (batch twin of streaming/ratelimit.py)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q286_debounce_census",
+    oracle="""
+    WITH RECURSIVE ev AS (
+      SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'
+    ),
+    emit(user_id, t) AS (
+      SELECT user_id, MIN(t) FROM ev GROUP BY user_id
+      UNION ALL
+      SELECT e.user_id,
+             (SELECT MIN(v.t) FROM ev v
+               WHERE v.user_id = e.user_id AND v.t >= e.t + 86400000000)
+      FROM emit e
+      WHERE EXISTS (SELECT 1 FROM ev v
+                     WHERE v.user_id = e.user_id AND v.t >= e.t + 86400000000)
+    )
+    SELECT e.user_id,
+           CAST(MAX(c.n_clicks) AS BIGINT) AS n_clicks,
+           CAST(COUNT(*) AS BIGINT) AS n_emitted,
+           CAST(MAX(e.t) AS BIGINT) AS last_emit_us
+    FROM emit e
+    JOIN (SELECT user_id, count(*) AS n_clicks FROM ev GROUP BY user_id) c
+      USING (user_id)
+    GROUP BY e.user_id
+    ORDER BY user_id
+    """,
+)
+def q286_debounce_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user alert-debounce census: run the greedy cooldown-spaced
+    selection (streaming/ratelimit.py's debounce_batch — the batch twin
+    of the 11th streaming operator, one Arrow-batched applyInPandas per
+    user) over each user's clicks with a 1-day cooldown, and report
+    clicks vs emitted notifications plus the last emission time. The
+    greedy selection is inherently sequential per key (each emission
+    depends on the previous), which SQL expresses only as bounded
+    recursion — the oracle replays it as a recursive CTE whose step
+    picks MIN(t) ≥ last + cooldown per user (emission TIMES depend only
+    on the per-user timestamp multiset, so the row is tie-robust), the
+    q155 bounded-recursion oracle pattern. Depth ≤ emissions per user
+    (≤ 30 over the 30-day window). Scale: state and work are per-key;
+    the streaming form runs the identical fold with 2 bigints of state
+    per user."""
+    from sales_data_pipeline_spark.streaming.ratelimit import debounce_batch
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+    em = debounce_batch(ev, cooldown_seconds=86400)
+    per = em.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_emitted"),
+        F.max(F.unix_micros("ts")).cast("bigint").alias("last_emit_us"),
+    )
+    n = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks")
+    )
+    return (
+        n.join(per, "user_id")
+        .select("user_id", "n_clicks", "n_emitted", "last_emit_us")
+        .orderBy("user_id")
+    )
