@@ -859,3 +859,143 @@ def incremental_neardup_lsh(
         )
         .filter(F.col("est_jaccard") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup (PassJoin segment blocking)
+# ---------------------------------------------------------------------------
+
+
+def edit_neardup_pairs(
+    df: "DataFrame", col: str = "p_name", k: int = 2
+) -> "DataFrame":
+    """All DISTINCT-value pairs within Levenshtein distance ≤ k —
+    exact, with PassJoin segment blocking (Li, Deng & Feng 2011,
+    public) instead of a quadratic length-bucket join.
+
+    Theorem (pigeonhole over an optimal alignment): partition a string
+    s into k+1 contiguous segments; any t with lev(s,t) ≤ k contains at
+    least one segment EXACTLY, at a position shifted from its position
+    in s by at most k (≤ k net indels can precede it). Partitioning the
+    SHORTER string of each pair suffices, so the index carries every
+    value's k+1 segments and the probe enumerates, per string t, only
+    the substrings matching segments of indexed lengths ≤ len(t)
+    (dl ∈ [-k, 0]) — ≤ (k+1)²·(2k+1) probes, a CONSTANT per string,
+    making candidate generation linear in distinct values versus the
+    length-key join's O(Σ bucket²) which the sf1→sf10 scaling
+    measurement caught going 69× for 10× data (SCALING.md round-7
+    note). Zero recall loss: the window is the theorem's, and the
+    exact DP (`levenshtein`) verifies every candidate. The join key is
+    ONE xxhash64 over (segment_index, segment_text, length): narrower
+    shuffle, still exact — a collision can only ADD a candidate. Both
+    segment enumerations are transform/filter LAMBDAS over a literal
+    combo array (the dbscan-offsets trick): a literal per-combo
+    expression forest made whole-stage codegen compile seconds of
+    Janino per query — the lambda keeps the plan small.
+
+    Strings shorter than k+1 cannot be segmented (zero-length segment
+    matches everywhere); they are routed through a direct
+    length-window join against values of length ≤ 2k+1 — both sides
+    alphabet-bounded sets (distinct strings shorter than k+1), so the
+    side path is broadcast-sized by construction.
+
+    Segment layout for length l: base = l div (k+1), rem = l mod
+    (k+1); the first (k+1-rem) segments have length base, the rest
+    base+1; start_i = i·base + max(0, i-(k+1-rem)).
+
+    Returns (name_a, name_b, edit_distance) with name_a < name_b.
+    Everything is JVM expressions (substr/levenshtein) — no Python in
+    the hot path."""
+    from pyspark.sql import functions as F
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    nseg = k + 1
+    names = df.select(F.col(col).alias("name")).distinct().select(
+        "name", F.length("name").alias("l")
+    )
+    long_names = names.filter(F.col("l") >= nseg)
+
+    def _hash_at(l_col, i_col, start_col):
+        """xxhash64(i, segment-of-this-row's-name at start/len, l) for
+        segment i of an l_col-length layout — shared by both sides so
+        the keys agree bit-for-bit."""
+        base, rem = F.floor(l_col / nseg), l_col % nseg
+        ln = base + F.when(i_col >= nseg - rem, 1).otherwise(0)
+        return ln, F.xxhash64(
+            i_col.cast("int"), F.substr("name", start_col + 1, ln), l_col.cast("int")
+        )
+
+    def _start(l_col, i_col):  # 0-based segment start
+        base, rem = F.floor(l_col / nseg), l_col % nseg
+        return i_col * base + F.greatest(i_col - (F.lit(nseg) - rem), F.lit(0))
+
+    seg_ids = F.array(*[F.lit(i) for i in range(nseg)])
+    idx = long_names.select(
+        F.col("name").alias("name_b"),
+        F.explode(
+            F.transform(
+                seg_ids,
+                lambda i: _hash_at(F.col("l"), i, _start(F.col("l"), i))[1],
+            )
+        ).alias("hk"),
+    )
+
+    # probe side: substrings of t that could equal segment i of an
+    # indexed (shorter-or-equal) string of length l = len(t)+dl,
+    # shifted by at most k
+    combos = F.array(
+        *[
+            F.struct(F.lit(dl).alias("dl"), F.lit(i).alias("i"), F.lit(sh).alias("sh"))
+            for dl in range(-k, 1)
+            for i in range(nseg)
+            for sh in range(-k, k + 1)
+        ]
+    )
+    m = F.col("l")
+
+    def _probe_hash(c):
+        lb = m + c.getField("dl")
+        i = c.getField("i")
+        p = _start(lb, i) + c.getField("sh")
+        ln, h = _hash_at(lb, i, p)
+        return F.when((lb >= nseg) & (p >= 0) & (p + ln <= m), h)
+
+    probe = long_names.select(
+        F.col("name").alias("name_a"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.transform(combos, _probe_hash), lambda h: h.isNotNull())
+            )
+        ).alias("hk"),
+    )
+    d = F.levenshtein("name_a", "name_b")
+    cand = (
+        probe.join(idx, "hk")
+        .filter(F.col("name_a") != F.col("name_b"))
+        .select(
+            F.least("name_a", "name_b").alias("name_a"),
+            F.greatest("name_a", "name_b").alias("name_b"),
+        )
+        .distinct()
+    )
+    # short-string side path: values shorter than k+1 can only pair
+    # with values of length <= 2k (lev <= k bounds the gap); both sets
+    # are alphabet-bounded, broadcast the smaller
+    short = names.filter(F.col("l") < nseg)
+    short_cand = (
+        F.broadcast(short.select(F.col("name").alias("name_a")))
+        .crossJoin(names.filter(F.col("l") <= 2 * k).select(F.col("name").alias("name_b")))
+        .filter(F.col("name_a") != F.col("name_b"))
+        .select(
+            F.least("name_a", "name_b").alias("name_a"),
+            F.greatest("name_a", "name_b").alias("name_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.unionByName(short_cand)
+        .distinct()
+        .filter(d <= k)
+        .select("name_a", "name_b", d.cast("bigint").alias("edit_distance"))
+    )

@@ -2263,35 +2263,22 @@ def q250_name_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     no error model with shingles). Exactly oracle-able because
     Levenshtein is the same integer DP in every engine — no floats
     anywhere. Scale shape: the oracle compares all pairs; the engine
-    NEVER does — lev(a,b) ≤ k forces ||a|−|b|| ≤ k, so each name is
-    indexed under its 2k+1 length keys and candidates come from an
-    EQUI-join on the length key (the bipartite pigeonhole recipe of
-    simhash_near_pairs, zero recall loss), with the exact DP as the
-    verify filter. At a 10⁸-name catalog add a second block key that
-    is also necessary-condition-safe (e.g. length-k character
-    q-gram overlap), same template. The distinct-name projection
-    collapses the fact table first — the pair stage runs on the
-    CATALOG, not the corpus."""
+    NEVER does — candidates come from PassJoin segment blocking
+    (operators/dedup.edit_neardup_pairs: one equi-join on
+    (segment_index, segment_text, length), constant probes per name,
+    zero recall loss by the k+1-segment pigeonhole), with the exact DP
+    as the verify filter. HISTORY: until round 7 this query blocked on
+    the length key alone — candidates are then O(Σ length-bucket²),
+    which the sf1→sf10 scaling measurement caught going 69× for 10×
+    data (SCALING.md second-decade note); the PassJoin rewrite
+    re-measured at ~linear with identical output. The distinct-name
+    projection collapses the fact table first — the pair stage runs on
+    the CATALOG, not the corpus."""
+    from sales_data_pipeline_spark.operators.dedup import edit_neardup_pairs
+
     part = table(spark, sf_dir, "part")
-    names = part.select("p_name").distinct().select(
-        "p_name", F.length("p_name").alias("l")
-    )
-    a = names.select(
-        F.col("p_name").alias("name_a"),
-        F.explode(
-            F.sequence(F.greatest(F.col("l") - 2, F.lit(0)), F.col("l") + 2)
-        ).alias("lk"),
-    )
-    b = names.select(F.col("p_name").alias("name_b"), F.col("l").alias("lk"))
-    d = F.levenshtein("name_a", "name_b")
-    return (
-        a.join(b, "lk")
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b")
-        .distinct()
-        .filter(d <= 2)
-        .select("name_a", "name_b", d.cast("bigint").alias("edit_distance"))
-        .orderBy("edit_distance", "name_a", "name_b")
+    return edit_neardup_pairs(part, "p_name", k=2).orderBy(
+        "edit_distance", "name_a", "name_b"
     )
 
 

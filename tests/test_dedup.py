@@ -1110,3 +1110,77 @@ def test_simhash_exact_duplicates_always_pair(spark):
         for r in simhash_near_pairs(docs, max_hamming=0).collect()
     }
     assert {(0, 1), (2, 3), (2, 4), (3, 4)} <= got
+
+
+# ---------------------------------------------------------------------------
+# PassJoin edit-distance blocking (edit_neardup_pairs)
+# ---------------------------------------------------------------------------
+
+
+def _brute_lev_pairs(vals, k):
+    import itertools
+
+    def lev(a, b):
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    out = set()
+    for x, y in itertools.combinations(sorted(set(vals)), 2):
+        d = lev(x, y)
+        if d <= k:
+            out.add((x, y, d))
+    return out
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_edit_neardup_pairs_matches_brute_force(spark, k):
+    """PassJoin segment blocking loses ZERO recall vs the O(n²) DP,
+    including the adversarial cases: front insertions/deletions (the
+    maximal segment shift), edits inside every segment position, equal
+    strings of different lengths, and sub-(k+1)-length strings through
+    the side path."""
+    import random
+
+    from sales_data_pipeline_spark.operators.dedup import edit_neardup_pairs
+
+    rnd = random.Random(11)
+    base = ["brushed lavender steel anvil", "polished mint copper plate",
+            "aa", "ab", "b", "abcdef"]
+    vals = set(base)
+    for s in list(base) * 4:
+        t = s
+        for _ in range(rnd.randint(1, k)):
+            op = rnd.choice("ins del sub".split())
+            p = rnd.randint(0, max(len(t) - 1, 0))
+            c = rnd.choice("abcxyz ")
+            if op == "ins":
+                t = t[:p] + c + t[p:]
+            elif op == "del" and t:
+                t = t[:p] + t[p + 1:]
+            else:
+                t = t[:p] + c + t[p + 1:] if t else c
+        if t:
+            vals.add(t)
+    # explicit front-shift adversaries
+    vals |= {"xx" + base[0], base[0][2:], "q" + base[1], base[1][1:]}
+    df = spark.createDataFrame([(v,) for v in vals], "p_name string")
+    got = {
+        (r.name_a, r.name_b, r.edit_distance)
+        for r in edit_neardup_pairs(df, "p_name", k=k).collect()
+    }
+    assert got == _brute_lev_pairs(vals, k)
+
+
+def test_edit_neardup_pairs_rejects_bad_k(spark):
+    from sales_data_pipeline_spark.operators.dedup import edit_neardup_pairs
+
+    df = spark.createDataFrame([("x",)], "p_name string")
+    with pytest.raises(ValueError, match="k must be"):
+        edit_neardup_pairs(df, "p_name", k=0)
