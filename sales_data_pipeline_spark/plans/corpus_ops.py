@@ -1857,3 +1857,183 @@ def q285_quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.select(
         "doc_id", "r_len", "r_ttr", "r_wlen", F.round(rrf, 6).alias("rrf_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# q287 — hybrid search: BM25 + dense cosine fused by RRF
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q287_hybrid_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    dl AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ),
+    stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      FROM dl
+    ),
+    tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM toks WHERE term IN {str(_BM25_TERMS)} GROUP BY 1, 2
+    ),
+    df AS (
+      SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      FROM toks WHERE term IN {str(_BM25_TERMS)} GROUP BY 1
+    ),
+    sparse AS (
+      SELECT tf.doc_id,
+        CAST(row_number() OVER (ORDER BY round(sum(
+          ln((stats.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+          * tf.tf * ({_BM25_K1} + 1.0)
+          / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B} * dl.dl / stats.avgdl))
+        ), 6) DESC, tf.doc_id) AS BIGINT) AS r_sparse
+      FROM tf
+      JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN stats
+      GROUP BY tf.doc_id
+    ),
+    qv AS (SELECT embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT vec_id AS doc_id,
+        CAST(row_number() OVER (
+          ORDER BY round(list_cosine_similarity(embedding::DOUBLE[], qv.v), 9)
+            DESC, vec_id) AS BIGINT) AS r_dense
+      FROM embeddings CROSS JOIN qv
+    ),
+    fused AS (
+      SELECT d.doc_id,
+             COALESCE(s.r_sparse, CAST(0 AS BIGINT)) AS r_sparse,
+             d.r_dense,
+             round(
+               CASE WHEN s.r_sparse IS NULL THEN 0.0
+                    ELSE 1.0 / (60 + s.r_sparse) END
+               + 1.0 / (60 + d.r_dense), 6) AS rrf_score
+      FROM dense d LEFT JOIN sparse s USING (doc_id)
+    )
+    SELECT doc_id, r_sparse, r_dense, rrf_score,
+      CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS BIGINT)
+        AS "rank"
+    FROM fused QUALIFY "rank" <= 20
+    """,
+)
+def q287_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the canonical RAG candidate generator: BM25
+    keyword ranking (q172's formula and discipline, all matching docs)
+    and dense cosine ranking against a fixed query embedding (q25's
+    round-9 discipline; vec 0 stands in for the encoded query), fused
+    with Reciprocal Rank Fusion Σ 1/(60+rank) (q285's combiner —
+    calibration-free across incomparable score scales), top-20. Docs
+    matching no query term contribute only their dense term (r_sparse
+    reported as 0). Completes the retrieval story: q172 lexical, q25
+    dense, q109 RAG assembly, q285 fusion — this row is the four
+    composed, oracled end-to-end.
+
+    Scale shape: the BM25 side aggregates only query-term postings
+    (|Q|-term slice); the dense side is one map pass against a
+    broadcast query vector; both global rank windows run over scalar
+    scores (the q285 note: two-phase range-partition rank at 100 TB);
+    fusion is a keyed left join; final top-20 is rank-after-round."""
+    from pyspark.sql.window import Window
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    dl = docs.select("doc_id", token_count("text").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isin(*_BM25_TERMS))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    dfreq = toks.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
+    sparse = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(contrib), 6).alias("bm25"))
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+            .cast("bigint")
+            .alias("r_sparse"),
+        )
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("cv"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = F.round(dot / (norm(F.col("cv")) * norm(F.col("qv"))), 9)
+    dense = (
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").cast("array<double>").alias("cv"),
+        )
+        .crossJoin(F.broadcast(qv))
+        .select("doc_id", cos.alias("cos"))
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("cos").desc(), F.col("doc_id")))
+            .cast("bigint")
+            .alias("r_dense"),
+        )
+    )
+    rrf = F.round(
+        F.when(F.col("r_sparse") > 0, 1.0 / (F.col("r_sparse") + 60)).otherwise(
+            0.0
+        )
+        + 1.0 / (F.col("r_dense") + 60),
+        6,
+    )
+    fused = (
+        dense.join(sparse, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("r_sparse", F.lit(0).cast("bigint")).alias("r_sparse"),
+            "r_dense",
+        )
+        .select("doc_id", "r_sparse", "r_dense", rrf.alias("rrf_score"))
+    )
+    return (
+        fused.orderBy(F.col("rrf_score").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "r_sparse",
+            "r_dense",
+            "rrf_score",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_score").desc(), F.col("doc_id")))
+            .cast("bigint")
+            .alias("rank"),
+        )
+    )
