@@ -208,7 +208,15 @@ def bpe_apply(
         encoded = encoded.select(
             "word", _merge_symbols("symbols", m["left"], m["right"]).alias("symbols")
         )
-    joined = corpus.join(encoded, "word")
+    # The encode table scales WITH the corpus vocabulary (and its
+    # symbols array is far wider than the word), so it must never be
+    # the build side of a broadcast: Catalyst's post-distinct size
+    # estimate picked broadcast at sf10 and the collect blew
+    # spark.driver.maxResultSize (found by tools/scaling.py measure10,
+    # round 7). a sort-merge hint keeps the join shuffle-side and
+    # SPILLABLE at every scale (shuffle_hash was tried first and hit
+    # per-partition hash-build memory limits at sf10).
+    joined = corpus.join(encoded.hint("merge"), "word")
     return (
         joined.groupBy(id_col)
         .agg(

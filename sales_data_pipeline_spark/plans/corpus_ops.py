@@ -1596,8 +1596,12 @@ def q270_bpe_lossless_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     words.unpersist()
     enc = bpe_apply(docs, merges, text_col="text", id_col="doc_id")
     norm = F.regexp_replace(F.col("text"), r"\s+", " ")
+    # enc is CORPUS-sized (every doc's token array): Catalyst's size
+    # estimate picked broadcast for this join at sf10 and the build
+    # collect blew spark.driver.maxResultSize (measure10, r7) — same
+    # class as the bpe_apply encode-table fix; pin a spillable sort-merge join.
     joined = docs.select("doc_id", "source", norm.alias("__norm")).join(
-        enc.select("doc_id", "tokens"), "doc_id", "left"
+        enc.select("doc_id", "tokens").hint("merge"), "doc_id", "left"
     )
     rebuilt = F.trim(
         F.regexp_replace(F.concat_ws("", F.col("tokens")), EOW, " ")

@@ -208,3 +208,21 @@ def test_bpe_train_empty_corpus_yields_no_merges(spark):
     words.unpersist()
     assert merges == []
     assert words.count() == 0
+
+
+def test_bpe_apply_never_broadcasts_the_encode_table(spark):
+    """The word->tokens encode table scales with corpus vocabulary, so
+    the corpus re-join must stay a shuffle join at every SF: Catalyst's
+    post-distinct estimate chose broadcast at sf10 and the build-side
+    collect blew spark.driver.maxResultSize (caught by the round-7
+    measure10 run). Pin the physical strategy."""
+    spark.catalog.clearCache()
+    df = spark.createDataFrame(
+        [(i, f"low lower lowest newer new {i % 3}") for i in range(30)],
+        "doc_id bigint, text string",
+    )
+    merges, words = bpe_train(df, num_merges=4, min_freq=2)
+    words.unpersist()
+    plan = bpe_apply(df, merges)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan
+    assert "BroadcastHashJoin" not in plan, plan

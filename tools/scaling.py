@@ -95,9 +95,11 @@ QUERY_NAMES = [
     "q281_pq_descent_audit",
     "q282_cohort_conversion",
     "q283_dbscan_invariant_audit",
-    # round-7 additions: DSIR selection + RRF quality fusion
+    # round-7 additions: DSIR selection, RRF fusion, debounce, hybrid
     "q284_dsir_importance",
     "q285_quality_rank_fusion",
+    "q286_debounce_census",
+    "q287_hybrid_search",
 ]
 
 # ratio above which a query is flagged for plan diagnosis: 10× data on a
@@ -232,11 +234,23 @@ def _time_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
     samples: dict[str, list[float]] = {n: [] for n in live}
     for _ in range(ITERS):
         spark.catalog.clearCache()
-        for name in live:
+        for name in list(live):
             t0 = time.perf_counter()
-            QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
+            try:
+                QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            except Exception as ex:  # a timed-pass failure (e.g. an
+                # sf-dependent resource blow-up the warmup's smaller
+                # plan survived) must be RECORDED, not kill the whole
+                # artifact run — the r7 subset run died on one query's
+                # driver.maxResultSize and merged nothing
+                errors[name] = str(ex).splitlines()[0][:300]
+                live.remove(name)
+                samples.pop(name, None)
+                print(f"  {name}: FAILED timed pass ({errors[name][:120]})",
+                      file=sys.stderr)
+                continue
             samples[name].append(time.perf_counter() - t0)
     timings = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
     return timings, rows, errors
@@ -374,6 +388,11 @@ def measure_decade() -> None:
                 ),
                 "superlinear": bool(ratio and ratio > LINEAR_BUDGET),
             }
+    # a re-measured query that now succeeds clears its stale error entry
+    for side in out["errors"]:
+        for n in list(out["errors"][side]):
+            if n in out["queries"] and n in QUERY_NAMES:
+                del out["errors"][side][n]
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out["queries"], indent=2))
