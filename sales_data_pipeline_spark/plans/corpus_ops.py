@@ -2041,3 +2041,207 @@ def q287_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q288 — curation funnel: the full data recipe as one oracled census
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q288_curation_funnel",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, source, text, string_split(text, ' ') AS w
+      FROM documents
+    ),
+    q AS (
+      SELECT * FROM base
+      WHERE len(w) BETWEEN 20 AND 10000
+        AND len(list_distinct(w)) * 10 >= len(w) * 3
+    ),
+    d AS (
+      SELECT q.* FROM q
+      JOIN (SELECT md5(text) AS h, MIN(doc_id) AS keep FROM q GROUP BY 1) k
+        ON md5(q.text) = k.h AND q.doc_id = k.keep
+    ),
+    bench_sh AS (
+      SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS g
+      FROM base, unnest(range(1, greatest(len(w) - 4, 0) + 1)) AS u(i)
+      WHERE source = '{_BENCH_SOURCE}'
+    ),
+    c AS (
+      SELECT * FROM d
+      WHERE source <> '{_BENCH_SOURCE}'
+        AND NOT EXISTS (
+          SELECT 1
+          FROM unnest(range(1, greatest(len(d.w) - 4, 0) + 1)) AS u(i)
+          JOIN bench_sh b ON array_to_string(d.w[i:i+4], ' ') = b.g
+        )
+    ),
+    toks AS (
+      SELECT doc_id, lang,
+             (('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 13))::UBIGINT
+               % 1024) AS b
+      FROM documents
+    ),
+    dist AS (
+      SELECT b, CAST(count(*) AS BIGINT) AS c_raw,
+             CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS c_tgt
+      FROM toks GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(c_raw) AS BIGINT) AS n_raw,
+             CAST(SUM(c_tgt) AS BIGINT) AS n_tgt
+      FROM dist
+    ),
+    lt AS (
+      SELECT t.doc_id,
+        count(*) FILTER (
+          WHERE (c_tgt + 1) * (n_raw + 1024) > (c_raw + 1) * (n_tgt + 1024)
+        ) AS l_d,
+        count(*) AS t_d
+      FROM toks t
+      JOIN dist USING (b) CROSS JOIN tot
+      WHERE t.doc_id IN (SELECT doc_id FROM c)
+      GROUP BY t.doc_id
+    ),
+    g AS (SELECT SUM(l_d) AS l_g, SUM(t_d) AS t_g FROM lt),
+    s AS (
+      SELECT doc_id FROM lt CROSS JOIN g
+      WHERE l_d * t_g > l_g * t_d
+    )
+    SELECT base.source,
+      CAST(count(*) AS BIGINT) AS n_raw,
+      CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM q)) AS BIGINT)
+        AS n_quality,
+      CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM d)) AS BIGINT)
+        AS n_dedup,
+      CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM c)) AS BIGINT)
+        AS n_decontam,
+      CAST(count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM s)) AS BIGINT)
+        AS n_selected
+    FROM base GROUP BY base.source ORDER BY base.source
+    """,
+)
+def q288_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pretraining-data recipe as one driver-checkable row
+    per source — the per-stage survivor census a dataset datasheet
+    reports: raw → quality gate (Gopher-style: 20 ≤ words ≤ 10000 and
+    distinct-word ratio ≥ 0.3, integer-exact comparisons) → exact
+    dedup (min-doc_id canonical per md5(text)) → decontamination
+    (drop the benchmark source and any doc sharing a 5-token shingle
+    with it — q54's convention) → DSIR selection, re-expressed
+    INTEGER-EXACTLY: a token is target-leaning iff
+    (c_tgt+1)·(N_raw+B) > (c_raw+1)·(N_tgt+B) (the cross-multiplied
+    form of q284's smoothed log-ratio test — bigint arithmetic, no
+    cross-engine float boundary), and a doc is selected when its
+    leaning-token FRACTION exceeds the selection pool's average — also
+    cross-multiplied (l_d·T_g > L_g·t_d), so the cut self-calibrates
+    at every SF with zero float boundaries anywhere in the funnel. Each stage is oracled
+    individually elsewhere (q257/q19, q21, q54/q87, q284); this row
+    pins their COMPOSITION — ordering and survivorship interactions —
+    which no single-stage oracle sees.
+
+    Scale shape: quality is map-only; dedup one fingerprint groupBy;
+    decontamination a shingle anti-join against the bench set;
+    selection one exploded-token join to the broadcast 1024-bucket
+    model + per-doc integer majority; census = per-stage survivor-flag
+    aggregation, one pass each."""
+    docs = table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    base = docs.select("doc_id", "source", "lang", "text", w.alias("w"))
+    wc = F.size("w")
+    q_ok = (
+        (wc >= 20)
+        & (wc <= 10000)
+        & (F.size(F.array_distinct("w")) * 10 >= wc * 3)
+    )
+    q = base.filter(q_ok)
+    keep = q.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    d = q.join(keep.select("doc_id"), "doc_id")
+    sh = F.when(
+        wc >= 5,
+        F.transform(
+            F.sequence(F.lit(0), wc - 5),
+            lambda i: F.concat_ws(
+                " ",
+                *[F.element_at("w", i + j) for j in range(1, 6)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bench_sh = (
+        base.filter(F.col("source") == _BENCH_SOURCE)
+        .select(F.explode_outer(sh).alias("g"))
+        .filter(F.col("g").isNotNull())
+        .distinct()
+    )
+    d_sh = d.select("doc_id", "source", F.explode_outer(sh).alias("g"))
+    contaminated = d_sh.join(bench_sh, "g").select("doc_id").distinct()
+    c = (
+        d.filter(F.col("source") != _BENCH_SOURCE)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    bk = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ")).alias("tok"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5("tok"), 1, 13), 16, 10).cast("bigint")
+            % 1024
+        ).alias("b"),
+    )
+    dist = bk.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_raw"),
+        F.count_if(F.col("lang") == "en").cast("bigint").alias("c_tgt"),
+    )
+    tot = dist.agg(
+        F.sum("c_raw").cast("bigint").alias("n_raw_tok"),
+        F.sum("c_tgt").cast("bigint").alias("n_tgt_tok"),
+    )
+    leaning = (F.col("c_tgt") + 1) * (F.col("n_raw_tok") + 1024) > (
+        F.col("c_raw") + 1
+    ) * (F.col("n_tgt_tok") + 1024)
+    lt = (
+        bk.join(c.select("doc_id"), "doc_id")
+        .join(F.broadcast(dist), "b")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count_if(leaning).alias("l_d"),
+            F.count(F.lit(1)).alias("t_d"),
+        )
+    )
+    g = lt.agg(
+        F.sum("l_d").alias("l_g"), F.sum("t_d").alias("t_g")
+    )
+    s = (
+        lt.crossJoin(F.broadcast(g))
+        .filter(F.col("l_d") * F.col("t_g") > F.col("l_g") * F.col("t_d"))
+        .select("doc_id")
+    )
+
+    def flag(surv, name):
+        return surv.select("doc_id").withColumn(name, F.lit(1))
+
+    return (
+        base.select("doc_id", "source")
+        .join(flag(q, "fq"), "doc_id", "left")
+        .join(flag(d, "fd"), "doc_id", "left")
+        .join(flag(c, "fc"), "doc_id", "left")
+        .join(flag(s, "fs"), "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            F.sum(F.coalesce("fq", F.lit(0))).cast("bigint").alias("n_quality"),
+            F.sum(F.coalesce("fd", F.lit(0))).cast("bigint").alias("n_dedup"),
+            F.sum(F.coalesce("fc", F.lit(0))).cast("bigint").alias("n_decontam"),
+            F.sum(F.coalesce("fs", F.lit(0))).cast("bigint").alias("n_selected"),
+        )
+        .orderBy("source")
+    )
