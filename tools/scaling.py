@@ -100,6 +100,7 @@ QUERY_NAMES = [
     "q285_quality_rank_fusion",
     "q286_debounce_census",
     "q287_hybrid_search",
+    "q288_curation_funnel",
 ]
 
 # ratio above which a query is flagged for plan diagnosis: 10× data on a
