@@ -118,7 +118,16 @@ def dbscan(
 ) -> DataFrame:
     """(id_col, cluster bigint, is_core boolean) for every input row;
     noise rows carry cluster = -1. See module docstring for the
-    algorithm and determinism contract."""
+    algorithm and determinism contract.
+
+    Dimensionality contract (raises ValueError for dims > 4, new in
+    r7 when the pair stage moved to ``eps_pairs``): the 3^d grid-cell
+    fan-out AND the statistical emptiness of high-dimensional eps-balls
+    make grid DBSCAN the wrong tool past ~4 dims — project first
+    (``pca_project`` / ``jl_project``) or cluster with
+    ``kmeans`` / ``semantic_dedup``. Callers who relied on the old
+    (silently quadratic-ish) high-d behavior must project; the loud
+    error replaces a plan that was never going to survive scale."""
     if eps <= 0:
         raise ValueError(f"eps must be > 0, got {eps}")
     if min_pts < 1:

@@ -10199,27 +10199,33 @@ def q282_cohort_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q286_debounce_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user alert-debounce census: run the greedy cooldown-spaced
-    selection (streaming/ratelimit.py's debounce_batch — the batch twin
-    of the 11th streaming operator, one Arrow-batched applyInPandas per
-    user) over each user's clicks with a 1-day cooldown, and report
-    clicks vs emitted notifications plus the last emission time. The
-    greedy selection is inherently sequential per key (each emission
-    depends on the previous), which SQL expresses only as bounded
-    recursion — the oracle replays it as a recursive CTE whose step
-    picks MIN(t) ≥ last + cooldown per user (emission TIMES depend only
-    on the per-user timestamp multiset, so the row is tie-robust), the
-    q155 bounded-recursion oracle pattern. Depth ≤ emissions per user
-    (≤ 30 over the 30-day window). Scale: state and work are per-key;
-    the streaming form runs the identical fold with 2 bigints of state
-    per user."""
-    from sales_data_pipeline_spark.streaming.ratelimit import debounce_batch
+    selection (streaming/ratelimit.py's debounce_codegen — the
+    whole-stage-codegen twin of the 11th streaming operator: one
+    array_sort + JVM aggregate fold per user, zero Python; r8 rewrite
+    of the Arrow applyInPandas form whose per-key Python-worker
+    dispatch was the catalog's largest sf0.1 constant at 8.6s, the
+    q190 capped-balance pattern) over each user's clicks with a 1-day
+    cooldown, and report clicks vs emitted notifications plus the last
+    emission time. debounce_batch (the Arrow fold) stays as the
+    streaming-parity reference, pinned bitwise-equal by
+    test_streaming.py. The greedy selection is inherently sequential
+    per key (each emission depends on the previous), which SQL
+    expresses only as bounded recursion — the oracle replays it as a
+    recursive CTE whose step picks MIN(t) ≥ last + cooldown per user
+    (emission TIMES depend only on the per-user timestamp multiset, so
+    the row is tie-robust), the q155 bounded-recursion oracle pattern.
+    Depth ≤ emissions per user (≤ 30 over the 30-day window). Scale:
+    per-key histories are bounded (q111/q190's bounded-group
+    contract); the streaming form runs the identical fold with 2
+    bigints of state per user for unbounded history."""
+    from sales_data_pipeline_spark.streaming.ratelimit import debounce_codegen
 
     ev = (
         table(spark, sf_dir, "events")
         .filter(F.col("event_type") == "click")
         .select("user_id", "event_id", "ts", "event_type", "value")
     )
-    em = debounce_batch(ev, cooldown_seconds=86400)
+    em = debounce_codegen(ev, cooldown_seconds=86400)
     per = em.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_emitted"),
         F.max(F.unix_micros("ts")).cast("bigint").alias("last_emit_us"),

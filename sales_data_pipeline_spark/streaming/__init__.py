@@ -22,5 +22,6 @@ from sales_data_pipeline_spark.streaming.incremental import (  # noqa: F401
 )
 from sales_data_pipeline_spark.streaming.ratelimit import (  # noqa: F401
     debounce_batch,
+    debounce_codegen,
     debounce_stateful,
 )

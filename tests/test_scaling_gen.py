@@ -130,3 +130,84 @@ def test_second_decade_generation_composes(spark, gen_dir, tmp_path):
         .count()
     )
     assert leak == 0
+
+
+# ---------------------------------------------------------------------------
+# subset-merge invariants of the SCALING artifacts (ADVICE r8, medium):
+# a query that newly FAILS a subset re-measure must drop its stale
+# success entry AND keep its fresh error — the r7 code did the reverse,
+# silently reporting the old timing as current and deleting the fresh
+# error record.
+# ---------------------------------------------------------------------------
+
+
+def _prev_artifact():
+    return {
+        "queries": {
+            "q_refail": {"sf1_sec": 1.0, "sf10_sec": 2.0, "ratio": 2.0,
+                         "superlinear": False},
+            "q_untouched": {"sf1_sec": 5.0, "sf10_sec": 9.0, "ratio": 1.8,
+                            "superlinear": False},
+            "q_regreen": {"sf1_sec": 3.0, "sf10_sec": 4.0, "ratio": 1.33,
+                          "superlinear": False},
+        },
+        "errors": {
+            "sf1": {"q_stale_err": "old boom"},
+            "sf10": {"q_regreen": "old oom"},
+        },
+    }
+
+
+def test_merge_fresh_failure_drops_stale_success_and_keeps_fresh_error():
+    from scaling import _merge_artifact
+
+    queries, errors = _merge_artifact(
+        _prev_artifact(),
+        ["q_refail"],
+        "sf1", "sf10",
+        t_small={"q_refail": 1.1}, t_big={},          # failed the big side
+        rows_small={"q_refail": 10}, rows_big={},
+        err_small={}, err_big={"q_refail": "fresh oom"},
+    )
+    assert "q_refail" not in queries            # stale timing dropped
+    assert errors["sf10"]["q_refail"] == "fresh oom"   # fresh error kept
+    # fresh success on the small side clears nothing it shouldn't
+    assert "q_refail" not in errors["sf1"]
+    # out-of-subset entries survive untouched
+    assert queries["q_untouched"]["sf1_sec"] == 5.0
+    assert errors["sf1"]["q_stale_err"] == "old boom"
+
+
+def test_merge_fresh_green_clears_stale_error_and_updates_entry():
+    from scaling import _merge_artifact
+
+    queries, errors = _merge_artifact(
+        _prev_artifact(),
+        ["q_regreen"],
+        "sf1", "sf10",
+        t_small={"q_regreen": 2.0}, t_big={"q_regreen": 5.0},
+        rows_small={"q_regreen": 7}, rows_big={"q_regreen": 70},
+        err_small={}, err_big={},
+    )
+    assert queries["q_regreen"]["sf1_sec"] == 2.0
+    assert queries["q_regreen"]["sf10_sec"] == 5.0
+    assert queries["q_regreen"]["ratio"] == 2.5
+    assert queries["q_regreen"]["row_ratio"] == 10.0
+    assert "q_regreen" not in errors["sf10"]    # stale error cleared
+    assert errors["sf1"] == {"q_stale_err": "old boom"}
+
+
+def test_merge_full_run_ignores_prev():
+    from scaling import _merge_artifact
+
+    queries, errors = _merge_artifact(
+        None,
+        ["q_a"],
+        "sf0.1", "sf1",
+        t_small={"q_a": 1.0}, t_big={"q_a": 30.0},
+        rows_small={"q_a": 1}, rows_big={"q_a": 1},
+        err_small={}, err_big={},
+    )
+    assert set(queries) == {"q_a"}
+    assert queries["q_a"]["superlinear"] is True   # 30x > 12x budget
+    assert errors == {"sf0.1": {}, "sf1": {}}

@@ -1278,7 +1278,9 @@ def test_funnel_state_survives_rocksdb_store_swap(spark, tmp_path):
 
 # ---------------------------------------------------------------------------
 # per-key debounce / rate limit (streaming/ratelimit.py —
-# transformWithStateInPandas, the Spark-4 stateful-processor API)
+# applyInPandasWithState; Spark 4's transformWithStateInPandas would
+# express the identical fold but needs google.protobuf, absent here —
+# see the ratelimit.py module docstring)
 # ---------------------------------------------------------------------------
 
 
@@ -1321,6 +1323,70 @@ def test_debounce_batch_greedy_fold_and_ties(spark):
 
     with pytest.raises(ValueError, match="cooldown_seconds"):
         debounce_batch(df, cooldown_seconds=0)
+
+
+def test_debounce_codegen_bitwise_equals_arrow_fold(spark):
+    """The r8 JVM-aggregate fold (debounce_codegen, the q286 hot path)
+    is bitwise-equal to the Arrow applyInPandas reference on the real
+    events table — every column including the suppressed counts, at a
+    cooldown that exercises both emission and suppression."""
+    from sales_data_pipeline_spark.streaming.ratelimit import (
+        debounce_batch,
+        debounce_codegen,
+    )
+
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+    a = debounce_batch(ev, cooldown_seconds=86400)
+    b = debounce_codegen(ev, cooldown_seconds=86400)
+    assert a.schema == b.schema
+    assert a.count() > 0
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_debounce_generic_key_and_schema(spark):
+    """ADVICE r8: key_cols is no longer a lie — both batch forms work
+    on an arbitrary frame (composite key, renamed timestamp, no
+    event_id), emitting every input column + n_suppressed_since_last."""
+    from sales_data_pipeline_spark.streaming.ratelimit import (
+        debounce_batch,
+        debounce_codegen,
+    )
+
+    rows = [
+        ("eu", "disk", dt.datetime(2024, 1, 1, 0, 0, 0), 1),
+        ("eu", "disk", dt.datetime(2024, 1, 1, 0, 2, 0), 2),   # suppressed
+        ("eu", "disk", dt.datetime(2024, 1, 1, 0, 10, 0), 3),  # emit
+        ("eu", "cpu", dt.datetime(2024, 1, 1, 0, 1, 0), 4),    # own key
+        ("us", "disk", dt.datetime(2024, 1, 1, 0, 1, 0), 5),   # own key
+    ]
+    df = spark.createDataFrame(
+        rows, "region string, metric string, fired_at timestamp, n int"
+    )
+    for fn in (debounce_batch, debounce_codegen):
+        out = fn(
+            df,
+            cooldown_seconds=300,
+            key_cols=("region", "metric"),
+            ts_col="fired_at",
+            order_cols=("fired_at", "n"),
+        )
+        assert out.columns == [
+            "region", "metric", "fired_at", "n", "n_suppressed_since_last"
+        ]
+        got = {r.n: r.n_suppressed_since_last for r in out.collect()}
+        assert got == {1: 0, 3: 1, 4: 0, 5: 0}
+    with pytest.raises(ValueError, match="not in input frame"):
+        debounce_batch(df, key_cols=("region",), ts_col="ts")
+    with pytest.raises(ValueError, match="lead with ts_col"):
+        debounce_codegen(
+            df, key_cols=("region",), ts_col="fired_at",
+            order_cols=("n", "fired_at"),
+        )
 
 
 def test_debounce_stateful_matches_batch_across_boundary(spark, tmp_path):

@@ -257,6 +257,69 @@ def _time_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
     return timings, rows, errors
 
 
+def _merge_artifact(
+    prev: dict | None,
+    names: list,
+    small_key: str,
+    big_key: str,
+    t_small: dict,
+    t_big: dict,
+    rows_small: dict,
+    rows_big: dict,
+    err_small: dict,
+    err_big: dict,
+) -> tuple[dict, dict]:
+    """Merge this run's measurements into the previous artifact
+    (pure — unit-tested by tests/test_scaling_gen.py). Invariants the
+    r7 subset run violated (ADVICE r8 medium: a freshly-FAILING query
+    kept its stale success entry and the error-clearing loop then
+    deleted the fresh error):
+      * freshly green this run (in both t_small and t_big) → new
+        queries entry, and that side's stale errors cleared;
+      * FAILED this run on either side → any stale success entry is
+        dropped (the artifact never shows a timing alongside a
+        swallowed error) and the fresh error is kept;
+      * not in this run's subset → previous entry/errors untouched;
+      * stale errors clear PER SIDE, only for a side the query
+        freshly succeeded on (a fresh error can never be deleted,
+        because err_* and t_* are disjoint by construction).
+    """
+    queries = dict((prev or {}).get("queries", {}))
+    errors = {
+        small_key: dict((prev or {}).get("errors", {}).get(small_key, {})),
+        big_key: dict((prev or {}).get("errors", {}).get(big_key, {})),
+    }
+    errors[small_key].update(err_small)
+    errors[big_key].update(err_big)
+    for name in names:
+        if name in t_small and name in t_big:
+            ratio = (
+                round(t_big[name] / t_small[name], 2)
+                if t_small[name] > 0
+                else None
+            )
+            queries[name] = {
+                f"{small_key}_sec": t_small[name],
+                f"{big_key}_sec": t_big[name],
+                "ratio": ratio,
+                f"rows_{small_key}": rows_small.get(name),
+                f"rows_{big_key}": rows_big.get(name),
+                "row_ratio": (
+                    round(rows_big[name] / rows_small[name], 2)
+                    if rows_small.get(name)
+                    else None
+                ),
+                "superlinear": bool(ratio and ratio > LINEAR_BUDGET),
+            }
+        else:
+            queries.pop(name, None)
+    for side, fresh in ((small_key, t_small), (big_key, t_big)):
+        for n in list(errors[side]):
+            if n in fresh:
+                del errors[side][n]
+    return queries, errors
+
+
 def measure() -> None:
     """Full run rewrites SCALING.json. SPARK_GRAFT_SCALE_QUERIES (comma
     list) restricts the run to a subset and MERGES those entries into
@@ -286,31 +349,17 @@ def measure() -> None:
             "linear_budget": LINEAR_BUDGET,
         },
         "queries": {},
-        "errors": {"sf0.1": err01, "sf1": err1},
+        "errors": {},
     }
     scaling_path = os.path.join(REPO, "SCALING.json")
+    prev = None
     if subset and os.path.exists(scaling_path):
         with open(scaling_path) as f:
             prev = json.load(f)
-        out["queries"] = prev.get("queries", {})
-        out["errors"] = prev.get("errors", out["errors"])
-        out["errors"]["sf0.1"].update(err01)
-        out["errors"]["sf1"].update(err1)
-    for name in QUERY_NAMES:
-        if name in t01 and name in t1:
-            ratio = round(t1[name] / t01[name], 2) if t01[name] > 0 else None
-            out["queries"][name] = {
-                "sf0.1_sec": t01[name],
-                "sf1_sec": t1[name],
-                "ratio": ratio,
-                "rows_sf0.1": rows01.get(name),
-                "rows_sf1": rows1.get(name),
-                "row_ratio": (
-                    round(rows1[name] / rows01[name], 2)
-                    if rows01.get(name) else None
-                ),
-                "superlinear": bool(ratio and ratio > LINEAR_BUDGET),
-            }
+    out["queries"], out["errors"] = _merge_artifact(
+        prev, QUERY_NAMES, "sf0.1", "sf1",
+        t01, t1, rows01, rows1, err01, err1,
+    )
     with open(scaling_path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out["queries"], indent=2))
@@ -362,38 +411,17 @@ def measure_decade() -> None:
             "linear_budget": LINEAR_BUDGET,
         },
         "queries": {},
-        "errors": {"sf1": err1, "sf10": err10},
+        "errors": {},
     }
     path = os.path.join(REPO, "SCALING10.json")
+    prev = None
     if subset and os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
-        out["queries"] = prev.get("queries", {})
-        out["errors"]["sf1"] = {**prev.get("errors", {}).get("sf1", {}), **err1}
-        out["errors"]["sf10"] = {
-            **prev.get("errors", {}).get("sf10", {}),
-            **err10,
-        }
-    for name in headline:
-        if name in t1 and name in t10:
-            ratio = round(t10[name] / t1[name], 2) if t1[name] > 0 else None
-            out["queries"][name] = {
-                "sf1_sec": t1[name],
-                "sf10_sec": t10[name],
-                "ratio": ratio,
-                "rows_sf1": rows1.get(name),
-                "rows_sf10": rows10.get(name),
-                "row_ratio": (
-                    round(rows10[name] / rows1[name], 2)
-                    if rows1.get(name) else None
-                ),
-                "superlinear": bool(ratio and ratio > LINEAR_BUDGET),
-            }
-    # a re-measured query that now succeeds clears its stale error entry
-    for side in out["errors"]:
-        for n in list(out["errors"][side]):
-            if n in out["queries"] and n in QUERY_NAMES:
-                del out["errors"][side][n]
+    out["queries"], out["errors"] = _merge_artifact(
+        prev, headline, "sf1", "sf10",
+        t1, t10, rows1, rows10, err1, err10,
+    )
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out["queries"], indent=2))
