@@ -436,3 +436,99 @@ def grouped_running_sum(
         .withColumn(out_col, F.col("__run") + F.col("__off"))
         .drop("__b", "__run", "__off")
     )
+
+
+def distributed_rank(
+    df: DataFrame,
+    signal_col: str,
+    id_col: str,
+    out_col: str,
+    descending: bool = True,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY signal [DESC], id)`` with NO
+    single-partition stage anywhere in the plan — the two-phase
+    distributed rank the q285/q287 global-window registrations
+    documented but didn't implement until r8.
+
+    A global rank is the one window a 100 TB curation pipeline cannot
+    avoid (RRF fusion, DSIR cuts, quality-percentile gates all need
+    it), and ``Window.orderBy(...)`` with an empty partition spec
+    funnels the entire corpus through ONE reducer. Instead:
+
+      1. range-bucket rows on the signal (broadcast min/max bounds
+         attach lazily — no plan-time job; same-signal ties land in
+         the same bucket, so the ``id_col`` tie-break never crosses a
+         bucket boundary);
+      2. ``row_number`` within each bucket — one hash exchange, all
+         buckets sort in parallel;
+      3. per-bucket row counts collapse to a 1-row aggregate whose
+         exclusive prefix offsets are computed by a JVM ``aggregate``
+         fold over the (n_buckets)-element array — no Window node at
+         all, so the plan carries ZERO empty-partition windows (the
+         ``grouped_running_sum`` offset window over bucket totals,
+         bounded as it is, would still trip the global-window lint) —
+         then broadcast-join back.
+
+    Ranks are exactly the naive window's (bitwise: pure integer
+    arithmetic) whenever ``(signal, id)`` is a total order, so oracles
+    written against ``row_number()`` stay valid. Output = input +
+    ``out_col`` (bigint)."""
+    ordv = F.col(signal_col).cast("double")
+    if descending:
+        ordv = -ordv
+    bounds = df.agg(
+        F.min(ordv).alias("__lo"), F.max(ordv).alias("__hi")
+    )
+    width = F.greatest(
+        (F.col("__hi") - F.col("__lo")) / F.lit(float(n_buckets)),
+        F.lit(1e-9),
+    )
+    bucketed = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__b",
+            F.least(
+                F.floor((ordv - F.col("__lo")) / width).cast("int"),
+                F.lit(n_buckets - 1),
+            ),
+        )
+        .drop("__lo", "__hi")
+    )
+    from pyspark.sql.window import Window
+
+    w_in = Window.partitionBy("__b").orderBy(ordv.asc(), F.col(id_col).asc())
+    inner = bucketed.withColumn("__rn", F.row_number().over(w_in))
+    counts = bucketed.groupBy("__b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    )
+    offsets = (
+        counts.agg(
+            F.sort_array(F.collect_list(F.struct("__b", "__cnt"))).alias("a")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    aggregate(
+                      a,
+                      struct(CAST(0 AS BIGINT) AS run,
+                             CAST(array() AS
+                               array<struct<__b:int,__off:bigint>>) AS out),
+                      (acc, x) -> struct(
+                        acc.run + x.__cnt AS run,
+                        concat(acc.out,
+                               array(struct(x.__b AS __b,
+                                            acc.run AS __off))) AS out),
+                      acc -> acc.out)
+                    """
+                )
+            ).alias("o")
+        )
+        .select(F.col("o.__b").alias("__b"), F.col("o.__off").alias("__off"))
+    )
+    return (
+        inner.join(F.broadcast(offsets), "__b")
+        .withColumn(out_col, (F.col("__off") + F.col("__rn")).cast("bigint"))
+        .drop("__b", "__rn", "__off")
+    )

@@ -1824,12 +1824,17 @@ def q285_quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     three-term expression (not a float aggregation), so it is bitwise
     reproducible; round 6 per house style.
 
-    Scale note: the three global sorts are rank computations over
-    scalar signals — at 100 TB this becomes the two-phase distributed
-    rank pattern (q153/q158: range-partition on the signal, prefix-sum
-    partition offsets); registered with global windows here because
-    row_number over a scalar is the exact semantics the fusion needs,
-    and the q235/q236 scale-sibling pattern documents the rewrite."""
+    Scale (r8 rewrite, de-weaking VERDICT r7 #1): each signal's rank
+    runs as operators/scale.distributed_rank — range-bucket on the
+    signal, per-bucket row_number in parallel, bucket-count prefix
+    offsets via a 1-row JVM fold, broadcast-joined back — so the plan
+    carries ZERO empty-partition windows and no global sort (pinned by
+    test_plan_shapes); ranks are bitwise the naive window's because
+    (signal, doc_id) is a total order, so the row_number oracle is
+    unchanged. Three narrow rank pipelines over (doc_id, signal)
+    pairs, fused by two doc_id equi-joins."""
+    from sales_data_pipeline_spark.operators.scale import distributed_rank
+
     docs = table(spark, sf_dir, "documents")
     words = F.split("text", " ")
     sig = docs.select(
@@ -1844,14 +1849,15 @@ def q285_quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(words)
         ).alias("wlen_sig"),
     )
-    r = lambda c: F.row_number().over(
-        Window.orderBy(F.col(c).desc(), F.col("doc_id"))
-    )
-    ranked = sig.select(
-        "doc_id",
-        r("len_sig").cast("bigint").alias("r_len"),
-        r("ttr_sig").cast("bigint").alias("r_ttr"),
-        r("wlen_sig").cast("bigint").alias("r_wlen"),
+    def rank_of(sig_col: str, out: str) -> DataFrame:
+        return distributed_rank(
+            sig.select("doc_id", sig_col), sig_col, "doc_id", out
+        ).select("doc_id", out)
+
+    ranked = (
+        rank_of("len_sig", "r_len")
+        .join(rank_of("ttr_sig", "r_ttr"), "doc_id")
+        .join(rank_of("wlen_sig", "r_wlen"), "doc_id")
     )
     rrf = (
         F.lit(1.0) / (F.lit(60) + F.col("r_len"))
@@ -1942,9 +1948,11 @@ def q287_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the BM25 side aggregates only query-term postings
     (|Q|-term slice); the dense side is one map pass against a
-    broadcast query vector; both global rank windows run over scalar
-    scores (the q285 note: two-phase range-partition rank at 100 TB);
-    fusion is a keyed left join; final top-20 is rank-after-round."""
+    broadcast query vector; both corpus-sized ranks run as
+    operators/scale.distributed_rank (r8 — no empty-partition window
+    over the corpus); fusion is a keyed left join; final top-20 is
+    TakeOrdered, whose 20-row re-rank window is the one bounded global
+    window left in the plan (lint-allowlisted by construction)."""
     from pyspark.sql.window import Window
 
     docs = table(spark, sf_dir, "documents")
@@ -1970,19 +1978,17 @@ def q287_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
     )
     contrib = idf * F.col("tf") * (_BM25_K1 + 1.0) / denom
-    sparse = (
+    from sales_data_pipeline_spark.operators.scale import distributed_rank
+
+    bm25 = (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .groupBy("doc_id")
         .agg(F.round(F.sum(contrib), 6).alias("bm25"))
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
-            .cast("bigint")
-            .alias("r_sparse"),
-        )
+    )
+    sparse = distributed_rank(bm25, "bm25", "doc_id", "r_sparse").select(
+        "doc_id", "r_sparse"
     )
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").cast("array<double>").alias("qv")
@@ -1996,20 +2002,16 @@ def q287_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
     )
     cos = F.round(dot / (norm(F.col("cv")) * norm(F.col("qv"))), 9)
-    dense = (
+    cos_scores = (
         emb.select(
             F.col("vec_id").alias("doc_id"),
             F.col("embedding").cast("array<double>").alias("cv"),
         )
         .crossJoin(F.broadcast(qv))
         .select("doc_id", cos.alias("cos"))
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.col("cos").desc(), F.col("doc_id")))
-            .cast("bigint")
-            .alias("r_dense"),
-        )
+    )
+    dense = distributed_rank(cos_scores, "cos", "doc_id", "r_dense").select(
+        "doc_id", "r_dense"
     )
     rrf = F.round(
         F.when(F.col("r_sparse") > 0, 1.0 / (F.col("r_sparse") + 60)).otherwise(
