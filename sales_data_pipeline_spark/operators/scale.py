@@ -101,6 +101,97 @@ def salted_join(
     return left.join(right, [on, "__salt"], how).drop("__salt")
 
 
+def _epoch_us(df: DataFrame, ts_col: str) -> Column:
+    """Epoch microseconds for TIMESTAMP, TIMESTAMP_NTZ or DATE (the NTZ
+    case is pure wall-clock arithmetic, timezone-independent — same
+    recipe as streaming/ratelimit.py's codegen fold; identical under
+    the UTC session this engine pins)."""
+    from pyspark.sql.types import DateType, TimestampNTZType
+
+    dtype = df.schema[ts_col].dataType
+    if isinstance(dtype, TimestampNTZType):
+        return F.expr(
+            "timestampdiff(MICROSECOND, "
+            f"TIMESTAMP_NTZ'1970-01-01 00:00:00', `{ts_col}`)"
+        )
+    if isinstance(dtype, DateType):
+        return F.unix_date(F.col(ts_col)).cast("bigint") * F.lit(
+            86_400_000_000
+        )
+    return F.unix_micros(F.col(ts_col))
+
+
+def banded_interval_join(
+    probe: DataFrame,
+    build: DataFrame,
+    on: str,
+    probe_ts: str,
+    build_ts: str,
+    lower_us: int,
+    upper_us: int,
+    bucket_width_us: int | None = None,
+) -> DataFrame:
+    """Interval equi-join with TIME-BUCKETED shuffle keys — the scale
+    sibling of the key-then-band shape (q112/q118/q30/q34).
+
+    Semantics: inner-join rows where ``probe.on == build.on`` and
+    ``build_ts - probe_ts ∈ [lower_us, upper_us]`` (inclusive, epoch
+    microseconds). Identical output to ``probe.join(build, on).filter(
+    band)`` — verified bitwise in tests — but the shuffle key is
+    (key, time_bucket), not key alone.
+
+    Why: the plain shape shuffles both sides on the key and evaluates
+    the band as a join residual, so its cost is Σ per-key rows² and the
+    whole hot key lands on ONE reducer — fine when per-key depth is
+    bounded (q112's premise), a quadratic single-task straggler under
+    zipf keys (measured: SKEW.json's q118 row). Bucketing by
+    ⌊ts/width⌋ with width ≥ the band span makes each build row land in
+    exactly one (key, bucket) group and each probe row check exactly
+    ⌈span/width⌉+1 ≤ 2 buckets (an inline explode, no extra shuffle),
+    so a hot key's year of history spreads over its active hours
+    instead of one reducer, and the residual band only ever compares
+    rows at most one bucket apart. Residual risk: a hot key whose rows
+    all share ONE bucket still concentrates; compose with salting on
+    the bucket if event-time itself is degenerate.
+
+    A build row matches from exactly one bucket, so no post-join
+    distinct is needed (pairs are emitted once). Inner join only: outer
+    variants would need per-bucket unmatched-row reconciliation."""
+    if upper_us < lower_us:
+        raise ValueError(
+            f"banded_interval_join: empty band [{lower_us}, {upper_us}]"
+        )
+    w = int(bucket_width_us) if bucket_width_us else max(upper_us - lower_us, 1)
+    if w < 1:
+        raise ValueError(f"banded_interval_join: bucket_width_us={w} < 1")
+    overlap = set(probe.columns) & set(build.columns) - {on}
+    if overlap:
+        raise ValueError(
+            "banded_interval_join: ambiguous columns on both sides "
+            f"(rename first): {sorted(overlap)}"
+        )
+    p_us = _epoch_us(probe, probe_ts)
+    b_us = _epoch_us(build, build_ts)
+    p = probe.withColumn("__p_us", p_us).withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("__p_us") + F.lit(lower_us)) / F.lit(w)),
+                F.floor((F.col("__p_us") + F.lit(upper_us)) / F.lit(w)),
+            )
+        ),
+    )
+    b = build.withColumn("__b_us", b_us).withColumn(
+        "__bucket", F.floor(F.col("__b_us") / F.lit(w))
+    )
+    delta = F.col("__b_us") - F.col("__p_us")
+    return (
+        p.join(b, [on, "__bucket"], "inner")
+        .filter((delta >= F.lit(lower_us)) & (delta <= F.lit(upper_us)))
+        .drop("__bucket", "__p_us", "__b_us")
+    )
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -2725,7 +2725,14 @@ def q112_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ per-customer-orders² bounded by the band width — the same
     key-then-band shape as q30's as-of join and q34's range join, here
     in self-join form. Customers with no close pair simply don't
-    appear (inner semantics)."""
+    appear (inner semantics).
+
+    SKEW WARNING (measured, SKEW.json r8): the per-key² cost is benign
+    at uniform depth (~10 orders/customer) but this exact plan ran
+    125.9× slower on the zipf sf1 corpus (one customer holding 5.8% of
+    all orders → 87k²/2 pair evaluations on one reducer). Skewed keys →
+    use q290_repeat_purchases_banded (banded_interval_join: identical
+    output, (key, time-bucket) shuffle keys)."""
     orders = table(spark, sf_dir, "orders")
     o1 = orders.select(
         F.col("o_custkey").alias("custkey"),
@@ -2742,6 +2749,66 @@ def q112_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("d2") > F.col("d1"))
         & (F.col("d2") <= F.col("d1") + F.expr("INTERVAL 7 DAY"))
     )
+    return pairs.groupBy("custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_repeat_pairs"),
+        F.min(F.datediff(F.col("d2"), F.col("d1"))).cast("bigint").alias(
+            "min_gap_days"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q290 — repeat purchases, banded shuffle keys (q112 scale sibling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q290_repeat_purchases_banded",
+    oracle="""
+    SELECT o1.o_custkey AS custkey,
+      CAST(count(*) AS BIGINT) AS n_repeat_pairs,
+      CAST(min(date_diff('day', CAST(o1.o_orderdate AS DATE),
+                         CAST(o2.o_orderdate AS DATE))) AS BIGINT) AS min_gap_days
+    FROM orders o1 JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey
+     AND o2.o_orderkey <> o1.o_orderkey
+     AND o2.o_orderdate > o1.o_orderdate
+     AND o2.o_orderdate <= o1.o_orderdate + INTERVAL 7 DAY
+    GROUP BY o1.o_custkey
+    """,
+)
+def q290_repeat_purchases_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q112's interval self-join with TIME-BUCKETED shuffle keys
+    (operators/scale.py banded_interval_join) — same oracle, same
+    output. The skew measurement made this rewrite non-optional: q112's
+    key-only shuffle is ~1× at uniform per-customer depth (~10 orders)
+    but measured **125.9×** (1.4s → 173.7s, SKEW.json) on the zipf sf1
+    corpus, where the hot customer holds 87k orders and its 87k²/2
+    pair evaluations land on ONE reducer. Bucketing the shuffle key by
+    ⌊o_orderdate/7d⌋ spreads that customer's history across its ~350
+    active weeks; each probe order checks its own and the next bucket
+    (inline explode), and the strict/inclusive band (0, 7d] maps
+    exactly to integer micros [1, 7d] since timestamps are µs-grained.
+    Measured on the same zipf corpus: 7.2s vs q112's 196.9s (27×), a
+    2.78× uniform→zipf ratio vs q112's 149.5× (SKEW.json)."""
+    from sales_data_pipeline_spark.operators.scale import banded_interval_join
+
+    orders = table(spark, sf_dir, "orders")
+    o1 = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k1"),
+        F.col("o_orderdate").alias("d1"),
+    )
+    o2 = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("o_orderdate").alias("d2"),
+    )
+    week_us = 7 * 86_400_000_000
+    pairs = banded_interval_join(
+        o1, o2, on="custkey", probe_ts="d1", build_ts="d2",
+        lower_us=1, upper_us=week_us, bucket_width_us=week_us,
+    ).filter(F.col("k2") != F.col("k1"))
     return pairs.groupBy("custkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_repeat_pairs"),
         F.min(F.datediff(F.col("d2"), F.col("d1"))).cast("bigint").alias(
@@ -3070,6 +3137,82 @@ def q118_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_user") == F.col("v_user"))
         & (F.col("v_ts") <= F.col("p_ts"))
         & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = touched.withColumn(
+        "n_touches", F.count(F.lit(1)).over(w).cast("bigint")
+    )
+    return credited.groupBy("view_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases_touched"),
+        F.round(F.sum(F.col("p_value") / F.col("n_touches")), 6).alias(
+            "attributed_value"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q289 — multi-touch attribution, banded shuffle keys (q118 scale sibling)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q289_attribution_banded",
+    oracle="""
+    WITH p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS p_ts, value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    v AS (
+      SELECT event_id AS view_id, user_id, ts AS v_ts
+      FROM events WHERE event_type = 'view'
+    ),
+    touched AS (
+      SELECT p.purchase_id, p.user_id, p.p_value, v.view_id,
+             CAST(count(*) OVER (PARTITION BY p.purchase_id) AS BIGINT)
+               AS n_touches
+      FROM p JOIN v
+        ON p.user_id = v.user_id
+       AND v.v_ts <= p.p_ts
+       AND v.v_ts >= p.p_ts - INTERVAL 1 HOUR
+    )
+    SELECT view_id,
+      CAST(count(*) AS BIGINT) AS n_purchases_touched,
+      round(sum(p_value / n_touches), 6) AS attributed_value
+    FROM touched GROUP BY view_id
+    """,
+)
+def q289_attribution_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q118's attribution with TIME-BUCKETED shuffle keys
+    (operators/scale.py banded_interval_join) — same oracle, same
+    output, different physical plan. q118 shuffles both event streams
+    on user_id alone and evaluates the 1-hour band as a join residual:
+    per-user cost is views×purchases, which the uniform corpus hides
+    (per-user depth ~67) and a zipf corpus turns into a quadratic
+    single-reducer straggler (the hot user holds ~7% of all events —
+    measured in SKEW.json). Here the shuffle key is (user_id,
+    ⌊ts/1h⌋): each view lands in one bucket, each purchase probes
+    exactly two (inline explode, no extra shuffle), so the hot user's
+    history spreads across its active hours and the residual band only
+    compares rows at most one bucket apart. The n_touches normalizer
+    and final per-view aggregation are unchanged."""
+    from sales_data_pipeline_spark.operators.scale import banded_interval_join
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        "user_id",
+        F.col("ts").alias("v_ts"),
+    )
+    hour_us = 3_600_000_000
+    touched = banded_interval_join(
+        p, v, on="user_id", probe_ts="p_ts", build_ts="v_ts",
+        lower_us=-hour_us, upper_us=0, bucket_width_us=hour_us,
     )
     w = Window.partitionBy("purchase_id")
     credited = touched.withColumn(

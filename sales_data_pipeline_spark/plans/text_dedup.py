@@ -2187,11 +2187,38 @@ def q252_overlap_sketch_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigram-keyed self-join — the oracle tier; q248 is the 100 TB path
     (one linear sketch pass, no corpus join). Both consume the SAME
     persisted trigram frame (one corpus scan feeding the exact join and
-    the sketch build)."""
+    the sketch build). The exact tier carries a third-decade budget
+    guard (see :func:`overlap_sketch_envelope`): SCALING10 measured
+    this as the repo's steepest decade-2 curve (7.62×), so the audit
+    tier fails loudly naming q248 instead of grinding past its remit."""
+    return overlap_sketch_envelope(table(spark, sf_dir, "documents"))
+
+
+# Budget for q252's EXACT trigram self-join, in raw join pairs
+# (Σ_g C(sources_with_g, 2) over the distinct (source, trigram) index —
+# computed the same lazy-broadcast-scalar way as q22's max_candidates).
+# Calibration: the sf10 measurement puts the exact tier at ~2.2×10⁸
+# raw pairs / ~50s on the 32-core sandbox; 2×10⁹ is one more decade of
+# headroom — the audit tier's remit ends there, and a fourth-decade
+# corpus must use q248 (the linear-sketch production path) or raise the
+# budget explicitly for an informed audit run.
+Q252_MAX_EXACT_PAIRS = 2_000_000_000.0
+
+
+def overlap_sketch_envelope(
+    docs: DataFrame, max_exact_pairs: float | None = Q252_MAX_EXACT_PAIRS
+) -> DataFrame:
+    """q252's body, parameterized for the guard tests. ``max_exact_pairs``
+    gates the exact trigram self-join with the q22 lazy-scalar pattern:
+    the distinct (source, trigram) index is aggregated to Σ C(c, 2) —
+    the exact raw pair count the join below would emit — broadcast as a
+    scalar INSIDE the join predicate, so plan construction runs no job
+    and an over-budget corpus dies in the join's first task with an
+    error naming q248 (the sketch tier that replaces this audit at
+    scale). None skips the guard (an informed caller on a vetted
+    corpus)."""
     from sales_data_pipeline_spark.operators.dedup import _persist
     from sales_data_pipeline_spark.operators.sketch import hll_pairwise_overlap
-
-    docs = table(spark, sf_dir, "documents")
     toks = F.split("text", " ")
     tri_arr = F.when(
         F.size(toks) >= 3,
@@ -2210,13 +2237,48 @@ def q252_overlap_sketch_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("g").isNotNull())
         .distinct()
     )
+    a = tri.alias("a")
+    guard = F.lit(True)
+    if max_exact_pairs is not None:
+        est = (
+            tri.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("c").cast("double") * (F.col("c") - 1) / 2.0),
+                    F.lit(0.0),
+                ).alias("__est_pairs")
+            )
+        )
+        a = a.crossJoin(F.broadcast(est))
+        guard = F.when(
+            F.col("__est_pairs") <= F.lit(float(max_exact_pairs)), F.lit(True)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "q252 exact trigram tier: trigram index implies ~"
+                    ),
+                    F.col("__est_pairs").cast("bigint").cast("string"),
+                    F.lit(
+                        " raw join pairs (> max_exact_pairs="
+                        f"{int(max_exact_pairs)}); this audit tier is "
+                        "quadratic in per-trigram source counts — use "
+                        "q248_source_overlap_sketch (the linear-sketch "
+                        "path at scale), raise max_exact_pairs, or pass "
+                        "None to override"
+                    ),
+                )
+            )
+        )
     exact = (
-        tri.alias("a")
-        .join(
+        a.join(
             tri.select(
                 F.col("source").alias("source_b"), F.col("g").alias("g_b")
             ),
-            (F.col("g") == F.col("g_b")) & (F.col("source") < F.col("source_b")),
+            (F.col("g") == F.col("g_b"))
+            & (F.col("source") < F.col("source_b"))
+            & guard,
         )
         .groupBy(F.col("source").alias("source_a"), "source_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("exact_overlap"))

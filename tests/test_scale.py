@@ -612,3 +612,173 @@ def test_bloom_semi_filter_single_key_small_words(spark):
         fdf = spark.createDataFrame([(1,), (key,)], "k bigint")
         out = {r.k for r in bloom_semi_filter(fdf, "k", kdf, "k", num_bits=1 << 12).collect()}
         assert key in out  # never a false negative
+
+
+# ---------------------------------------------------------------------------
+# q252 exact-tier budget guard (plans/text_dedup.py overlap_sketch_envelope)
+# ---------------------------------------------------------------------------
+
+
+def test_q252_exact_tier_guard_fires_naming_q248(spark, sf_dir):
+    """SCALING10 measured q252's exact trigram self-join as the repo's
+    steepest decade-2 curve; past its budget the audit tier must die in
+    its first join task naming the linear-sketch production path (q248),
+    not grind. Lazy-scalar pattern: plan construction runs no job."""
+    from pyspark.errors import SparkRuntimeException
+
+    from sales_data_pipeline_spark.plans.text_dedup import (
+        overlap_sketch_envelope,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    plan = overlap_sketch_envelope(docs, max_exact_pairs=10)  # no job yet
+    with pytest.raises(SparkRuntimeException, match="q248_source_overlap_sketch"):
+        plan.count()
+
+
+def test_q252_guard_transparent_under_budget(spark, sf_dir):
+    """Under budget the guarded plan is bitwise-identical to the
+    unguarded one (the guard is a free predicate, not a behavior
+    change)."""
+    from sales_data_pipeline_spark.plans.text_dedup import (
+        overlap_sketch_envelope,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    guarded = overlap_sketch_envelope(docs).collect()
+    bare = overlap_sketch_envelope(docs, max_exact_pairs=None).collect()
+    assert guarded == bare
+
+
+# ---------------------------------------------------------------------------
+# banded_interval_join (q289's engine) — the key-then-band scale sibling
+# ---------------------------------------------------------------------------
+
+
+def _plain_band_join(p, v, lower_us, upper_us):
+    from sales_data_pipeline_spark.operators.scale import _epoch_us
+
+    delta = _epoch_us(v, "v_ts") - _epoch_us(p, "p_ts")
+    cross = p.join(v, "user_id").filter(
+        (delta >= F.lit(lower_us)) & (delta <= F.lit(upper_us))
+    )
+    return cross
+
+
+def test_banded_interval_join_bitwise_equals_plain(spark, sf_dir):
+    """Identical output to the single-key shuffle + residual form on
+    the real events table — including bucket-boundary timestamps (the
+    generator emits :00 rows that land exactly on hour edges)."""
+    from sales_data_pipeline_spark.operators.scale import banded_interval_join
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    hour = 3_600_000_000
+    banded = banded_interval_join(
+        p, v, on="user_id", probe_ts="p_ts", build_ts="v_ts",
+        lower_us=-hour, upper_us=0,
+    ).select("purchase_id", "view_id")
+    plain = _plain_band_join(p, v, -hour, 0).select("purchase_id", "view_id")
+    assert banded.exceptAll(plain).count() == 0
+    assert plain.exceptAll(banded).count() == 0
+    # a build row matches from exactly one bucket: no duplicate pairs
+    assert banded.count() == banded.distinct().count()
+
+
+def test_banded_interval_join_custom_width_and_positive_band(spark):
+    """Asymmetric positive band + width narrower than the span (probe
+    explodes to 3 buckets) still exact."""
+    from sales_data_pipeline_spark.operators.scale import banded_interval_join
+
+    p = spark.createDataFrame(
+        [(1, i, 1_000_000 * i) for i in range(50)],
+        "user_id bigint, pid bigint, us bigint",
+    ).select("user_id", "pid", F.timestamp_micros("us").alias("p_ts"))
+    v = spark.createDataFrame(
+        [(1, 100 + i, 1_000_000 * i + 777) for i in range(50)],
+        "user_id bigint, vid bigint, us bigint",
+    ).select("user_id", "vid", F.timestamp_micros("us").alias("v_ts"))
+    lo, hi = 1_000_000, 5_000_000  # views 1–5s AFTER the purchase
+    got = banded_interval_join(
+        p, v, on="user_id", probe_ts="p_ts", build_ts="v_ts",
+        lower_us=lo, upper_us=hi, bucket_width_us=2_000_000,
+    )
+    from sales_data_pipeline_spark.operators.scale import _epoch_us
+
+    delta = _epoch_us(v, "v_ts") - F.col("p_us")
+    want = (
+        p.withColumn("p_us", F.unix_micros("p_ts"))
+        .join(v, "user_id")
+        .filter((delta >= lo) & (delta <= hi))
+        .select("pid", "vid")
+    )
+    assert got.select("pid", "vid").exceptAll(want).count() == 0
+    assert want.exceptAll(got.select("pid", "vid")).count() == 0
+
+
+def test_banded_interval_join_shuffles_on_key_and_bucket(spark, sf_dir):
+    """The point of the operator: the exchange key must be (user_id,
+    __bucket), never user_id alone — otherwise the hot key still lands
+    on one reducer and the rewrite bought nothing."""
+    from sales_data_pipeline_spark.operators.scale import banded_interval_join
+
+    ev = table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts")
+    )
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = banded_interval_join(
+            p, v, on="user_id", probe_ts="p_ts", build_ts="v_ts",
+            lower_us=-3_600_000_000, upper_us=0,
+        )
+        plan = df._jdf.queryExecution().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    import re as _re
+
+    parts = _re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    assert parts, plan
+    assert all("__bucket" in g for g in parts if "user_id" in g), parts
+
+
+def test_banded_interval_join_validation(spark, sf_dir):
+    from sales_data_pipeline_spark.operators.scale import banded_interval_join
+
+    ev = table(spark, sf_dir, "events").limit(10)
+    p = ev.select("user_id", F.col("ts").alias("p_ts"), "value")
+    v = ev.select("user_id", F.col("ts").alias("v_ts"), "value")
+    with pytest.raises(ValueError, match="empty band"):
+        banded_interval_join(
+            p, v, on="user_id", probe_ts="p_ts", build_ts="v_ts",
+            lower_us=5, upper_us=1,
+        )
+    with pytest.raises(ValueError, match="ambiguous columns"):
+        banded_interval_join(
+            p, v, on="user_id", probe_ts="p_ts", build_ts="v_ts",
+            lower_us=-5, upper_us=0,
+        )
+
+
+def test_q289_bitwise_equals_q118(spark, sf_dir):
+    """The banded sibling must be indistinguishable from q118 at the
+    output — same rows, same values (the oracle is shared verbatim)."""
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    a = QUERIES["q118_multitouch_attribution"].fn(spark, sf_dir)
+    b = QUERIES["q289_attribution_banded"].fn(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
