@@ -2197,11 +2197,12 @@ def q252_overlap_sketch_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Budget for q252's EXACT trigram self-join, in raw join pairs
 # (Σ_g C(sources_with_g, 2) over the distinct (source, trigram) index —
 # computed the same lazy-broadcast-scalar way as q22's max_candidates).
-# Calibration: the sf10 measurement puts the exact tier at ~2.2×10⁸
-# raw pairs / ~50s on the 32-core sandbox; 2×10⁹ is one more decade of
-# headroom — the audit tier's remit ends there, and a fourth-decade
-# corpus must use q248 (the linear-sketch production path) or raise the
-# budget explicitly for an informed audit run.
+# Calibration (measured, DuckDB recount over the scaling corpora):
+# 7.54×10⁶ raw pairs at sf1, 7.54×10⁷ at sf10 — exactly 10×/decade at
+# constant source count, so 2×10⁹ is ~1.5 decades past sf100. The
+# audit tier's remit ends there: a corpus that trips this must use
+# q248 (the linear-sketch production path, no corpus self-join) or
+# raise the budget explicitly for an informed audit run.
 Q252_MAX_EXACT_PAIRS = 2_000_000_000.0
 
 

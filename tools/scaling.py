@@ -233,8 +233,18 @@ def _time_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
             errors[name] = msg
             print(f"  {name}: FAILED ({msg[:120]})", file=sys.stderr)
     samples: dict[str, list[float]] = {n: [] for n in live}
+    import gc
+
     for _ in range(ITERS):
         spark.catalog.clearCache()
+        # clearCache frees cached DataFrames but NOT localCheckpoint
+        # blocks (non-evictable lineage truncation — the DBSCAN/graph
+        # family); those are released by the ContextCleaner only after
+        # the PYTHON-side references are collected. Without an explicit
+        # collect the py4j refs outlive each pass and the checkpoint
+        # blocks accumulate across timed passes until the JVM heap dies
+        # (q280's sf10 run OOM'd exactly this way — r8).
+        gc.collect()
         for name in list(live):
             t0 = time.perf_counter()
             try:
