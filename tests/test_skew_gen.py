@@ -216,3 +216,71 @@ def test_zipf_only_keys_changed(spark, zipf_dir, base_dir):
     b = spark.read.parquet(f"{zipf_dir}/orders.parquet").drop("o_custkey")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+# --------------------------------------------------------------------
+# subset-merge protocol (pure — no Spark)
+# --------------------------------------------------------------------
+
+
+def _doc(queries, rows, errors):
+    return {
+        "boilerplate": {
+            "queries": dict(queries),
+            "rows_uniform": dict(rows),
+            "rows_boil": dict(rows),
+            "errors_uniform": {},
+            "errors_boil": dict(errors),
+            "probes": {"p": 1},
+            "q22_guard_fired": True,
+        },
+        "zipf": {
+            "queries": {},
+            "rows_uniform": {},
+            "rows_zipf": {},
+            "errors_uniform": {},
+            "errors_zipf": {},
+            "hot_key_report": {"h": 1},
+            "join_experiments": {"e": 1},
+        },
+    }
+
+
+def test_merge_subset_refreshes_measured_and_keeps_rest():
+    from skew import _merge_subset
+
+    prev = _doc({"qA": {"ratio": 1.0}, "qB": {"ratio": 2.0}}, {"qA": 5, "qB": 6}, {})
+    fresh = _doc({"qA": {"ratio": 9.0}}, {"qA": 50}, {})
+    out = _merge_subset(prev, fresh, ["qA"], [])
+    b = out["boilerplate"]
+    assert b["queries"]["qA"] == {"ratio": 9.0}      # refreshed
+    assert b["queries"]["qB"] == {"ratio": 2.0}      # untouched
+    assert b["rows_boil"] == {"qA": 50, "qB": 6}
+    assert b["probes"] == {"p": 1}                   # probe sections kept
+    assert out["zipf"]["join_experiments"] == {"e": 1}
+
+
+def test_merge_subset_fresh_failure_drops_stale_success():
+    """The exact invariant the r8 ADVICE caught scaling.py violating:
+    a re-measured query that FAILS this run must not keep its stale
+    ratio entry, and the fresh error must survive."""
+    from skew import _merge_subset
+
+    prev = _doc({"qA": {"ratio": 1.0}}, {"qA": 5}, {})
+    fresh = _doc({}, {}, {"qA": "boom"})
+    out = _merge_subset(prev, fresh, ["qA"], [])
+    b = out["boilerplate"]
+    assert "qA" not in b["queries"]
+    assert "qA" not in b["rows_boil"]
+    assert b["errors_boil"]["qA"] == "boom"
+
+
+def test_merge_subset_fresh_success_clears_stale_error():
+    from skew import _merge_subset
+
+    prev = _doc({}, {}, {"qA": "old boom"})
+    fresh = _doc({"qA": {"ratio": 1.1}}, {"qA": 7}, {})
+    out = _merge_subset(prev, fresh, ["qA"], [])
+    b = out["boilerplate"]
+    assert b["queries"]["qA"] == {"ratio": 1.1}
+    assert "qA" not in b["errors_boil"]

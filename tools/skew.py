@@ -557,32 +557,40 @@ def measure() -> None:
         "zipf": zipf,
     }
     if prev is not None:
-        # subset merge: refresh exactly the names measured THIS run —
-        # including freshly-FAILED ones (error recorded, any stale
-        # ratio entry dropped: the scaling._merge_artifact invariant) —
-        # and keep everything else, probes/experiments included
-        for section, measured in (
-            ("boilerplate", BOIL_QUERIES),
-            ("zipf", ZIPF_QUERIES),
-        ):
-            old, fresh = prev[section], out[section]
-            for name in measured:
-                for k, v in fresh.items():
-                    if not isinstance(v, dict) or k in (
-                        "probes",
-                        "probe_errors",
-                        "hot_key_report",
-                        "join_experiments",
-                    ):
-                        continue
-                    if name in v:
-                        old.setdefault(k, {})[name] = v[name]
-                    else:
-                        old.get(k, {}).pop(name, None)
-        out = prev
+        out = _merge_subset(prev, out, BOIL_QUERIES, ZIPF_QUERIES)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
+
+
+_NON_QUERY_KEYS = frozenset(
+    {"probes", "probe_errors", "hot_key_report", "join_experiments"}
+)
+
+
+def _merge_subset(
+    prev: dict, fresh_doc: dict, boil_names: list, zipf_names: list
+) -> dict:
+    """Merge a subset run into the previous artifact (pure — unit
+    tested). Invariants (the ones the r8 ADVICE caught scaling.py's
+    merge violating): a name measured THIS run refreshes ALL its
+    per-query records and a freshly-FAILED name drops its stale ratio
+    entry while keeping the fresh error (per side); names not in the
+    subset — and the probe/experiment sections — stay untouched."""
+    for section, measured in (
+        ("boilerplate", boil_names),
+        ("zipf", zipf_names),
+    ):
+        old, fresh = prev[section], fresh_doc[section]
+        for name in measured:
+            for k, v in fresh.items():
+                if not isinstance(v, dict) or k in _NON_QUERY_KEYS:
+                    continue
+                if name in v:
+                    old.setdefault(k, {})[name] = v[name]
+                else:
+                    old.get(k, {}).pop(name, None)
+    return prev
 
 
 def experiments() -> None:
