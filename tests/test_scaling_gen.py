@@ -211,3 +211,47 @@ def test_merge_full_run_ignores_prev():
     assert set(queries) == {"q_a"}
     assert queries["q_a"]["superlinear"] is True   # 30x > 12x budget
     assert errors == {"sf0.1": {}, "sf1": {}}
+
+
+def test_embeddings_flip_is_isometric_within_and_disjoint_across(spark, gen_dir):
+    """r8 generator fix: embeddings replicate via per-replica signed
+    dimension flips. Invariants: (a) replica 0 is the identity; (b)
+    every replica's within-replica pairwise-distance multiset equals
+    replica 0's BITWISE (sign flips are float-exact isometries — the
+    ε-graph/density structure is the same per replica); (c) no vector
+    coincides with its own copy in another replica (the identical-copy
+    replication this replaces densified the ε-pair graph ~100×/decade
+    and produced a fake 22.6× DBSCAN 'superlinearity' at sf10)."""
+    import itertools
+    import math
+
+    rows = (
+        spark.read.parquet(f"{gen_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    by_rep: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_rep.setdefault(r.vec_id // 10_000_000, {})[
+            r.vec_id % 10_000_000
+        ] = r.embedding
+    src = {
+        r.vec_id: r.embedding
+        for r in spark.read.parquet(f"{SRC}/embeddings.parquet").collect()
+    }
+    assert by_rep[0] == src  # (a) identity replica
+
+    def dist_multiset(vecs: dict) -> list[float]:
+        ids = sorted(vecs)
+        return sorted(
+            math.dist(vecs[a], vecs[b])
+            for a, b in itertools.combinations(ids, 2)
+        )
+
+    d0 = dist_multiset(by_rep[0])
+    for rep in (1, 2):
+        assert dist_multiset(by_rep[rep]) == d0  # (b) bitwise isometry
+        coincident = sum(
+            1 for k, v in by_rep[rep].items() if v == by_rep[0][k]
+        )
+        assert coincident == 0, coincident  # (c) no identical copies

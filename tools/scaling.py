@@ -25,8 +25,19 @@ sf1 generation — a strict superset of the driver's sf0.1 testdata
   near-dup structure per replica and none across;
 - events get fresh user-id spaces per replica (state scales
   horizontally with the key space, per-user depth constant);
-- embeddings replicate with shifted vec_ids (identical vectors across
-  replicas: ANN timing is magnitude-driven; ties don't change cost);
+- embeddings replicate with shifted vec_ids and per-replica SIGNED
+  DIMENSION FLIPS (decade "r" flips among dims 0-3 by the bits of the
+  replica index, decade "s" dims 4-7 — composition-unique, replica 0
+  identity): sign flips are EXACT in floating point and preserve every
+  within-replica L2/cosine distance, so each replica's neighborhood/
+  density structure is an isometric copy, while cross-replica vectors
+  decorrelate. The first version replicated vectors IDENTICALLY —
+  harmless for top-k ANN (bounded k) but it densified the ε-pair graph
+  ~100× per decade (every point gained 10 coincident copies per
+  replication), which the r8 sf10 run exposed as a fake 22.6× DBSCAN
+  "superlinearity": the operator was sublinear against a workload the
+  generator had quadratically inflated, violating the protocol's own
+  "same structure, 10× bigger" definition;
 - nation/region stay fixed (bounded dims, as in TPC-H).
 
 Usage:
@@ -201,6 +212,35 @@ def generate(
                     rep = rep.withColumn(
                         "p_name",
                         F.concat(F.lit(_PREFIX[tag][r]), F.col("p_name")),
+                    )
+                if name == "embeddings" and r > 0:
+                    # signed-dimension flips (see module docstring):
+                    # decade-keyed dim block, replica bits pick which
+                    # dims flip; unary minus is float-exact so within-
+                    # replica distances are preserved bitwise
+                    base = {"r": 0, "s": 4}[tag]
+                    flip_dims = [
+                        base + b for b in range(4) if (r >> b) & 1
+                    ]
+
+                    # closure FACTORY, not a defaulted extra parameter:
+                    # transform() binds by arity, and a third param —
+                    # even defaulted — breaks the (element, index) form
+                    # (same trap as ratelimit's seeded permutations)
+                    def _flip_fn(dims):
+                        def _flip(x, i):
+                            out = x
+                            for d in dims:
+                                out = F.when(
+                                    i == F.lit(d), -x
+                                ).otherwise(out)
+                            return out
+
+                        return _flip
+
+                    rep = rep.withColumn(
+                        "embedding",
+                        F.transform("embedding", _flip_fn(tuple(flip_dims))),
                     )
                 parts.append(rep)
             out = parts[0]
