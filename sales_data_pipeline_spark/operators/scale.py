@@ -161,14 +161,36 @@ def banded_interval_join(
         raise ValueError(
             f"banded_interval_join: empty band [{lower_us}, {upper_us}]"
         )
-    w = int(bucket_width_us) if bucket_width_us else max(upper_us - lower_us, 1)
+    w = (
+        int(bucket_width_us)
+        if bucket_width_us is not None
+        else max(upper_us - lower_us, 1)
+    )
     if w < 1:
         raise ValueError(f"banded_interval_join: bucket_width_us={w} < 1")
+    # Each probe row explodes into span//w + 1 buckets; a unit mistake
+    # (seconds where microseconds were meant) would silently blow every
+    # probe row into a huge F.sequence array. Cap it where the numbers
+    # are known rather than letting the executor OOM.
+    n_buckets_per_probe = (upper_us - lower_us) // w + 1
+    if n_buckets_per_probe > 64:
+        raise ValueError(
+            "banded_interval_join: band span / bucket_width_us = "
+            f"{n_buckets_per_probe} buckets per probe row (> 64) — "
+            "width is likely in the wrong unit (expected microseconds)"
+        )
     overlap = set(probe.columns) & set(build.columns) - {on}
     if overlap:
         raise ValueError(
             "banded_interval_join: ambiguous columns on both sides "
             f"(rename first): {sorted(overlap)}"
+        )
+    reserved = {"__bucket", "__p_us", "__b_us"}
+    taken = reserved & (set(probe.columns) | set(build.columns))
+    if taken:
+        raise ValueError(
+            "banded_interval_join: reserved internal column names "
+            f"present in an input (rename first): {sorted(taken)}"
         )
     p_us = _epoch_us(probe, probe_ts)
     b_us = _epoch_us(build, build_ts)

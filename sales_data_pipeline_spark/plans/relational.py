@@ -2720,19 +2720,31 @@ def q111_user_value_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q112_repeat_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeat-purchase detection: ordered pairs of same-customer orders
     at most 7 days apart — the interval SELF-join (equi on customer,
-    band predicate on time). Spark shuffles both sides once on
-    o_custkey and evaluates the band as a join residual, so cost is
-    Σ per-customer-orders² bounded by the band width — the same
-    key-then-band shape as q30's as-of join and q34's range join, here
-    in self-join form. Customers with no close pair simply don't
+    band predicate on time). Customers with no close pair simply don't
     appear (inner semantics).
 
-    SKEW WARNING (measured, SKEW.json r8): the per-key² cost is benign
-    at uniform depth (~10 orders/customer) but this exact plan ran
-    125.9× slower on the zipf sf1 corpus (one customer holding 5.8% of
-    all orders → 87k²/2 pair evaluations on one reducer). Skewed keys →
-    use q290_repeat_purchases_banded (banded_interval_join: identical
-    output, (key, time-bucket) shuffle keys)."""
+    As of r9 the registered body IS the banded plan (delegates to
+    q290_repeat_purchases_banded — identical output, shared verbatim
+    oracle): the skew measurement (SKEW.json r8) showed the key-only
+    shuffle + residual-band shape running 149.5× slower on the zipf
+    sf1 corpus (one customer holding 5.8% of all orders → 87k²/2 pair
+    evaluations on ONE reducer), while the (key, ⌊ts/7d⌋)-bucketed
+    shuffle completed the same corpus 27× faster. A caller who finds
+    q112 first now gets the scale-safe plan by default; the key-only
+    shape survives only as the documented bounded-depth internal
+    ``_repeat_purchases_keyonly`` (bitwise-equality pinned in
+    tests/test_scale.py)."""
+    return q290_repeat_purchases_banded(spark, sf_dir)
+
+
+def _repeat_purchases_keyonly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q112's PRE-r9 key-then-band shape — shuffle both sides on
+    o_custkey alone, band as join residual. Cost is Σ per-key rows²:
+    fine when per-key depth is bounded (~10 orders/customer uniform),
+    a quadratic single-reducer straggler under zipf keys (measured
+    149.5×, SKEW.json r8). NOT registered — kept as the reference
+    implementation the banded plan is bitwise-tested against, and as
+    the measured bad-plan exhibit for the skew harness."""
     orders = table(spark, sf_dir, "orders")
     o1 = orders.select(
         F.col("o_custkey").alias("custkey"),
@@ -3113,13 +3125,32 @@ def q117_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q118_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Linear multi-touch attribution: each purchase's value splits
     evenly across the user's views in the preceding hour, then credit
-    re-aggregates per view — the fan-out band join (q112's shape)
-    composed with a per-purchase window normalizer BEFORE the final
-    keyed agg. The batch twin of the streaming attribution join
-    (streaming/events.py purchase_attribution_stream), extended with
-    the credit split every marketing mart actually wants. Purchases
-    with zero in-window views drop out (inner join) — their value is
-    unattributable by definition."""
+    re-aggregates per view — the band join composed with a
+    per-purchase window normalizer BEFORE the final keyed agg. The
+    batch twin of the streaming attribution join (streaming/events.py
+    purchase_attribution_stream), extended with the credit split every
+    marketing mart actually wants. Purchases with zero in-window views
+    drop out (inner join) — their value is unattributable by
+    definition.
+
+    As of r9 the registered body IS the banded plan (delegates to
+    q289_attribution_banded — identical output, shared verbatim
+    oracle): SKEW.json r8 measured the key-only shuffle + residual
+    band at 6.1× under zipf keys (hot user ~7% of all events, its
+    views×purchases evaluated on one reducer) vs 0.99× for the
+    (user_id, ⌊ts/1h⌋)-bucketed shuffle. The key-only shape survives
+    as the documented bounded-depth internal ``_attribution_keyonly``
+    (bitwise-equality pinned in tests/test_scale.py)."""
+    return q289_attribution_banded(spark, sf_dir)
+
+
+def _attribution_keyonly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q118's PRE-r9 key-only shape — shuffle both event streams on
+    user_id alone, 1-hour band as join residual. Per-user cost is
+    views×purchases: benign at uniform depth (~67 events/user), a
+    single-reducer quadratic straggler under zipf keys (measured 6.1×,
+    SKEW.json r8). NOT registered — kept as the reference
+    implementation the banded plan is bitwise-tested against."""
     ev = table(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_id"),

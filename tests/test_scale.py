@@ -771,14 +771,91 @@ def test_banded_interval_join_validation(spark, sf_dir):
             p, v, on="user_id", probe_ts="p_ts", build_ts="v_ts",
             lower_us=-5, upper_us=0,
         )
+    p2 = p.drop("value")
+    v2 = v.withColumnRenamed("value", "v_value")
+    # bucket_width_us=0 must raise, not silently fall back to the
+    # default width (0 is falsy — the r8 ADVICE trap)
+    with pytest.raises(ValueError, match="bucket_width_us=0"):
+        banded_interval_join(
+            p2, v2, on="user_id", probe_ts="p_ts", build_ts="v_ts",
+            lower_us=-5, upper_us=0, bucket_width_us=0,
+        )
+    # unit-mistake guard: width in seconds where µs were meant would
+    # explode each probe row into span/width buckets — cap at 64
+    with pytest.raises(ValueError, match="buckets per probe row"):
+        banded_interval_join(
+            p2, v2, on="user_id", probe_ts="p_ts", build_ts="v_ts",
+            lower_us=-3_600_000_000, upper_us=0, bucket_width_us=3_600,
+        )
+    # reserved internal names on EITHER side must be rejected up front
+    # (withColumn would silently clobber them, then drop them)
+    with pytest.raises(ValueError, match="reserved internal"):
+        banded_interval_join(
+            p2.withColumn("__bucket", F.lit(1)), v2,
+            on="user_id", probe_ts="p_ts", build_ts="v_ts",
+            lower_us=-5, upper_us=0,
+        )
+    with pytest.raises(ValueError, match="reserved internal"):
+        banded_interval_join(
+            p2, v2.withColumn("__b_us", F.lit(1)),
+            on="user_id", probe_ts="p_ts", build_ts="v_ts",
+            lower_us=-5, upper_us=0,
+        )
 
 
-def test_q289_bitwise_equals_q118(spark, sf_dir):
-    """The banded sibling must be indistinguishable from q118 at the
-    output — same rows, same values (the oracle is shared verbatim)."""
+def test_q289_bitwise_equals_keyonly_attribution(spark, sf_dir):
+    """The banded plan (q118/q289's registered body since r9) must be
+    indistinguishable from the key-only reference shape at the output
+    — same rows, same values (the oracle is shared verbatim)."""
     from sales_data_pipeline_spark.plans import QUERIES
+    from sales_data_pipeline_spark.plans.relational import _attribution_keyonly
 
-    a = QUERIES["q118_multitouch_attribution"].fn(spark, sf_dir)
+    a = _attribution_keyonly(spark, sf_dir)
     b = QUERIES["q289_attribution_banded"].fn(spark, sf_dir)
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_q290_bitwise_equals_keyonly_repeat_purchases(spark, sf_dir):
+    """q290's strict-lower-bound mapping (lower_us=1 over day-grained
+    timestamps stands in for d2 > d1) is exactly the kind of boundary
+    the q289 test exists to pin — compare the banded plan (q112's
+    registered body since r9) bitwise against the key-only reference
+    shape."""
+    from sales_data_pipeline_spark.plans import QUERIES
+    from sales_data_pipeline_spark.plans.relational import (
+        _repeat_purchases_keyonly,
+    )
+
+    a = _repeat_purchases_keyonly(spark, sf_dir)
+    b = QUERIES["q290_repeat_purchases_banded"].fn(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
+def test_q112_q118_registered_bodies_are_banded(spark, sf_dir):
+    """The r8 verdict's weak finding: a caller who finds q112/q118
+    first must get the scale-safe plan. Pin that the registered
+    bodies shuffle on (key, __bucket), never the bare key."""
+    import re as _re
+
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for name, key in (
+            ("q112_repeat_purchases", "custkey"),
+            ("q118_multitouch_attribution", "user_id"),
+        ):
+            df = QUERIES[name].fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().toString()
+            parts = _re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+            assert parts, (name, plan)
+            # both JOIN sides must shuffle on (key, __bucket); a
+            # bare-key partitioning may remain for the final groupBy
+            # aggregate (map-side combined — not the quadratic path)
+            bucketed = [g for g in parts if key in g and "__bucket" in g]
+            assert len(bucketed) >= 2, (name, parts)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)

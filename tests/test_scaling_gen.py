@@ -27,6 +27,18 @@ def gen_dir(spark, tmp_path_factory):
     return dst
 
 
+def test_generate_rejects_replicas_beyond_flip_scheme(tmp_path):
+    """The signed-flip scheme uses only the low 4 bits of the replica
+    index: replica 16 would get an empty flip set and silently
+    reproduce the identical-copy replication bug (r8 ADVICE). The
+    invariant must be enforced where the flips are computed, not by
+    the incidental _PREFIX lookup failure at r >= 10."""
+    from scaling import generate
+
+    with pytest.raises(ValueError, match="n_replicas=11 > 10"):
+        generate(src_dir=SRC, dst_dir=str(tmp_path / "x"), n_replicas=11)
+
+
 def test_counts_scale_exactly_and_dims_stay_fixed(spark, gen_dir):
     for t in ("lineitem", "orders", "customer", "documents", "events"):
         a = spark.read.parquet(f"{SRC}/{t}.parquet").count()

@@ -284,3 +284,29 @@ def test_merge_subset_fresh_success_clears_stale_error():
     b = out["boilerplate"]
     assert b["queries"]["qA"] == {"ratio": 1.1}
     assert "qA" not in b["errors_boil"]
+
+
+def test_merge_subset_recomputes_q22_guard_flag():
+    """The scalar q22_guard_fired flag must be derived from the MERGED
+    errors_boil, not carried stale from either side (r8 ADVICE): a
+    re-measured q22 that now completes must flip the flag to False,
+    and one that now dies on the guard must flip it to True."""
+    from skew import _merge_subset
+
+    q22 = "q22_ngram_jaccard_pairs"
+    # stale True, fresh run completed q22 → False
+    prev = _doc({}, {}, {q22: "max_candidates exceeded"})
+    fresh = _doc({q22: {"ratio": 1.2}}, {q22: 9}, {})
+    out = _merge_subset(prev, fresh, [q22], [])
+    assert out["boilerplate"]["q22_guard_fired"] is False
+    # stale False, fresh run hit the guard → True
+    prev2 = _doc({q22: {"ratio": 1.0}}, {q22: 9}, {})
+    prev2["boilerplate"]["q22_guard_fired"] = False
+    fresh2 = _doc({}, {}, {q22: "max_candidates exceeded: est 2e8"})
+    out2 = _merge_subset(prev2, fresh2, [q22], [])
+    assert out2["boilerplate"]["q22_guard_fired"] is True
+    # q22 NOT in the measured subset → flag still reflects merged state
+    prev3 = _doc({}, {}, {q22: "max_candidates exceeded"})
+    fresh3 = _doc({"qB": {"ratio": 1.0}}, {"qB": 1}, {})
+    out3 = _merge_subset(prev3, fresh3, ["qB"], [])
+    assert out3["boilerplate"]["q22_guard_fired"] is True

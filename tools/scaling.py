@@ -157,6 +157,19 @@ def generate(
 
     from sales_data_pipeline_spark.catalog import TABLES, table
 
+    # The signed-flip pattern below uses only the low 4 bits of the
+    # replica index: replica 16 would get flip_dims = [] and silently
+    # reproduce the identical-copy replication bug this scheme fixes
+    # (fake ε-graph densification — see module docstring). Enforce the
+    # invariant where the flips are computed, not via the incidental
+    # _PREFIX lookup failure at r >= 10.
+    if n_replicas > 10:
+        raise ValueError(
+            f"generate: n_replicas={n_replicas} > 10 — the embedding "
+            "signed-flip scheme only distinguishes 16 replicas per "
+            "decade tag and _PREFIX carries 10; compose decades "
+            "(tag='s') instead of raising the replica count"
+        )
     src_dir = src_dir or SF01
     dst_dir = dst_dir or SF1_DIR
     if os.path.exists(os.path.join(dst_dir, "_DONE")):

@@ -590,6 +590,13 @@ def _merge_subset(
                     old.setdefault(k, {})[name] = v[name]
                 else:
                     old.get(k, {}).pop(name, None)
+    # Scalar flags derived from per-query records must be recomputed
+    # from the MERGED state, not carried from either side: re-measuring
+    # q22 alone would otherwise leave a stale q22_guard_fired that
+    # contradicts the merged errors_boil entry.
+    prev["boilerplate"]["q22_guard_fired"] = "max_candidates" in prev[
+        "boilerplate"
+    ].get("errors_boil", {}).get("q22_ngram_jaccard_pairs", "")
     return prev
 
 
