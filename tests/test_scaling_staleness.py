@@ -1,0 +1,120 @@
+"""Structural staleness gate for the scaling artifacts (r8 verdict
+task 3): every entry in SCALING.json / SCALING10.json records the
+fingerprint of the analyzed logical plan it TIMED (stamped at measure
+time by tools/scaling.py). This test recomputes each query's current
+fingerprint and fails on any drift — a rewritten plan can no longer
+ship with a prior plan's cost curve (the r8 failure mode: q286's
+Arrow-fold rows survived two artifacts after the fold was replaced by
+a codegen aggregate, and q280/q283 carried superlinear flags measured
+against an invalidated corpus). The same move that made bench
+self-adjudicating in r6, applied to the scaling curve.
+
+Re-measuring after a plan change: subset mode —
+  SPARK_GRAFT_SCALE_QUERIES=<name,...> python tools/scaling.py measure
+  SPARK_GRAFT_SCALE_QUERIES=<name,...> python tools/scaling.py measure10
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+ARTIFACTS = ("SCALING.json", "SCALING10.json")
+
+
+def _entries():
+    out = []
+    for fname in ARTIFACTS:
+        path = os.path.join(REPO, fname)
+        if not os.path.exists(path):
+            continue
+        with open(path) as f:
+            doc = json.load(f)
+        for name, entry in sorted(doc["queries"].items()):
+            out.append((fname, name, entry))
+    return out
+
+
+def test_every_artifact_entry_carries_a_fingerprint():
+    missing = [
+        f"{fname}:{name}"
+        for fname, name, entry in _entries()
+        if not entry.get("plan_fp")
+    ]
+    assert not missing, (
+        "scaling entries without plan_fp (measure with current "
+        f"tools/scaling.py, or backfill via `fingerprint`): {missing}"
+    )
+
+
+def test_artifact_fingerprints_match_current_plans(spark):
+    """One Spark pass over the union of measured queries: recompute
+    each fingerprint once, then compare against every artifact entry.
+    A mismatch means the registered plan changed after the entry was
+    measured — the entry's curve describes a deleted program."""
+    from scaling import _plan_fingerprint
+
+    entries = _entries()
+    current: dict[str, str] = {}
+    for _, name, _e in entries:
+        if name not in current:
+            current[name] = _plan_fingerprint(spark, name)
+    stale = [
+        f"{fname}:{name} measured={entry.get('plan_fp')} current={current[name]}"
+        for fname, name, entry in entries
+        if entry.get("plan_fp") and entry["plan_fp"] != current[name]
+    ]
+    assert not stale, (
+        "stale scaling entries (plan changed since measurement — "
+        f"re-measure via subset mode): {stale}"
+    )
+
+
+def test_merge_preserves_fingerprints_of_untouched_entries():
+    """Subset re-measure must not strip plan_fp from entries outside
+    the subset (pure-merge contract)."""
+    from scaling import _merge_artifact
+
+    prev = {
+        "queries": {
+            "qOld": {"sf1_sec": 1.0, "plan_fp": "aaa"},
+        },
+        "errors": {"sf1": {}, "sf10": {}},
+    }
+    queries, _errors = _merge_artifact(
+        prev, ["qNew"], "sf1", "sf10",
+        {"qNew": 1.0}, {"qNew": 2.0}, {"qNew": 5}, {"qNew": 50}, {}, {},
+    )
+    assert queries["qOld"]["plan_fp"] == "aaa"
+    # the fresh entry gets its fp stamped by the measure() caller, not
+    # the pure merge — absent here by design
+    assert "plan_fp" not in queries["qNew"]
+
+
+@pytest.mark.parametrize("fname", ARTIFACTS)
+def test_no_superlinear_entries_without_diagnosis(fname):
+    """SCALING.md's headline claim ("zero superlinear" / diagnosed
+    findings) must match the artifact of record: any superlinear entry
+    must be named in SCALING.md — an undiagnosed flag is a finding,
+    a silently-shipped one is a contradiction (the r8 blemish)."""
+    path = os.path.join(REPO, fname)
+    if not os.path.exists(path):
+        pytest.skip(f"{fname} absent")
+    with open(path) as f:
+        doc = json.load(f)
+    flagged = [n for n, e in doc["queries"].items() if e.get("superlinear")]
+    if not flagged:
+        return
+    with open(os.path.join(REPO, "SCALING.md")) as f:
+        md = f.read()
+    undocumented = [n for n in flagged if n not in md]
+    assert not undocumented, (
+        f"{fname} has superlinear entries not diagnosed in SCALING.md: "
+        f"{undocumented}"
+    )

@@ -383,6 +383,66 @@ def _merge_artifact(
     return queries, errors
 
 
+# Canonical SF for plan fingerprints: the smallest testdata. The
+# fingerprint captures the PROGRAM (analyzed logical plan), which is
+# what changes when a query is rewritten — computing it at a tiny SF
+# keeps the cost of the staleness test bounded even for queries whose
+# construction runs driver-side iterations (kmeans/PQ/CC fixpoints).
+FP_SF = "/root/testdata/sf0.001"
+
+
+def _plan_fingerprint(spark, name: str, sf_dir: str = FP_SF) -> str:
+    """Stable hash of a catalog query's ANALYZED logical plan at a
+    canonical SF. Analyzed (not optimized) on purpose: it precedes
+    CacheManager substitution and AQE, so it is independent of session
+    cache state and runtime config — it changes iff the DataFrame
+    program changes. Expression IDs (#123) and the data path are
+    normalized out. This is what makes scaling-artifact staleness
+    STRUCTURAL: each measured entry records the fingerprint of the
+    plan it timed, and a test flags any entry whose current
+    fingerprint differs (the same move that made bench
+    self-adjudicating in r6)."""
+    import hashlib
+    import re
+
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    df = QUERIES[name].fn(spark, sf_dir)
+    s = df._jdf.queryExecution().analyzed().toString()
+    s = re.sub(r"#\d+", "#", s)
+    s = s.replace(sf_dir, "<SF>")
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
+def _stamp_fingerprints(spark, queries: dict, names: list) -> None:
+    """Attach plan_fp to each entry measured THIS run (merged-in old
+    entries keep the fingerprint of the plan they actually timed)."""
+    for n in names:
+        if n in queries:
+            queries[n]["plan_fp"] = _plan_fingerprint(spark, n)
+
+
+def fingerprint() -> None:
+    """One-time backfill: stamp plan_fp for every entry in both
+    scaling artifacts from the CURRENT plans. Only sound when every
+    entry's plan is unchanged since its measurement — entries known
+    stale must be re-measured (subset mode) first, or the backfill
+    hides exactly the staleness the fingerprint exists to expose."""
+    spark = _spark()
+    fps: dict[str, str] = {}
+    for fname in ("SCALING.json", "SCALING10.json"):
+        path = os.path.join(REPO, fname)
+        with open(path) as f:
+            doc = json.load(f)
+        for n, entry in doc["queries"].items():
+            if n not in fps:
+                fps[n] = _plan_fingerprint(spark, n)
+            entry["plan_fp"] = fps[n]
+        with open(path, "w") as f:
+            json.dump(doc, f, indent=2)
+        print(f"{fname}: stamped {len(doc['queries'])} entries")
+
+
 def measure() -> None:
     """Full run rewrites SCALING.json. SPARK_GRAFT_SCALE_QUERIES (comma
     list) restricts the run to a subset and MERGES those entries into
@@ -423,6 +483,7 @@ def measure() -> None:
         prev, QUERY_NAMES, "sf0.1", "sf1",
         t01, t1, rows01, rows1, err01, err1,
     )
+    _stamp_fingerprints(spark, out["queries"], QUERY_NAMES)
     with open(scaling_path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out["queries"], indent=2))
@@ -485,6 +546,7 @@ def measure_decade() -> None:
         prev, headline, "sf1", "sf10",
         t1, t10, rows1, rows10, err1, err10,
     )
+    _stamp_fingerprints(spark, out["queries"], headline)
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out["queries"], indent=2))
@@ -494,4 +556,9 @@ def measure_decade() -> None:
 
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "measure"
-    {"generate": generate, "measure": measure, "measure10": measure_decade}[cmd]()
+    {
+        "generate": generate,
+        "measure": measure,
+        "measure10": measure_decade,
+        "fingerprint": fingerprint,
+    }[cmd]()

@@ -85,6 +85,12 @@ ZIPF_QUERIES = [
     "q286_debounce_census",
     "q289_attribution_banded",  # q118's banded-shuffle-key scale sibling
     "q290_repeat_purchases_banded",  # q112's (the 125.9× finding's fix)
+    # r9 extension (VERDICT r8 task 4): the remaining key-then-band /
+    # per-key-pairing shapes, measured under zipf keys
+    "q30_asof_join",
+    "q34_range_join",
+    "q160_overlapping_activity",
+    "q214_sequential_crosssell",
 ]
 
 
