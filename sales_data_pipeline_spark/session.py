@@ -27,6 +27,15 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Measured lesson (SKEW.md §2c): AQE refuses to split a skewed join
+    # whose output feeds an aggregation — the split inserts an extra
+    # shuffle, and the cost model vetoes it — so skewJoin.enabled alone
+    # silently did nothing for the q118-shaped join (24× skew cost,
+    # 0 splits). Forcing accepts the extra shuffle: on the zipf corpus
+    # that traded 11.6s plain-SMJ for 2.0s split-SMJ. The trade is only
+    # wrong when the join output is tiny AND perfectly balanced, where
+    # the extra shuffle buys nothing but costs little — accept it.
+    "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
     # Arrow-batched transfer for pandas UDFs / toPandas.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Deterministic time semantics regardless of host timezone.
