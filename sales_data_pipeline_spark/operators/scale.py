@@ -300,38 +300,74 @@ def distributed_prefix_sum(
          substitute quantile boundaries if the key space is skewed) and
          running-sum WITHIN each bucket: one hash exchange, all buckets
          in parallel.
-      2. prefix-sum the per-bucket totals — ``n_buckets`` rows, so the
-         single-partition window is applied only to a trivially small
-         relation — and broadcast-join the resulting offsets back.
+      2. exclusive-prefix-sum the per-bucket totals with a JVM
+         ``aggregate`` fold over the (n_buckets)-element collected
+         array — no Window node at all (the r9 burn-down: the earlier
+         bucket-offset window, bounded as it was, still tripped the
+         global-window lint and kept every caller allowlisted) — and
+         broadcast-join the resulting offsets back.
 
-    The order key must be unique (ties make a running sum ill-defined);
-    callers pass a rowid-like column. Output = input + ``out_col``."""
+    Bounds attach lazily as a broadcast scalar (no plan-time job — the
+    q22 lazy-guard lesson). ``value_col`` must be integral (the offset
+    fold accumulates BIGINT; exact, like every running total in this
+    catalog). The order key must be unique (ties make a running sum
+    ill-defined); callers pass a rowid-like column. Output = input +
+    ``out_col`` (bigint)."""
     from pyspark.sql.window import Window
 
     spark = df.sparkSession
     n_buckets = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    lo, hi = df.agg(F.min(order_col), F.max(order_col)).first()
-    if lo is None:  # empty input: just type out_col correctly
-        return df.withColumn(out_col, F.lit(None).cast("bigint"))
-    width = max((int(hi) - int(lo) + n_buckets) // n_buckets, 1)
-    bucket = F.floor((F.col(order_col) - F.lit(int(lo))) / F.lit(width)).cast("int")
-
+    bounds = df.agg(
+        F.min(order_col).cast("bigint").alias("__lo"),
+        F.max(order_col).cast("bigint").alias("__hi"),
+    )
+    width = F.greatest(
+        F.floor((F.col("__hi") - F.col("__lo") + F.lit(n_buckets)) / F.lit(n_buckets)),
+        F.lit(1),
+    )
+    bucketed = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__b",
+            F.floor((F.col(order_col) - F.col("__lo")) / width).cast("int"),
+        )
+        .drop("__lo", "__hi")
+    )
     w_in = Window.partitionBy("__b").orderBy(order_col)
-    inner = df.withColumn("__b", bucket).withColumn(
-        "__run", F.sum(value_col).over(w_in)
+    inner = bucketed.withColumn(
+        "__run", F.sum(F.col(value_col).cast("bigint")).over(w_in)
     )
-    totals = (
-        df.select(bucket.alias("__b"), F.col(value_col).alias("__v"))
-        .groupBy("__b")
-        .agg(F.sum("__v").alias("__tot"))
+    totals = bucketed.groupBy("__b").agg(
+        F.sum(F.col(value_col).cast("bigint")).alias("__tot")
     )
-    w_off = Window.orderBy("__b").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__b", F.coalesce(F.sum("__tot").over(w_off), F.lit(0)).alias("__off")
+    offsets = (
+        totals.agg(
+            F.sort_array(F.collect_list(F.struct("__b", "__tot"))).alias("a")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    """
+                    aggregate(
+                      a,
+                      struct(CAST(0 AS BIGINT) AS run,
+                             CAST(array() AS
+                               array<struct<__b:int,__off:bigint>>) AS out),
+                      (acc, x) -> struct(
+                        acc.run + x.__tot AS run,
+                        concat(acc.out,
+                               array(struct(x.__b AS __b,
+                                            acc.run AS __off))) AS out),
+                      acc -> acc.out)
+                    """
+                )
+            ).alias("o")
+        )
+        .select(F.col("o.__b").alias("__b"), F.col("o.__off").alias("__off"))
     )
     return (
         inner.join(F.broadcast(offsets), "__b")
-        .withColumn(out_col, F.col("__run") + F.col("__off"))
+        .withColumn(out_col, (F.col("__run") + F.col("__off")).cast("bigint"))
         .drop("__b", "__run", "__off")
     )
 
@@ -586,7 +622,19 @@ def distributed_rank(
     Ranks are exactly the naive window's (bitwise: pure integer
     arithmetic) whenever ``(signal, id)`` is a total order, so oracles
     written against ``row_number()`` stay valid. Output = input +
-    ``out_col`` (bigint)."""
+    ``out_col`` (bigint).
+
+    Residual risk (cf. banded_interval_join): the buckets split the
+    SIGNAL's value range, so a degenerate corpus whose signal is
+    near-constant lands every row in one bucket and quietly reproduces
+    the single-partition sort this exists to avoid. Correctness still
+    holds (ties never cross a bucket). The contract: the signal should
+    be a continuous-ish score (quality, BM25, revenue, timestamps — the
+    signals this catalog ranks); for a known-degenerate signal, rank on
+    a (signal, id)-derived composite instead. A second caveat: the
+    signal is compared as DOUBLE, so two inputs that differ only beyond
+    2^53 precision tie here but not in a decimal-ordered window —
+    integral signals stay exact to 2^53."""
     ordv = F.col(signal_col).cast("double")
     if descending:
         ordv = -ordv
@@ -644,4 +692,57 @@ def distributed_rank(
         inner.join(F.broadcast(offsets), "__b")
         .withColumn(out_col, (F.col("__off") + F.col("__rn")).cast("bigint"))
         .drop("__b", "__rn", "__off")
+    )
+
+
+def distributed_ntile(
+    df: DataFrame,
+    signal_col: str,
+    id_col: str,
+    k: int,
+    out_col: str,
+    descending: bool = True,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """``ntile(k) OVER (ORDER BY signal [DESC], id)`` with no
+    single-partition stage — the quantile-bucket sibling of
+    :func:`distributed_rank` (r9 allowlist burn-down: the exact
+    Pareto/RFM tiers q138/q140 anchor their oracles on ntile windows
+    over the |customers| aggregate, which scales with the catalog).
+
+    SQL ntile semantics are a pure integer function of the global row
+    number ``rn`` and the total count ``n``: with ``q, r = divmod(n,
+    k)``, the first ``r`` tiles take ``q+1`` rows and the rest ``q``,
+    so::
+
+        ntile = (rn-1) div (q+1) + 1              if rn <= (q+1)*r
+              = r + (rn-1 - (q+1)*r) div q + 1    otherwise
+
+    (when ``n < k``: q=0, r=n, every row is its own tile — the first
+    branch covers it). The rank comes from :func:`distributed_rank`
+    (bitwise row_number) and ``n`` attaches as a broadcast scalar, so
+    tiles are bit-identical to the window form and ntile-anchored
+    oracles stay valid. Inherits distributed_rank's signal contract
+    (continuous-ish, double-exact). Output = input + ``out_col``
+    (bigint)."""
+    ranked = distributed_rank(
+        df, signal_col, id_col, "__ntile_rn",
+        descending=descending, n_buckets=n_buckets,
+    )
+    n_total = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
+    # integer-exact throughout (div, never float division — the
+    # q153/q158 multiples-misround lesson): q = n div k, r = n mod k,
+    # cutoff = (q+1)*r rows belong to the first r (larger) tiles
+    tile = F.expr(
+        f"""CASE WHEN __ntile_rn <= ((__n div {k}) + 1) * (__n % {k})
+             THEN (__ntile_rn - 1) div ((__n div {k}) + 1) + 1
+             ELSE (__n % {k})
+                  + (__ntile_rn - 1 - ((__n div {k}) + 1) * (__n % {k}))
+                    div greatest(__n div {k}, 1) + 1
+            END"""
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n_total))
+        .withColumn(out_col, tile.cast("bigint"))
+        .drop("__ntile_rn", "__n")
     )

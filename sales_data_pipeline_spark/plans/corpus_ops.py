@@ -1259,8 +1259,7 @@ def q255_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_files"),
             F.sum("n_chars").cast("bigint").alias("bin_bytes"),
         )
-        .orderBy("source", "bin")
-    )
+    )  # unordered: |bins| = corpus bytes / target, scales with data
 
 
 # ---------------------------------------------------------------------------
@@ -1553,7 +1552,7 @@ def q269_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sales_data_pipeline_spark.operators.text import phrase_hits_scan
 
     docs = table(spark, sf_dir, "documents")
-    return phrase_hits_scan(docs, "table hash").orderBy("doc_id")
+    return phrase_hits_scan(docs, "table hash")  # unordered hits
 
 
 # ---------------------------------------------------------------------------

@@ -3942,24 +3942,28 @@ def q135_spend_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gini coefficient of customer spend — how concentrated the
     revenue base is (0 = uniform, →1 = one whale), computed with the
     rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted
-    spends. The global sort runs over the |customers| aggregate, not
-    orders; at 100 TB the same formula works on a SAMPLE of customers
-    (Gini is estimable from uniform samples) — the full-sort form here
-    is the exactness anchor. Deterministic tie-break on custkey."""
+    spends. The rank runs over the |customers| aggregate — which
+    itself scales with the catalog, so as of r9 it is the two-phase
+    operators/scale.distributed_rank (bitwise row_number, no
+    single-partition sort) with n and Σx attached as one broadcast
+    scalar; the oracle keeps the plain-window statement. At 100 TB
+    the same formula also works on a SAMPLE of customers (Gini is
+    estimable from uniform samples). Deterministic tie-break on
+    custkey."""
+    from sales_data_pipeline_spark.operators.scale import distributed_rank
+
     orders = table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("x")
     )
-    w_rank = Window.orderBy("x", "o_custkey")
-    w_all = Window.partitionBy()
-    ranked = spend.select(
-        "x",
-        F.row_number().over(w_rank).alias("i"),
-        F.count(F.lit(1)).over(w_all).alias("n"),
-        F.sum("x").over(w_all).alias("total"),
+    tot = spend.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("x").alias("total")
     )
+    ranked = distributed_rank(
+        spend, "x", "o_custkey", "i", descending=False
+    ).crossJoin(F.broadcast(tot)).select("x", "i", "n", "total")
     return ranked.agg(
         F.max("n").cast("bigint").alias("n_customers"),
         F.round(F.max("total"), 2).alias("total_spend"),
@@ -4117,22 +4121,26 @@ def q138_pareto_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto concentration curve: customers ranked into spend deciles
     (best first), each decile's revenue share and the running
     cumulative share — the '20% drive 80%' readout that q135's single
-    Gini number summarizes. Rank window over the customer aggregate
-    (single-partition ntile — the ORACLE-ANCHOR form; the windowless
-    scale path is q176_pareto_curve_approx, same recipe as q145);
-    the cumulative window runs over 10 rows."""
+    Gini number summarizes. The decile assignment keeps the oracle's
+    exact ntile semantics but runs as the two-phase
+    operators/scale.distributed_ntile (r9 — bitwise ntile from a
+    distributed rank + broadcast count, no single-partition sort over
+    the |customers| aggregate); q176_pareto_curve_approx remains the
+    percentile_approx variant for when approximate deciles suffice.
+    The cumulative window runs over 10 rows."""
+    from sales_data_pipeline_spark.operators.scale import distributed_ntile
+
     orders = table(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
         .cast("double")
         .alias("x")
     )
-    w_rank = Window.orderBy(F.col("x").desc(), "o_custkey")
-    w_all = Window.partitionBy()
-    ranked = spend.select(
-        "x",
-        F.ntile(10).over(w_rank).alias("decile"),
-        F.sum("x").over(w_all).alias("total"),
+    tot = spend.agg(F.sum("x").alias("total"))
+    ranked = (
+        distributed_ntile(spend, "x", "o_custkey", 10, "decile")
+        .crossJoin(F.broadcast(tot))
+        .select("x", "decile", "total")
     )
     per = ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),
@@ -4236,14 +4244,30 @@ def rfm_segments(orders: DataFrame, approx: bool = False) -> DataFrame:
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("monetary"),
     )
     if not approx:
-        w_r = Window.orderBy(F.col("last_order").desc(), "o_custkey")
-        w_f = Window.orderBy(F.col("frequency").desc(), "o_custkey")
-        w_m = Window.orderBy(F.col("monetary").desc(), "o_custkey")
-        scored = base.select(
-            "o_custkey",
-            F.ntile(5).over(w_r).cast("bigint").alias("r_score"),
-            F.ntile(5).over(w_f).cast("bigint").alias("f_score"),
-            F.ntile(5).over(w_m).cast("bigint").alias("m_score"),
+        # r9: the three exact ntile(5) quintiles run as two-phase
+        # distributed_ntile (bitwise ntile, zero single-partition
+        # sorts) — the oracle keeps its window statement. The
+        # timestamp signal ranks on integer epoch-micros (NTZ has no
+        # double cast; micros order == timestamp order exactly); the
+        # decimal signal passes through distributed_rank's double
+        # cast, exact at any realistic magnitude (see its docstring
+        # contract).
+        from sales_data_pipeline_spark.operators.scale import (
+            _epoch_us,
+            distributed_ntile,
+        )
+
+        scored = base.withColumn("__r_us", _epoch_us(base, "last_order"))
+        for sig, out in (
+            ("__r_us", "r_score"),
+            ("frequency", "f_score"),
+            ("monetary", "m_score"),
+        ):
+            scored = distributed_ntile(
+                scored, sig, "o_custkey", 5, out, descending=True
+            )
+        scored = scored.select(
+            "o_custkey", "r_score", "f_score", "m_score"
         )
     else:
         qs = [0.2, 0.4, 0.6, 0.8]
@@ -7907,12 +7931,21 @@ def q215_abc_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     compare INTEGER cross-products (cum·10 ≤ tot·8), never floating
     shares; the CoV² comparison uses exact integer moment sums with
     the q182 closed form, squared to avoid sqrt entirely. The Pareto
-    window runs over the |parts| AGGREGATE with a total (rev, key)
-    order — exact-oracle anchor form; when |parts| itself is huge the
-    documented scale path is q176's: approximate revenue cut-points
-    via percentile_approx broadcast back, trading the single-partition
-    rank sort for two map passes. Output is the 9-cell class census.
-    One fact shuffle."""
+    cumulative sum runs over the |parts| AGGREGATE in the (rev desc,
+    key) total order — and since |parts| itself scales with the
+    catalog, as of r9 it is computed WITHOUT any single-partition
+    window: operators/scale.distributed_rank assigns the global
+    Pareto rank (two-phase, bitwise row_number), distributed_prefix_sum
+    accumulates revenue over that unique rank, and the grand total
+    attaches as a broadcast scalar. Ranks/sums are exact integers, so
+    the class assignment is bit-identical to the windowed form the
+    oracle states. Output is the 9-cell class census. One fact
+    shuffle."""
+    from sales_data_pipeline_spark.operators.dedup import _persist
+    from sales_data_pipeline_spark.operators.scale import (
+        distributed_prefix_sum,
+        distributed_rank,
+    )
     li = table(spark, sf_dir, "lineitem")
     per_part = li.groupBy("l_partkey").agg(
         F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")) * 100, 0)
@@ -7927,15 +7960,17 @@ def q215_abc_xyz_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("sqq"),
     )
-    w_cum = Window.orderBy(F.desc("rev_c"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
+    # persisted: feeds the rank/prefix buckets, their bounds scalars,
+    # and the grand total — unpersisted, each re-aggregates lineitem
+    per_part = _persist(per_part)
+    rnk = distributed_rank(
+        per_part, "rev_c", "l_partkey", "__rnk", descending=True
     )
-    w_all = Window.partitionBy()
-    ranked = per_part.select(
-        "*",
-        F.sum("rev_c").over(w_cum).cast("bigint").alias("cum_c"),
-        F.sum("rev_c").over(w_all).cast("bigint").alias("tot_c"),
+    cum = distributed_prefix_sum(rnk, "__rnk", "rev_c", out_col="cum_c").drop(
+        "__rnk"
     )
+    tot = per_part.agg(F.sum("rev_c").cast("bigint").alias("tot_c"))
+    ranked = cum.crossJoin(F.broadcast(tot))
     mean = F.col("sq") / F.col("n_lines").cast("double")
     var = (
         F.col("sqq") - F.col("sq") * F.col("sq").cast("double") / F.col("n_lines")
@@ -8951,8 +8986,7 @@ def q237_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_dominated_parts"),
             F.sum("sup_qty").cast("bigint").alias("dominated_qty"),
         )
-        .orderBy("s_name")
-    )
+    )  # unordered: |suppliers| scales with the catalog
 
 
 # ---------------------------------------------------------------------------
@@ -9249,8 +9283,7 @@ def q243_burst_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "first_burst_at"
             ),
         )
-        .orderBy("user_id")
-    )
+    )  # unordered: |burst users| scales with the stream
 
 
 # ---------------------------------------------------------------------------
@@ -10203,8 +10236,7 @@ def q277_view_no_purchase_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "first_view_at"
             ),
         )
-        .orderBy("user_id")
-    )
+    )  # unordered: |users| scales with the stream
 
 
 # ---------------------------------------------------------------------------
@@ -10410,5 +10442,4 @@ def q286_debounce_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         n.join(per, "user_id")
         .select("user_id", "n_clicks", "n_emitted", "last_emit_us")
-        .orderBy("user_id")
-    )
+    )  # unordered: |users| scales with the stream

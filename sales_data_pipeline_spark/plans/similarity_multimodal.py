@@ -214,7 +214,7 @@ def q86_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sales_data_pipeline_spark.operators.similarity import semantic_dedup
 
     emb = table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, k=8, iters=3, threshold=0.45).orderBy("vec_id")
+    return semantic_dedup(emb, k=8, iters=3, threshold=0.45)  # unordered
 
 
 @query(
@@ -439,9 +439,7 @@ def q200_image_neardup_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ppm_text_payload("text").alias("payload"),
     )
     hashes = image_ahash(imgs)
-    return ahash_near_pairs(hashes, max_hamming=6).orderBy(
-        "media_a", "media_b"
-    )
+    return ahash_near_pairs(hashes, max_hamming=6)  # unordered pairs
 
 
 @query(

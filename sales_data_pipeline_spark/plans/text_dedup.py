@@ -660,7 +660,7 @@ def q128_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     pr = pagerank(edges, iters=6)
     return pr.select(
         F.col("node").alias("doc_id"), F.round("rank", 9).alias("rank")
-    ).orderBy("doc_id")
+    )  # unordered: a global sort of a corpus-sized output buys nothing
 
 
 @query(
@@ -1328,8 +1328,7 @@ def q191_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         lp.groupBy("community")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
-        .orderBy("community")
-    )
+    )  # unordered: |communities| scales with the corpus
 
 
 @query(
@@ -1480,7 +1479,7 @@ def q203_neardup_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    return k_core(edges, k=2).orderBy("node")
+    return k_core(edges, k=2)  # unordered: corpus-sized output
 
 
 @query(
@@ -1593,8 +1592,7 @@ def q219_bloom_dedup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.join(gate, "fp")
         .filter(~F.col("maybe_seen"))
         .select("doc_id", "fp")
-        .orderBy("doc_id")
-    )
+    )  # unordered: corpus-sized output
 
 
 @query("q224_duplication_index", oracle=None)
@@ -1974,23 +1972,25 @@ def q241_length_dup_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition), quintile boundaries use the integer-exact
     ⌊5(rn−1)/n⌋+1 rank arithmetic (never float n/5 — the q153/q158
     multiples-misround lesson), and dup_rate is one double division
-    of exact integers. The ranking window IS a global sort over
-    |documents| — this is the oracle-anchor tier; at 10⁹ docs swap
-    the quintile assignment for percentile_approx cut-points exactly
-    as q235/q236 do for Gini/QQ (same recipe, registered there)."""
+    of exact integers. The global rank over |documents| runs as the
+    two-phase operators/scale.distributed_rank (r9 — bitwise
+    row_number, no single-partition window) with the corpus count
+    attached as a broadcast scalar; the oracle keeps the plain-window
+    statement. At 10⁹ docs the even-cheaper alternative remains
+    percentile_approx cut-points exactly as q235/q236 do for
+    Gini/QQ (same recipe, registered there)."""
+    from sales_data_pipeline_spark.operators.scale import distributed_rank
+
     docs = table(spark, sf_dir, "documents")
     d = docs.select(
         "doc_id", "n_chars", F.md5(F.trim(F.col("text"))).alias("fp")
     )
     g = d.groupBy("fp").agg(F.count(F.lit(1)).cast("bigint").alias("group_size"))
-    ranked = d.join(g, "fp").select(
-        "n_chars",
-        "group_size",
-        F.row_number()
-        .over(Window.orderBy("n_chars", "doc_id"))
-        .alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    joined = d.join(g, "fp")
+    n_total = joined.agg(F.count(F.lit(1)).alias("n"))
+    ranked = distributed_rank(
+        joined, "n_chars", "doc_id", "rn", descending=False
+    ).crossJoin(F.broadcast(n_total)).select("n_chars", "group_size", "rn", "n")
     dup = (F.col("group_size") > 1).cast("int")
     return (
         ranked.groupBy(
@@ -2340,9 +2340,7 @@ def q250_name_edit_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sales_data_pipeline_spark.operators.dedup import edit_neardup_pairs
 
     part = table(spark, sf_dir, "part")
-    return edit_neardup_pairs(part, "p_name", k=2).orderBy(
-        "edit_distance", "name_a", "name_b"
-    )
+    return edit_neardup_pairs(part, "p_name", k=2)  # unordered pairs
 
 
 # ---------------------------------------------------------------------------

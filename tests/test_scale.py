@@ -203,11 +203,16 @@ def test_distributed_prefix_sum_empty_and_single(spark):
 
 def test_prefix_sum_big_side_never_single_partition(spark):
     """The data-path window must run per bucket (hashpartitioning on the
-    bucket id); exactly one SinglePartition exchange exists and it feeds
-    the n_buckets-row offsets relation, not the data."""
+    bucket id), and every SinglePartition exchange must feed a
+    trivially-small relation: the two 1-row min/max bounds aggregates
+    (identical subtrees — deduped by ReuseExchange at runtime) and the
+    n_buckets-row offset fold. Since r9 the offsets are a JVM aggregate
+    fold, so the plan carries ZERO Window nodes with an empty partition
+    spec (the lint's global-window definition) — pinned via lint."""
     import re as _re
 
     from sales_data_pipeline_spark.operators.scale import distributed_prefix_sum
+    from sales_data_pipeline_spark.plans.lint import lint_plan
 
     df = spark.range(0, 10_000).withColumnRenamed("id", "k").withColumn(
         "v", (F.col("k") % 17).cast("long")
@@ -217,7 +222,13 @@ def test_prefix_sum_big_side_never_single_partition(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "hashpartitioning(__b" in plan, plan
-    assert len(_re.findall(r"Arguments: SinglePartition", plan)) == 1, plan
+    single = _re.findall(r"\((\d+)\) Exchange\nInput \[\d+\]: \[([^\]]*)\]"
+                         r"\nArguments: SinglePartition", plan)
+    assert len(single) <= 3, plan
+    for _, cols in single:
+        # each single-partition input is a bounds pair or the fold buffer
+        assert ("min" in cols and "max" in cols) or "buf" in cols, (cols, plan)
+    assert "global-window" not in {f.code for f in lint_plan(out)}, plan
 
 
 def test_join_cardinality_prediction_matches_real_join(spark, sf_dir):
@@ -859,3 +870,46 @@ def test_q112_q118_registered_bodies_are_banded(spark, sf_dir):
             assert len(bucketed) >= 2, (name, parts)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_distributed_ntile_bitwise_equals_window_ntile(spark):
+    """Tiles must equal F.ntile's for every n mod k residue class,
+    including ties on the signal and n < k (each row its own tile)."""
+    from pyspark.sql.window import Window as W
+
+    from sales_data_pipeline_spark.operators.scale import distributed_ntile
+
+    for n, k in [(100, 10), (103, 10), (7, 10), (57, 5), (64, 7)]:
+        df = spark.range(0, n).select(
+            F.col("id").alias("cid"),
+            # heavy ties: signal has ~n/4 distinct values
+            (F.col("id") % (max(n // 4, 1))).cast("double").alias("x"),
+        )
+        got = {
+            r.cid: r.tile
+            for r in distributed_ntile(
+                df, "x", "cid", k, "tile", descending=True, n_buckets=5
+            ).collect()
+        }
+        want = {
+            r.cid: r.tile
+            for r in df.select(
+                "cid",
+                F.ntile(k)
+                .over(W.orderBy(F.col("x").desc(), F.col("cid").asc()))
+                .cast("bigint")
+                .alias("tile"),
+            ).collect()
+        }
+        assert got == want, (n, k)
+
+
+def test_distributed_ntile_plan_has_no_global_window(spark):
+    from sales_data_pipeline_spark.operators.scale import distributed_ntile
+    from sales_data_pipeline_spark.plans.lint import lint_plan
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("cid"), (F.col("id") % 37).cast("double").alias("x")
+    )
+    out = distributed_ntile(df, "x", "cid", 5, "tile")
+    assert "global-window" not in {f.code for f in lint_plan(out)}
