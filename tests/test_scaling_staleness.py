@@ -118,3 +118,25 @@ def test_no_superlinear_entries_without_diagnosis(fname):
         f"{fname} has superlinear entries not diagnosed in SCALING.md: "
         f"{undocumented}"
     )
+
+
+def test_fingerprint_is_deterministic_within_a_session(spark):
+    """PySpark names higher-order-function lambda variables from a
+    process-global counter (x_1, x_2, ...), so an un-normalized
+    analyzed-plan string differs depending on how many lambdas were
+    created earlier in the session — the r9 finding that flagged 19
+    entries 'stale' whose plans had not changed. The fingerprint must
+    be invariant to constructions that happened before it."""
+    from pyspark.sql import functions as F
+
+    from scaling import _plan_fingerprint
+
+    # q22 builds several lambdas (transform/filter over shingle arrays)
+    fp1 = _plan_fingerprint(spark, "q22_ngram_jaccard_pairs")
+    # burn a few lambda ids: a throwaway construction with HOFs
+    spark.range(3).select(
+        F.transform(F.array(F.lit(1)), lambda x: x + 1),
+        F.filter(F.array(F.lit(2)), lambda x: x > 0),
+    )
+    fp2 = _plan_fingerprint(spark, "q22_ngram_jaccard_pairs")
+    assert fp1 == fp2

@@ -410,6 +410,14 @@ def _plan_fingerprint(spark, name: str, sf_dir: str = FP_SF) -> str:
     df = QUERIES[name].fn(spark, sf_dir)
     s = df._jdf.queryExecution().analyzed().toString()
     s = re.sub(r"#\d+", "#", s)
+    # PySpark's higher-order-function lambda variables are named from a
+    # PROCESS-GLOBAL counter (x_1, x_2, ...), so the same program
+    # renders different names depending on how many lambdas earlier
+    # query constructions created in this session — the r9 finding that
+    # made every lambda-bearing fingerprint nondeterministic (pinned by
+    # tests/test_scaling_staleness.py::test_fingerprint_is_deterministic
+    # _within_a_session). Normalize the counter away like exprIds.
+    s = re.sub(r"\bx_\d+#", "x_#", s)
     s = s.replace(sf_dir, "<SF>")
     return hashlib.md5(s.encode()).hexdigest()[:12]
 
