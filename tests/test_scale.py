@@ -913,3 +913,37 @@ def test_distributed_ntile_plan_has_no_global_window(spark):
     )
     out = distributed_ntile(df, "x", "cid", 5, "tile")
     assert "global-window" not in {f.code for f in lint_plan(out)}
+
+
+def test_distributed_rank_bitwise_equals_naive_window(spark):
+    """Two-phase rank == row_number() over the naive global window, in
+    both directions, with heavy signal ties (the id tie-break must not
+    cross bucket boundaries) and ranks spanning several buckets."""
+    from pyspark.sql.window import Window as W
+
+    from sales_data_pipeline_spark.operators.scale import distributed_rank
+
+    df = spark.range(0, 503).select(
+        F.col("id").alias("rid"),
+        # ~25 distinct signal values over 503 rows: every bucket holds ties
+        (F.col("id") % 25).cast("double").alias("sig"),
+    )
+    for desc in (True, False):
+        order = F.col("sig").desc() if desc else F.col("sig").asc()
+        got = {
+            r.rid: r.rk
+            for r in distributed_rank(
+                df, "sig", "rid", "rk", descending=desc, n_buckets=7
+            ).collect()
+        }
+        want = {
+            r.rid: r.rk
+            for r in df.select(
+                "rid",
+                F.row_number()
+                .over(W.orderBy(order, F.col("rid").asc()))
+                .cast("bigint")
+                .alias("rk"),
+            ).collect()
+        }
+        assert got == want, desc
