@@ -131,12 +131,16 @@ def test_fingerprint_is_deterministic_within_a_session(spark):
 
     from scaling import _plan_fingerprint
 
-    # q22 builds several lambdas (transform/filter over shingle arrays)
-    fp1 = _plan_fingerprint(spark, "q22_ngram_jaccard_pairs")
-    # burn a few lambda ids: a throwaway construction with HOFs
-    spark.range(3).select(
-        F.transform(F.array(F.lit(1)), lambda x: x + 1),
-        F.filter(F.array(F.lit(2)), lambda x: x > 0),
-    )
-    fp2 = _plan_fingerprint(spark, "q22_ngram_jaccard_pairs")
-    assert fp1 == fp2
+    # q22 binds single-arg lambdas (transform/filter); q25 binds
+    # two-arg ones (zip_with x_N/y_M, aggregate acc) — the counter is
+    # shared across ALL variable names, so both must be pinned
+    for name in ("q22_ngram_jaccard_pairs", "q25_ann_cosine_topk"):
+        fp1 = _plan_fingerprint(spark, name)
+        # burn a few lambda ids: a throwaway construction with HOFs
+        spark.range(3).select(
+            F.transform(F.array(F.lit(1)), lambda x: x + 1),
+            F.zip_with(F.array(F.lit(1)), F.array(F.lit(2)), lambda a, b: a + b),
+            F.filter(F.array(F.lit(2)), lambda x: x > 0),
+        )
+        fp2 = _plan_fingerprint(spark, name)
+        assert fp1 == fp2, name

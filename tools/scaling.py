@@ -411,13 +411,15 @@ def _plan_fingerprint(spark, name: str, sf_dir: str = FP_SF) -> str:
     s = df._jdf.queryExecution().analyzed().toString()
     s = re.sub(r"#\d+", "#", s)
     # PySpark's higher-order-function lambda variables are named from a
-    # PROCESS-GLOBAL counter (x_1, x_2, ...), so the same program
-    # renders different names depending on how many lambdas earlier
-    # query constructions created in this session — the r9 finding that
-    # made every lambda-bearing fingerprint nondeterministic (pinned by
-    # tests/test_scaling_staleness.py::test_fingerprint_is_deterministic
-    # _within_a_session). Normalize the counter away like exprIds.
-    s = re.sub(r"\bx_\d+#", "x_#", s)
+    # PROCESS-GLOBAL counter (x_1, y_2, ... — one counter across ALL
+    # variable names: zip_with binds x_N and y_M, aggregate binds acc_K),
+    # so the same program renders different names depending on how many
+    # lambdas earlier query constructions created in this session — the
+    # r9 finding that made every lambda-bearing fingerprint
+    # nondeterministic (pinned by tests/test_scaling_staleness.py::
+    # test_fingerprint_is_deterministic_within_a_session). Normalize
+    # every lambda-variable counter away like exprIds.
+    s = re.sub(r"\b([A-Za-z]+)_\d+#", r"\1_#", s)
     s = s.replace(sf_dir, "<SF>")
     return hashlib.md5(s.encode()).hexdigest()[:12]
 
