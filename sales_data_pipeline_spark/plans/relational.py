@@ -7831,11 +7831,23 @@ def q214_sequential_crosssell(spark: SparkSession, sf_dir: str) -> DataFrame:
     actually needs (A→B and B→A count separately here; baskets cannot
     distinguish them). Grain is deliberately (customer, brand, day)
     DISTINCT — multiple lines of one brand in one order must not
-    multiply pairs. The self-join is keyed on customer with a date
-    band residual (the q112 interval-self-join shape): per-customer
-    purchase histories are small and bounded (tens of rows), so the
-    join fan-out is Σ|history|² per customer, never corpus². ≥5
-    support prune keeps the census actionable."""
+    multiply pairs.
+
+    The self-join is keyed on customer with a date band — the q112
+    interval-self-join shape, and the r9 zipf measurement showed the
+    key-only version suffering the identical failure: **62.4×**
+    (5.1s → 319.7s, SKEW.json) when the hot customer's ~9k distinct
+    (brand, day) rows put ~81M pair evaluations on ONE reducer. As of
+    r9 the body routes through operators/scale.banded_interval_join
+    (shuffle key = (cust, ⌊day/30d⌋); the strict/inclusive band
+    (0, 30d] maps exactly to integer micros [1d, 30d] at DATE grain),
+    with the brand≠ residual filtered post-join — output identical
+    (bitwise test vs the key-only shape). ≥5 support prune keeps the
+    census actionable."""
+    from sales_data_pipeline_spark.operators.scale import (
+        banded_interval_join,
+    )
+
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     o = table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("day")
@@ -7855,17 +7867,15 @@ def q214_sequential_crosssell(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cust"), F.col("brand").alias("brand_from"), F.col("day").alias("d0")
     )
     b = purchases.select(
-        F.col("cust").alias("cust_b"),
+        F.col("cust"),
         F.col("brand").alias("brand_to"),
         F.col("day").alias("d1"),
     )
-    seq = a.join(
-        b,
-        (F.col("cust") == F.col("cust_b"))
-        & (F.col("d1") > F.col("d0"))
-        & (F.col("d1") <= F.date_add(F.col("d0"), 30))
-        & (F.col("brand_from") != F.col("brand_to")),
-    )
+    day_us = 86_400_000_000
+    seq = banded_interval_join(
+        a, b, on="cust", probe_ts="d0", build_ts="d1",
+        lower_us=day_us, upper_us=30 * day_us, bucket_width_us=30 * day_us,
+    ).filter(F.col("brand_from") != F.col("brand_to"))
     return (
         seq.groupBy("brand_from", "brand_to")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_seq"))

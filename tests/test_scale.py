@@ -947,3 +947,55 @@ def test_distributed_rank_bitwise_equals_naive_window(spark):
             ).collect()
         }
         assert got == want, desc
+
+
+def test_q214_banded_bitwise_equals_keyonly_crosssell(spark, sf_dir):
+    """r9: q214's registered body routes through banded_interval_join
+    after the zipf measurement showed the key-only shape at 62.4×
+    (SKEW.json). Same-corpus output must be identical to the key-only
+    formulation, including the strict/inclusive (0, 30d] band at DATE
+    grain and the brand≠ residual."""
+    from sales_data_pipeline_spark.catalog import table as _table
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    got = {
+        (r.brand_from, r.brand_to): r.n_seq
+        for r in QUERIES["q214_sequential_crosssell"].fn(spark, sf_dir).collect()
+    }
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("day")
+    )
+    p = _table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    purchases = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(p, li.l_partkey == p.p_partkey)
+        .select(
+            F.col("o_custkey").alias("cust"),
+            F.col("p_brand").alias("brand"),
+            "day",
+        )
+        .distinct()
+    )
+    a = purchases.select(
+        "cust", F.col("brand").alias("brand_from"), F.col("day").alias("d0")
+    )
+    b = purchases.select(
+        F.col("cust").alias("cust_b"),
+        F.col("brand").alias("brand_to"),
+        F.col("day").alias("d1"),
+    )
+    naive = (
+        a.join(
+            b,
+            (F.col("cust") == F.col("cust_b"))
+            & (F.col("d1") > F.col("d0"))
+            & (F.col("d1") <= F.date_add(F.col("d0"), 30))
+            & (F.col("brand_from") != F.col("brand_to")),
+        )
+        .groupBy("brand_from", "brand_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_seq"))
+        .filter(F.col("n_seq") >= 5)
+    )
+    want = {(r.brand_from, r.brand_to): r.n_seq for r in naive.collect()}
+    assert got == want
