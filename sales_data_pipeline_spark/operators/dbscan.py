@@ -58,6 +58,7 @@ def eps_pairs(
     dims: int,
     vec_col: str = "vec",
     id_col: str = "vec_id",
+    max_candidate_pairs: int | None = None,
 ) -> DataFrame:
     """Exact ε-pairs (a_id from ``left``, b_id from ``right``) via the
     ε-sided grid-cell blocking in the module docstring: the left side
@@ -67,7 +68,19 @@ def eps_pairs(
     dist ≤ ε — candidates are cell-local, never all-pairs. Self-pairs
     (a_id == b_id when left and right overlap) are NOT filtered; callers
     decide. ``dims`` is explicit so an EMPTY left side is fine (yields
-    an empty pair set, no ``first()`` probe)."""
+    an empty pair set, no ``first()`` probe).
+
+    ``max_candidate_pairs`` (opt-in, r9) is the density-saturation
+    guard: cell-local blocking bounds candidates by Σ_cell
+    probe(cell)·home(cell), which is LINEAR in points only while mean
+    ε-cell occupancy stays O(1) — the r9 sf10 measurement showed the
+    ε-graph growing 99.2× for 10× points once a saturating space
+    crosses that knee (SCALING.md wave 3). The estimate is computed at
+    CELL granularity (two tiny count tables joined on cell — exact for
+    the candidate join below) and kept lazy as a broadcast scalar
+    gating the distance filter (the q22 pattern): no plan-time job,
+    and past the budget the join dies in its first task naming the
+    density-independent alternatives instead of melting the cluster."""
     if eps <= 0:
         raise ValueError(f"eps must be > 0, got {eps}")
     if dims > 4:
@@ -103,8 +116,50 @@ def eps_pairs(
         ),
         "cell",
     )
+    guard = F.lit(True)
+    if max_candidate_pairs is not None:
+        lc = _home(left).groupBy("cell").agg(F.count(F.lit(1)).alias("c_l"))
+        probe_cells = lc.select(
+            F.explode(
+                F.transform(
+                    off_lit, lambda o: F.zip_with("cell", o, lambda c, x: c + x)
+                )
+            ).alias("cell"),
+            "c_l",
+        )
+        rc = _home(right).groupBy("cell").agg(F.count(F.lit(1)).alias("c_r"))
+        # double product sum: exact bigints could overflow in exactly
+        # the blow-up being guarded
+        est = probe_cells.join(rc, "cell").agg(
+            F.coalesce(
+                F.sum(F.col("c_l").cast("double") * F.col("c_r")), F.lit(0.0)
+            ).alias("__est_cand")
+        )
+        cand = cand.crossJoin(F.broadcast(est))
+        guard = F.when(
+            F.col("__est_cand") <= F.lit(float(max_candidate_pairs)),
+            F.lit(True),
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("eps_pairs: grid cells imply ~"),
+                    F.col("__est_cand").cast("bigint").cast("string"),
+                    F.lit(
+                        " candidate pairs (> max_candidate_pairs="
+                        f"{max_candidate_pairs}); the space has "
+                        "saturated (mean eps-cell occupancy >> 1) and "
+                        "the eps-graph is growing quadratically in "
+                        "density — shrink eps / raise min_pts, or use "
+                        "the density-independent tiers "
+                        "(kmeans_clusters / semantic_dedup); pass "
+                        "max_candidate_pairs=None to override"
+                    ),
+                )
+            )
+        )
     return cand.filter(
-        _sq_dist(F.col("a_v"), F.col("b_v")) <= F.lit(float(eps) ** 2)
+        (_sq_dist(F.col("a_v"), F.col("b_v")) <= F.lit(float(eps) ** 2))
+        & guard
     ).select("a_id", "b_id")
 
 

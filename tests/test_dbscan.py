@@ -120,3 +120,45 @@ def test_dbscan_3d_and_guards(spark):
         dbscan(df, eps=0.0, min_pts=3)
     with pytest.raises(ValueError, match="min_pts"):
         dbscan(df, eps=0.5, min_pts=0)
+
+
+def test_eps_pairs_candidate_guard_fires_and_is_transparent(spark):
+    """r9 density-saturation guard (SCALING.md wave 3: the ε-graph grew
+    99.2× for 10× points once mean cell occupancy crossed 1): the
+    cell-granular candidate estimate must (a) not change output when
+    under budget, (b) die naming the density-independent tiers when
+    over, and (c) stay lazy — constructing/explaining the guarded plan
+    runs no Spark job."""
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.operators.dbscan import eps_pairs
+
+    # 40 points clustered in one ε-cell: candidates ≈ 40×40
+    pts = [(i, [0.01 * (i % 5), 0.01 * (i // 5)]) for i in range(40)]
+    df = spark.createDataFrame(pts, "vec_id bigint, vec array<double>")
+
+    free = {
+        (r.a_id, r.b_id)
+        for r in eps_pairs(df, df, eps=1.0, dims=2).collect()
+    }
+    guarded = {
+        (r.a_id, r.b_id)
+        for r in eps_pairs(
+            df, df, eps=1.0, dims=2, max_candidate_pairs=1_000_000
+        ).collect()
+    }
+    assert guarded == free and len(free) == 1600  # transparent under budget
+
+    over = eps_pairs(df, df, eps=1.0, dims=2, max_candidate_pairs=100)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="max_candidate_pairs"):
+        over.collect()
+
+    # lazy: explain runs no job (a plan-time .first()/count() would)
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    lazy_df = eps_pairs(df, df, eps=1.0, dims=2, max_candidate_pairs=100)
+    lazy_df.explain()
+    after = tracker.getJobIdsForGroup(None)
+    assert before == after
