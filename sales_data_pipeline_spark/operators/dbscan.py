@@ -116,7 +116,7 @@ def eps_pairs(
         ),
         "cell",
     )
-    guard = F.lit(True)
+    guard = None
     if max_candidate_pairs is not None:
         lc = _home(left).groupBy("cell").agg(F.count(F.lit(1)).alias("c_l"))
         probe_cells = lc.select(
@@ -157,10 +157,13 @@ def eps_pairs(
                 )
             )
         )
-    return cand.filter(
-        (_sq_dist(F.col("a_v"), F.col("b_v")) <= F.lit(float(eps) ** 2))
-        & guard
-    ).select("a_id", "b_id")
+    pred = _sq_dist(F.col("a_v"), F.col("b_v")) <= F.lit(float(eps) ** 2)
+    if guard is not None:
+        # only the guarded path adds the conjunct: the default plan
+        # stays byte-identical (a `AND true` would drift the analyzed
+        # plan every fingerprint recorded before the guard existed)
+        pred = pred & guard
+    return cand.filter(pred).select("a_id", "b_id")
 
 
 def dbscan(
@@ -187,10 +190,16 @@ def dbscan(
         raise ValueError(f"eps must be > 0, got {eps}")
     if min_pts < 1:
         raise ValueError(f"min_pts must be >= 1, got {min_pts}")
-    first = df.select(F.size(vec_col).alias("d")).first()
-    if first is None:
-        raise ValueError("dbscan: empty input")
-    d = dims or first["d"]
+    if dims is not None:
+        # caller knows the dimensionality statically (e.g. after a
+        # k=2 projection): no plan-time Spark job — catalog
+        # enumeration and explain stay free (the q22 lazy-guard rule)
+        d = dims
+    else:
+        first = df.select(F.size(vec_col).alias("d")).first()
+        if first is None:
+            raise ValueError("dbscan: empty input")
+        d = first["d"]
     if d > 4:
         raise ValueError(
             f"dbscan is a low-dimensional operator (got d={d} > 4): the "

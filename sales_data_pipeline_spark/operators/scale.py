@@ -315,8 +315,12 @@ def distributed_prefix_sum(
     ``out_col`` (bigint)."""
     from pyspark.sql.window import Window
 
-    spark = df.sparkSession
-    n_buckets = n_buckets or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # Fixed default (like distributed_rank/distributed_ntile), NOT
+    # conf-derived: spark.sql.shuffle.partitions would bake a
+    # session-dependent literal into the plan, so the same program
+    # fingerprints differently per session (caught by the r9 staleness
+    # gate). Callers on large clusters pass n_buckets ≈ parallelism.
+    n_buckets = n_buckets or 32
     bounds = df.agg(
         F.min(order_col).cast("bigint").alias("__lo"),
         F.max(order_col).cast("bigint").alias("__hi"),

@@ -839,7 +839,7 @@ def q280_dbscan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     proj = jl_project(emb, k=2).withColumnRenamed("projected", "vec")
-    out = dbscan(proj, eps=0.15, min_pts=4)
+    out = dbscan(proj, eps=0.15, min_pts=4, dims=2)
     sizes = (
         out.filter(F.col("cluster") >= 0)
         .groupBy("cluster")
@@ -950,7 +950,7 @@ def q283_dbscan_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = table(spark, sf_dir, "embeddings")
     proj = jl_project(emb, k=2).withColumnRenamed("projected", "vec")
-    out = dbscan(proj, eps=0.15, min_pts=4)
+    out = dbscan(proj, eps=0.15, min_pts=4, dims=2)
     core_min = (
         out.filter(F.col("is_core") & (F.col("cluster") >= 0))
         .groupBy("cluster")
