@@ -37,7 +37,19 @@ import itertools
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dbscan", "eps_pairs"]
+__all__ = ["dbscan", "eps_pairs", "DEFAULT_MAX_CANDIDATE_PAIRS"]
+
+# Default candidate budget for the density-saturation guard — the same
+# default-on posture (and the same 10^8 figure) as the exact n-gram
+# Jaccard tier's `max_candidates` (operators/dedup.py): past ~1e8
+# cell-local candidates the ε-space has saturated (mean occupancy >> 1)
+# and the quadratic-in-density regime the r9 sf10 campaign measured
+# (ε-graph ×99.2 per decade) has begun — fail fast naming the
+# density-independent tiers instead of melting the cluster. Measured
+# headroom on the real corpora (r10): sf0.1 ≈ 1.4e5 candidates,
+# sf1 ≈ 1.4e7, sf10 (post-knee, saturated) ≈ 1.4e9 → fires by design.
+# Pass None to override.
+DEFAULT_MAX_CANDIDATE_PAIRS = 100_000_000
 
 
 def _sq_dist(a, b):
@@ -58,7 +70,7 @@ def eps_pairs(
     dims: int,
     vec_col: str = "vec",
     id_col: str = "vec_id",
-    max_candidate_pairs: int | None = None,
+    max_candidate_pairs: int | None = DEFAULT_MAX_CANDIDATE_PAIRS,
 ) -> DataFrame:
     """Exact ε-pairs (a_id from ``left``, b_id from ``right``) via the
     ε-sided grid-cell blocking in the module docstring: the left side
@@ -70,17 +82,19 @@ def eps_pairs(
     decide. ``dims`` is explicit so an EMPTY left side is fine (yields
     an empty pair set, no ``first()`` probe).
 
-    ``max_candidate_pairs`` (opt-in, r9) is the density-saturation
-    guard: cell-local blocking bounds candidates by Σ_cell
-    probe(cell)·home(cell), which is LINEAR in points only while mean
-    ε-cell occupancy stays O(1) — the r9 sf10 measurement showed the
-    ε-graph growing 99.2× for 10× points once a saturating space
+    ``max_candidate_pairs`` (opt-in in r9, DEFAULT-ON since r10 —
+    mirroring q22's default-on ``max_candidates``) is the
+    density-saturation guard: cell-local blocking bounds candidates by
+    Σ_cell probe(cell)·home(cell), which is LINEAR in points only while
+    mean ε-cell occupancy stays O(1) — the r9 sf10 measurement showed
+    the ε-graph growing 99.2× for 10× points once a saturating space
     crosses that knee (SCALING.md wave 3). The estimate is computed at
     CELL granularity (two tiny count tables joined on cell — exact for
     the candidate join below) and kept lazy as a broadcast scalar
     gating the distance filter (the q22 pattern): no plan-time job,
     and past the budget the join dies in its first task naming the
-    density-independent alternatives instead of melting the cluster."""
+    density-independent alternatives instead of melting the cluster.
+    Pass ``None`` to run unguarded."""
     if eps <= 0:
         raise ValueError(f"eps must be > 0, got {eps}")
     if dims > 4:
@@ -159,10 +173,14 @@ def eps_pairs(
         )
     pred = _sq_dist(F.col("a_v"), F.col("b_v")) <= F.lit(float(eps) ** 2)
     if guard is not None:
-        # only the guarded path adds the conjunct: the default plan
-        # stays byte-identical (a `AND true` would drift the analyzed
-        # plan every fingerprint recorded before the guard existed)
-        pred = pred & guard
+        # the unguarded (None) path omits the conjunct entirely rather
+        # than adding `AND true`, so opting out restores the exact
+        # pre-guard plan shape. Guard FIRST: And evaluates left-to-
+        # right, so an over-budget join dies on its first candidate row
+        # (one broadcast-scalar comparison) before any distance work —
+        # and the guard fires even when that row would fail the
+        # distance test.
+        pred = guard & pred
     return cand.filter(pred).select("a_id", "b_id")
 
 
@@ -173,10 +191,18 @@ def dbscan(
     vec_col: str = "vec",
     id_col: str = "vec_id",
     dims: int | None = None,
+    max_candidate_pairs: int | None = DEFAULT_MAX_CANDIDATE_PAIRS,
 ) -> DataFrame:
     """(id_col, cluster bigint, is_core boolean) for every input row;
     noise rows carry cluster = -1. See module docstring for the
     algorithm and determinism contract.
+
+    ``max_candidate_pairs`` (default 10^8, r10) threads straight to the
+    internal ``eps_pairs`` stage: a saturated ε-space (mean cell
+    occupancy >> 1 — the regime where the ε-graph grows quadratically
+    in density, measured ×99.2/decade at sf10) dies in the pair join's
+    first task naming the density-independent tiers, instead of
+    melting the cluster. ``None`` to run unguarded.
 
     Dimensionality contract (raises ValueError for dims > 4, new in
     r7 when the pair stage moved to ``eps_pairs``): the 3^d grid-cell
@@ -211,7 +237,15 @@ def dbscan(
         F.col(id_col).alias("pid"),
         F.col(vec_col).cast("array<double>").alias("v"),
     )
-    pairs = eps_pairs(pts, pts, eps, d, vec_col="v", id_col="pid")
+    pairs = eps_pairs(
+        pts,
+        pts,
+        eps,
+        d,
+        vec_col="v",
+        id_col="pid",
+        max_candidate_pairs=max_candidate_pairs,
+    )
     # |N_eps(p)| is self-inclusive: the a==b pair falls out of the join
     counts = pairs.groupBy("a_id").agg(F.count(F.lit(1)).alias("n_nb"))
     core = counts.filter(F.col("n_nb") >= min_pts).select(

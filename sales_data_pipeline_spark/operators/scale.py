@@ -598,11 +598,20 @@ def distributed_rank(
     out_col: str,
     descending: bool = True,
     n_buckets: int = 32,
+    with_total_col: str | None = None,
 ) -> DataFrame:
     """``row_number() OVER (ORDER BY signal [DESC], id)`` with NO
     single-partition stage anywhere in the plan — the two-phase
     distributed rank the q285/q287 global-window registrations
     documented but didn't implement until r8.
+
+    ``with_total_col`` (r10): when set, the output ALSO carries the
+    global row count under that name, derived from the same per-bucket
+    count aggregate the offsets fold already consumes — zero extra
+    scans. ``distributed_ntile`` needs exactly (rank, n); before this
+    it re-counted the input in a third full pass. When None the plan
+    is unchanged (the extra agg column exists only when asked for, so
+    pre-r10 plan fingerprints of rank-only callers stay valid).
 
     A global rank is the one window a 100 TB curation pipeline cannot
     avoid (RRF fusion, DSIR cuts, quality-percentile gates all need
@@ -667,30 +676,35 @@ def distributed_rank(
     counts = bucketed.groupBy("__b").agg(
         F.count(F.lit(1)).cast("bigint").alias("__cnt")
     )
-    offsets = (
-        counts.agg(
-            F.sort_array(F.collect_list(F.struct("__b", "__cnt"))).alias("a")
-        )
-        .select(
-            F.explode(
-                F.expr(
-                    """
-                    aggregate(
-                      a,
-                      struct(CAST(0 AS BIGINT) AS run,
-                             CAST(array() AS
-                               array<struct<__b:int,__off:bigint>>) AS out),
-                      (acc, x) -> struct(
-                        acc.run + x.__cnt AS run,
-                        concat(acc.out,
-                               array(struct(x.__b AS __b,
-                                            acc.run AS __off))) AS out),
-                      acc -> acc.out)
-                    """
-                )
-            ).alias("o")
-        )
-        .select(F.col("o.__b").alias("__b"), F.col("o.__off").alias("__off"))
+    aggs = [F.sort_array(F.collect_list(F.struct("__b", "__cnt"))).alias("a")]
+    if with_total_col is not None:
+        # the total is the sum of the SAME bucket counts the fold
+        # consumes — one more column on a 1-row aggregate, not a scan
+        aggs.append(F.sum("__cnt").cast("bigint").alias(with_total_col))
+    exploded = counts.agg(*aggs).select(
+        F.explode(
+            F.expr(
+                """
+                aggregate(
+                  a,
+                  struct(CAST(0 AS BIGINT) AS run,
+                         CAST(array() AS
+                           array<struct<__b:int,__off:bigint>>) AS out),
+                  (acc, x) -> struct(
+                    acc.run + x.__cnt AS run,
+                    concat(acc.out,
+                           array(struct(x.__b AS __b,
+                                        acc.run AS __off))) AS out),
+                  acc -> acc.out)
+                """
+            )
+        ).alias("o"),
+        *([with_total_col] if with_total_col is not None else []),
+    )
+    offsets = exploded.select(
+        F.col("o.__b").alias("__b"),
+        F.col("o.__off").alias("__off"),
+        *([with_total_col] if with_total_col is not None else []),
     )
     return (
         inner.join(F.broadcast(offsets), "__b")
@@ -723,8 +737,10 @@ def distributed_ntile(
               = r + (rn-1 - (q+1)*r) div q + 1    otherwise
 
     (when ``n < k``: q=0, r=n, every row is its own tile — the first
-    branch covers it). The rank comes from :func:`distributed_rank`
-    (bitwise row_number) and ``n`` attaches as a broadcast scalar, so
+    branch covers it). The rank AND the total come from ONE
+    :func:`distributed_rank` pass (``with_total_col`` — r10, closing
+    the third input scan VERDICT r9 §5 flagged: ``n`` is the sum of
+    the bucket counts the rank's offsets fold already aggregates), so
     tiles are bit-identical to the window form and ntile-anchored
     oracles stay valid. Inherits distributed_rank's signal contract
     (continuous-ish, double-exact). Output = input + ``out_col``
@@ -732,8 +748,8 @@ def distributed_ntile(
     ranked = distributed_rank(
         df, signal_col, id_col, "__ntile_rn",
         descending=descending, n_buckets=n_buckets,
+        with_total_col="__n",
     )
-    n_total = df.agg(F.count(F.lit(1)).cast("bigint").alias("__n"))
     # integer-exact throughout (div, never float division — the
     # q153/q158 multiples-misround lesson): q = n div k, r = n mod k,
     # cutoff = (q+1)*r rows belong to the first r (larger) tiles
@@ -746,7 +762,7 @@ def distributed_ntile(
             END"""
     )
     return (
-        ranked.crossJoin(F.broadcast(n_total))
+        ranked
         .withColumn(out_col, tile.cast("bigint"))
         .drop("__ntile_rn", "__n")
     )

@@ -1875,6 +1875,7 @@ def q285_quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q287_hybrid_search",
+    headline=True,  # r10 bench-set refresh (VERDICT r9 task 4)
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
@@ -2051,6 +2052,7 @@ def q287_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q288_curation_funnel",
+    headline=True,  # r10 bench-set refresh (VERDICT r9 task 4)
     oracle=f"""
     WITH base AS (
       SELECT doc_id, source, text, string_split(text, ' ') AS w

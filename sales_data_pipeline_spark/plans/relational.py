@@ -7802,6 +7802,7 @@ def q212_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q214_sequential_crosssell",
+    headline=True,  # r10 bench-set refresh (VERDICT r9 task 4)
     oracle="""
     WITH purchases AS (
       SELECT DISTINCT o_custkey AS cust, p_brand AS brand,

@@ -833,7 +833,13 @@ def q280_dbscan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical conventions is pinned across random layouts in
     tests/test_dbscan.py. Scale: map (cell) → 3^d-replicated equi-join
     → counts → pointer-jumping CC; every stage keys on cells or node
-    ids, nothing is corpus² anywhere."""
+    ids, nothing is corpus² anywhere — and the density-saturation
+    fence is DEFAULT-ON (r10): past ~1e8 cell-local candidates (mean
+    ε-cell occupancy >> 1, the ×99.2/decade quadratic-in-density
+    regime measured at sf10) the pair join dies in its first task
+    naming the density-independent tiers, exactly like q22's
+    max_candidates guard (guard-fires-through-this-registered-body
+    test in tests/test_dbscan.py)."""
     from sales_data_pipeline_spark.operators.dbscan import dbscan
     from sales_data_pipeline_spark.operators.similarity import jl_project
 
@@ -944,7 +950,9 @@ def q283_dbscan_invariant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule, the CC reuse, or the border assignment flips one. Same
     projection and parameters as q280. Scale: the noise×core probe is
     the same 3^d cell-blocked equi-join as the operator itself — never
-    all-pairs."""
+    all-pairs, and both the operator and the probe carry the
+    DEFAULT-ON ~1e8-candidate density fence (r10) that fails fast on
+    a saturated ε-space instead of melting."""
     from sales_data_pipeline_spark.operators.dbscan import dbscan, eps_pairs
     from sales_data_pipeline_spark.operators.similarity import jl_project
 

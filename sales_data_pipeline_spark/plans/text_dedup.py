@@ -2308,6 +2308,7 @@ def overlap_sketch_envelope(
 
 @query(
     "q250_name_edit_neardup",
+    headline=True,  # r10 bench-set refresh (VERDICT r9 task 4)
     oracle="""
     WITH names AS (SELECT DISTINCT p_name FROM part)
     SELECT a.p_name AS name_a, b.p_name AS name_b,

@@ -137,9 +137,15 @@ def test_eps_pairs_candidate_guard_fires_and_is_transparent(spark):
     pts = [(i, [0.01 * (i % 5), 0.01 * (i // 5)]) for i in range(40)]
     df = spark.createDataFrame(pts, "vec_id bigint, vec array<double>")
 
+    # None = unguarded opt-out; the DEFAULT is guarded since r10
     free = {
         (r.a_id, r.b_id)
-        for r in eps_pairs(df, df, eps=1.0, dims=2).collect()
+        for r in eps_pairs(
+            df, df, eps=1.0, dims=2, max_candidate_pairs=None
+        ).collect()
+    }
+    default_guarded = {
+        (r.a_id, r.b_id) for r in eps_pairs(df, df, eps=1.0, dims=2).collect()
     }
     guarded = {
         (r.a_id, r.b_id)
@@ -147,7 +153,8 @@ def test_eps_pairs_candidate_guard_fires_and_is_transparent(spark):
             df, df, eps=1.0, dims=2, max_candidate_pairs=1_000_000
         ).collect()
     }
-    assert guarded == free and len(free) == 1600  # transparent under budget
+    # transparent under budget, through both the default and an explicit one
+    assert guarded == free == default_guarded and len(free) == 1600
 
     over = eps_pairs(df, df, eps=1.0, dims=2, max_candidate_pairs=100)
     import pytest as _pytest
@@ -162,3 +169,33 @@ def test_eps_pairs_candidate_guard_fires_and_is_transparent(spark):
     lazy_df.explain()
     after = tracker.getJobIdsForGroup(None)
     assert before == after
+
+
+@pytest.mark.parametrize(
+    "qname", ["q280_dbscan_census", "q283_dbscan_invariant_audit"]
+)
+def test_registered_dbscan_plans_fail_fast_past_density_knee(
+    spark, tmp_path, qname
+):
+    """r10 (r9 verdict task 1): the density fence is DEFAULT-ON in the
+    REGISTERED q280/q283 bodies, not just the operator — a saturated
+    ε-space (every point in one cell → n² cell-local candidates, the
+    regime the r9 sf10 campaign measured melting at ×99.2/decade) must
+    die fast naming max_candidate_pairs, through the exact callables
+    the driver runs. 12,000 identical vectors → 1.44e8 candidates >
+    the 1e8 default budget."""
+    from sales_data_pipeline_spark.operators.dbscan import (
+        DEFAULT_MAX_CANDIDATE_PAIRS,
+    )
+    from sales_data_pipeline_spark.plans import QUERIES
+
+    n = 12_000
+    assert n * n > DEFAULT_MAX_CANDIDATE_PAIRS
+    spark.createDataFrame(
+        [(i, [0.5] * 8, 0) for i in range(n)],
+        "vec_id bigint, embedding array<float>, label int",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    with pytest.raises(Exception, match="max_candidate_pairs"):
+        QUERIES[qname].fn(spark, str(tmp_path)).collect()

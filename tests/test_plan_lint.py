@@ -201,6 +201,31 @@ def test_allowlist_justifications_are_present_and_bounded():
             assert isinstance(why, str) and len(why) >= 20, (name, code, why)
 
 
+def test_allowlist_prose_count_matches_dict():
+    """r10 (VERDICT r9 §3): the README/SURVEY burn-down prose said 57
+    while the dict held 58 queries / 59 entries — prose numbers about
+    the allowlist must be derived, not remembered. Asserts the exact
+    'down from 76 to N entries (M queries' phrasing in both documents
+    against the dict of record."""
+    import os
+    import re
+
+    n_entries = sum(len(c) for c in GLOBAL_WINDOW_SORT_ALLOWLIST.values())
+    n_queries = len(GLOBAL_WINDOW_SORT_ALLOWLIST)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for fname, pattern in (
+        ("README.md", r"down from 76 to (\d+) entries \((\d+) queries"),
+        ("SURVEY.md", r"burn-down 76→(\d+) entries \((\d+) queries"),
+    ):
+        with open(os.path.join(repo, fname)) as f:
+            m = re.search(pattern, f.read())
+        assert m, f"{fname}: burn-down prose not found (pattern {pattern!r})"
+        assert (int(m.group(1)), int(m.group(2))) == (n_entries, n_queries), (
+            f"{fname} says {m.group(1)} entries/{m.group(2)} queries; dict "
+            f"has {n_entries}/{n_queries}"
+        )
+
+
 def test_global_window_and_sort_warnings_are_ratcheted(catalog_findings):
     got = {
         name: {c for c in codes if c in ("global-window", "global-sort")}
