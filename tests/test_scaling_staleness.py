@@ -26,6 +26,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.join(REPO, "tools"))
 
 ARTIFACTS = ("SCALING.json", "SCALING10.json")
+# SKEW.json holds per-query rows under two regime sections (r10 —
+# VERDICT r9 task 2: its zipf/boilerplate ratios describe specific plan
+# bodies exactly like the scaling curves; q112's row went stale by
+# hand-caught luck in r9)
+SKEW_SECTIONS = ("boilerplate", "zipf")
 
 
 def _entries():
@@ -38,6 +43,13 @@ def _entries():
             doc = json.load(f)
         for name, entry in sorted(doc["queries"].items()):
             out.append((fname, name, entry))
+    skew_path = os.path.join(REPO, "SKEW.json")
+    if os.path.exists(skew_path):
+        with open(skew_path) as f:
+            doc = json.load(f)
+        for section in SKEW_SECTIONS:
+            for name, entry in sorted(doc[section]["queries"].items()):
+                out.append((f"SKEW.json:{section}", name, entry))
     return out
 
 
@@ -95,6 +107,33 @@ def test_merge_preserves_fingerprints_of_untouched_entries():
     # the fresh entry gets its fp stamped by the measure() caller, not
     # the pure merge — absent here by design
     assert "plan_fp" not in queries["qNew"]
+
+
+def test_skew_merge_preserves_fingerprints_of_untouched_entries():
+    """SKEW subset re-measure must not strip plan_fp from rows outside
+    the subset (same pure-merge contract as tools/scaling.py)."""
+    from skew import _merge_subset
+
+    prev = {
+        "boilerplate": {
+            "queries": {"qOld": {"ratio": 1.0, "plan_fp": "aaa"}},
+            "errors_boil": {},
+        },
+        "zipf": {
+            "queries": {"qZ": {"ratio": 2.0, "plan_fp": "bbb"}},
+        },
+    }
+    fresh = {
+        "boilerplate": {
+            "queries": {"qNew": {"ratio": 1.5, "plan_fp": "ccc"}},
+            "errors_boil": {},
+        },
+        "zipf": {"queries": {}},
+    }
+    merged = _merge_subset(prev, fresh, ["qNew"], [])
+    assert merged["boilerplate"]["queries"]["qOld"]["plan_fp"] == "aaa"
+    assert merged["boilerplate"]["queries"]["qNew"]["plan_fp"] == "ccc"
+    assert merged["zipf"]["queries"]["qZ"]["plan_fp"] == "bbb"
 
 
 @pytest.mark.parametrize("fname", ARTIFACTS)

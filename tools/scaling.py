@@ -265,6 +265,22 @@ def generate(
     print(f"generated at {dst_dir}")
 
 
+def _err_summary(ex: Exception) -> str:
+    """One-line artifact-legible failure summary. Engine guards raise
+    USER_RAISED_EXCEPTION with the diagnosis in the message; when the
+    failure surfaces through a py4j wrapper or an AQE stage-
+    materialization aggregate (e.g. dbscan's localCheckpoint path),
+    that line is buried — surface the first line carrying it so
+    SKEW/SCALING error entries name the guard (q22's 'max_candidates',
+    eps_pairs' 'max_candidate_pairs') instead of 'An error occurred
+    while calling oNNN.localCheckpoint.'."""
+    lines = [ln.strip() for ln in str(ex).splitlines() if ln.strip()]
+    for ln in lines:
+        if "USER_RAISED_EXCEPTION" in ln:
+            return ln[:300]
+    return (lines[0] if lines else repr(ex))[:300]
+
+
 def _time_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
     """Bench protocol: one warmup pass (also records output row counts
     for output-growth diagnosis), then ITERS clearCache'd timed passes,
@@ -282,7 +298,7 @@ def _time_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
             rows[name] = QUERIES[name].fn(spark, sf_dir).count()
             live.append(name)
         except Exception as ex:  # guard-fired / resource failure: record
-            msg = str(ex).splitlines()[0][:300]
+            msg = _err_summary(ex)
             errors[name] = msg
             print(f"  {name}: FAILED ({msg[:120]})", file=sys.stderr)
     samples: dict[str, list[float]] = {n: [] for n in live}
@@ -309,7 +325,7 @@ def _time_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
                 # plan survived) must be RECORDED, not kill the whole
                 # artifact run — the r7 subset run died on one query's
                 # driver.maxResultSize and merged nothing
-                errors[name] = str(ex).splitlines()[0][:300]
+                errors[name] = _err_summary(ex)
                 live.remove(name)
                 samples.pop(name, None)
                 print(f"  {name}: FAILED timed pass ({errors[name][:120]})",
@@ -564,6 +580,107 @@ def measure_decade() -> None:
     print(f"flagged superlinear (> {LINEAR_BUDGET}x): {flagged or 'none'}")
 
 
+def measure_eps() -> None:
+    """Occupancy-controlled ε-family decade probe (r10 — VERDICT r9
+    task 7). The sf10 campaign measured q280/q283 at ~20× per decade
+    and diagnosed WHY: the replicated corpus holds the embedding SPACE
+    fixed while points grow 10×, so mean ε-cell occupancy rises 10×
+    per decade and the ε-graph (quadratic in occupancy) grew 99.2× —
+    the operator itself was ~6× SUBLINEAR in emitted pairs. r10's
+    default-on max_candidate_pairs fence now fails that corpus fast.
+    This probe converts the diagnosis from argument to artifact: a
+    corpus whose occupancy is HELD O(1) (area grows with n — the
+    regime a real 100 TB near-dup space lives in, where new data
+    explores new space) must scale ~linearly across the same decade.
+
+    Generator (pure map, deterministic, no RNG state): n points with
+    x,y = xxhash64(id, seed) mod 1e6 / 1e6 · side, side chosen so mean
+    ε-cell occupancy = OCC at every n: side = sqrt(n·eps²/OCC). Probes
+    eps_pairs (the candidate join itself) and the full dbscan census
+    (pairs → cores → CC → border) at n and 10n, ITERS clearCache'd
+    medians through a noop sink. Writes SCALING_EPS.json."""
+    import gc
+
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.operators.dbscan import dbscan, eps_pairs
+
+    EPS, MIN_PTS, OCC = 0.15, 4, 4.0
+    N_SMALL, N_BIG = 20_000, 200_000
+    spark = _spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    def pts(n: int):
+        side = (n * EPS * EPS / OCC) ** 0.5
+        base = spark.range(n).select(F.col("id").alias("vec_id"))
+        coord = lambda seed: (  # noqa: E731
+            (F.pmod(F.xxhash64("vec_id", F.lit(seed)), F.lit(1_000_000)))
+            / F.lit(1_000_000.0)
+            * F.lit(side)
+        ).cast("double")
+        return base.select(
+            "vec_id", F.array(coord(1), coord(2)).alias("vec")
+        )
+
+    def census(df):
+        out = dbscan(df, eps=EPS, min_pts=MIN_PTS, dims=2)
+        return out.agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.count_distinct(
+                F.when(F.col("cluster") >= 0, F.col("cluster"))
+            ).alias("n_clusters"),
+            F.sum((F.col("cluster") < 0).cast("long")).alias("n_noise"),
+        )
+
+    probes = {
+        "eps_pairs": lambda df: eps_pairs(df, df, eps=EPS, dims=2),
+        "dbscan_census": census,
+    }
+    out: dict = {
+        "protocol": {
+            "iters": ITERS,
+            "cpus": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+            "eps": EPS,
+            "min_pts": MIN_PTS,
+            "occupancy": OCC,
+            "n_small": N_SMALL,
+            "n_big": N_BIG,
+            "note": (
+                "mean eps-cell occupancy held constant across the decade "
+                "(area grows with n): the regime where grid blocking is "
+                "linear. Complements SCALING10's saturating-corpus rows, "
+                "where the SAME operator now fails fast by design "
+                "(max_candidate_pairs default)."
+            ),
+        },
+        "probes": {},
+    }
+    for name, fn in probes.items():
+        rec: dict = {}
+        for key, n in (("small", N_SMALL), ("big", N_BIG)):
+            df = pts(n)
+            rec[f"rows_{key}"] = fn(df).count()
+            ts = []
+            for _ in range(ITERS):
+                spark.catalog.clearCache()
+                gc.collect()
+                t0 = time.perf_counter()
+                fn(pts(n)).write.format("noop").mode("overwrite").save()
+                ts.append(time.perf_counter() - t0)
+            rec[f"{key}_sec"] = round(statistics.median(ts), 3)
+        rec["n_ratio"] = round(N_BIG / N_SMALL, 1)
+        rec["ratio"] = (
+            round(rec["big_sec"] / rec["small_sec"], 2)
+            if rec["small_sec"]
+            else None
+        )
+        out["probes"][name] = rec
+        print(f"  {name}: {rec}", file=sys.stderr)
+    with open(os.path.join(REPO, "SCALING_EPS.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "measure"
     {
@@ -571,4 +688,5 @@ if __name__ == "__main__":
         "measure": measure,
         "measure10": measure_decade,
         "fingerprint": fingerprint,
+        "measure_eps": measure_eps,
     }[cmd]()

@@ -278,12 +278,18 @@ def _probe(spark, name, thunk, results, errors, iters=ITERS):
         spark.catalog.clearCache()
         rows = thunk().count()
     except Exception as ex:  # expected for guard probes — record
-        errors[name] = str(ex).splitlines()[0][:300]
+        errors[name] = scaling._err_summary(ex)
         print(f"  probe {name}: FAILED ({errors[name][:120]})", file=sys.stderr)
         return None
     ts = []
+    import gc
+
     for _ in range(iters):
         spark.catalog.clearCache()
+        # release py4j refs so localCheckpoint blocks (graph-family
+        # lineage truncation, non-evictable) free between passes —
+        # the same lesson scaling._time_queries learned at sf10 (r8)
+        gc.collect()
         t0 = time.perf_counter()
         thunk().write.format("noop").mode("overwrite").save()
         ts.append(time.perf_counter() - t0)
@@ -320,6 +326,128 @@ def _boil_probes(spark) -> tuple[dict, dict]:
         errors,
     )
     return results, errors
+
+
+def _graph_probes(spark) -> dict:
+    """Dedup-graph CONSUMERS on a dense-component graph (r10 — VERDICT
+    r9 task 5): the boilerplate corpus induces a genuinely adversarial
+    near-dup graph (64 components of ~312 docs each, ~3.1M edges — the
+    SKEW rows only ever measured the pair PRODUCERS). The registered
+    graph queries (q49/q127/q128/q147/q191/q203) build edges via the
+    exact tier, whose candidate guard correctly FIRES on this corpus,
+    so they are upstream-protected; what was unmeasured is whether the
+    consumers themselves (pointer-jumping CC, PageRank, LPA, k-core,
+    wedge-join triangles) melt when the components are dense. Protocol:
+    materialize the LSH pair graph (the scale path that completes on
+    this corpus) to parquet once per regime so the producer isn't
+    billed, then time each consumer on the SAME parquet edges, uniform
+    vs boil, ITERS clearCache'd medians. Also records the wedge count
+    (Σ_y in-deg·out-deg — the triangle join's candidate volume, exact,
+    computed as an aggregate) because triangle enumeration is the one
+    consumer whose cost is quadratic in component density."""
+    from pyspark.sql import functions as F
+
+    from sales_data_pipeline_spark.catalog import table
+    from sales_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from sales_data_pipeline_spark.operators.graph import (
+        connected_components,
+        k_core,
+        label_propagation,
+        pagerank,
+    )
+
+    out: dict = {"ops": {}, "edges": {}, "errors": {}}
+    edge_paths = {}
+    for tag, sf_dir in (("uniform", scaling.SF1_DIR), ("boil", BOIL_DIR)):
+        path = os.path.join(REPO, ".scaling", f"tmp_graph_edges_{tag}")
+        docs = table(spark, sf_dir, "documents")
+        minhash_lsh_pairs(docs, threshold=0.6).select(
+            "doc_a", "doc_b"
+        ).write.mode("overwrite").parquet(path)
+        edge_paths[tag] = path
+        out["edges"][tag] = spark.read.parquet(path).count()
+
+    consumers = {
+        "cc": lambda e: connected_components(e),
+        "pagerank6": lambda e: pagerank(e, iters=6),
+        "lpa5": lambda e: label_propagation(e, iters=5),
+        "kcore2": lambda e: k_core(e, k=2),
+        "triangles": lambda e: _triangle_counts(e),
+    }
+    for op, fn in consumers.items():
+        rec: dict = {}
+        for tag in ("uniform", "boil"):
+            edges = spark.read.parquet(edge_paths[tag])
+            res, err = {}, {}
+            _probe(spark, f"{op}_{tag}", lambda: fn(edges), res, err)
+            if err:
+                out["errors"][f"{op}_{tag}"] = next(iter(err.values()))
+                rec[tag] = None
+            else:
+                rec[tag] = res[f"{op}_{tag}"]
+        u, b = rec.get("uniform"), rec.get("boil")
+        out["ops"][op] = {
+            "uniform_sec": u and u["sec"],
+            "boil_sec": b and b["sec"],
+            "rows_uniform": u and u["rows"],
+            "rows_boil": b and b["rows"],
+            "ratio": (
+                round(b["sec"] / u["sec"], 2) if u and b and u["sec"] else None
+            ),
+        }
+    # triangle-join candidate volume (wedges), exact, as an aggregate
+    for tag in ("uniform", "boil"):
+        edges = spark.read.parquet(edge_paths[tag])
+        ind = edges.groupBy(F.col("doc_b").alias("y")).agg(
+            F.count(F.lit(1)).alias("d_in")
+        )
+        outd = edges.groupBy(F.col("doc_a").alias("y")).agg(
+            F.count(F.lit(1)).alias("d_out")
+        )
+        wedges = (
+            ind.join(outd, "y")
+            .agg(F.coalesce(F.sum(F.col("d_in") * F.col("d_out")), F.lit(0)))
+            .first()[0]
+        )
+        out["edges"][f"wedges_{tag}"] = int(wedges)
+    for path in edge_paths.values():
+        shutil.rmtree(path, ignore_errors=True)
+    return out
+
+
+def _triangle_counts(edges):
+    """q127's consumer stage (per-node triangle counts) over a given
+    canonical a<b edge list — the same two keyed self-joins + explode
+    shape as the registered body, minus its edge producer."""
+    from pyspark.sql import functions as F
+
+    e1 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+    e2 = edges.select(F.col("doc_a").alias("y"), F.col("doc_b").alias("z"))
+    e3 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("z"))
+    tri = e1.join(e2, "y").join(e3, ["x", "z"])
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )
+
+
+def graph() -> None:
+    """Run only the graph-consumer probes and merge them into
+    SKEW.json under the top-level 'graph_consumers' section."""
+    path = os.path.join(REPO, "SKEW.json")
+    with open(path) as f:
+        doc = json.load(f)
+    generate()
+    spark = _spark()
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    doc["graph_consumers"] = _graph_probes(spark)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(json.dumps(doc["graph_consumers"], indent=2))
 
 
 def _plan_string(df) -> str:
@@ -540,6 +668,14 @@ def measure() -> None:
         "join_experiments": _join_experiments(spark) if not subset else {},
     }
 
+    # Plan-fingerprint each measured entry (r10 — VERDICT r9 task 2,
+    # the same staleness gate SCALING/SCALING10 got in r9: a ratio
+    # describes a specific plan body; q112's zipf row went stale by
+    # hand-caught luck in r9, this makes it structural). Stamped from
+    # the same session, analyzed-plan hash at the canonical FP SF.
+    scaling._stamp_fingerprints(spark, boil["queries"], BOIL_QUERIES)
+    scaling._stamp_fingerprints(spark, zipf["queries"], ZIPF_QUERIES)
+
     out = {
         "protocol": {
             "iters": ITERS,
@@ -623,6 +759,39 @@ def experiments() -> None:
     print(json.dumps(doc["zipf"]["join_experiments"], indent=2))
 
 
+def fingerprint() -> None:
+    """One-time backfill: stamp plan_fp for every per-query entry in
+    SKEW.json from the CURRENT plans (mirrors tools/scaling.py
+    fingerprint). Only sound when every measured plan is unchanged
+    since its measurement — entries known stale must be re-measured
+    (subset mode) first, or the backfill hides exactly the staleness
+    the fingerprint exists to expose."""
+    path = os.path.join(REPO, "SKEW.json")
+    with open(path) as f:
+        doc = json.load(f)
+    spark = scaling._spark()
+    for section in ("boilerplate", "zipf"):
+        queries = doc[section]["queries"]
+        scaling._stamp_fingerprints(spark, queries, list(queries))
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(
+        json.dumps(
+            {
+                s: {n: e.get("plan_fp") for n, e in doc[s]["queries"].items()}
+                for s in ("boilerplate", "zipf")
+            },
+            indent=2,
+        )
+    )
+
+
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "measure"
-    {"generate": generate, "measure": measure, "experiments": experiments}[cmd]()
+    {
+        "generate": generate,
+        "measure": measure,
+        "experiments": experiments,
+        "fingerprint": fingerprint,
+        "graph": graph,
+    }[cmd]()
