@@ -448,3 +448,80 @@ def k_core(
         )
         deg.unpersist()
     raise AssertionError("unreachable")
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_wedges: int | None = 100_000_000,
+) -> DataFrame:
+    """Per-node triangle participation counts over a canonical
+    ``src < dst`` edge list: each triangle x<y<z is counted exactly
+    once by joining wedge (x,y)+(y,z) against the closing edge (x,z),
+    then exploding the three corners — two keyed self-joins on the
+    edge list, never nodes². Output: (node, n_triangles bigint), only
+    nodes in ≥1 triangle (q127's consumer stage, factored out of the
+    plan in r10).
+
+    ``max_wedges`` (DEFAULT-ON, r10) is the dense-component guard —
+    the triangle sibling of eps_pairs' ``max_candidate_pairs`` and
+    q22's ``max_candidates``. The wedge join's candidate volume is
+    Σ_y in-deg(y)·out-deg(y), QUADRATIC in component density: the r10
+    graph-consumer measurement on the 64-mega-cluster boilerplate
+    corpus put it at 3.26×10⁸ wedges for 3.13M edges (81s vs 0.25s
+    uniform — 325×, the one consumer past the 5× bar; SKEW.json
+    graph_consumers). The exact wedge count is computed from two tiny
+    degree tables and attached as a lazy broadcast scalar gating the
+    wedge join (no plan-time job); past the budget the join dies on
+    its first wedge row naming the dial (count triangles on the
+    deduped/cluster-sampled graph, or raise the budget). ``None``
+    opts out and restores the unguarded plan."""
+    e1 = edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+    e2 = edges.select(F.col(src_col).alias("y"), F.col(dst_col).alias("z"))
+    e3 = edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("z"))
+    wedges = e1.join(e2, "y")
+    if max_wedges is not None:
+        ind = e2.groupBy("y").agg(F.count(F.lit(1)).alias("__d_out"))
+        outd = e1.groupBy("y").agg(F.count(F.lit(1)).alias("__d_in"))
+        est = ind.join(outd, "y").agg(
+            F.coalesce(
+                # double product sum: exact bigints could overflow in
+                # exactly the blow-up being guarded
+                F.sum(F.col("__d_in").cast("double") * F.col("__d_out")),
+                F.lit(0.0),
+            ).alias("__est_wedges")
+        )
+        guard = F.when(
+            F.col("__est_wedges") <= F.lit(float(max_wedges)), F.lit(True)
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("triangle_counts: degree census implies ~"),
+                    F.col("__est_wedges").cast("bigint").cast("string"),
+                    F.lit(
+                        f" wedge candidates (> max_wedges={max_wedges}); "
+                        "the graph has dense components (near-clique "
+                        "dup clusters) and the wedge join is quadratic "
+                        "in their size — count triangles on the deduped "
+                        "or cluster-sampled graph, raise max_wedges, or "
+                        "pass max_wedges=None to override"
+                    ),
+                )
+            )
+        )
+        # guard FIRST (evaluated on the first wedge row, one broadcast-
+        # scalar comparison) so an over-budget join dies before any
+        # closing-edge work
+        wedges = wedges.crossJoin(F.broadcast(est)).filter(guard).drop(
+            "__est_wedges"
+        )
+    tri = wedges.join(e3, ["x", "z"])
+    nodes = (
+        tri.select(F.col("x").alias("node"))
+        .unionAll(tri.select(F.col("y").alias("node")))
+        .unionAll(tri.select(F.col("z").alias("node")))
+    )
+    return nodes.groupBy("node").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    )

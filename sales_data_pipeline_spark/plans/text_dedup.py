@@ -619,22 +619,19 @@ def q127_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle (x<y<z) is counted exactly once by joining wedge
     (x,y)+(y,z) against closing edge (x,z) — two keyed self-joins on
     the EDGE list (bounded by pair count, never docs²), then one
-    explode+agg for per-node counts."""
+    explode+agg for per-node counts (operators/graph.triangle_counts
+    since r10, carrying the DEFAULT-ON max_wedges=10⁸ dense-component
+    guard: the r10 graph-consumer measurement put the wedge join at
+    3.26×10⁸ candidates / 325× on the 64-mega-cluster corpus — the
+    quadratic-in-cluster-size consumer the upstream q22 guard happened
+    to shadow)."""
     from sales_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+    from sales_data_pipeline_spark.operators.graph import triangle_counts
 
     docs = table(spark, sf_dir, "documents")
     edges = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    e1 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
-    e2 = edges.select(F.col("doc_a").alias("y"), F.col("doc_b").alias("z"))
-    e3 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    nodes = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
-    )
-    return nodes.groupBy(F.col("node").alias("doc_id")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
+    return triangle_counts(edges).select(
+        F.col("node").alias("doc_id"), "n_triangles"
     )
 
 

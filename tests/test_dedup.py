@@ -808,6 +808,40 @@ def test_kcore_cascade_peel_and_pendant(spark):
     assert k_core(df, k=3).count() == 0
 
 
+def test_triangle_counts_guard_transparent_fires_and_lazy(spark):
+    """r10 dense-component guard on the triangle wedge join (the one
+    graph consumer past the 5× bar in the SKEW graph_consumers
+    measurement: 3.26e8 wedges / 325× on the 64-mega-cluster corpus).
+    Default must equal the unguarded result under budget; an
+    over-budget graph must die naming max_wedges; constructing /
+    explaining the guarded plan must run no Spark job."""
+    import pytest as _pytest
+
+    from sales_data_pipeline_spark.operators.graph import triangle_counts
+
+    # two triangles sharing edge (1,2) + a pendant: known counts
+    edges = [(1, 2), (2, 3), (1, 3), (2, 4), (1, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    want = {1: 2, 2: 2, 3: 1, 4: 1}
+    free = {
+        r.node: r.n_triangles
+        for r in triangle_counts(df, max_wedges=None).collect()
+    }
+    default = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert free == default == want
+
+    # a K8 clique: wedges = sum in*out per middle node = 56 > budget 10
+    clique = [(a, b) for a in range(8) for b in range(a + 1, 8)]
+    dense = spark.createDataFrame(clique, "doc_a long, doc_b long")
+    with _pytest.raises(Exception, match="max_wedges"):
+        triangle_counts(dense, max_wedges=10).collect()
+
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    triangle_counts(dense, max_wedges=10).explain()
+    assert tracker.getJobIdsForGroup(None) == before
+
+
 def test_kcore_degree_measured_in_core_and_checkpoint(spark, tmp_path):
     from sales_data_pipeline_spark.operators.graph import k_core
 

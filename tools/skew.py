@@ -417,22 +417,13 @@ def _graph_probes(spark) -> dict:
 
 def _triangle_counts(edges):
     """q127's consumer stage (per-node triangle counts) over a given
-    canonical a<b edge list — the same two keyed self-joins + explode
-    shape as the registered body, minus its edge producer."""
-    from pyspark.sql import functions as F
+    canonical a<b edge list — UNGUARDED on purpose (max_wedges=None):
+    the probe measures the wedge join's true cost on a dense-component
+    graph; the registered path carries the default-on 10⁸ budget this
+    measurement motivated (operators/graph.triangle_counts, r10)."""
+    from sales_data_pipeline_spark.operators.graph import triangle_counts
 
-    e1 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
-    e2 = edges.select(F.col("doc_a").alias("y"), F.col("doc_b").alias("z"))
-    e3 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("z"))
-    tri = e1.join(e2, "y").join(e3, ["x", "z"])
-    nodes = (
-        tri.select(F.col("x").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
-    )
-    return nodes.groupBy("node").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_triangles")
-    )
+    return triangle_counts(edges, max_wedges=None)
 
 
 def graph() -> None:
