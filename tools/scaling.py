@@ -593,33 +593,51 @@ def measure_eps() -> None:
     regime a real 100 TB near-dup space lives in, where new data
     explores new space) must scale ~linearly across the same decade.
 
-    Generator (pure map, deterministic, no RNG state): n points with
-    x,y = xxhash64(id, seed) mod 1e6 / 1e6 · side, side chosen so mean
-    ε-cell occupancy = OCC at every n: side = sqrt(n·eps²/OCC). Probes
-    eps_pairs (the candidate join itself) and the full dbscan census
-    (pairs → cores → CC → border) at n and 10n, ITERS clearCache'd
-    medians through a noop sink. Writes SCALING_EPS.json."""
+    Generator (pure map, deterministic, no RNG state): points arrive
+    in CLUSTERS of a fixed size — cluster centers on a coarse grid
+    with separation >> eps (clusters never bridge), per-point offsets
+    x,y = xxhash64(id, seed) mod 1e6 / 1e6 · side inside a box whose
+    side holds mean ε-cell occupancy = OCC at every n: side =
+    sqrt(CLUSTER·eps²/OCC). Growing n 10× adds 10× CLUSTERS of the
+    same density and size — occupancy O(1) AND component size O(1),
+    which is what 'new data explores new space' means (a uniform
+    occupancy-4 square instead percolates into ONE n-node component,
+    and the census probe degenerates into a giant-component CC
+    benchmark — the first r10 attempt). Probes eps_pairs (the
+    candidate join itself) and the full dbscan census (pairs → cores →
+    CC → border) at n and 10n, ITERS clearCache'd medians through a
+    noop sink. Writes SCALING_EPS.json."""
     import gc
 
     from pyspark.sql import functions as F
 
     from sales_data_pipeline_spark.operators.dbscan import dbscan, eps_pairs
 
-    EPS, MIN_PTS, OCC = 0.15, 4, 4.0
+    EPS, MIN_PTS, OCC, CLUSTER = 0.15, 4, 4.0, 500
     N_SMALL, N_BIG = 20_000, 200_000
+    side = (CLUSTER * EPS * EPS / OCC) ** 0.5
+    sep = side + 10 * EPS  # inter-center gap >> eps: no bridges
     spark = _spark()
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
     def pts(n: int):
-        side = (n * EPS * EPS / OCC) ** 0.5
+        import math
+
+        grid = math.isqrt(n // CLUSTER) + 1
         base = spark.range(n).select(F.col("id").alias("vec_id"))
-        coord = lambda seed: (  # noqa: E731
+        cid = (F.col("vec_id") / F.lit(CLUSTER)).cast("long")
+        center = {
+            "x": (cid % F.lit(grid)).cast("double") * F.lit(sep),
+            "y": (cid / F.lit(grid)).cast("long").cast("double") * F.lit(sep),
+        }
+        off = lambda seed: (  # noqa: E731
             (F.pmod(F.xxhash64("vec_id", F.lit(seed)), F.lit(1_000_000)))
             / F.lit(1_000_000.0)
             * F.lit(side)
         ).cast("double")
         return base.select(
-            "vec_id", F.array(coord(1), coord(2)).alias("vec")
+            "vec_id",
+            F.array(center["x"] + off(1), center["y"] + off(2)).alias("vec"),
         )
 
     def census(df):
@@ -643,11 +661,15 @@ def measure_eps() -> None:
             "eps": EPS,
             "min_pts": MIN_PTS,
             "occupancy": OCC,
+            "cluster_size": CLUSTER,
+            "cluster_side": round(side, 6),
+            "center_separation": round(sep, 6),
             "n_small": N_SMALL,
             "n_big": N_BIG,
             "note": (
-                "mean eps-cell occupancy held constant across the decade "
-                "(area grows with n): the regime where grid blocking is "
+                "mean eps-cell occupancy AND component size held constant "
+                "across the decade (10x points = 10x well-separated "
+                "clusters of 500): the regime where grid blocking is "
                 "linear. Complements SCALING10's saturating-corpus rows, "
                 "where the SAME operator now fails fast by design "
                 "(max_candidate_pairs default)."
