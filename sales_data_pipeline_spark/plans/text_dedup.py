@@ -635,6 +635,76 @@ def q127_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q291_wedge_census",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+    ),
+    ind AS (SELECT doc_b AS y, count(*) AS d_in FROM pairs GROUP BY 1),
+    outd AS (SELECT doc_a AS y, count(*) AS d_out FROM pairs GROUP BY 1)
+    SELECT
+      CAST((SELECT count(*) FROM pairs) AS BIGINT) AS n_edges,
+      CAST(COALESCE(SUM(d_in * d_out), 0) AS BIGINT) AS n_wedges,
+      COALESCE(SUM(d_in * d_out), 0) > 100000000 AS guard_would_fire
+    FROM ind JOIN outd USING (y)
+    """,
+)
+def q291_wedge_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled envelope for the triangle wedge-join guard (the
+    q259/q283 estimator-audit pattern, r10): the guard's budget
+    quantity — Σ over middle nodes y of in-deg(y)·out-deg(y) over the
+    canonical a<b near-dup edge list — is EXACTLY the wedge join's
+    output row count, and it is one SQL statement, so DuckDB pins it
+    end-to-end (edge production included). Emits (n_edges, n_wedges,
+    guard_would_fire) where guard_would_fire mirrors
+    `triangle_counts`' default max_wedges=10⁸ decision on this graph;
+    a drift in the shingle pipeline, the pair threshold, or the degree
+    census flips a column. Same edge definition as q127 (Jaccard ≥
+    0.5), so this row is also the cheap pre-flight a caller runs
+    before the triangle query on an unknown graph — the q117-style
+    'detect before you join' probe for wedge volume. Scale: two
+    degree aggregates over the edge list + a 1-row sum; never
+    enumerates a wedge."""
+    from sales_data_pipeline_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = table(spark, sf_dir, "documents")
+    edges = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    ind = edges.groupBy(F.col("doc_b").alias("y")).agg(
+        F.count(F.lit(1)).alias("d_in")
+    )
+    outd = edges.groupBy(F.col("doc_a").alias("y")).agg(
+        F.count(F.lit(1)).alias("d_out")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        ind.join(outd, "y")
+        .agg(
+            F.coalesce(F.sum(F.col("d_in") * F.col("d_out")), F.lit(0))
+            .cast("bigint")
+            .alias("n_wedges")
+        )
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_edges",
+            "n_wedges",
+            (F.col("n_wedges") > F.lit(100_000_000)).alias(
+                "guard_would_fire"
+            ),
+        )
+    )
+
+
 @query("q128_neardup_pagerank", oracle=None)
 def q128_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the near-dup similarity graph: which

@@ -842,6 +842,40 @@ def test_triangle_counts_guard_transparent_fires_and_lazy(spark):
     assert tracker.getJobIdsForGroup(None) == before
 
 
+def test_wedge_estimate_equals_actual_wedge_join_count(spark):
+    """The triangle guard's budget quantity (Σ_y in-deg·out-deg, also
+    q291's n_wedges) must be EXACTLY the wedge join's output row count
+    — it is an identity, not an estimate; random graphs pin it."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(42)
+    for trial in range(3):
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(30), 2)))
+                for _ in range(rng.randint(10, 80))
+            }
+        )
+        df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        e1 = df.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+        e2 = df.select(F.col("doc_a").alias("y"), F.col("doc_b").alias("z"))
+        actual = e1.join(e2, "y").count()
+        ind = df.groupBy(F.col("doc_b").alias("y")).agg(
+            F.count(F.lit(1)).alias("d_in")
+        )
+        outd = df.groupBy(F.col("doc_a").alias("y")).agg(
+            F.count(F.lit(1)).alias("d_out")
+        )
+        est = (
+            ind.join(outd, "y")
+            .agg(F.coalesce(F.sum(F.col("d_in") * F.col("d_out")), F.lit(0)))
+            .first()[0]
+        )
+        assert est == actual, (trial, est, actual)
+
+
 def test_kcore_degree_measured_in_core_and_checkpoint(spark, tmp_path):
     from sales_data_pipeline_spark.operators.graph import k_core
 
