@@ -100,6 +100,64 @@ def mixture_weights(
     )
 
 
+def mixture_epochs(
+    df: DataFrame,
+    domain_col: str = "source",
+    size_col: str | None = None,
+    target_shares: dict[str, float] | None = None,
+    token_budget: float = 1.0,
+    max_epochs: float = 4.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Data-constrained mixture audit: how many EPOCHS of each domain
+    does a (target mixture × total token budget) training plan imply,
+    and which domains exceed the repetition cap? Muennighoff et al.
+    2023 ("Scaling Data-Constrained Language Models") measured that
+    repeating data holds value for ~4 epochs and decays rapidly after —
+    ``max_epochs`` defaults to that knee. A domain whose target tokens
+    exceed ``max_epochs`` passes of its available pool is flagged, with
+    the token shortfall that must be re-sourced (new data, a raised
+    cap, or weight re-allocated across the mixture).
+
+    Output: (domain, available_tokens, target_share, target_tokens,
+    epochs, over_cap, shortfall_tokens); one row per domain present,
+    domains absent from ``target_shares`` audit at share 0 (excluded
+    from training, never flagged). All derived columns are per-domain
+    double arithmetic in a fixed expression order, so an external SQL
+    engine reproduces them bitwise.
+
+    Plan: the same scale shape as mixture_weights — one map-side
+    combined groupBy collapses the corpus to |domains| rows before any
+    of the epoch math; nothing downstream ever sees a corpus-sized
+    partition."""
+    unit = F.col(size_col) if size_col else F.lit(1)
+    agg = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(unit).cast("bigint").alias("available_tokens")
+    )
+    if target_shares is None:
+        everything = Window.partitionBy()
+        target: Column = F.lit(1.0) / F.count(F.lit(1)).over(everything)
+    else:
+        target = F.lit(0.0)
+        for d, s in target_shares.items():
+            target = F.when(F.col("domain") == d, F.lit(float(s))).otherwise(target)
+    want = target * F.lit(float(token_budget))
+    cap = F.lit(float(max_epochs)) * F.col("available_tokens").cast("double")
+    return agg.select(
+        "domain",
+        "available_tokens",
+        F.round(target, round_digits).alias("target_share"),
+        F.round(want, round_digits).alias("target_tokens"),
+        F.round(want / F.col("available_tokens").cast("double"), round_digits).alias(
+            "epochs"
+        ),
+        (want > cap).alias("over_cap"),
+        F.round(F.greatest(want - cap, F.lit(0.0)), round_digits).alias(
+            "shortfall_tokens"
+        ),
+    )
+
+
 def domain_cap(
     df: DataFrame,
     domain_col: str = "source",

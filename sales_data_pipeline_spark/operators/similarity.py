@@ -78,6 +78,74 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    max_sim: float | None = None,
+    n_salt: int = 32,
+    round_digits: int | None = 9,
+) -> DataFrame:
+    """Contrastive hard-negative mining: for each anchor, the ``k``
+    most similar vectors carrying a DIFFERENT label. ``max_sim`` is the
+    optional ceiling of the FaceNet-style semi-hard band — candidates
+    at sim ≥ max_sim are dropped as probable mislabeled near-duplicates
+    (the standard false-negative guard: the hardest "negatives" in a
+    raw corpus are usually the same item labeled twice).
+
+    Output: anchor_id, neg_id, sim, rank (row_number over
+    (sim desc, neg_id) — deterministic under ties; sims rounded to
+    ``round_digits`` before ranking so engines with different float
+    accumulation order agree, same contract as cosine_topk).
+
+    Scale shape: the anchor batch is bounded and broadcast; the corpus
+    streams through ONE scan with cosine computed JVM-side in float64.
+    Unlike cosine_topk's single per-query window, the top-k here is
+    TWO-PHASE: rank within (anchor, xxhash-salt-of-candidate) keeping k
+    per salt bucket, then re-rank the ≤ k·n_salt survivors per anchor —
+    no reducer ever sorts a corpus-sized anchor group, so the plan
+    survives a 100× corpus at a fixed anchor batch. Bitwise-identical
+    to the single-window form: the true top-k is a subset of the union
+    of per-salt top-ks."""
+    from pyspark.sql import Window
+
+    a = anchors.select(
+        F.col(id_col).alias("anchor_id"),
+        as_double_array(vec_col).alias("qv"),
+        F.col(label_col).alias("anchor_label"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neg_id"),
+        as_double_array(vec_col).alias("cv"),
+        F.col(label_col).alias("neg_label"),
+    )
+    sim: Column = cosine_similarity(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = (
+        c.crossJoin(F.broadcast(a))
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .select("anchor_id", "neg_id", sim.alias("sim"))
+    )
+    if max_sim is not None:
+        scored = scored.filter(F.col("sim") < F.lit(float(max_sim)))
+    order = [F.col("sim").desc(), F.col("neg_id")]
+    w1 = Window.partitionBy("anchor_id", "__salt").orderBy(*order)
+    survivors = (
+        scored.withColumn("__salt", F.pmod(F.xxhash64("neg_id"), F.lit(n_salt)))
+        .withColumn("__r", F.row_number().over(w1))
+        .filter(F.col("__r") <= k)
+        .drop("__salt", "__r")
+    )
+    w2 = Window.partitionBy("anchor_id").orderBy(*order)
+    return survivors.withColumn(
+        "rank", F.row_number().over(w2).cast("bigint")
+    ).filter(F.col("rank") <= k)
+
+
 def embedding_neardup_pairs(
     corpus: DataFrame,
     threshold: float = 0.95,

@@ -16,7 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sales_data_pipeline_spark.catalog import table
-from sales_data_pipeline_spark.operators.assemble import mixture_weights, shard_assignment
+from sales_data_pipeline_spark.operators.assemble import (
+    mixture_epochs,
+    mixture_weights,
+    shard_assignment,
+)
 from sales_data_pipeline_spark.operators.merge import snapshot_diff
 from sales_data_pipeline_spark.operators.redact import redact_pii
 from sales_data_pipeline_spark.operators.similarity import quantized_dupe_groups
@@ -311,6 +315,62 @@ def q76_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     sized = docs.select("source", token_count("text").alias("n_tokens"))
     return mixture_weights(
         sized, domain_col="source", size_col="n_tokens", target_shares=_MIX_TARGETS
+    )
+
+
+# --- q293: data-constrained mixture epochs audit ------------------------------
+
+_TOKEN_BUDGET = 200_000.0  # total training tokens the mixture plan spends
+_EPOCH_CAP = 4.0  # Muennighoff et al. 2023: value of repeats decays past ~4
+
+
+@query(
+    "q293_mixture_epochs",
+    oracle=f"""
+    WITH agg AS (
+      SELECT source AS domain,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+      FROM documents GROUP BY 1
+    ),
+    t AS (
+      SELECT domain, available_tokens,
+        CAST(CASE domain WHEN 'src0' THEN {_MIX_TARGETS["src0"]}
+                         WHEN 'src1' THEN {_MIX_TARGETS["src1"]}
+                         WHEN 'src2' THEN {_MIX_TARGETS["src2"]}
+                         WHEN 'src3' THEN {_MIX_TARGETS["src3"]}
+                         ELSE 0.0 END AS DOUBLE) AS tgt
+      FROM agg
+    )
+    SELECT domain, available_tokens,
+      round(tgt, 6) AS target_share,
+      round(tgt * {_TOKEN_BUDGET}, 6) AS target_tokens,
+      round(tgt * {_TOKEN_BUDGET} / CAST(available_tokens AS DOUBLE), 6) AS epochs,
+      (tgt * {_TOKEN_BUDGET}) > ({_EPOCH_CAP} * CAST(available_tokens AS DOUBLE))
+        AS over_cap,
+      round(greatest(tgt * {_TOKEN_BUDGET}
+                     - {_EPOCH_CAP} * CAST(available_tokens AS DOUBLE), 0.0), 6)
+        AS shortfall_tokens
+    FROM t
+    """,
+)
+def q293_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained mixture audit (Muennighoff et al. 2023): given
+    q76's target mixture and a 200k-token training budget, the implied
+    per-domain EPOCH count, the >4-epoch repetition flags, and the
+    token shortfall that must be re-sourced for flagged domains.
+    Domains outside the target mixture audit at share 0. Same scale
+    shape as q76: one map-side-combined groupBy to |domains| rows,
+    all epoch math on the aggregate
+    (operators/assemble.py mixture_epochs)."""
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select("source", token_count("text").alias("n_tokens"))
+    return mixture_epochs(
+        sized,
+        domain_col="source",
+        size_col="n_tokens",
+        target_shares=_MIX_TARGETS,
+        token_budget=_TOKEN_BUDGET,
+        max_epochs=_EPOCH_CAP,
     )
 
 

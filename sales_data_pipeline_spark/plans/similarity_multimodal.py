@@ -29,6 +29,7 @@ from sales_data_pipeline_spark.operators.multimodal import (
 from sales_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_lsh,
+    hard_negative_topk,
     ivf_topk,
 )
 from sales_data_pipeline_spark.plans.registry import query
@@ -88,6 +89,46 @@ def q52_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing is genuinely sub-quadratic (see operator docstring)."""
     emb = table(spark, sf_dir, "embeddings")
     return embedding_neardup_lsh(emb, threshold=0.4, n_tables=16, n_bits=4)
+
+
+_N_ANCHORS = 8  # hard-negative anchor batch = vec_id < 8
+_HN_K = 5
+_HN_MAX_SIM = 0.45  # semi-hard ceiling (corpus cross-label sims top out ~0.51)
+
+
+@query(
+    "q292_hard_negative_mining",
+    oracle=f"""
+    WITH a AS (SELECT vec_id AS anchor_id, embedding::DOUBLE[] AS qv, label AS al
+               FROM embeddings WHERE vec_id < {_N_ANCHORS}),
+    c AS (SELECT vec_id AS neg_id, embedding::DOUBLE[] AS cv, label AS nl
+          FROM embeddings),
+    scored AS (
+      SELECT anchor_id, neg_id,
+             round(list_cosine_similarity(qv, cv), 9) AS sim
+      FROM a JOIN c ON al <> nl
+    )
+    SELECT anchor_id, neg_id, sim,
+           CAST(row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY sim DESC, neg_id) AS BIGINT) AS "rank"
+    FROM scored WHERE sim < {_HN_MAX_SIM} QUALIFY "rank" <= {_HN_K}
+    """,
+)
+def q292_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives for an 8-anchor batch: per anchor the
+    5 most-similar OTHER-label vectors below the semi-hard ceiling
+    (sim < 0.45 — candidates above it are treated as probable
+    mislabeled near-duplicates, the false-negative guard every
+    contrastive pipeline applies before mining). Anchors broadcast,
+    one corpus scan, and the per-anchor top-k is the two-phase salted
+    rank (k per (anchor, salt) bucket, then re-rank ≤ k·32 survivors)
+    so no reducer sorts a corpus-sized anchor group
+    (operators/similarity.py hard_negative_topk)."""
+    emb = table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < _N_ANCHORS)
+    return hard_negative_topk(
+        emb, anchors, k=_HN_K, max_sim=_HN_MAX_SIM, n_salt=32
+    )
 
 
 @query("q27_ann_ivf")  # probabilistic cell probing: rows-only check

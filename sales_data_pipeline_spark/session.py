@@ -56,6 +56,20 @@ _BASE_CONF: dict[str, str] = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # local-mode memory headroom for window sorts / shuffle buffers
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # Shuffle files / localCheckpoint blocks from FINISHED stages are
+    # only deleted when the driver's ContextCleaner collects their weak
+    # references — i.e. when the driver JVM happens to GC. A long-lived
+    # session with a large heap may not GC for hours, so a multi-query
+    # campaign accumulates every dead stage's shuffle spill on local
+    # disk until it fills (measured: the r10 sf10 graph-family run at
+    # 48 GiB heap filled ~60 GiB of /tmp with unreferenced shuffle
+    # files inside three warmup queries and died on ENOSPC — the disk
+    # twin of the r8 checkpoint-block heap OOM). Spark's default
+    # periodic-GC backstop is 30min; 60s bounds the dead-file
+    # high-water to roughly one query's working set at negligible GC
+    # cost. Same insurance on a real cluster: executor shuffle files
+    # are freed by the same driver-GC-driven cleaner.
+    "spark.cleaner.periodicGC.interval": "60s",
 }
 
 

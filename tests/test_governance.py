@@ -186,6 +186,58 @@ def test_mixture_weights_uniform_default(spark):
     assert got["a"].mix_weight == pytest.approx(0.5 / 0.25, abs=1e-6)
 
 
+def test_mixture_epochs_math(spark):
+    from sales_data_pipeline_spark.operators.assemble import mixture_epochs
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 50), ("b", 10), ("c", 40)],
+        "source string, n_tokens long",
+    )
+    got = {
+        r.domain: r
+        for r in mixture_epochs(
+            df,
+            size_col="n_tokens",
+            target_shares={"a": 0.5, "b": 0.5},
+            token_budget=1000.0,
+            max_epochs=4.0,
+        ).collect()
+    }
+    # a: 150 available, 500 wanted -> 3.33 epochs, inside the 4-epoch cap
+    assert got["a"].available_tokens == 150
+    assert got["a"].target_tokens == pytest.approx(500.0)
+    assert got["a"].epochs == pytest.approx(500.0 / 150.0, abs=1e-6)
+    assert got["a"].over_cap is False and got["a"].shortfall_tokens == 0.0
+    # b: 10 available, 500 wanted -> 50 epochs, flagged, shortfall 500-4*10
+    assert got["b"].epochs == pytest.approx(50.0)
+    assert got["b"].over_cap is True
+    assert got["b"].shortfall_tokens == pytest.approx(460.0)
+    # c: outside the target mixture -> share 0, never flagged
+    assert got["c"].target_share == 0.0 and got["c"].epochs == 0.0
+    assert got["c"].over_cap is False and got["c"].shortfall_tokens == 0.0
+
+
+def test_mixture_epochs_uniform_default(spark):
+    from sales_data_pipeline_spark.operators.assemble import mixture_epochs
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 30)], "source string, n_tokens long"
+    )
+    got = {
+        r.domain: r
+        for r in mixture_epochs(
+            df, size_col="n_tokens", token_budget=400.0
+        ).collect()
+    }
+    # uniform over present domains: 0.5 each -> 200 tokens per domain
+    assert got["a"].epochs == pytest.approx(20.0)  # 200 / 10
+    assert got["a"].over_cap is True  # 20 > 4
+    assert got["a"].shortfall_tokens == pytest.approx(160.0)  # 200 - 40
+    assert got["b"].epochs == pytest.approx(200.0 / 30.0, abs=1e-6)
+    assert got["b"].over_cap is True  # 6.67 > 4
+    assert got["b"].shortfall_tokens == pytest.approx(200.0 - 120.0)
+
+
 # --- profile_table -----------------------------------------------------------
 
 

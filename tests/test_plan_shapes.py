@@ -733,3 +733,32 @@ def test_q278_incremental_join_no_nested_loop(spark, sf_dir):
     plan = _plan(df)
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_q292_anchor_broadcast_no_global_window(spark, sf_dir):
+    """Hard-negative mining must broadcast the bounded ANCHOR side
+    (corpus streams through one scan) and run both top-k ranks as
+    KEYED windows — a global (partitionBy-less) window would funnel
+    the corpus through one reducer; a CartesianProduct would mean the
+    broadcast was lost."""
+    spark.catalog.clearCache()
+    df = QUERIES["q292_hard_negative_mining"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    from sales_data_pipeline_spark.plans.lint import lint_plan
+
+    codes = {f.code for f in lint_plan(df)}
+    assert "global-window" not in codes and "global-sort" not in codes
+
+
+def test_q293_single_agg_no_join(spark, sf_dir):
+    """The epochs audit is one map-side-combined groupBy over one scan
+    of documents; all epoch math happens on the |domains|-row
+    aggregate — no join, no window, no second scan."""
+    spark.catalog.clearCache()
+    df = QUERIES["q293_mixture_epochs"].fn(spark, sf_dir)
+    plan = _plan(df)
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1, plan

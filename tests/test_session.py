@@ -25,3 +25,11 @@ def test_session_fixture_carries_the_skew_confs(spark):
     path every tool/bench/test session takes)."""
     assert spark.conf.get("spark.sql.adaptive.forceOptimizeSkewedJoin") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_base_conf_bounds_dead_shuffle_files_via_periodic_gc():
+    """Shuffle files of finished stages are freed only when the driver
+    GCs (ContextCleaner weak refs). Measured r10: a 48 GiB-heap
+    campaign never GC'd, accumulated ~60 GiB of dead shuffle spill and
+    died on ENOSPC. The 60s periodic-GC backstop must ship by default."""
+    assert _BASE_CONF["spark.cleaner.periodicGC.interval"] == "60s"

@@ -571,3 +571,84 @@ def test_pca_fit_rejects_degenerate_input(spark):
         pca_fit(one)
     with pytest.raises(ValueError, match="empty"):
         pca_fit(one.filter("vec_id < 0"))
+
+
+# --- hard_negative_topk --------------------------------------------------------
+
+
+def test_hard_negative_topk_planted_semantics(spark):
+    """Label filter drops same-label twins; the semi-hard ceiling drops
+    near-identical other-label vectors; survivors rank by sim desc."""
+    from sales_data_pipeline_spark.operators.similarity import hard_negative_topk
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),  # anchor
+        (1, [1.0, 0.0, 0.0], 0),  # same label, sim 1.0 -> label-filtered
+        (2, [0.999, 0.0447, 0.0], 1),  # other label, sim ~0.999 -> ceiling
+        (3, [0.9, 0.4359, 0.0], 1),  # sim 0.9 -> rank 1
+        (4, [0.7, 0.7141, 0.0], 2),  # sim 0.7 -> rank 2
+        (5, [0.0, 1.0, 0.0], 1),  # sim 0.0 -> rank 3
+    ]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    anchors = corpus.filter("vec_id = 0")
+    got = (
+        hard_negative_topk(corpus, anchors, k=3, max_sim=0.98, n_salt=4)
+        .orderBy("rank")
+        .collect()
+    )
+    assert [(r.neg_id, r.rank) for r in got] == [(3, 1), (4, 2), (5, 3)]
+    assert got[0].sim == pytest.approx(0.9, abs=1e-4)  # [0.9, 0.4359] ~unit
+
+
+def test_hard_negative_topk_two_phase_equals_single_window(spark, emb):
+    """The salted two-phase top-k must be bitwise-identical to the
+    direct per-anchor window (n_salt=1 degenerates to it)."""
+    from sales_data_pipeline_spark.operators.similarity import hard_negative_topk
+
+    anchors = emb.filter(F.col("vec_id") < 8)
+    salted = hard_negative_topk(emb, anchors, k=5, max_sim=0.45, n_salt=32)
+    direct = hard_negative_topk(emb, anchors, k=5, max_sim=0.45, n_salt=1)
+    a = sorted(map(tuple, salted.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b and len(a) == 8 * 5
+
+
+def test_hard_negative_topk_numpy_parity(spark, emb):
+    """Exact parity with a numpy brute-force reference at the
+    registered q292 parameters (round-9 sims, ties by neg_id)."""
+    from sales_data_pipeline_spark.operators.similarity import hard_negative_topk
+
+    data = emb.collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in data}
+    labels = {r.vec_id: r.label for r in data}
+
+    def seq_cos(a, b):  # mirror the engine's sequential left-fold
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        return dot / (na**0.5 * nb**0.5)
+
+    expected = set()
+    for aid in [r.vec_id for r in data if r.vec_id < 8]:
+        qv = vecs[aid]
+        cands = []
+        for nid, cv in vecs.items():
+            if labels[nid] == labels[aid]:
+                continue
+            sim = round(seq_cos(qv, cv), 9)
+            if sim < 0.45:
+                cands.append((-sim, nid))
+        for rank, (negsim, nid) in enumerate(sorted(cands)[:5], start=1):
+            expected.add((aid, nid, -negsim, rank))
+    anchors = emb.filter(F.col("vec_id") < 8)
+    got = {
+        (r.anchor_id, r.neg_id, r.sim, r.rank)
+        for r in hard_negative_topk(
+            emb, anchors, k=5, max_sim=0.45, n_salt=32
+        ).collect()
+    }
+    assert got == expected

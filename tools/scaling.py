@@ -278,6 +278,12 @@ def _err_summary(ex: Exception) -> str:
     for ln in lines:
         if "USER_RAISED_EXCEPTION" in ln:
             return ln[:300]
+    # Infra failures (disk-full, OOM) bury the root cause in a stack of
+    # "Caused by:" frames under a generic py4j first line — surface the
+    # deepest cause so the artifact names the resource, not oNNN.
+    causes = [ln for ln in lines if ln.startswith("Caused by:")]
+    if causes:
+        return f"{(lines[0] if lines else '')[:120]} <- {causes[-1][:178]}"
     return (lines[0] if lines else repr(ex))[:300]
 
 
