@@ -307,6 +307,7 @@ def _time_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
             msg = _err_summary(ex)
             errors[name] = msg
             print(f"  {name}: FAILED ({msg[:120]})", file=sys.stderr)
+        _drain_dead_blocks(spark)
     samples: dict[str, list[float]] = {n: [] for n in live}
     import gc
 
@@ -338,8 +339,32 @@ def _time_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
                       file=sys.stderr)
                 continue
             samples[name].append(time.perf_counter() - t0)
+            # Between queries (OUTSIDE the timed window): drop the
+            # py4j refs and force a driver GC so the ContextCleaner
+            # frees the finished query's shuffle files NOW. The 60s
+            # periodicGC backstop (session.py) is not enough here:
+            # back-to-back big-SF graph queries each leave ~20 GiB of
+            # dead spill, and piling 3-4 of them inside one GC
+            # interval filled the disk (second r10 sf10 ENOSPC — the
+            # first was fixed by periodicGC alone; this bounds the
+            # high-water to ~one query's working set regardless of
+            # how fast the campaign produces garbage).
+            _drain_dead_blocks(spark)
     timings = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
     return timings, rows, errors
+
+
+def _drain_dead_blocks(spark) -> None:
+    """Free dead shuffle/checkpoint blocks between protocol steps:
+    collect the Python-side refs (py4j handles pin the JVM lineage),
+    then force a driver JVM GC so ContextCleaner's weak refs fire.
+    Shuffle cleanup is async (referenceTracking.blocking.shuffle
+    defaults false) — the brief sleep lets the cleaner thread drain."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)
 
 
 def _merge_artifact(
