@@ -105,7 +105,7 @@ def mixture_epochs(
     domain_col: str = "source",
     size_col: str | None = None,
     target_shares: dict[str, float] | None = None,
-    token_budget: float = 1.0,
+    token_budget: float | None = None,
     max_epochs: float = 4.0,
     round_digits: int = 6,
 ) -> DataFrame:
@@ -119,17 +119,43 @@ def mixture_epochs(
     the token shortfall that must be re-sourced (new data, a raised
     cap, or weight re-allocated across the mixture).
 
+    ``token_budget`` is REQUIRED (r11): the old 1.0 default meant a
+    caller passing only ``target_shares`` silently audited a one-token
+    training plan — every domain read epochs≈0 and nothing flagged,
+    the opposite of the audit's purpose.
+
     Output: (domain, available_tokens, target_share, target_tokens,
     epochs, over_cap, shortfall_tokens); one row per domain present,
-    domains absent from ``target_shares`` audit at share 0 (excluded
-    from training, never flagged). All derived columns are per-domain
-    double arithmetic in a fixed expression order, so an external SQL
-    engine reproduces them bitwise.
+    PLUS one row per ``target_shares`` domain absent from the corpus —
+    the worst audit case (want > 0, available 0): available_tokens=0,
+    epochs NULL (no finite epoch count empties a zero pool),
+    over_cap=true, shortfall_tokens=target_tokens (r11, per round-10
+    advice — previously those rows were silently dropped and the flag
+    the audit exists for never raised). Present domains whose sizes
+    sum to 0 get the same zero-pool semantics (epochs NULL, not a
+    DIVIDE_BY_ZERO crash under ANSI mode). Domains present but absent
+    from ``target_shares`` audit at share 0 (excluded from training,
+    never flagged). All derived columns are per-domain double
+    arithmetic in a fixed expression order, so an external SQL engine
+    reproduces them bitwise (zero-pool epochs = CASE WHEN
+    available_tokens > 0 THEN ... END).
 
     Plan: the same scale shape as mixture_weights — one map-side
     combined groupBy collapses the corpus to |domains| rows before any
-    of the epoch math; nothing downstream ever sees a corpus-sized
-    partition."""
+    of the epoch math; the missing-domain union is a left-anti join of
+    a |target_shares|-row literal frame against that aggregate.
+    Nothing downstream ever sees a corpus-sized partition."""
+    if token_budget is None:
+        raise ValueError(
+            "mixture_epochs: token_budget is required — the audit is "
+            "'does this budget over-repeat any domain', and there is no "
+            "sensible default budget (a tiny one reads epochs~0 "
+            "everywhere and masks every flag)"
+        )
+    if float(token_budget) <= 0:
+        raise ValueError(
+            f"mixture_epochs: token_budget must be > 0, got {token_budget}"
+        )
     unit = F.col(size_col) if size_col else F.lit(1)
     agg = df.groupBy(F.col(domain_col).alias("domain")).agg(
         F.sum(unit).cast("bigint").alias("available_tokens")
@@ -138,19 +164,32 @@ def mixture_epochs(
         everything = Window.partitionBy()
         target: Column = F.lit(1.0) / F.count(F.lit(1)).over(everything)
     else:
+        # target domains missing from the corpus still get an audit row
+        # (available 0): a tiny literal frame anti-joined against the
+        # |domains|-row aggregate, then unioned in — never corpus-sized
+        wanted = df.sparkSession.createDataFrame(
+            [(d,) for d in target_shares], "domain string"
+        )
+        agg = agg.unionByName(
+            wanted.join(agg, "domain", "left_anti").select(
+                "domain", F.lit(0).cast("bigint").alias("available_tokens")
+            )
+        )
         target = F.lit(0.0)
         for d, s in target_shares.items():
             target = F.when(F.col("domain") == d, F.lit(float(s))).otherwise(target)
     want = target * F.lit(float(token_budget))
-    cap = F.lit(float(max_epochs)) * F.col("available_tokens").cast("double")
+    avail = F.col("available_tokens").cast("double")
+    cap = F.lit(float(max_epochs)) * avail
     return agg.select(
         "domain",
         "available_tokens",
         F.round(target, round_digits).alias("target_share"),
         F.round(want, round_digits).alias("target_tokens"),
-        F.round(want / F.col("available_tokens").cast("double"), round_digits).alias(
-            "epochs"
-        ),
+        # zero pool -> NULL, not DIVIDE_BY_ZERO under ANSI mode
+        F.when(
+            F.col("available_tokens") > 0, F.round(want / avail, round_digits)
+        ).alias("epochs"),
         (want > cap).alias("over_cap"),
         F.round(F.greatest(want - cap, F.lit(0.0)), round_digits).alias(
             "shortfall_tokens"

@@ -332,19 +332,25 @@ _EPOCH_CAP = 4.0  # Muennighoff et al. 2023: value of repeats decays past ~4
         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
       FROM documents GROUP BY 1
     ),
+    tgt(domain, share) AS (VALUES
+      ('src0', {_MIX_TARGETS["src0"]}), ('src1', {_MIX_TARGETS["src1"]}),
+      ('src2', {_MIX_TARGETS["src2"]}), ('src3', {_MIX_TARGETS["src3"]})
+    ),
+    -- FULL JOIN (r11): a target domain absent from the corpus still
+    -- audits (available 0, epochs NULL, flagged) — the operator's
+    -- missing-domain union, mirrored so the contract is pinned
     t AS (
-      SELECT domain, available_tokens,
-        CAST(CASE domain WHEN 'src0' THEN {_MIX_TARGETS["src0"]}
-                         WHEN 'src1' THEN {_MIX_TARGETS["src1"]}
-                         WHEN 'src2' THEN {_MIX_TARGETS["src2"]}
-                         WHEN 'src3' THEN {_MIX_TARGETS["src3"]}
-                         ELSE 0.0 END AS DOUBLE) AS tgt
-      FROM agg
+      SELECT COALESCE(a.domain, g.domain) AS domain,
+        COALESCE(a.available_tokens, 0) AS available_tokens,
+        CAST(COALESCE(g.share, 0.0) AS DOUBLE) AS tgt
+      FROM agg a FULL JOIN tgt g ON a.domain = g.domain
     )
     SELECT domain, available_tokens,
       round(tgt, 6) AS target_share,
       round(tgt * {_TOKEN_BUDGET}, 6) AS target_tokens,
-      round(tgt * {_TOKEN_BUDGET} / CAST(available_tokens AS DOUBLE), 6) AS epochs,
+      CASE WHEN available_tokens > 0
+           THEN round(tgt * {_TOKEN_BUDGET} / CAST(available_tokens AS DOUBLE), 6)
+      END AS epochs,
       (tgt * {_TOKEN_BUDGET}) > ({_EPOCH_CAP} * CAST(available_tokens AS DOUBLE))
         AS over_cap,
       round(greatest(tgt * {_TOKEN_BUDGET}

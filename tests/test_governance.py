@@ -238,6 +238,56 @@ def test_mixture_epochs_uniform_default(spark):
     assert got["b"].shortfall_tokens == pytest.approx(200.0 - 120.0)
 
 
+def test_mixture_epochs_token_budget_required(spark):
+    # r11: the old token_budget=1.0 default silently audited a
+    # one-token plan (epochs~0 everywhere, no flag ever) — now required
+    from sales_data_pipeline_spark.operators.assemble import mixture_epochs
+
+    df = spark.createDataFrame([("a", 10)], "source string, n_tokens long")
+    with pytest.raises(ValueError, match="token_budget is required"):
+        mixture_epochs(df, size_col="n_tokens", target_shares={"a": 1.0})
+    with pytest.raises(ValueError, match="must be > 0"):
+        mixture_epochs(
+            df, size_col="n_tokens", target_shares={"a": 1.0}, token_budget=0.0
+        )
+
+
+def test_mixture_epochs_zero_pool_and_missing_domain(spark):
+    # r11 (round-10 advice): a present domain whose sizes sum to 0 must
+    # yield epochs NULL (not an ANSI DIVIDE_BY_ZERO crash), and a
+    # target domain absent from the corpus — the worst audit case —
+    # must produce a flagged row instead of silently vanishing
+    from sales_data_pipeline_spark.operators.assemble import mixture_epochs
+
+    df = spark.createDataFrame(
+        [("a", 100), ("z", 0)], "source string, n_bytes long"
+    )
+    got = {
+        r.domain: r
+        for r in mixture_epochs(
+            df,
+            size_col="n_bytes",
+            target_shares={"a": 0.25, "z": 0.25, "ghost": 0.5},
+            token_budget=1000.0,
+        ).collect()
+    }
+    assert set(got) == {"a", "z", "ghost"}
+    # z present with an empty pool: 250 wanted from 0 available
+    assert got["z"].available_tokens == 0
+    assert got["z"].epochs is None
+    assert got["z"].over_cap is True
+    assert got["z"].shortfall_tokens == pytest.approx(250.0)
+    # ghost absent from the corpus entirely: same zero-pool audit row
+    assert got["ghost"].available_tokens == 0
+    assert got["ghost"].epochs is None
+    assert got["ghost"].over_cap is True
+    assert got["ghost"].target_tokens == pytest.approx(500.0)
+    assert got["ghost"].shortfall_tokens == pytest.approx(500.0)
+    # a unaffected: 250 wanted from 100 available -> 2.5 epochs, in cap
+    assert got["a"].epochs == pytest.approx(2.5)
+    assert got["a"].over_cap is False and got["a"].shortfall_tokens == 0.0
+
+
 # --- profile_table -----------------------------------------------------------
 
 

@@ -337,19 +337,23 @@ def _time_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
                 samples.pop(name, None)
                 print(f"  {name}: FAILED timed pass ({errors[name][:120]})",
                       file=sys.stderr)
-                continue
-            samples[name].append(time.perf_counter() - t0)
-            # Between queries (OUTSIDE the timed window): drop the
-            # py4j refs and force a driver GC so the ContextCleaner
-            # frees the finished query's shuffle files NOW. The 60s
-            # periodicGC backstop (session.py) is not enough here:
-            # back-to-back big-SF graph queries each leave ~20 GiB of
-            # dead spill, and piling 3-4 of them inside one GC
-            # interval filled the disk (second r10 sf10 ENOSPC — the
-            # first was fixed by periodicGC alone; this bounds the
-            # high-water to ~one query's working set regardless of
-            # how fast the campaign produces garbage).
-            _drain_dead_blocks(spark)
+            else:
+                samples[name].append(time.perf_counter() - t0)
+            finally:
+                # Between queries (OUTSIDE the timed window), on BOTH
+                # the success and failure paths (r11 — a failed heavy
+                # query leaves the most dead spill of all, exactly the
+                # ENOSPC/OOM scenario this drain targets): drop the
+                # py4j refs and force a driver GC so the ContextCleaner
+                # frees the finished query's shuffle files NOW. The 60s
+                # periodicGC backstop (session.py) is not enough here:
+                # back-to-back big-SF graph queries each leave ~20 GiB
+                # of dead spill, and piling 3-4 of them inside one GC
+                # interval filled the disk (second r10 sf10 ENOSPC —
+                # the first was fixed by periodicGC alone; this bounds
+                # the high-water to ~one query's working set regardless
+                # of how fast the campaign produces garbage).
+                _drain_dead_blocks(spark)
     timings = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
     return timings, rows, errors
 
