@@ -142,9 +142,10 @@ def mixture_epochs(
 
     Plan: the same scale shape as mixture_weights — one map-side
     combined groupBy collapses the corpus to |domains| rows before any
-    of the epoch math; the missing-domain union is a left-anti join of
-    a |target_shares|-row literal frame against that aggregate.
-    Nothing downstream ever sees a corpus-sized partition."""
+    of the epoch math; the missing-domain audit is a full-outer join
+    of a |target_shares|-row literal frame against that aggregate
+    (both sides tiny, still one corpus scan). Nothing downstream ever
+    sees a corpus-sized partition."""
     if token_budget is None:
         raise ValueError(
             "mixture_epochs: token_budget is required — the audit is "
@@ -165,15 +166,19 @@ def mixture_epochs(
         target: Column = F.lit(1.0) / F.count(F.lit(1)).over(everything)
     else:
         # target domains missing from the corpus still get an audit row
-        # (available 0): a tiny literal frame anti-joined against the
-        # |domains|-row aggregate, then unioned in — never corpus-sized
+        # (available 0): a FULL OUTER join of a |target_shares|-row
+        # literal frame against the post-aggregation |domains|-row
+        # frame — both sides tiny, ONE corpus scan (an anti-join +
+        # union would re-reference the aggregate subtree and scan the
+        # corpus twice)
         wanted = df.sparkSession.createDataFrame(
             [(d,) for d in target_shares], "domain string"
         )
-        agg = agg.unionByName(
-            wanted.join(agg, "domain", "left_anti").select(
-                "domain", F.lit(0).cast("bigint").alias("available_tokens")
-            )
+        agg = agg.join(wanted, "domain", "full").select(
+            "domain",
+            F.coalesce(F.col("available_tokens"), F.lit(0).cast("bigint")).alias(
+                "available_tokens"
+            ),
         )
         target = F.lit(0.0)
         for d, s in target_shares.items():

@@ -999,3 +999,57 @@ def edit_neardup_pairs(
         .filter(d <= k)
         .select("name_a", "name_b", d.cast("bigint").alias("edit_distance"))
     )
+
+
+def shingle_cooccurrence_edges(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_freq: int | None = 1_000,
+) -> DataFrame:
+    """Canonical (doc_a < doc_b) edge list of the shared-shingle
+    CO-OCCURRENCE graph: one edge per document pair sharing at least
+    one n-gram shingle. This is the densest data-derived dup graph the
+    corpus admits (no similarity threshold prunes it), so it is the
+    natural stress input for the triangle/cohesion family — q294 runs
+    its sampled triangle estimate on exactly this graph, where the
+    exact wedge-join tier (q127's triangle_counts) refuses past its
+    10^8-wedge budget.
+
+    ``max_shingle_freq`` bounds pair PRODUCTION, not just downstream
+    work: a shingle shared by f documents emits C(f,2) join rows, so
+    one ubiquitous boilerplate shingle at corpus scale is a quadratic
+    melt before any triangle logic runs. Shingles with document
+    frequency above the cap are dropped (standard frequent-feature
+    practice — a near-universal shingle carries no cohesion signal);
+    every join key then emits at most C(cap, 2) rows — join volume
+    linear in distinct shingles — and every other stage is a linear
+    scan. At the shipped
+    test corpora the max df is 25, so the default cap of 1000 is a
+    no-op there (the test-scale graph is exactly exact); at 100 TB it
+    is the fence that keeps this operator serveable. ``None`` removes
+    the cap (vetted corpora only).
+
+    Plan shape: shingle index (persisted — feeds the df census and
+    both join sides) -> df filter -> one shingle-keyed self-join ->
+    map-side-combined distinct on (doc_a, doc_b). No node ever sees
+    more than its own shingle groups; the distinct is the only
+    edge-sized shuffle."""
+    occ = _shingle_index(df, id_col, text_col, n)
+    occ = _persist(occ)
+    if max_shingle_freq is not None:
+        dfreq = occ.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        occ = (
+            occ.join(
+                dfreq.filter(F.col("__df") <= max_shingle_freq), "shingle"
+            ).select("doc", "shingle")
+        )
+    a = occ.select("shingle", F.col("doc").alias("doc_a"))
+    b = occ.select("shingle", F.col("doc").alias("doc_b"))
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )

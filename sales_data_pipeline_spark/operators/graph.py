@@ -525,3 +525,137 @@ def triangle_counts(
     return nodes.groupBy("node").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_triangles")
     )
+
+
+def triangle_count_estimate(
+    edges: DataFrame,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    target_wedges: int = 10_000_000,
+    salt: str = "",
+) -> DataFrame:
+    """Global triangle-count ESTIMATE that stays serveable on graphs
+    the exact tier (:func:`triangle_counts`) refuses — the round-11
+    answer to "the fence is loud but a refusal is not a served query".
+
+    DOULION (Tsourakakis, Kang, Miller, Faloutsos, KDD 2009): keep each
+    edge independently with probability p, count triangles on the
+    sparsified graph, scale by 1/p^3 — an unbiased estimator (each
+    triangle survives iff its 3 edges survive, probability p^3) whose
+    variance shrinks as the true count grows, i.e. it is MOST accurate
+    exactly on the dense near-clique dup graphs that blow the exact
+    tier's wedge budget.
+
+    REGIME DIAL, not a switch: p = min(1, sqrt(target_wedges / W))
+    where W = sum over middle nodes of in_deg*out_deg is the exact
+    wedge count of the FULL graph (two tiny degree aggregates — the
+    same census :func:`triangle_counts`' guard and q291 use). Expected
+    post-sampling wedge volume is p^2 * W <= target_wedges, so the
+    self-join work is bounded REGARDLESS of input density; on any
+    graph already under the budget p clamps to exactly 1.0 and the
+    SAME plan computes the exact count (exact_mode=true, est ==
+    sampled count). No branch, no eager driver action: p is a lazy
+    broadcast scalar, so explain/plan-shape tests run no job.
+
+    Determinism: the keep/drop decision is the repo's cross-engine
+    md5-13-hex uniform — u = md5('tri<salt>:' || x || ':' || y) first
+    13 hex digits / 2^52, keep iff u < p — so the estimate is a pure
+    function of (graph, target_wedges, salt), reproducible run-to-run,
+    partition-independent, and bit-replicable by an external SQL
+    engine (q294's DuckDB oracle runs this whole pipeline end-to-end,
+    sampling included). Vary ``salt`` for independent resamples (the
+    variance-audit tests average over salts).
+
+    Output (one row): n_edges, n_wedges (exact, bigint), sample_p
+    (double), n_triangles_sampled (bigint), est_triangles (double,
+    n_triangles_sampled / p^3), exact_mode (p == 1). W is summed in
+    DECIMAL(38,0) — exact and order-independent where a double sum's
+    last bits would wobble with partition order and a bigint sum could
+    overflow under ANSI on web-scale degree products.
+
+    Scale shape: the input edge list is persisted (MEMORY_AND_DISK,
+    registered in dedup's cache registry — release_caches() frees it):
+    it feeds the degree census, the edge count, and the sampling
+    filter, and Spark re-executes common subplans per consumer. The
+    sampled list (expected p*|E| rows) is persisted too — it is all
+    three legs of the triangle join. Nothing in the plan materializes
+    more than target_wedges join rows plus two degree tables."""
+    from sales_data_pipeline_spark.operators.dedup import _persist
+
+    e = _persist(
+        edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
+    )
+    ind = e.groupBy("y").agg(F.count(F.lit(1)).alias("__din"))
+    outd = (
+        e.select(F.col("x").alias("y"))
+        .groupBy("y")
+        .agg(F.count(F.lit(1)).alias("__dout"))
+    )
+    zero = F.lit(0).cast("decimal(38,0)")
+    census = ind.join(outd, "y").agg(
+        F.coalesce(
+            F.sum(
+                F.col("__din").cast("decimal(19,0)")
+                * F.col("__dout").cast("decimal(19,0)")
+            ),
+            zero,
+        ).alias("__w")
+    )
+    n_edges = e.agg(F.count(F.lit(1)).alias("__n_edges"))
+    params = census.crossJoin(F.broadcast(n_edges)).select(
+        "__w",
+        "__n_edges",
+        F.when(
+            F.col("__w") > 0,
+            F.least(
+                F.lit(1.0),
+                F.sqrt(
+                    F.lit(float(target_wedges)) / F.col("__w").cast("double")
+                ),
+            ),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("__p"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"tri{salt}:"),
+                        F.col("x").cast("string"),
+                        F.lit(":"),
+                        F.col("y").cast("string"),
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4503599627370496.0)  # 2^52: u uniform in [0, 1)
+    )
+    s = _persist(
+        e.crossJoin(F.broadcast(params.select("__p")))
+        .filter(u < F.col("__p"))
+        .select("x", "y")
+    )
+    s2 = s.select(F.col("x").alias("y"), F.col("y").alias("z"))
+    s3 = s.select("x", F.col("y").alias("z"))
+    tri = (
+        s.join(s2, "y")
+        .join(s3, ["x", "z"])
+        .agg(F.count(F.lit(1)).cast("bigint").alias("__tri"))
+    )
+    p = F.col("__p")
+    return tri.crossJoin(F.broadcast(params)).select(
+        F.col("__n_edges").cast("bigint").alias("n_edges"),
+        F.col("__w").cast("bigint").alias("n_wedges"),
+        p.alias("sample_p"),
+        F.col("__tri").alias("n_triangles_sampled"),
+        (F.col("__tri").cast("double") / (p * p * p)).alias("est_triangles"),
+        (p >= F.lit(1.0)).alias("exact_mode"),
+    )

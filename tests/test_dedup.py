@@ -1252,3 +1252,127 @@ def test_edit_neardup_pairs_rejects_bad_k(spark):
     df = spark.createDataFrame([("x",)], "p_name string")
     with pytest.raises(ValueError, match="k must be"):
         edit_neardup_pairs(df, "p_name", k=0)
+
+
+# --- triangle_count_estimate (q294: DOULION past the wedge fence) ----------
+
+
+def _clique_edges(spark, n_cliques: int, m: int):
+    """Canonical a<b edge list of n_cliques disjoint K_m cliques:
+    exactly n_cliques * C(m,3) triangles, known in closed form."""
+    rows = [
+        (c * m + i, c * m + j)
+        for c in range(n_cliques)
+        for i in range(m)
+        for j in range(i + 1, m)
+    ]
+    return spark.createDataFrame(rows, "doc_a long, doc_b long")
+
+
+def test_triangle_estimate_exact_mode_is_exact(spark):
+    """Under the wedge budget, p clamps to exactly 1.0 and the SAME
+    plan computes the exact count — no switch, no approximation."""
+    from sales_data_pipeline_spark.operators.graph import (
+        triangle_count_estimate,
+        triangle_counts,
+    )
+
+    edges = _clique_edges(spark, 3, 5)  # 3*C(5,3) = 30 triangles
+    got = triangle_count_estimate(edges).collect()[0]
+    assert got.exact_mode is True and got.sample_p == 1.0
+    assert got.n_triangles_sampled == 30 and got.est_triangles == 30.0
+    # identity vs the exact tier: sum of per-node counts = 3T
+    per_node = triangle_counts(edges).agg(F.sum("n_triangles")).collect()[0][0]
+    assert per_node == 3 * 30
+
+
+def test_triangle_estimate_unbiased_across_salts(spark):
+    """DOULION's estimator audit (the q259 pattern): on a planted graph
+    with a known count, forced-sampled estimates averaged over
+    independent salts converge on the truth. Deterministic: the
+    md5-salted samples never change, so the observed mean is pinned."""
+    from sales_data_pipeline_spark.operators.graph import triangle_count_estimate
+
+    # 30 disjoint K8: T = 30*56 = 1680, W = 30*56 = 1680 wedges
+    edges = _clique_edges(spark, 30, 8).cache()
+    truth = 1680.0
+    ests = []
+    for salt in range(12):
+        r = triangle_count_estimate(
+            edges, target_wedges=420, salt=str(salt)
+        ).collect()[0]
+        assert r.exact_mode is False
+        assert r.sample_p == pytest.approx(0.5)  # sqrt(420/1680)
+        ests.append(r.est_triangles)
+    mean = sum(ests) / len(ests)
+    # per-estimate std ~11% here; mean of 12 ~3% — 10% is ~3 sigma,
+    # and the draws are deterministic so this never flakes
+    assert mean == pytest.approx(truth, rel=0.10)
+    # every single estimate lands in a sane envelope (not degenerate)
+    assert all(0.4 * truth < e < 1.8 * truth for e in ests)
+    edges.unpersist()
+
+
+def test_triangle_estimate_serves_past_the_exact_fence(spark):
+    """The round-11 contract: a graph whose wedge census exceeds the
+    exact tier's budget gets a REFUSAL from triangle_counts but a
+    bounded-time ANSWER from the estimate — same input, same census."""
+    from sales_data_pipeline_spark.operators.graph import (
+        triangle_count_estimate,
+        triangle_counts,
+    )
+
+    # 4 disjoint K16: W = 4 * sum_i i(15-i) = 4*560 = 2240 wedges
+    edges = _clique_edges(spark, 4, 16).cache()
+    with pytest.raises(Exception, match="max_wedges"):
+        triangle_counts(edges, max_wedges=1000).write.format("noop").mode(
+            "overwrite"
+        ).save()
+    got = triangle_count_estimate(edges, target_wedges=1000).collect()[0]
+    assert got.exact_mode is False and got.n_wedges == 2240
+    truth = 4 * 560.0  # C(16,3) = 560
+    assert got.est_triangles == pytest.approx(truth, rel=0.5)
+    edges.unpersist()
+
+
+def test_triangle_estimate_empty_and_wedgeless_graphs(spark):
+    """Zero-wedge inputs (empty graph; a single disjoint edge set with
+    no length-2 path) must answer 0 exactly, not divide by zero."""
+    from sales_data_pipeline_spark.operators.graph import triangle_count_estimate
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    r = triangle_count_estimate(empty).collect()[0]
+    assert (r.n_edges, r.n_wedges, r.n_triangles_sampled) == (0, 0, 0)
+    assert r.est_triangles == 0.0 and r.exact_mode is True
+    # matching: a perfect matching has edges but zero wedges
+    matching = spark.createDataFrame(
+        [(0, 1), (2, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    r = triangle_count_estimate(matching).collect()[0]
+    assert (r.n_edges, r.n_wedges) == (3, 0)
+    assert r.est_triangles == 0.0 and r.exact_mode is True
+
+
+def test_shingle_cooccurrence_edges_hand_case(spark):
+    """Two docs sharing a 3-gram pair up; unrelated docs don't; the
+    df cap drops a ubiquitous shingle's edges."""
+    from sales_data_pipeline_spark.operators.dedup import (
+        shingle_cooccurrence_edges,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, "a lazy dog sat quietly today"),
+            (3, "the quick brown cat sleeps"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in shingle_cooccurrence_edges(docs).collect()
+    }
+    assert got == {(1, 3)}  # share 'the quick brown'
+    # cap = 1: every shared shingle (df=2) now exceeds the cap
+    got = shingle_cooccurrence_edges(docs, max_shingle_freq=1).count()
+    assert got == 0

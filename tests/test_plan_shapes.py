@@ -752,13 +752,17 @@ def test_q292_anchor_broadcast_no_global_window(spark, sf_dir):
     assert "global-window" not in codes and "global-sort" not in codes
 
 
-def test_q293_single_agg_no_join(spark, sf_dir):
-    """The epochs audit is one map-side-combined groupBy over one scan
+def test_q293_single_agg_one_tiny_join(spark, sf_dir):
+    """The epochs audit is one map-side-combined groupBy over ONE scan
     of documents; all epoch math happens on the |domains|-row
-    aggregate — no join, no window, no second scan."""
+    aggregate. Since r11 the missing-target-domain audit adds exactly
+    one full-outer join of a |target_shares|-row literal frame against
+    that aggregate — post-aggregation, so it must NOT introduce a
+    second corpus scan (the naive anti-join+union shape re-referenced
+    the aggregate subtree and re-scanned documents)."""
     spark.catalog.clearCache()
     df = QUERIES["q293_mixture_epochs"].fn(spark, sf_dir)
     plan = _plan(df)
-    assert "Join" not in plan, plan
     assert "Window" not in plan, plan
+    assert "FullOuter" in plan and "LeftAnti" not in plan, plan
     assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.M)) == 1, plan
