@@ -474,6 +474,7 @@ def q59_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT u AS doc, least(u, min(v)) AS cluster FROM reach GROUP BY u
     """,
+    headline=True,  # r11 bench-set: first graph consumer (VERDICT r10 task 6)
 )
 def q49_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup PAIRS → dedup CLUSTERS: connected components over the
@@ -750,6 +751,7 @@ def q291_wedge_census(spark: SparkSession, sf_dir: str) -> DataFrame:
       params.p >= 1.0 AS exact_mode
     FROM tri, params
     """,
+    headline=True,  # r11 bench-set: the served-past-the-fence sampled path
 )
 def q294_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-cohesion evidence that stays SERVEABLE past the exact

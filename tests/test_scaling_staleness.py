@@ -159,6 +159,49 @@ def test_no_superlinear_entries_without_diagnosis(fname):
     )
 
 
+def test_skew_graph_consumer_rows_fingerprinted_or_marked():
+    """r11 (VERDICT r10 task 3): SKEW's graph_consumers rows sat
+    outside the staleness gate — probe rows measure OPERATOR bodies
+    over campaign-temporary parquet (no registered query, no plan_fp
+    recipe), and the triangles row deliberately times a body that does
+    not ship (guard disabled). Every row must now carry a body_fp (a
+    source hash of the operator it timed, recomputed here — drift
+    means the curve describes deleted code) and, when it measures an
+    unguarded body, an explicit unguarded_probe marker so the artifact
+    itself distinguishes diagnostic probes from current-plan rows."""
+    from skew import CONSUMER_BODIES, UNGUARDED_PROBES, _body_fp
+
+    path = os.path.join(REPO, "SKEW.json")
+    if not os.path.exists(path):
+        pytest.skip("SKEW.json absent")
+    with open(path) as f:
+        doc = json.load(f)
+    sect = doc.get("graph_consumers")
+    if not sect:
+        pytest.skip("graph_consumers not measured yet")
+    problems = []
+    for op, entry in sorted(sect["ops"].items()):
+        if op not in CONSUMER_BODIES:
+            problems.append(f"{op}: probe not named in CONSUMER_BODIES")
+            continue
+        fp = entry.get("body_fp")
+        if not fp:
+            problems.append(f"{op}: no body_fp (re-run tools/skew.py graph)")
+        elif fp != _body_fp(op):
+            problems.append(
+                f"{op}: body drifted (measured={fp} current={_body_fp(op)})"
+            )
+        if (op in UNGUARDED_PROBES) != bool(entry.get("unguarded_probe")):
+            problems.append(
+                f"{op}: unguarded_probe marker inconsistent with "
+                f"UNGUARDED_PROBES"
+            )
+    # the shipped serve-past-the-fence path must be measured alongside
+    # the diagnostic unguarded probe it supersedes
+    assert "triangle_estimate" in sect["ops"], sect["ops"].keys()
+    assert not problems, problems
+
+
 def test_fingerprint_is_deterministic_within_a_session(spark):
     """PySpark names higher-order-function lambda variables from a
     process-global counter (x_1, x_2, ...), so an un-normalized

@@ -649,7 +649,14 @@ def measure_eps() -> None:
     from sales_data_pipeline_spark.operators.dbscan import dbscan, eps_pairs
 
     EPS, MIN_PTS, OCC, CLUSTER = 0.15, 4, 4.0, 500
-    N_SMALL, N_BIG = 20_000, 200_000
+    # r11 (VERDICT r10 task 4): the linear-regime claim is a REGIME,
+    # not a point — decade 2 (200k→2M) runs the same generator via
+    #   SPARK_GRAFT_EPS_N_SMALL=200000 SPARK_GRAFT_EPS_N_BIG=2000000 \
+    #   SPARK_GRAFT_EPS_DECADE=2 python tools/scaling.py measure_eps
+    # and merges under "decade2" instead of overwriting decade 1.
+    N_SMALL = int(os.environ.get("SPARK_GRAFT_EPS_N_SMALL", "20000"))
+    N_BIG = int(os.environ.get("SPARK_GRAFT_EPS_N_BIG", "200000"))
+    decade = os.environ.get("SPARK_GRAFT_EPS_DECADE", "")
     side = (CLUSTER * EPS * EPS / OCC) ** 0.5
     sep = side + 10 * EPS  # inter-center gap >> eps: no bridges
     spark = _spark()
@@ -733,9 +740,21 @@ def measure_eps() -> None:
         )
         out["probes"][name] = rec
         print(f"  {name}: {rec}", file=sys.stderr)
-    with open(os.path.join(REPO, "SCALING_EPS.json"), "w") as f:
-        json.dump(out, f, indent=2)
-    print(json.dumps(out, indent=2))
+    path = os.path.join(REPO, "SCALING_EPS.json")
+    doc: dict = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            doc = json.load(f)
+    if decade:
+        # additional decades merge under their own key; decade 1 (the
+        # root layout, kept for artifact-consumer compatibility) is
+        # preserved untouched
+        doc[f"decade{decade}"] = out
+    else:
+        doc.update(out)
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=2)
+    print(json.dumps(doc, indent=2))
 
 
 if __name__ == "__main__":

@@ -367,12 +367,20 @@ def _graph_probes(spark) -> dict:
         edge_paths[tag] = path
         out["edges"][tag] = spark.read.parquet(path).count()
 
+    from sales_data_pipeline_spark.operators.graph import (
+        triangle_count_estimate,
+    )
+
     consumers = {
         "cc": lambda e: connected_components(e),
         "pagerank6": lambda e: pagerank(e, iters=6),
         "lpa5": lambda e: label_propagation(e, iters=5),
         "kcore2": lambda e: k_core(e, k=2),
         "triangles": lambda e: _triangle_counts(e),
+        # the r11 served path past the wedge fence: DOULION sampled
+        # estimate at the operator's SHIPPED default budget — on the
+        # boil graph this runs the sampled regime (p ~ sqrt(1e7/3.26e8))
+        "triangle_estimate": lambda e: triangle_count_estimate(e),
     }
     for op, fn in consumers.items():
         rec: dict = {}
@@ -394,7 +402,19 @@ def _graph_probes(spark) -> dict:
             "ratio": (
                 round(b["sec"] / u["sec"], 2) if u and b and u["sec"] else None
             ),
+            # staleness stamp (r11 — VERDICT r10 task 3): probe rows
+            # measure OPERATOR bodies, not registered queries, and the
+            # probe's parquet edges are deleted after the campaign, so
+            # the plan_fp recipe can't re-derive them. A source hash of
+            # the measured body has exactly the right semantics: it
+            # changes iff the body someone edits changes.
+            "body_fp": _body_fp(op),
         }
+        if op in UNGUARDED_PROBES:
+            # the row measures a body that does NOT ship (the guard
+            # disabled) — it is diagnostic evidence for the fence, not
+            # a current registered-plan measurement
+            out["ops"][op]["unguarded_probe"] = True
     # triangle-join candidate volume (wedges), exact, as an aggregate
     for tag in ("uniform", "boil"):
         edges = spark.read.parquet(edge_paths[tag])
@@ -413,6 +433,38 @@ def _graph_probes(spark) -> dict:
     for path in edge_paths.values():
         shutil.rmtree(path, ignore_errors=True)
     return out
+
+
+# Which operators/graph.py function each graph-consumer probe actually
+# times — the unit the body_fp staleness stamp hashes. "triangles" is
+# the one probe that deliberately measures a NON-shipped body (guard
+# disabled) and is flagged unguarded_probe in the artifact.
+CONSUMER_BODIES = {
+    "cc": "connected_components",
+    "pagerank6": "pagerank",
+    "lpa5": "label_propagation",
+    "kcore2": "k_core",
+    "triangles": "triangle_counts",
+    "triangle_estimate": "triangle_count_estimate",
+}
+UNGUARDED_PROBES = frozenset({"triangles"})
+
+
+def _body_fp(op: str) -> str:
+    """Source hash of the operator body a graph-consumer probe times.
+    Probe rows can't carry the catalog plan_fp (they measure operators
+    over campaign-temporary parquet, not registered queries), but the
+    staleness question is the same — 'is the measured body still the
+    code that ships?' — and a hash of the function's source answers it
+    directly: tests/test_scaling_staleness.py recomputes these and
+    flags any SKEW graph_consumers row whose body drifted."""
+    import hashlib
+    import inspect
+
+    from sales_data_pipeline_spark.operators import graph as _graph_mod
+
+    src = inspect.getsource(getattr(_graph_mod, CONSUMER_BODIES[op]))
+    return hashlib.md5(src.encode()).hexdigest()[:12]
 
 
 def _triangle_counts(edges):
