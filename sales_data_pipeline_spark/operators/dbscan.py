@@ -37,7 +37,7 @@ import itertools
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["dbscan", "eps_pairs", "DEFAULT_MAX_CANDIDATE_PAIRS"]
+__all__ = ["dbscan", "dense_cell_clusters", "eps_pairs", "DEFAULT_MAX_CANDIDATE_PAIRS"]
 
 # Default candidate budget for the density-saturation guard — the same
 # default-on posture (and the same 10^8 figure) as the exact n-gram
@@ -283,5 +283,145 @@ def dbscan(
             F.col("pid").alias(id_col),
             F.coalesce("cluster", F.lit(-1)).cast("bigint").alias("cluster"),
             F.coalesce("__c", F.lit(False)).alias("is_core"),
+        )
+    )
+
+
+def dense_cell_clusters(
+    df: DataFrame,
+    eps: float,
+    min_pts: int = 4,
+    vec_col: str = "vec",
+    dims: int = 2,
+) -> DataFrame:
+    """Cell-granularity density cluster CENSUS that stays serveable on
+    the saturated corpora the exact point tier refuses — the r11
+    DBSCAN analogue of q294's sampled-triangle serve-past-the-fence
+    move (and the grid-based arm of the classic DBSCAN speedups:
+    GriDBSCAN/Viger-style cell coarsening, all public).
+
+    Exact DBSCAN's cost driver is the cell-LOCAL candidate join,
+    quadratic in ε-cell occupancy — exactly why `eps_pairs`/`dbscan`
+    carry the default-on `max_candidate_pairs` fence (the sf10 corpus
+    saturates at ~1.4×10⁹ candidates and is refused by design). This
+    operator never forms a point pair: points map to ε-sided cells
+    (one linear groupBy), cells with ≥ ``min_pts`` points are DENSE,
+    and clusters are connected components of the dense-cell ADJACENCY
+    graph (Chebyshev distance 1 — an 8-offset equi-join, linear in
+    dense cells). Density saturation makes this CHEAPER (more points
+    per cell = fewer cells), the exact complement of the point tier's
+    failure mode; occupancy growth can never melt it.
+
+    Semantics (cell-granularity approximation, stated precisely):
+    every DBSCAN core point (same eps/min_pts) lies in a dense cell,
+    two points in the same or adjacent dense cells are within 2√2·ε
+    (d=2), and any two points DBSCAN links at ε land in the same cell
+    cluster — cell clusters are a coarsening (possible over-merge
+    within the 1-cell halo, never an under-merge of true ε-links).
+    The census this emits (cluster count, largest cluster mass,
+    clustered-point total) is the q280 signal a curation pipeline
+    actually consumes, at cell resolution.
+
+    Determinism & oracle-ability: cell = floor(coord/eps) per axis —
+    pure map, no RNG, no iteration order — and the adjacency CC uses
+    the min-id convention, so an external SQL engine reproduces every
+    output number bitwise (q295's DuckDB oracle runs this whole
+    pipeline, recursive-CTE CC included).
+
+    Output (one row): n_points, n_dense_cells, n_cell_clusters,
+    largest_cluster_cells, largest_cluster_points, clustered_points
+    (all bigint).
+
+    ``dims`` must be 2 for now (the q280/q283 projection space); the
+    pattern generalizes with 3^d-1 offsets and a struct cell key, but
+    2-d covers every registered consumer and keeps the cell id a plain
+    bigint both here and in SQL."""
+    if dims != 2:
+        raise ValueError(
+            f"dense_cell_clusters: dims={dims} unsupported — the cell "
+            "census is registered for 2-d projections (q280's space); "
+            "extend the offset table and cell-id encoding for d>2"
+        )
+    v = F.col(vec_col)
+    cells = (
+        df.select(
+            F.floor(v[0] / F.lit(float(eps))).alias("cx"),
+            F.floor(v[1] / F.lit(float(eps))).alias("cy"),
+        )
+        .groupBy("cx", "cy")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_points = df.agg(F.count(F.lit(1)).cast("bigint").alias("n_points"))
+    # collision-free bigint cell id (|cx|,|cy| < 2^31 — coordinates are
+    # bounded projections; 2^32 stride keeps (cx, cy) injective)
+    cell_id = (F.col("cx") * F.lit(4294967296) + F.col("cy")).alias("cell_id")
+    dense = cells.filter(F.col("n") >= min_pts).select(
+        "cx", "cy", "n", cell_id
+    )
+    from sales_data_pipeline_spark.operators.dedup import _persist
+
+    # feeds 8 probe sides + the join build side + the label pass;
+    # registered in dedup's cache registry so release_caches() frees it
+    dense = _persist(dense)
+    probes = [
+        dense.select(
+            F.col("cell_id").alias("cell_a"),
+            (F.col("cx") + F.lit(dx)).alias("jx"),
+            (F.col("cy") + F.lit(dy)).alias("jy"),
+        )
+        for dx, dy in itertools.product((-1, 0, 1), repeat=2)
+        if (dx, dy) != (0, 0)
+    ]
+    probe = probes[0]
+    for p in probes[1:]:
+        probe = probe.unionAll(p)
+    edges = (
+        probe.join(
+            dense.select(
+                F.col("cell_id").alias("cell_b"),
+                F.col("cx").alias("jx"),
+                F.col("cy").alias("jy"),
+            ),
+            ["jx", "jy"],
+        )
+        .filter(F.col("cell_a") < F.col("cell_b"))
+        .select("cell_a", "cell_b")
+    )
+    from sales_data_pipeline_spark.operators.graph import connected_components
+
+    comp = connected_components(edges, src="cell_a", dst="cell_b")
+    labeled = dense.join(
+        comp.withColumnRenamed("node", "cell_id"), "cell_id", "left"
+    ).select(
+        F.coalesce("cluster", F.col("cell_id")).alias("cluster"), "n"
+    )
+    per_cluster = labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("ncells"), F.sum("n").alias("pts")
+    )
+    census = per_cluster.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cell_clusters"),
+        F.coalesce(F.max("ncells"), F.lit(0))
+        .cast("bigint")
+        .alias("largest_cluster_cells"),
+        F.coalesce(F.max("pts"), F.lit(0))
+        .cast("bigint")
+        .alias("largest_cluster_points"),
+        F.coalesce(F.sum("pts"), F.lit(0))
+        .cast("bigint")
+        .alias("clustered_points"),
+    )
+    n_dense = dense.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_dense_cells")
+    )
+    return (
+        n_points.crossJoin(F.broadcast(n_dense))
+        .crossJoin(F.broadcast(census))
+        .select(
+            "n_points",
+            "n_dense_cells",
+            "n_cell_clusters",
+            "largest_cluster_cells",
+            "largest_cluster_points",
+            "clustered_points",
         )
     )

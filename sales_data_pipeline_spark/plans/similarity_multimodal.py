@@ -911,6 +911,88 @@ def q280_dbscan_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# q295 — dense-cell cluster census (served DBSCAN sibling past the fence)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q295_dense_cell_clusters",
+    oracle="""
+    WITH RECURSIVE cells AS (
+      SELECT CAST(floor(embedding[1] / 0.05) AS BIGINT) AS cx,
+             CAST(floor(embedding[2] / 0.05) AS BIGINT) AS cy,
+             count(*) AS n
+      FROM embeddings GROUP BY 1, 2
+    ),
+    dense AS (
+      SELECT cx, cy, n, cx * 4294967296 + cy AS cell_id
+      FROM cells WHERE n >= 4
+    ),
+    edges AS (
+      SELECT a.cell_id AS u, b.cell_id AS v
+      FROM dense a JOIN dense b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1
+       AND a.cell_id <> b.cell_id
+    ),
+    reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      WHERE e.v <> r.u
+    ),
+    lab AS (
+      SELECT least(d.cell_id, COALESCE(m.mv, d.cell_id)) AS cluster, d.n
+      FROM dense d
+      LEFT JOIN (SELECT u, min(v) AS mv FROM reach GROUP BY u) m
+        ON m.u = d.cell_id
+    ),
+    per AS (
+      SELECT cluster, count(*) AS ncells, sum(n) AS pts FROM lab GROUP BY 1
+    )
+    SELECT
+      (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_points,
+      (SELECT CAST(count(*) AS BIGINT) FROM dense) AS n_dense_cells,
+      CAST(count(*) AS BIGINT) AS n_cell_clusters,
+      CAST(COALESCE(max(ncells), 0) AS BIGINT) AS largest_cluster_cells,
+      CAST(COALESCE(max(pts), 0) AS BIGINT) AS largest_cluster_points,
+      CAST(COALESCE(sum(pts), 0) AS BIGINT) AS clustered_points
+    FROM per
+    """,
+)
+def q295_dense_cell_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Density-cluster evidence that stays SERVEABLE past the DBSCAN
+    candidate fence (round 11 — the q294 move applied to the ε
+    family): a cell-granularity cluster census whose cost is LINEAR in
+    points at ANY density. Exact DBSCAN's melt mode is the cell-local
+    candidate join, quadratic in ε-cell occupancy — q280/q283 refuse
+    the saturated sf10 corpus by design (~1.4×10⁹ candidates). This
+    census never forms a point pair: points → ε-sided cells (one
+    linear groupBy), cells with ≥ min_pts points are dense, clusters =
+    connected components of the 8-neighbor dense-cell adjacency graph
+    (8-offset equi-join, linear in dense cells; pointer-jumping CC).
+    Saturation makes it CHEAPER — more points per cell means fewer
+    cells — the exact complement of the fenced tier's failure mode.
+    Coarsening guarantee: every DBSCAN core point lies in a dense
+    cell, and any two points DBSCAN links at ε land in the same cell
+    cluster (adjacent cells), so cell clusters over-merge within a
+    2√2·ε halo but never split a true ε-linkage. Space: the raw
+    leading embedding coordinates (the census question is
+    space-agnostic, and raw coordinates are engine-portable where
+    jl_project's xxhash sign matrix has no SQL twin) — so the DuckDB
+    oracle reproduces the ENTIRE pipeline bitwise, recursive-CTE CC
+    included (operators/dbscan.dense_cell_clusters; eps=0.05,
+    min_pts=4)."""
+    from sales_data_pipeline_spark.operators.dbscan import (
+        dense_cell_clusters,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return dense_cell_clusters(
+        emb, eps=0.05, min_pts=4, vec_col="embedding", dims=2
+    )
+
+
+# ---------------------------------------------------------------------------
 # q281 — PQ Lloyd-descent audit (oracled sibling of q264)
 # ---------------------------------------------------------------------------
 

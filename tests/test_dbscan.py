@@ -199,3 +199,90 @@ def test_registered_dbscan_plans_fail_fast_past_density_knee(
     )
     with pytest.raises(Exception, match="max_candidate_pairs"):
         QUERIES[qname].fn(spark, str(tmp_path)).collect()
+
+
+# --- dense_cell_clusters (q295: the served census past the fence) ----------
+
+
+def test_dense_cell_clusters_hand_case(spark):
+    """Hand-verifiable layout at eps=0.05: dense cells (0,0) n=5 and
+    (1,0) n=4 are 8-adjacent (one cluster, 9 points), (5,5) n=6 is its
+    own cluster, three isolated points stay sparse."""
+    from sales_data_pipeline_spark.operators.dbscan import dense_cell_clusters
+
+    pts = (
+        [(0.01, 0.01), (0.02, 0.01), (0.03, 0.01), (0.01, 0.02), (0.02, 0.02)]
+        + [(0.06, 0.01), (0.07, 0.01), (0.08, 0.01), (0.06, 0.02)]
+        + [(0.26, 0.26), (0.27, 0.26), (0.28, 0.26),
+           (0.26, 0.27), (0.27, 0.27), (0.28, 0.27)]
+        + [(0.92, 0.92), (-0.42, 0.31), (0.52, -0.48)]
+    )
+    df = spark.createDataFrame(
+        [(i, [x, y]) for i, (x, y) in enumerate(pts)],
+        "vec_id long, embedding array<float>",
+    )
+    r = dense_cell_clusters(
+        df, eps=0.05, min_pts=4, vec_col="embedding"
+    ).collect()[0]
+    assert r.n_points == 18
+    assert r.n_dense_cells == 3
+    assert r.n_cell_clusters == 2
+    assert r.largest_cluster_cells == 2
+    assert r.largest_cluster_points == 9
+    assert r.clustered_points == 15
+
+
+def test_dense_cell_clusters_serves_past_the_fence(spark, tmp_path):
+    """The round-11 contract, ε-family edition: the saturated corpus
+    the registered exact tier refuses (12k identical vectors → 1.44e8
+    cell-local candidates > the default budget) is answered by the
+    cell census in bounded time — saturation REDUCES its work (one
+    dense cell)."""
+    from sales_data_pipeline_spark.operators.dbscan import (
+        dbscan,
+        dense_cell_clusters,
+    )
+
+    n = 12_000
+    df = spark.createDataFrame(
+        [(i, [0.5, 0.5]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(Exception, match="max_candidate_pairs"):
+        dbscan(
+            df.withColumnRenamed("embedding", "vec"),
+            eps=0.05, min_pts=4, dims=2,
+        ).write.format("noop").mode("overwrite").save()
+    r = dense_cell_clusters(
+        df, eps=0.05, min_pts=4, vec_col="embedding"
+    ).collect()[0]
+    assert r.n_points == n and r.n_dense_cells == 1
+    assert r.n_cell_clusters == 1
+    assert r.largest_cluster_points == n and r.clustered_points == n
+
+
+def test_dense_cell_clusters_no_dense_cells(spark):
+    """All-sparse input: empty census, zeros not nulls, no crash."""
+    from sales_data_pipeline_spark.operators.dbscan import dense_cell_clusters
+
+    df = spark.createDataFrame(
+        [(0, [0.01, 0.01]), (1, [0.52, 0.52]), (2, [-0.42, -0.42])],
+        "vec_id long, embedding array<float>",
+    )
+    r = dense_cell_clusters(
+        df, eps=0.05, min_pts=4, vec_col="embedding"
+    ).collect()[0]
+    assert r.n_points == 3 and r.n_dense_cells == 0
+    assert r.n_cell_clusters == 0
+    assert (r.largest_cluster_cells, r.largest_cluster_points,
+            r.clustered_points) == (0, 0, 0)
+
+
+def test_dense_cell_clusters_rejects_unsupported_dims(spark):
+    from sales_data_pipeline_spark.operators.dbscan import dense_cell_clusters
+
+    df = spark.createDataFrame(
+        [(0, [0.1, 0.2, 0.3])], "vec_id long, embedding array<float>"
+    )
+    with pytest.raises(ValueError, match="dims=3 unsupported"):
+        dense_cell_clusters(df, eps=0.05, vec_col="embedding", dims=3)
