@@ -70,6 +70,15 @@ def mixture_weights(
     row counts 1. ``target_shares`` defaults to uniform over the
     domains present; missing domains get 0 (excluded from training).
 
+    Zero-pool semantics (r11 — the same ANSI DIVIDE_BY_ZERO class the
+    round-10 advice found in mixture_epochs): a domain whose units sum
+    to 0 has unit_share 0 and NO finite sampling weight — its
+    mix_weight is NULL (a sampler cannot over-sample an empty pool),
+    not a SparkArithmeticException; if the WHOLE corpus sums to 0
+    units, every share and weight is NULL. Impossible for q76's
+    token_count (≥ 1 per row) but reachable through the public
+    operator with a generic size_col (byte sizes, zero-valued rows).
+
     Plan: one map-side-combined groupBy collapses the corpus to one row
     per domain BEFORE any global work; the share normalization is a
     window over that domain-count-sized result (dozens of rows at any
@@ -81,9 +90,10 @@ def mixture_weights(
         F.sum(unit).cast("bigint").alias("n_units"),
     )
     everything = Window.partitionBy()
-    share = F.col("n_units").cast("double") / F.sum(F.col("n_units").cast("double")).over(
-        everything
-    )
+    total = F.sum(F.col("n_units").cast("double")).over(everything)
+    share = F.when(
+        total > 0, F.col("n_units").cast("double") / total
+    )  # NULL when the whole corpus has zero units
     if target_shares is None:
         target = F.lit(1.0) / F.count(F.lit(1)).over(everything)
     else:
@@ -96,7 +106,10 @@ def mixture_weights(
         "n_units",
         F.round(share, round_digits).alias("unit_share"),
         F.round(target, round_digits).alias("target_share"),
-        F.round(target / share, round_digits).alias("mix_weight"),
+        # zero-pool domain -> NULL weight, not DIVIDE_BY_ZERO
+        F.when(share > 0, F.round(target / share, round_digits)).alias(
+            "mix_weight"
+        ),
     )
 
 

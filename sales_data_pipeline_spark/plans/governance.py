@@ -286,20 +286,27 @@ _MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
       FROM documents GROUP BY 1
     )
     SELECT domain, n_rows, n_units,
-      round(CAST(n_units AS DOUBLE) / sum(CAST(n_units AS DOUBLE)) OVER (), 6)
+      -- zero-pool semantics mirror the operator (r11): NULL shares /
+      -- weights where a division by zero would otherwise crash
+      round(CASE WHEN sum(CAST(n_units AS DOUBLE)) OVER () > 0
+                 THEN CAST(n_units AS DOUBLE)
+                      / sum(CAST(n_units AS DOUBLE)) OVER () END, 6)
         AS unit_share,
       round(CASE domain WHEN 'src0' THEN {_MIX_TARGETS["src0"]}
                         WHEN 'src1' THEN {_MIX_TARGETS["src1"]}
                         WHEN 'src2' THEN {_MIX_TARGETS["src2"]}
                         WHEN 'src3' THEN {_MIX_TARGETS["src3"]}
                         ELSE 0.0 END, 6) AS target_share,
-      round(CASE domain WHEN 'src0' THEN {_MIX_TARGETS["src0"]}
-                        WHEN 'src1' THEN {_MIX_TARGETS["src1"]}
-                        WHEN 'src2' THEN {_MIX_TARGETS["src2"]}
-                        WHEN 'src3' THEN {_MIX_TARGETS["src3"]}
-                        ELSE 0.0 END
-            / (CAST(n_units AS DOUBLE) / sum(CAST(n_units AS DOUBLE)) OVER ()), 6)
-        AS mix_weight
+      CASE WHEN CAST(n_units AS DOUBLE)
+                / sum(CAST(n_units AS DOUBLE)) OVER () > 0
+           THEN round(CASE domain WHEN 'src0' THEN {_MIX_TARGETS["src0"]}
+                                  WHEN 'src1' THEN {_MIX_TARGETS["src1"]}
+                                  WHEN 'src2' THEN {_MIX_TARGETS["src2"]}
+                                  WHEN 'src3' THEN {_MIX_TARGETS["src3"]}
+                                  ELSE 0.0 END
+                      / (CAST(n_units AS DOUBLE)
+                         / sum(CAST(n_units AS DOUBLE)) OVER ()), 6)
+      END AS mix_weight
     FROM agg
     """,
 )

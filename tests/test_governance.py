@@ -238,6 +238,37 @@ def test_mixture_epochs_uniform_default(spark):
     assert got["b"].shortfall_tokens == pytest.approx(200.0 - 120.0)
 
 
+def test_mixture_weights_zero_pool_domains(spark):
+    """r11 sweep of the round-10 advice's DIVIDE_BY_ZERO class: a
+    domain whose sizes sum to 0 must get a NULL mix_weight (no finite
+    factor over-samples an empty pool), not a SparkArithmeticException;
+    an all-zero corpus must yield NULL shares everywhere."""
+    from sales_data_pipeline_spark.operators.assemble import mixture_weights
+
+    df = spark.createDataFrame(
+        [("a", 90), ("b", 0), ("b", 0)], "source string, n_bytes long"
+    )
+    got = {
+        r.domain: r
+        for r in mixture_weights(
+            df, size_col="n_bytes", target_shares={"a": 0.5, "b": 0.5}
+        ).collect()
+    }
+    assert got["a"].unit_share == pytest.approx(1.0)
+    assert got["a"].mix_weight == pytest.approx(0.5)
+    assert got["b"].n_units == 0 and got["b"].unit_share == 0.0
+    assert got["b"].mix_weight is None
+    all_zero = spark.createDataFrame(
+        [("a", 0), ("b", 0)], "source string, n_bytes long"
+    )
+    got = {
+        r.domain: r
+        for r in mixture_weights(all_zero, size_col="n_bytes").collect()
+    }
+    assert all(r.unit_share is None and r.mix_weight is None
+               for r in got.values())
+
+
 def test_mixture_epochs_token_budget_required(spark):
     # r11: the old token_budget=1.0 default silently audited a
     # one-token plan (epochs~0 everywhere, no flag ever) — now required
