@@ -41,6 +41,24 @@ from sales_data_pipeline_spark.session import get_spark
 REGRESSION_FACTOR = 1.5
 
 
+def _drain_dead_blocks(spark) -> None:
+    """Free dead shuffle/localCheckpoint blocks between timed queries
+    (r11): the headline set now contains iterative graph queries (q49's
+    pointer-jumping CC) whose per-round localCheckpoint blocks are NOT
+    released by clearCache() — they free only when driver GC fires the
+    ContextCleaner's weak refs (the r10 sf10 campaign lesson,
+    tools/scaling.py). Without this, checkpoint blocks pile up across
+    passes and their memory/GC pressure bleeds into the OTHER queries'
+    timings (observed: q22 reading ~30% higher inside the 17-query
+    bench than solo, same plan fingerprint). Runs OUTSIDE the timed
+    window."""
+    import gc
+
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    time.sleep(1.0)
+
+
 def _sf_from_dir(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     return float(m.group(1)) if m else -1.0
@@ -87,6 +105,7 @@ def main() -> None:
             t0 = time.perf_counter()
             q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             samples[q.name].append(time.perf_counter() - t0)
+            _drain_dead_blocks(spark)
     timings = {name: round(statistics.median(ts), 3) for name, ts in samples.items()}
 
     sf = _sf_from_dir(sf_dir)
@@ -117,6 +136,7 @@ def main() -> None:
                     "overwrite"
                 ).save()
                 recheck.append(time.perf_counter() - t0)
+                _drain_dead_blocks(spark)
             entry["recheck_sec"] = round(statistics.median(recheck), 3)
             entry["recheck_factor"] = round(
                 entry["recheck_sec"] / entry["baseline_sec"], 2
