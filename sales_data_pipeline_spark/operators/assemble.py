@@ -375,3 +375,106 @@ def temperature_mixture_sqrt(
         .withColumn("mix_weight", F.try_divide(t, u))
         .select("domain", "n_units", "unit_share", "temp_share", "mix_weight")
     )
+
+
+def unimax_allocation(
+    df: DataFrame,
+    domain_col: str = "source",
+    size_col: str | None = None,
+    token_budget: float | None = None,
+    max_epochs: float = 4.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al., ICLR 2023: "UniMax:
+    Fairer and More Effective Language Sampling for Large-Scale
+    Multilingual Pretraining" — public): distribute a training token
+    budget across domains as UNIFORMLY as possible subject to the
+    repetition cap b_d <= max_epochs * available_d. The closed-form
+    waterfilling solution: processing domains in ascending capacity,
+    every domain whose capacity is below the running fair share is
+    allocated its full capacity (at_cap=true), and the rest split the
+    remaining budget evenly (the "water level"). This COMPUTES the
+    mixture that mixture_epochs (q293) AUDITS: unimax never over-caps
+    a domain by construction, so feeding its allocation back through
+    the epochs audit flags nothing.
+
+    Waterfilling as relational algebra: with capacities sorted
+    ascending (tie-broken by domain for a total, engine-portable
+    order), the capped set is a PREFIX, and domain i is capped iff
+    cap_i * (N - i + 1) + prefix_cap_sum_{<i} < B. That is one
+    row_number + two window sums over the |domains|-row aggregate —
+    the corpus collapses in one map-side-combined groupBy first, so
+    the single-partition window touches dozens of rows at any corpus
+    scale, never the data (q76's allowlisted shape).
+
+    Zero-pool domains (available 0) sort first, get capacity 0, are
+    trivially capped at alloc 0, and read epochs NULL (the
+    mixture_epochs discipline). ``token_budget`` is REQUIRED for the
+    same reason as there. A budget exceeding total capacity caps every
+    domain and leaves the residue unallocated — visible as
+    sum(alloc_tokens) < budget, with every at_cap true. All arithmetic
+    is double in a fixed expression order (window frames pinned), so
+    an external SQL engine reproduces each value bitwise; the
+    water-level division clamps its denominator (greatest(N-k, 1))
+    because ANSI subexpression hoisting evaluates untaken CASE
+    branches.
+
+    Output: (domain, available_tokens, capacity_tokens, alloc_tokens,
+    epochs, at_cap)."""
+    if token_budget is None:
+        raise ValueError(
+            "unimax_allocation: token_budget is required — the operator "
+            "allocates a concrete budget; there is no sensible default"
+        )
+    if float(token_budget) <= 0:
+        raise ValueError(
+            f"unimax_allocation: token_budget must be > 0, got {token_budget}"
+        )
+    budget = F.lit(float(token_budget))
+    unit = F.col(size_col) if size_col else F.lit(1)
+    agg = df.groupBy(F.col(domain_col).alias("domain")).agg(
+        F.sum(unit).cast("bigint").alias("available_tokens")
+    )
+    cap = F.lit(float(max_epochs)) * F.col("available_tokens").cast("double")
+    order = Window.orderBy(cap, F.col("domain"))
+    everything = Window.partitionBy()
+    prefix = F.coalesce(
+        F.sum(cap).over(
+            order.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0.0),
+    )
+    i = F.row_number().over(order)
+    nd = F.count(F.lit(1)).over(everything)
+    staged = agg.select(
+        "domain",
+        "available_tokens",
+        cap.alias("__cap"),
+        ((cap * (nd - i + 1).cast("double") + prefix) < budget).alias(
+            "__at_cap"
+        ),
+        nd.alias("__nd"),
+    )
+    k = F.sum(F.col("__at_cap").cast("int")).over(everything)
+    capped_total = F.sum(
+        F.when(F.col("__at_cap"), F.col("__cap")).otherwise(F.lit(0.0))
+    ).over(everything)
+    # denominator clamped: when every domain is capped the ELSE branch
+    # is never taken, but ANSI hoisting still evaluates it
+    water = (budget - capped_total) / F.greatest(
+        (F.col("__nd") - k).cast("double"), F.lit(1.0)
+    )
+    alloc = F.when(F.col("__at_cap"), F.col("__cap")).otherwise(water)
+    return staged.select(
+        "domain",
+        "available_tokens",
+        F.round(F.col("__cap"), round_digits).alias("capacity_tokens"),
+        F.round(alloc, round_digits).alias("alloc_tokens"),
+        F.when(
+            F.col("available_tokens") > 0,
+            F.round(
+                alloc / F.col("available_tokens").cast("double"), round_digits
+            ),
+        ).alias("epochs"),
+        F.col("__at_cap").alias("at_cap"),
+    )

@@ -20,6 +20,7 @@ from sales_data_pipeline_spark.operators.assemble import (
     mixture_epochs,
     mixture_weights,
     shard_assignment,
+    unimax_allocation,
 )
 from sales_data_pipeline_spark.operators.merge import snapshot_diff
 from sales_data_pipeline_spark.operators.redact import redact_pii
@@ -382,6 +383,85 @@ def q293_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         domain_col="source",
         size_col="n_tokens",
         target_shares=_MIX_TARGETS,
+        token_budget=_TOKEN_BUDGET,
+        max_epochs=_EPOCH_CAP,
+    )
+
+
+# --- q296: UniMax waterfilling budget allocation ------------------------------
+
+
+@query(
+    "q296_unimax_allocation",
+    oracle=f"""
+    WITH agg AS (
+      SELECT source AS domain,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+      FROM documents GROUP BY 1
+    ),
+    w AS (
+      SELECT domain, available_tokens,
+        {_EPOCH_CAP} * CAST(available_tokens AS DOUBLE) AS cap,
+        row_number() OVER
+          (ORDER BY {_EPOCH_CAP} * CAST(available_tokens AS DOUBLE), domain)
+          AS i,
+        count(*) OVER () AS nd,
+        COALESCE(sum({_EPOCH_CAP} * CAST(available_tokens AS DOUBLE)) OVER
+          (ORDER BY {_EPOCH_CAP} * CAST(available_tokens AS DOUBLE), domain
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0)
+          AS prefix
+      FROM agg
+    ),
+    f AS (
+      SELECT domain, available_tokens, cap, nd,
+        (cap * CAST(nd - i + 1 AS DOUBLE) + prefix) < {_TOKEN_BUDGET}
+          AS at_cap
+      FROM w
+    ),
+    g AS (
+      SELECT *,
+        sum(CASE WHEN at_cap THEN 1 ELSE 0 END) OVER () AS k,
+        sum(CASE WHEN at_cap THEN cap ELSE 0.0 END) OVER () AS capped_total
+      FROM f
+    )
+    SELECT domain, available_tokens,
+      round(cap, 6) AS capacity_tokens,
+      round(CASE WHEN at_cap THEN cap
+                 ELSE ({_TOKEN_BUDGET} - capped_total)
+                      / greatest(CAST(nd - k AS DOUBLE), 1.0) END, 6)
+        AS alloc_tokens,
+      CASE WHEN available_tokens > 0
+           THEN round((CASE WHEN at_cap THEN cap
+                            ELSE ({_TOKEN_BUDGET} - capped_total)
+                                 / greatest(CAST(nd - k AS DOUBLE), 1.0) END)
+                      / CAST(available_tokens AS DOUBLE), 6)
+      END AS epochs,
+      at_cap
+    FROM g
+    """,
+)
+def q296_unimax_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax waterfilling allocation (Chung et al., ICLR 2023): given
+    the 200k-token budget q293 audits and the same 4-epoch repetition
+    knee, COMPUTE the fairest per-domain allocation — every domain gets
+    an equal share of budget unless its 4-epoch capacity binds, in
+    which case it is filled to capacity and the residue re-levels over
+    the rest. The constructive complement of q293's audit: feeding this
+    allocation back through mixture_epochs flags nothing by
+    construction. Plan shape: one map-side-combined groupBy to
+    |domains| rows, then the closed-form waterfilling prefix condition
+    (capped set = ascending-capacity prefix) as one row_number + two
+    window sums over that aggregate — the single-partition window is
+    over dozens of rows at any corpus scale (q76's allowlisted shape);
+    fixed double expression order and a total (capacity, domain) sort
+    key make every value bitwise SQL-reproducible
+    (operators/assemble.py unimax_allocation)."""
+    docs = table(spark, sf_dir, "documents")
+    sized = docs.select("source", token_count("text").alias("n_tokens"))
+    return unimax_allocation(
+        sized,
+        domain_col="source",
+        size_col="n_tokens",
         token_budget=_TOKEN_BUDGET,
         max_epochs=_EPOCH_CAP,
     )

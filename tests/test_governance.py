@@ -269,6 +269,78 @@ def test_mixture_weights_zero_pool_domains(spark):
                for r in got.values())
 
 
+def test_unimax_allocation_waterfilling_hand_case(spark):
+    """Chung et al.'s waterfilling solution on a hand-solvable input:
+    caps (40, 200, 400), budget 300 → the smallest domain fills to its
+    4-epoch cap (40), the other two split the residue evenly at the
+    water level 130; a zero-pool domain allocates 0 with NULL epochs.
+    The allocation exhausts the budget exactly and never over-caps."""
+    from sales_data_pipeline_spark.operators.assemble import unimax_allocation
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 50), ("c", 100), ("z", 0)], "source string, n long"
+    )
+    got = {
+        r.domain: r
+        for r in unimax_allocation(
+            df, size_col="n", token_budget=300.0
+        ).collect()
+    }
+    assert got["a"].alloc_tokens == pytest.approx(40.0)
+    assert got["a"].at_cap is True and got["a"].epochs == pytest.approx(4.0)
+    assert got["b"].alloc_tokens == pytest.approx(130.0)
+    assert got["b"].at_cap is False and got["b"].epochs == pytest.approx(2.6)
+    assert got["c"].alloc_tokens == pytest.approx(130.0)
+    assert got["c"].epochs == pytest.approx(1.3)
+    assert got["z"].alloc_tokens == 0.0 and got["z"].epochs is None
+    assert sum(r.alloc_tokens for r in got.values()) == pytest.approx(300.0)
+    assert all(r.epochs is None or r.epochs <= 4.0 for r in got.values())
+
+
+def test_unimax_allocation_budget_exceeds_capacity(spark):
+    """A budget past total 4-epoch capacity caps every domain (the
+    residue is visibly unallocated) and must not divide by zero on the
+    hoisted water-level branch."""
+    from sales_data_pipeline_spark.operators.assemble import unimax_allocation
+
+    df = spark.createDataFrame(
+        [("a", 10), ("b", 50)], "source string, n long"
+    )
+    rows = unimax_allocation(df, size_col="n", token_budget=1e6).collect()
+    assert all(r.at_cap for r in rows)
+    assert sum(r.alloc_tokens for r in rows) == pytest.approx(240.0)
+    with pytest.raises(ValueError, match="token_budget is required"):
+        unimax_allocation(df, size_col="n")
+
+
+def test_unimax_feeds_clean_through_the_epochs_audit(spark):
+    """The constructive/audit pair: turning unimax's allocation into
+    target shares and auditing it with mixture_epochs at the same
+    budget and cap flags NOTHING — by construction no domain is asked
+    for more than max_epochs passes."""
+    from sales_data_pipeline_spark.operators.assemble import (
+        mixture_epochs,
+        unimax_allocation,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 30), ("b", 500), ("c", 90), ("d", 2)],
+        "source string, n long",
+    )
+    budget = 900.0
+    alloc = {
+        r.domain: r.alloc_tokens
+        for r in unimax_allocation(
+            df, size_col="n", token_budget=budget
+        ).collect()
+    }
+    shares = {d: a / budget for d, a in alloc.items()}
+    audited = mixture_epochs(
+        df, size_col="n", target_shares=shares, token_budget=budget
+    ).collect()
+    assert all(not r.over_cap for r in audited), audited
+
+
 def test_mixture_epochs_token_budget_required(spark):
     # r11: the old token_budget=1.0 default silently audited a
     # one-token plan (epochs~0 everywhere, no flag ever) — now required

@@ -185,6 +185,7 @@ GLOBAL_WINDOW_SORT_ALLOWLIST = {
     "q287_hybrid_search": {"global-window": "rank window over the post-limit 20-row fused result (the corpus-sized ranks are distributed_rank)"},
     "q288_curation_funnel": {"global-sort": "orderBy over the per-source funnel census (|sources| rows)"},
     "q76_mixture_weights": {"global-window": "normalizer over the |domains| mixture table"},
+    "q296_unimax_allocation": {"global-window": "waterfilling prefix windows over the |domains| aggregate (q76's shape)"},
     "q89_seq_length_histogram": {"global-window": "share normalizer over the ~15-row log2-bucket histogram"},
     "q97_qoq_growth": {"global-window": "lag window over the per-quarter aggregate (calendar-bounded)"},
 }
