@@ -68,6 +68,12 @@ BOIL_QUERIES = [
     "q24_simhash_pairs",
     "q33_corpus_curation",
     "q250_name_edit_neardup",
+    # r11: the served sampled-triangle path — its co-occurrence edge
+    # production is exactly the shape the boilerplate corpus attacks
+    # (64 near-clique clusters drive shingle dfs to ~312; the distinct
+    # collapses ~6x10^8 join rows to ~3.1M edges) while the sampled
+    # wedge join stays bounded at target_wedges by construction
+    "q294_triangle_estimate",
 ]
 # key-distribution-sensitive queries measured on sf1 vs sf1zipf
 ZIPF_QUERIES = [
