@@ -1376,3 +1376,38 @@ def test_shingle_cooccurrence_edges_hand_case(spark):
     # cap = 1: every shared shingle (df=2) now exceeds the cap
     got = shingle_cooccurrence_edges(docs, max_shingle_freq=1).count()
     assert got == 0
+
+
+def test_triangle_estimate_exact_mode_matches_python_reference_random(spark):
+    """Exact-mode identity on randomized graphs (deterministic seed):
+    under the wedge budget the estimate IS the exact global triangle
+    count — pinned against a brute-force python counter."""
+    import itertools
+    import random
+
+    from sales_data_pipeline_spark.operators.graph import triangle_count_estimate
+
+    rng = random.Random(294)
+    for trial in range(3):
+        n = rng.randint(6, 14)
+        edges = sorted(
+            {
+                (a, b)
+                for a, b in (
+                    tuple(sorted(rng.sample(range(n), 2)))
+                    for _ in range(rng.randint(5, 30))
+                )
+            }
+        )
+        eset = set(edges)
+        truth = sum(
+            1
+            for x, y, z in itertools.combinations(range(n), 3)
+            if (x, y) in eset and (y, z) in eset and (x, z) in eset
+        )
+        r = triangle_count_estimate(
+            spark.createDataFrame(edges, "doc_a long, doc_b long")
+        ).collect()[0]
+        assert r.exact_mode is True, trial
+        assert r.n_triangles_sampled == truth, (trial, edges)
+        assert r.est_triangles == float(truth), trial

@@ -596,3 +596,41 @@ def test_mask_columns_verbs_and_contract(spark):
     with pytest.raises(ValueError, match="unknown masking verb"):
         mask_columns(df, {"id": "zap", "name": "keep", "bal": "keep",
                           "card": "keep"})
+
+
+def test_unimax_allocation_invariants_random(spark):
+    """Waterfilling invariants on randomized inputs (deterministic
+    seed): allocations never exceed the per-domain cap, the budget is
+    exhausted exactly unless total capacity binds first, and every
+    uncapped domain sits at one common water level >= every capped
+    domain's capacity."""
+    import random
+
+    from sales_data_pipeline_spark.operators.assemble import unimax_allocation
+
+    rng = random.Random(11)
+    for trial in range(4):
+        n_dom = rng.randint(2, 9)
+        rows = [(f"d{i}", rng.randint(0, 400)) for i in range(n_dom)]
+        budget = float(rng.randint(50, 4000))
+        got = unimax_allocation(
+            spark.createDataFrame(rows, "source string, n long"),
+            size_col="n",
+            token_budget=budget,
+            max_epochs=4.0,
+        ).collect()
+        caps = {r.domain: 4.0 * r.available_tokens for r in got}
+        total_cap = sum(caps.values())
+        allocs = {r.domain: r.alloc_tokens for r in got}
+        for r in got:
+            assert r.alloc_tokens <= caps[r.domain] + 1e-6, (trial, r)
+            assert (r.at_cap and abs(r.alloc_tokens - caps[r.domain]) < 1e-6) \
+                or (not r.at_cap), (trial, r)
+        expect_total = min(budget, total_cap)
+        assert sum(allocs.values()) == pytest.approx(expect_total, abs=1e-4), trial
+        waters = [r.alloc_tokens for r in got if not r.at_cap]
+        if waters:
+            assert max(waters) - min(waters) < 1e-6, (trial, waters)
+            assert min(waters) >= max(
+                (caps[r.domain] for r in got if r.at_cap), default=0.0
+            ) - 1e-6, trial
