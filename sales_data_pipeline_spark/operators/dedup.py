@@ -1053,3 +1053,114 @@ def shingle_cooccurrence_edges(
         .select("doc_a", "doc_b")
         .distinct()
     )
+
+
+def jaccard_pair_estimate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    target_cooccur: int = 10_000_000,
+    salt: str = "",
+) -> DataFrame:
+    """Duplication-census ESTIMATE for the exact Jaccard tier that
+    stays serveable on corpora past its candidate fence — the r11
+    serve-past-the-fence move (q294's DOULION playbook) applied to
+    PPJoin: `ngram_jaccard_pairs` refuses a blind call whose candidate
+    volume implies a quadratic melt; this answers "how MANY exact
+    near-dup pairs at J >= t does the corpus hold" in bounded time on
+    ANY corpus (the pair LIST at scale remains minhash_lsh_pairs).
+
+    Doc sampling: keep each document with probability p, run the EXACT
+    tier on the sampled sub-corpus, scale the pair count by 1/p² —
+    unbiased (a pair survives iff both endpoints survive), the direct
+    analogue of DOULION's edge sampling one level up. p =
+    min(1, sqrt(target_cooccur / C)) where C = Σ_shingle C(df, 2) is
+    the shared-shingle CO-OCCURRENCE volume — an engine-portable upper
+    bound on the PPJoin candidate count, computed exactly from one
+    linear document-frequency census (the prefix-index census the
+    guard itself uses is sharper but depends on the xxhash64 total
+    order, which an external SQL engine cannot replicate). Expected
+    post-sampling co-occurrence volume is p²·C <= target_cooccur, so
+    the sampled exact tier runs comfortably inside its own default-on
+    `max_candidates` budget; a corpus already under the target runs
+    EXACT through the same plan (p clamps to 1, exact_mode=true) — a
+    continuous dial, no branch, no eager driver action.
+
+    Determinism: the keep/drop decision is the cross-engine md5-13-hex
+    uniform on 'jac<salt>:<id>', so the whole pipeline — census, p,
+    sampled exact pairs, 1/p² scale-up — is a pure function of
+    (corpus, target, salt) and is replicated bitwise by q297's DuckDB
+    oracle at every driver SF, sampled regime included. Vary ``salt``
+    for independent resamples (the unbiasedness tests average over
+    salts).
+
+    Output (one row): n_docs, cooccur_candidates (exact, bigint),
+    sample_p, n_pairs_sampled (bigint), est_pairs (double), exact_mode.
+
+    Scale shape: the shingle index is persisted (dedup cache registry)
+    and feeds only the df census; the sampled sub-corpus feeds the
+    exact tier, which persists its own ordered sets. Nothing in the
+    plan exceeds target_cooccur join rows plus two linear scans."""
+    occ = _persist(_shingle_index(df, id_col, text_col, n))
+    dfreq = occ.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    d19 = F.col("__df").cast("decimal(19,0)")
+    census = dfreq.agg(
+        F.coalesce(
+            F.sum(d19 * (d19 - F.lit(1))), F.lit(0).cast("decimal(38,0)")
+        ).alias("__sp")
+    )
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
+    params = census.crossJoin(F.broadcast(n_docs)).select(
+        "__sp",
+        "__n_docs",
+        F.when(
+            F.col("__sp") > 0,
+            F.least(
+                F.lit(1.0),
+                F.sqrt(
+                    F.lit(float(target_cooccur))
+                    / (F.col("__sp").cast("double") / F.lit(2.0))
+                ),
+            ),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("__p"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"jac{salt}:"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+        / F.lit(4503599627370496.0)  # 2^52
+    )
+    sampled = (
+        df.crossJoin(F.broadcast(params.select("__p")))
+        .filter(u < F.col("__p"))
+        .select(id_col, text_col)
+    )
+    pairs = ngram_jaccard_pairs(
+        sampled, id_col=id_col, text_col=text_col, n=n, threshold=threshold
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("__np"))
+    p = F.col("__p")
+    return n_pairs.crossJoin(F.broadcast(params)).select(
+        F.col("__n_docs").cast("bigint").alias("n_docs"),
+        (F.col("__sp") / 2).cast("bigint").alias("cooccur_candidates"),
+        p.alias("sample_p"),
+        F.col("__np").alias("n_pairs_sampled"),
+        (F.col("__np").cast("double") / (p * p)).alias("est_pairs"),
+        (p >= F.lit(1.0)).alias("exact_mode"),
+    )

@@ -789,6 +789,75 @@ def q294_triangle_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_count_estimate(edges, target_wedges=100_000)
 
 
+@query(
+    "q297_jaccard_pair_estimate",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    d AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    census AS (SELECT COALESCE(SUM(df*(df-1)), 0) AS sp FROM d),
+    params AS (
+      SELECT sp, (SELECT count(*) FROM documents) AS n_docs,
+        CASE WHEN sp > 0
+             THEN LEAST(1.0, sqrt(10000.0 / (CAST(sp AS DOUBLE) / 2.0)))
+             ELSE 1.0 END AS p
+      FROM census
+    ),
+    samp AS (
+      SELECT doc_id FROM documents, params
+      WHERE CAST(('0x' || substr(md5('jac:' || CAST(doc_id AS VARCHAR)),
+                                 1, 13)) AS UBIGINT)::DOUBLE
+            / 4503599627370496.0 < p
+    ),
+    ssh AS (SELECT sh.* FROM sh JOIN samp USING (doc_id)),
+    ssizes AS (SELECT doc_id, count(*) AS n_sh FROM ssh GROUP BY 1),
+    common AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      FROM ssh a JOIN ssh b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    np AS (
+      SELECT count(*) AS n_pairs FROM common
+      JOIN ssizes sa ON sa.doc_id = doc_a
+      JOIN ssizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    )
+    SELECT CAST(params.n_docs AS BIGINT) AS n_docs,
+      CAST(params.sp // 2 AS BIGINT) AS cooccur_candidates,
+      params.p AS sample_p,
+      CAST(np.n_pairs AS BIGINT) AS n_pairs_sampled,
+      CAST(np.n_pairs AS DOUBLE) / (params.p * params.p) AS est_pairs,
+      params.p >= 1.0 AS exact_mode
+    FROM np, params
+    """,
+)
+def q297_jaccard_pair_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication-census estimate past the exact-Jaccard fence — the
+    serve-past-the-fence trilogy's third member (q294 triangles, q295
+    density clusters, and now q22's PPJoin tier): sample documents at
+    p = min(1, sqrt(target / C)) with C the exact shared-shingle
+    co-occurrence volume (the engine-portable upper bound on PPJoin's
+    candidate count), run the EXACT tier on the sample — its own
+    default-on max_candidates guard holds trivially since expected
+    post-sampling co-occurrence is p²·C <= target — and scale the pair
+    count by 1/p² (unbiased: a pair survives iff both endpoints do;
+    DOULION's argument one level up). Answers "how much exact
+    near-duplication at J >= 0.6" in bounded time on corpora where
+    q22 refuses by design (its pair LIST at scale remains q23's LSH);
+    under-budget corpora run exact through the same plan. The md5
+    doc-sampling and every downstream number are replicated bitwise by
+    the DuckDB oracle at all driver SFs — sampled regime included
+    (sf0.01: p~0.85, est 23.77 vs true 25). target_cooccur=10k here so
+    every driver SF exercises sampling; the operator default is 10M
+    (operators/dedup.py jaccard_pair_estimate)."""
+    from sales_data_pipeline_spark.operators.dedup import (
+        jaccard_pair_estimate,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    return jaccard_pair_estimate(docs, threshold=0.6, target_cooccur=10_000)
+
+
 @query("q128_neardup_pagerank", oracle=None)
 def q128_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank centrality over the near-dup similarity graph: which

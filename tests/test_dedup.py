@@ -1411,3 +1411,103 @@ def test_triangle_estimate_exact_mode_matches_python_reference_random(spark):
         assert r.exact_mode is True, trial
         assert r.n_triangles_sampled == truth, (trial, edges)
         assert r.est_triangles == float(truth), trial
+
+
+# --- jaccard_pair_estimate (q297: the PPJoin fence's served census) --------
+
+
+def test_jaccard_estimate_exact_mode_matches_exact_tier(spark):
+    """Under the co-occurrence budget p clamps to 1 and the SAME plan
+    counts the exact tier's pairs exactly."""
+    from sales_data_pipeline_spark.operators.dedup import (
+        jaccard_pair_estimate,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+            (4, "totally different words in this document here now"),
+        ],
+        "doc_id long, text string",
+    )
+    truth = ngram_jaccard_pairs(docs, threshold=0.6, persist=False).count()
+    got = jaccard_pair_estimate(docs, threshold=0.6).collect()[0]
+    assert got.exact_mode is True and got.sample_p == 1.0
+    assert got.n_pairs_sampled == truth
+    assert got.est_pairs == float(truth)
+    assert got.n_docs == 4
+
+
+def _planted_pair_corpus(spark, n_pairs: int):
+    """n_pairs disjoint near-dup pairs (J ~ 10/11), no cross-pair
+    shingle overlap: exactly n_pairs true pairs at threshold 0.6."""
+    rows = []
+    for i in range(n_pairs):
+        base = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base + " tail"))
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_jaccard_estimate_unbiased_across_salts(spark):
+    """q259/q294's estimator-audit pattern: forced-sampled estimates
+    averaged over independent salts converge on the planted truth.
+    Deterministic — the md5 samples never change."""
+    from sales_data_pipeline_spark.operators.dedup import jaccard_pair_estimate
+
+    docs = _planted_pair_corpus(spark, 60).cache()
+    ests = []
+    for salt in range(10):
+        r = jaccard_pair_estimate(
+            docs, threshold=0.6, target_cooccur=150, salt=str(salt)
+        ).collect()[0]
+        assert r.exact_mode is False and 0 < r.sample_p < 1
+        ests.append(r.est_pairs)
+    mean = sum(ests) / len(ests)
+    assert mean == pytest.approx(60.0, rel=0.25)
+    docs.unpersist()
+
+
+def test_jaccard_estimate_serves_past_the_exact_fence(spark):
+    """The trilogy contract for q22's tier: a corpus whose candidate
+    volume the exact tier refuses gets an ANSWER from the sampled
+    census — same budget figure, bounded work."""
+    from sales_data_pipeline_spark.operators.dedup import (
+        jaccard_pair_estimate,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate text repeated everywhere") for i in range(30)],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="minhash_lsh_pairs"):
+        ngram_jaccard_pairs(
+            docs, threshold=0.9, max_candidates=100, persist=False
+        ).count()
+    got = jaccard_pair_estimate(
+        docs, threshold=0.9, target_cooccur=100
+    ).collect()[0]
+    assert got.exact_mode is False
+    assert got.cooccur_candidates > 100  # the fence quantity, exceeded
+    # 30 identical docs: C(30,2)=435 true pairs; the deterministic
+    # sampled estimate lands in a sane envelope
+    assert 100 < got.est_pairs < 1600
+
+
+def test_jaccard_estimate_empty_and_shingleless(spark):
+    from sales_data_pipeline_spark.operators.dedup import jaccard_pair_estimate
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    r = jaccard_pair_estimate(empty).collect()[0]
+    assert (r.n_docs, r.cooccur_candidates, r.n_pairs_sampled) == (0, 0, 0)
+    assert r.est_pairs == 0.0 and r.exact_mode is True
+    short = spark.createDataFrame(
+        [(1, "one two"), (2, "a b")], "doc_id long, text string"
+    )  # no 3-gram shingles at all
+    r = jaccard_pair_estimate(short).collect()[0]
+    assert (r.n_docs, r.cooccur_candidates, r.n_pairs_sampled) == (2, 0, 0)
+    assert r.exact_mode is True

@@ -74,6 +74,9 @@ BOIL_QUERIES = [
     # collapses ~6x10^8 join rows to ~3.1M edges) while the sampled
     # wedge join stays bounded at target_wedges by construction
     "q294_triangle_estimate",
+    # r11: the sampled exact-Jaccard census — serves the duplication
+    # count on this exact corpus, where q22's guard fires by design
+    "q297_jaccard_pair_estimate",
 ]
 # key-distribution-sensitive queries measured on sf1 vs sf1zipf
 ZIPF_QUERIES = [
