@@ -116,11 +116,28 @@ def incremental_dedup(
 # ---------------------------------------------------------------------------
 
 
-def _shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int) -> DataFrame:
+def _shingle_sets(
+    df: DataFrame, id_col: str, text_col: str, n: int, spread: bool = False
+) -> DataFrame:
     """(doc, sh: array<bigint>) — tokens projected first (see
     shingle_hashes_from_tokens: inline token exprs re-evaluate the split
-    per element, ~15x slower)."""
-    return df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("__t")).select(
+    per element, ~15x slower).
+
+    ``spread=True`` routes the (doc, text) projection through
+    scale.spread_scan before tokenizing: a single-row-group parquet
+    input (or 1-partition persisted frame) otherwise pins the whole
+    per-row compute chain — and every cached intermediate derived from
+    it — to one core. Opt-in per caller, measured per consumer (r12):
+    the minhash path (64 hash passes per doc on top of the shingles)
+    gains ~1.7×; the PPJoin path's cost lives in its many small stages,
+    where 32× the task count per cached scan LOSES more than the
+    parallel map win — it stays unspread."""
+    proj = df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("__x"))
+    if spread:
+        from sales_data_pipeline_spark.operators.scale import spread_scan
+
+        proj = spread_scan(proj)
+    return proj.select("doc", tokens("__x").alias("__t")).select(
         "doc", shingle_hashes_from_tokens("__t", n).alias("sh")
     )
 
@@ -385,7 +402,9 @@ def minhash_signatures(
     signature computation is map-only and scales embarrassingly
     (an earlier explode+groupBy formulation shuffled every (doc,
     shingle) pair; at 100 TB that shuffle IS the job)."""
-    return _signatures_from_sets(_shingle_sets(df, id_col, text_col, n), num_perm)
+    return _signatures_from_sets(
+        _shingle_sets(df, id_col, text_col, n, spread=True), num_perm
+    )
 
 
 def _signatures_from_sets(sets: DataFrame, num_perm: int) -> DataFrame:
@@ -445,7 +464,7 @@ def minhash_lsh_pairs(
     rows = num_perm // bands
     # one shingle pass feeds BOTH the signatures and the exact-verify
     # arrays below; persist so it materializes once
-    sets = _shingle_sets(df, id_col, text_col, n)
+    sets = _shingle_sets(df, id_col, text_col, n, spread=True)
     if persist:
         sets = _persist(sets)
     sig = _signatures_from_sets(sets, num_perm)
@@ -1035,8 +1054,18 @@ def shingle_cooccurrence_edges(
     both join sides) -> df filter -> one shingle-keyed self-join ->
     map-side-combined distinct on (doc_a, doc_b). No node ever sees
     more than its own shingle groups; the distinct is the only
-    edge-sized shuffle."""
-    occ = _shingle_index(df, id_col, text_col, n)
+    edge-sized shuffle.
+
+    The shingle index is SPREAD (scale.spread_scan, r12): pair
+    production is the heaviest map work in this operator (the self-join
+    emits up to C(cap,2) rows per shingle), and a single-row-group
+    input would otherwise persist the index 1-partitioned and run the
+    whole join map side on one core (measured: the 8.4 MB map stage of
+    q294's edge distinct ran 1-task/1.2 s serial at sf0.1). Adaptive —
+    no-op on any input whose scan already parallelizes."""
+    from sales_data_pipeline_spark.operators.scale import spread_scan
+
+    occ = _shingle_index(spread_scan(df.select(id_col, text_col)), id_col, text_col, n)
     occ = _persist(occ)
     if max_shingle_freq is not None:
         dfreq = occ.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))

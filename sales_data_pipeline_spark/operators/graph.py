@@ -73,39 +73,82 @@ def connected_components(
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
-    edges = edges.persist()
-    labels = edges.select("u").distinct().select(
-        F.col("u").alias("node"), F.col("u").alias("label")
+    # Symmetrize via ONE explode pass, not union (r12): union's two
+    # branches each re-execute the whole upstream pair-producing plan
+    # (for q49 that is the PPJoin verify join — measured as two
+    # identical 1.2 MB exchange stages), where explode reads it once.
+    # No distinct on the symmetrized list either: min-aggregation is
+    # duplicate-insensitive, so dup edges only add rows to the per-round
+    # join, while the distinct costs a full edge-sized shuffle up front.
+    # Callers here emit canonical deduplicated a<b pairs; a caller with
+    # heavily duplicated pairs should dedup upstream once.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src).alias("u"), F.col(dst).alias("v")
+                    ),
+                    F.struct(
+                        F.col(dst).alias("u"), F.col(src).alias("v")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.u", "__e.v")
+        .persist()
     )
-    prev_sum: int | None = None
+    # Round 0 is join-free (r12): with identity labels, the neighborhood
+    # min is simply min(u, min over neighbors v) — ONE groupBy over the
+    # edge list, which also yields the node set (every node of `pairs`
+    # appears as a `u` after symmetrization), replacing the old
+    # seed-labels distinct AND the first full propagate round.
+    labels = edges.groupBy("u").agg(F.min("v").alias("__m")).select(
+        F.col("u").alias("node"), F.least(F.col("u"), F.col("__m")).alias("label")
+    )
+    # Lazy localCheckpoint + sum in ONE action per round (r12): eager
+    # truncation ran a materialization job and then a second job for
+    # the convergence scalar; with eager=False the sum action both
+    # materializes the checkpoint blocks and returns the scalar.
+    labels = (
+        labels.checkpoint(eager=False)
+        if checkpoint_dir is not None
+        else labels.localCheckpoint(eager=False)
+    )
+    prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
     for _ in range(max_iter):
-        # min label over neighborhood (neighbors' labels via one join)
-        nbr = (
-            edges.join(labels, edges.v == labels.node)
-            .groupBy("u")
-            .agg(F.min("label").alias("nbr_min"))
+        # min label over self + neighborhood: neighbors' labels via one
+        # join, then ONE union+groupBy replaces the old
+        # groupBy + left-join-back (one exchange fewer per round)
+        contrib = edges.join(labels, edges.v == labels.node).select(
+            F.col("u").alias("node"), F.col("label")
         )
-        labels = labels.join(nbr, labels.node == nbr.u, "left").select(
-            "node",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nbr_min"), F.col("label"))
-            ).alias("label"),
+        # persist m: it is BOTH sides of the pointer-jump self-join
+        # below — without a materialization the propagate join +
+        # groupBy would execute twice per round (freed right after the
+        # round's one action)
+        m = (
+            contrib.unionByName(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .persist()
         )
         # pointer jump: label := min(label, label(label))
-        hop = labels.select(
-            F.col("node").alias("pnode"), F.col("label").alias("plabel")
-        )
-        labels = labels.join(hop, labels.label == hop.pnode, "left").select(
+        hop = m.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
+        labels = m.join(hop, m.label == hop.pnode, "left").select(
             "node",
             F.least(
                 F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
             ).alias("label"),
         )
-        labels = _truncate(labels, checkpoint_dir)
+        labels = (
+            labels.checkpoint(eager=False)
+            if checkpoint_dir is not None
+            else labels.localCheckpoint(eager=False)
+        )
         cur_sum = labels.agg(F.sum("label")).first()[0]
+        m.unpersist()
         if cur_sum == prev_sum:
             converged = True
             break
@@ -585,37 +628,66 @@ def triangle_count_estimate(
     e = _persist(
         edges.select(F.col(src_col).alias("x"), F.col(dst_col).alias("y"))
     )
-    ind = e.groupBy("y").agg(F.count(F.lit(1)).alias("__din"))
-    outd = (
-        e.select(F.col("x").alias("y"))
-        .groupBy("y")
-        .agg(F.count(F.lit(1)).alias("__dout"))
+    # ONE degree pass (r12): the census and the edge count used to be
+    # three separate aggregations over e (groupBy y, groupBy x + join,
+    # count) and — because params had two consumers (the sampling
+    # filter and the output row) with no materialization — the whole
+    # census subtree executed TWICE (measured: the two census stages
+    # were the top-2 entries of the q294 stage profile, 41s+27s of
+    # executor time at sf0.1). Now: one union + one groupBy computes
+    # both degrees per node, one agg derives W = Σ din·dout (nodes
+    # missing a side contribute din·0 or 0·dout = 0 — identical to the
+    # old inner join over nodes having both) AND n_edges = Σ dout (each
+    # edge has exactly one x), and the 1-row params frame is persisted
+    # so both consumers read the same materialization. Still lazy: no
+    # job runs at plan construction.
+    deg = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("x").alias("__n"),
+                        F.lit(1).alias("__o"),
+                        F.lit(0).alias("__i"),
+                    ),
+                    F.struct(
+                        F.col("y").alias("__n"),
+                        F.lit(0).alias("__o"),
+                        F.lit(1).alias("__i"),
+                    ),
+                )
+            ).alias("__d")
+        )
+        .select("__d.__n", "__d.__o", "__d.__i")
+        .groupBy("__n")
+        .agg(F.sum("__o").alias("__dout"), F.sum("__i").alias("__din"))
     )
     zero = F.lit(0).cast("decimal(38,0)")
-    census = ind.join(outd, "y").agg(
-        F.coalesce(
-            F.sum(
-                F.col("__din").cast("decimal(19,0)")
-                * F.col("__dout").cast("decimal(19,0)")
-            ),
-            zero,
-        ).alias("__w")
-    )
-    n_edges = e.agg(F.count(F.lit(1)).alias("__n_edges"))
-    params = census.crossJoin(F.broadcast(n_edges)).select(
-        "__w",
-        "__n_edges",
-        F.when(
-            F.col("__w") > 0,
-            F.least(
-                F.lit(1.0),
-                F.sqrt(
-                    F.lit(float(target_wedges)) / F.col("__w").cast("double")
+    params = _persist(
+        deg.agg(
+            F.coalesce(
+                F.sum(
+                    F.col("__din").cast("decimal(19,0)")
+                    * F.col("__dout").cast("decimal(19,0)")
                 ),
-            ),
+                zero,
+            ).alias("__w"),
+            F.coalesce(F.sum("__dout"), F.lit(0)).cast("bigint").alias("__n_edges"),
+        ).select(
+            "__w",
+            "__n_edges",
+            F.when(
+                F.col("__w") > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.sqrt(
+                        F.lit(float(target_wedges)) / F.col("__w").cast("double")
+                    ),
+                ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("__p"),
         )
-        .otherwise(F.lit(1.0))
-        .alias("__p"),
     )
     u = (
         F.conv(

@@ -70,6 +70,51 @@ def salted_agg(
     )
 
 
+# spread_scan decisions are pure functions of the physical scan split
+# (file layout + split confs), which cannot change within a session for
+# the immutable bench/test inputs — memoized so repeated plan
+# construction (bench iterations, the oracle-parity suite) pays the
+# extra physical-planning pass once per distinct subtree.
+_SPREAD_CACHE: dict[str, int] = {}
+
+
+def spread_scan(df: DataFrame, cache_key: str | None = None) -> DataFrame:
+    """Round-robin repartition an input whose physical scan yields fewer
+    partitions than the session's parallelism — the guide-§2.5 "input
+    skew" fix for effectively-unsplittable inputs (single-row-group
+    parquet, gzip): without it, every per-row-expensive map stage
+    (tokenize/shingle/hash/decimal chains) downstream of such a scan
+    runs on ONE core regardless of cluster size, and every persisted
+    intermediate inherits the 1-partition layout.
+
+    ADAPTIVE, not a local-mode constant: the partition count is read
+    from the actual physical scan and compared to the session's
+    ``defaultParallelism``; any real-scale input (thousands of splits)
+    takes the no-op branch, so this NEVER adds a shuffle at 100 TB —
+    it only fires when the scan demonstrably cannot feed the cores.
+    Round-robin repartition is retry-deterministic (Spark sorts before
+    repartitioning, SPARK-23207) and row-set-preserving; downstream
+    operators here are aggregations/joins, insensitive to row order."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if cache_key is not None and cache_key in _SPREAD_CACHE:
+        n = _SPREAD_CACHE[cache_key]
+    else:
+        try:
+            n = df.rdd.getNumPartitions()
+        except Exception:
+            # pathological plans (e.g. streaming sources) — leave as-is
+            return df
+        if cache_key is not None:
+            _SPREAD_CACHE[cache_key] = n
+    # 2× headroom: a scan already within a factor of two of the core
+    # count parallelizes fine; repartitioning it would pay a shuffle
+    # for at most a 2× stage win
+    if n * 2 >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     skewed: DataFrame,
     modest: DataFrame,
