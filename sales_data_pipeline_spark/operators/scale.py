@@ -693,6 +693,15 @@ def distributed_rank(
     signal is compared as DOUBLE, so two inputs that differ only beyond
     2^53 precision tie here but not in a decimal-ordered window —
     integral signals stay exact to 2^53."""
+    # persist the input (r12): three consumers walk this subtree — the
+    # bounds aggregate, the bucketed window input, and the per-bucket
+    # counts — and Spark re-executes common subplans per consumer, so an
+    # unpersisted input (often a full scoring pipeline: BM25, cosine)
+    # was computed three times per rank call. Registered in the dedup
+    # cache registry (release_caches()/clearCache frees it).
+    from sales_data_pipeline_spark.operators.dedup import _persist
+
+    df = _persist(df)
     ordv = F.col(signal_col).cast("double")
     if descending:
         ordv = -ordv

@@ -4645,10 +4645,13 @@ def q146_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"))
         .filter(F.col("n_orders") >= 20)
     )
-    items = (
-        li.join(F.broadcast(freq.select("l_partkey")), "l_partkey")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+    # no .distinct() before the basket build (r12): collect_set dedups
+    # per basket by construction, so the distinct's fact-sized exchange
+    # (plus its double aggregate) was pure overhead — one exchange now
+    # carries the (order, frequent-part) rows straight into the basket
+    # aggregation
+    items = li.join(F.broadcast(freq.select("l_partkey")), "l_partkey").select(
+        "l_orderkey", "l_partkey"
     )
     baskets = items.groupBy("l_orderkey").agg(
         F.array_sort(F.collect_set("l_partkey")).alias("ps")
@@ -5043,10 +5046,21 @@ def q157_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
         1,
     ).otherwise(0)
+    # ONE exchange for both the aggregate and the window (guide §2.4,
+    # r12): hash by l_orderkey alone BEFORE the groupBy — partitioning
+    # by a prefix of the grouping keys satisfies the aggregate's
+    # distribution, and the per-order window then reuses the same
+    # partitioning instead of re-exchanging the whole per_os table
+    # (measured: the plan carried two back-to-back 7.5 MB exchanges of
+    # the fact-sized aggregate at sf0.1). The lost map-side partial agg
+    # is cheap here: (order, supplier) is nearly unique per line, so
+    # partial aggregation was barely shrinking the shuffle anyway.
     per_os = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("__late"))
+        .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("was_late"))
+        .agg(F.max("__late").alias("was_late"))
     )
     w = Window.partitionBy("l_orderkey")
     flagged = per_os.select(
@@ -7854,7 +7868,16 @@ def q214_sequential_crosssell(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("day")
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    purchases = (
+    # persist: purchases feeds BOTH sides of the band self-join below,
+    # and the two sides do not canonicalize to one exchange (different
+    # post-aggregate projections merge into the distinct's final
+    # HashAggregate), so without a materialization the scan + two joins
+    # + distinct map side execute twice — measured as two identical
+    # 8.3 MB exchange stages at sf0.1 (r12). Registered in the dedup
+    # cache registry so release_caches()/clearCache frees it.
+    from sales_data_pipeline_spark.operators.dedup import _persist
+
+    purchases = _persist(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(
