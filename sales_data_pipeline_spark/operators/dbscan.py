@@ -312,12 +312,18 @@ def dense_cell_clusters(
     per cell = fewer cells), the exact complement of the point tier's
     failure mode; occupancy growth can never melt it.
 
-    Semantics (cell-granularity approximation, stated precisely):
-    every DBSCAN core point (same eps/min_pts) lies in a dense cell,
-    two points in the same or adjacent dense cells are within 2√2·ε
-    (d=2), and any two points DBSCAN links at ε land in the same cell
-    cluster — cell clusters are a coarsening (possible over-merge
-    within the 1-cell halo, never an under-merge of true ε-links).
+    Semantics (cell-granularity approximation, stated precisely —
+    the guarantee is TWO-SIDED, r12 ADVICE fix): density is counted
+    per single ε-sided cell, so a DBSCAN core point whose min_pts
+    ε-neighbors straddle adjacent cells can sit in a NON-dense cell;
+    a DBSCAN chain through such cells may therefore SPLIT one DBSCAN
+    cluster across cell clusters (under-merge), while the 1-cell halo
+    can also MERGE clusters up to 2√2·ε apart (over-merge). What does
+    hold exactly: two points in the same or adjacent dense cells are
+    within 2√2·ε (d=2), and any ε-link between points of DENSE cells
+    lands in one cell cluster. Treat the census as a cell-resolution
+    density summary, not as a bound on the DBSCAN cluster count in
+    either direction.
     The census this emits (cluster count, largest cluster mass,
     clustered-point total) is the q280 signal a curation pipeline
     actually consumes, at cell resolution.
@@ -363,18 +369,25 @@ def dense_cell_clusters(
     # feeds 8 probe sides + the join build side + the label pass;
     # registered in dedup's cache registry so release_caches() frees it
     dense = _persist(dense)
-    probes = [
-        dense.select(
-            F.col("cell_id").alias("cell_a"),
-            (F.col("cx") + F.lit(dx)).alias("jx"),
-            (F.col("cy") + F.lit(dy)).alias("jy"),
-        )
-        for dx, dy in itertools.product((-1, 0, 1), repeat=2)
-        if (dx, dy) != (0, 0)
-    ]
-    probe = probes[0]
-    for p in probes[1:]:
-        probe = probe.unionAll(p)
+    # one explode over the 8 neighbor offsets (r12), not an 8-branch
+    # union: the union re-scanned the cached dense table once per
+    # offset (8 scan stages); the explode emits the same probe rows in
+    # a single pass
+    probe = dense.select(
+        F.col("cell_id").alias("cell_a"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        (F.col("cx") + F.lit(dx)).alias("jx"),
+                        (F.col("cy") + F.lit(dy)).alias("jy"),
+                    )
+                    for dx, dy in itertools.product((-1, 0, 1), repeat=2)
+                    if (dx, dy) != (0, 0)
+                ]
+            )
+        ).alias("__o"),
+    ).select("cell_a", "__o.jx", "__o.jy")
     edges = (
         probe.join(
             dense.select(

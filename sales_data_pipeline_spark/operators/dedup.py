@@ -930,8 +930,13 @@ def edit_neardup_pairs(
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     nseg = k + 1
-    names = df.select(F.col(col).alias("name")).distinct().select(
-        "name", F.length("name").alias("l")
+    # persist the distinct-value table (r12): four consumers walk it
+    # (index side, probe side, short-string side ×2) and each would
+    # otherwise re-execute the distinct's full shuffle over the input
+    names = _persist(
+        df.select(F.col(col).alias("name")).distinct().select(
+            "name", F.length("name").alias("l")
+        )
     )
     long_names = names.filter(F.col("l") >= nseg)
 
@@ -1012,9 +1017,13 @@ def edit_neardup_pairs(
         )
         .distinct()
     )
+    # no distinct over the union (r12): each branch is already distinct
+    # and they are disjoint by construction — every cand pair has BOTH
+    # members of length >= k+1, every short_cand pair has at least one
+    # shorter member — so the outer distinct was a pure extra shuffle
+    # of the full pair set
     return (
         cand.unionByName(short_cand)
-        .distinct()
         .filter(d <= k)
         .select("name_a", "name_b", d.cast("bigint").alias("edit_distance"))
     )
@@ -1141,21 +1150,27 @@ def jaccard_pair_estimate(
         ).alias("__sp")
     )
     n_docs = df.agg(F.count(F.lit(1)).alias("__n_docs"))
-    params = census.crossJoin(F.broadcast(n_docs)).select(
-        "__sp",
-        "__n_docs",
-        F.when(
-            F.col("__sp") > 0,
-            F.least(
-                F.lit(1.0),
-                F.sqrt(
-                    F.lit(float(target_cooccur))
-                    / (F.col("__sp").cast("double") / F.lit(2.0))
+    # persist the 1-row params (r12): it has two consumers (the doc
+    # sampling filter and the output row) and without a materialization
+    # the census + corpus count executed twice — the q294 lesson applied
+    # to this operator. Still lazy: no job at plan construction.
+    params = _persist(
+        census.crossJoin(F.broadcast(n_docs)).select(
+            "__sp",
+            "__n_docs",
+            F.when(
+                F.col("__sp") > 0,
+                F.least(
+                    F.lit(1.0),
+                    F.sqrt(
+                        F.lit(float(target_cooccur))
+                        / (F.col("__sp").cast("double") / F.lit(2.0))
+                    ),
                 ),
-            ),
+            )
+            .otherwise(F.lit(1.0))
+            .alias("__p"),
         )
-        .otherwise(F.lit(1.0))
-        .alias("__p"),
     )
     u = (
         F.conv(
@@ -1185,9 +1200,19 @@ def jaccard_pair_estimate(
     )
     n_pairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("__np"))
     p = F.col("__p")
+    # clamp before the bigint cast (r12, ADVICE r11) — same rationale
+    # as triangle_count_estimate's n_wedges: the decimal census exists
+    # because C can pass 2^63 at web scale, so the output cast must
+    # saturate, not ANSI-crash, exactly there. The clamp caps __sp at
+    # 2*maxLong in its own DECIMAL(38,0) type BEFORE the /2, so the
+    # division's result type (and every value below 2^63 — all test
+    # SFs) is bit-identical to the unclamped form.
+    two_max_long = F.lit("18446744073709551614").cast("decimal(38,0)")
     return n_pairs.crossJoin(F.broadcast(params)).select(
         F.col("__n_docs").cast("bigint").alias("n_docs"),
-        (F.col("__sp") / 2).cast("bigint").alias("cooccur_candidates"),
+        (F.least(F.col("__sp"), two_max_long) / 2)
+        .cast("bigint")
+        .alias("cooccur_candidates"),
         p.alias("sample_p"),
         F.col("__np").alias("n_pairs_sampled"),
         (F.col("__np").cast("double") / (p * p)).alias("est_pairs"),

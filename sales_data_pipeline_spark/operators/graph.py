@@ -38,16 +38,26 @@ class ConvergenceError(RuntimeError):
     corrupt downstream dedup decisions."""
 
 
-def _truncate(df: DataFrame, checkpoint_dir: str | None) -> DataFrame:
+def _truncate(
+    df: DataFrame, checkpoint_dir: str | None, eager: bool = True
+) -> DataFrame:
     """Per-round lineage truncation shared by every iterative operator:
     reliable checkpoint files under ``checkpoint_dir`` (survives
-    executor loss on a cluster) or eager localCheckpoint (local mode).
+    executor loss on a cluster) or localCheckpoint (local mode).
     The caller must have called ``setCheckpointDir`` when a dir is
-    given (each operator does, once, up front)."""
+    given (each operator does, once, up front).
+
+    ``eager=False`` (r12) defers the LOCAL checkpoint's materialization
+    to the loop's own convergence action (or, for fixed-iteration
+    loops, to the caller's first action): localCheckpoint persists its
+    blocks during normal execution, so laziness is free and saves one
+    full job per round. The RELIABLE path stays eager regardless — a
+    lazy checkpoint() recomputes the RDD in a second job to write the
+    checkpoint files, which costs more than the eager job it saves."""
     return (
         df.checkpoint(eager=True)
         if checkpoint_dir is not None
-        else df.localCheckpoint(eager=True)
+        else df.localCheckpoint(eager=eager)
     )
 
 
@@ -110,11 +120,7 @@ def connected_components(
     # truncation ran a materialization job and then a second job for
     # the convergence scalar; with eager=False the sum action both
     # materializes the checkpoint blocks and returns the scalar.
-    labels = (
-        labels.checkpoint(eager=False)
-        if checkpoint_dir is not None
-        else labels.localCheckpoint(eager=False)
-    )
+    labels = _truncate(labels, checkpoint_dir, eager=False)
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
     for _ in range(max_iter):
@@ -142,11 +148,7 @@ def connected_components(
                 F.col("label"), F.coalesce(F.col("plabel"), F.col("label"))
             ).alias("label"),
         )
-        labels = (
-            labels.checkpoint(eager=False)
-            if checkpoint_dir is not None
-            else labels.localCheckpoint(eager=False)
-        )
+        labels = _truncate(labels, checkpoint_dir, eager=False)
         cur_sum = labels.agg(F.sum("label")).first()[0]
         m.unpersist()
         if cur_sum == prev_sum:
@@ -207,15 +209,25 @@ def pagerank(
         .persist()
     )
     n_nodes = nodes.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    # loop-invariant: consumed twice per round (dangling anti-join +
+    # contribution join) — persist once instead of re-aggregating the
+    # edge list 2·iters times (r12)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
     for _ in range(iters):
-        # rank mass on dangling nodes (no out-edges): one bounded scalar
+        # rank mass on dangling nodes (no out-edges): one bounded
+        # 1-row frame, attached as a LAZY broadcast scalar (r12) — the
+        # old driver-side .first() ran a full job per round, making the
+        # fixed-iteration loop 2·iters jobs; with the scalar in-plan
+        # and lazy truncation the WHOLE loop runs inside the caller's
+        # first action (same IEEE double arithmetic, bitwise-identical
+        # ranks — Python float division == Spark double division)
         dangling = (
             ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
+            .agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling")
+            )
         )
         contribs = (
             e.join(ranks.withColumnRenamed("node", "src"), "src")
@@ -226,22 +238,33 @@ def pagerank(
         )
         ranks = _truncate(
             nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
                     F.lit(base)
                     + F.lit(damping)
-                    * (F.coalesce("in_mass", F.lit(0.0)) + F.lit(dangling / n_nodes))
+                    * (
+                        F.coalesce("in_mass", F.lit(0.0))
+                        + F.col("__dangling") / F.lit(float(n_nodes))
+                    )
                 ).alias("rank"),
             ),
             # truncate lineage per round (same discipline as
             # connected_components): an un-checkpointed loop builds a
             # 2·iters-join plan that analysis alone chokes on
             checkpoint_dir,
+            eager=False,
         )
+    # ONE materialization for the whole lazy loop (r12): every round's
+    # localCheckpoint blocks persist during this single job (the old
+    # shape ran 2 jobs per round — dangling .first() + eager
+    # checkpoint), after which the static caches can be released.
+    ranks.count()
     out = ranks
     e.unpersist()
     nodes.unpersist()
+    deg.unpersist()
     return out
 
 
@@ -280,10 +303,21 @@ def bfs_hops(
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
 
-    e = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    e = e.unionByName(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).distinct().persist()
+    # explode symmetrization, no distinct (r12): the struct-min
+    # aggregation per round is duplicate-insensitive, and the union
+    # re-executed the pair-producing subtree twice (the CC lesson)
+    e = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(src).alias("u"), F.col(dst).alias("v")),
+                    F.struct(F.col(dst).alias("u"), F.col(src).alias("v")),
+                )
+            ).alias("__e")
+        )
+        .select("__e.u", "__e.v")
+        .persist()
+    )
     if sources is None:
         sources = (
             connected_components(pairs, src=src, dst=dst, max_iter=max_iter,
@@ -316,6 +350,7 @@ def bfs_hops(
             .groupBy("node")
             .agg(F.min("best").alias("best")),
             checkpoint_dir,
+            eager=False,  # the convergence agg below materializes it
         )
         cur = tuple(
             labels.agg(
@@ -379,9 +414,23 @@ def label_propagation(
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
 
 
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    e = e.unionByName(
-        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # explode symmetrization (r12): one pass over the pair-producing
+    # subtree instead of union's two (the distinct below is KEPT —
+    # votes are counts, so duplicate edges would change plurality)
+    e = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+                    ),
+                    F.struct(
+                        F.col(dst_col).alias("src"), F.col(src_col).alias("dst")
+                    ),
+                )
+            ).alias("__e")
+        )
+        .select("__e.src", "__e.dst")
     )
     nodes = e.select(F.col("src").alias("node")).distinct().persist()
     # self-loops implement the self-vote; distinct also dedups raw input
@@ -408,7 +457,12 @@ def label_propagation(
                 )
             ),
             checkpoint_dir,
+            eager=False,
         )
+    # ONE materialization for the whole lazy fixed-iteration loop (r12;
+    # the old shape ran an eager checkpoint job per round), after which
+    # the static caches can be released
+    labels.count()
     out = labels.select("node", F.col("lbl").alias("community"))
     e.unpersist()
     nodes.unpersist()
@@ -456,7 +510,7 @@ def k_core(
         .filter(F.col("src") != F.col("dst"))
         .distinct()
     )
-    e = _truncate(e, checkpoint_dir)
+    e = _truncate(e, checkpoint_dir, eager=False)
     # max_iter PEELS, plus a final degree check after the last peel —
     # a graph whose peeling depth is exactly max_iter must return its
     # (valid, converged) core, not raise
@@ -488,6 +542,7 @@ def k_core(
                 low.withColumnRenamed("src", "dst"), "dst", "left_anti"
             ),
             checkpoint_dir,
+            eager=False,  # next round's degree count materializes it
         )
         deg.unpersist()
     raise AssertionError("unreachable")
@@ -723,9 +778,16 @@ def triangle_count_estimate(
         .agg(F.count(F.lit(1)).cast("bigint").alias("__tri"))
     )
     p = F.col("__p")
+    # clamp before the bigint cast (r12, ADVICE r11): W is summed in
+    # DECIMAL(38,0) precisely because web-scale degree products can
+    # exceed 2^63, but an ANSI cast of such a W back to bigint would
+    # re-introduce the crash the decimal avoids; the clamp is exact a
+    # no-op below 2^63 (every test SF) and saturates instead of
+    # throwing past it
+    max_long = F.lit(9223372036854775807).cast("decimal(38,0)")
     return tri.crossJoin(F.broadcast(params)).select(
         F.col("__n_edges").cast("bigint").alias("n_edges"),
-        F.col("__w").cast("bigint").alias("n_wedges"),
+        F.least(F.col("__w"), max_long).cast("bigint").alias("n_wedges"),
         p.alias("sample_p"),
         F.col("__tri").alias("n_triangles_sampled"),
         (F.col("__tri").cast("double") / (p * p * p)).alias("est_triangles"),

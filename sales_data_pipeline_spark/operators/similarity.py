@@ -587,7 +587,13 @@ def kmeans_clusters(
             )
         )
 
-    corpus = (
+    # persist the unit-normalized projection (r12): every E-step (and
+    # the final assignment) walks it — iters+1 full corpus scans plus
+    # per-element renormalization without a materialization. Registered
+    # in the dedup cache registry (release_caches()/clearCache frees it).
+    from sales_data_pipeline_spark.operators.dedup import _persist
+
+    corpus = _persist(
         corpus.select(id_col, as_double_array(vec_col).alias("__vd"))
         .withColumn("__n", F.greatest(l2_norm(F.col("__vd")), F.lit(1e-12)))
         .withColumn(

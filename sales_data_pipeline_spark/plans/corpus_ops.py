@@ -2160,11 +2160,24 @@ def q288_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (wc <= 10000)
         & (F.size(F.array_distinct("w")) * 10 >= wc * 3)
     )
-    q = base.filter(q_ok)
-    keep = q.groupBy(F.md5("text").alias("h")).agg(
-        F.min("doc_id").alias("doc_id")
+    # Stage survivors as PERSISTED narrow id-sets (r12, guide-§8
+    # lightweight-proxy discipline): each stage frame used to carry the
+    # full (text, w) payload and feed 2-3 downstream consumers
+    # unpersisted, so the final four-flag census re-executed the whole
+    # quality→dedup→decontam chain per flag (measured: 90 Exchange
+    # nodes in the plan). Flags, joins and the DSIR pool only ever need
+    # doc_id — the payload re-attaches from `base` exactly where a
+    # stage needs text/shingles. Survivor sets are a few bytes per doc
+    # at any corpus scale; registered in the dedup cache registry.
+    from sales_data_pipeline_spark.operators.dedup import _persist
+
+    q_ids = _persist(base.filter(q_ok).select("doc_id"))
+    d_ids = _persist(
+        base.join(q_ids, "doc_id")
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
-    d = q.join(keep.select("doc_id"), "doc_id")
     sh = F.when(
         wc >= 5,
         F.transform(
@@ -2181,10 +2194,14 @@ def q288_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("g").isNotNull())
         .distinct()
     )
-    d_sh = d.select("doc_id", "source", F.explode_outer(sh).alias("g"))
+    d_sh = base.join(d_ids, "doc_id").select(
+        "doc_id", F.explode_outer(sh).alias("g")
+    )
     contaminated = d_sh.join(bench_sh, "g").select("doc_id").distinct()
-    c = (
-        d.filter(F.col("source") != _BENCH_SOURCE)
+    c_ids = _persist(
+        base.filter(F.col("source") != _BENCH_SOURCE)
+        .select("doc_id")
+        .join(d_ids, "doc_id")
         .join(contaminated, "doc_id", "left_anti")
     )
     bk = docs.select(
@@ -2210,8 +2227,11 @@ def q288_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaning = (F.col("c_tgt") + 1) * (F.col("n_raw_tok") + 1024) > (
         F.col("c_raw") + 1
     ) * (F.col("n_tgt_tok") + 1024)
-    lt = (
-        bk.join(c.select("doc_id"), "doc_id")
+    # lt persisted: it feeds BOTH the pool-average aggregate g and the
+    # selection filter — unpersisted, the exploded-token join (the
+    # funnel's heaviest stage) executed twice
+    lt = _persist(
+        bk.join(c_ids, "doc_id")
         .join(F.broadcast(dist), "b")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
@@ -2223,21 +2243,21 @@ def q288_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = lt.agg(
         F.sum("l_d").alias("l_g"), F.sum("t_d").alias("t_g")
     )
-    s = (
+    s_ids = (
         lt.crossJoin(F.broadcast(g))
         .filter(F.col("l_d") * F.col("t_g") > F.col("l_g") * F.col("t_d"))
         .select("doc_id")
     )
 
-    def flag(surv, name):
-        return surv.select("doc_id").withColumn(name, F.lit(1))
+    def flag(ids, name):
+        return ids.withColumn(name, F.lit(1))
 
     return (
         base.select("doc_id", "source")
-        .join(flag(q, "fq"), "doc_id", "left")
-        .join(flag(d, "fd"), "doc_id", "left")
-        .join(flag(c, "fc"), "doc_id", "left")
-        .join(flag(s, "fs"), "doc_id", "left")
+        .join(flag(q_ids, "fq"), "doc_id", "left")
+        .join(flag(d_ids, "fd"), "doc_id", "left")
+        .join(flag(c_ids, "fc"), "doc_id", "left")
+        .join(flag(s_ids, "fs"), "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_raw"),

@@ -298,8 +298,13 @@ _MIX_TARGETS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
                         WHEN 'src2' THEN {_MIX_TARGETS["src2"]}
                         WHEN 'src3' THEN {_MIX_TARGETS["src3"]}
                         ELSE 0.0 END, 6) AS target_share,
-      CASE WHEN CAST(n_units AS DOUBLE)
-                / sum(CAST(n_units AS DOUBLE)) OVER () > 0
+      -- guard on the window TOTAL before dividing (r12, ADVICE r11):
+      -- the old share>0 guard divided first, and on an all-zero-units
+      -- corpus 0.0/0.0 = NaN orders greater than 0 in DuckDB, so the
+      -- guard passed and mix_weight went NaN while the operator
+      -- returns NULL — latent only (shipped corpora have n_units >= 1)
+      CASE WHEN sum(CAST(n_units AS DOUBLE)) OVER () > 0
+                AND n_units > 0
            THEN round(CASE domain WHEN 'src0' THEN {_MIX_TARGETS["src0"]}
                                   WHEN 'src1' THEN {_MIX_TARGETS["src1"]}
                                   WHEN 'src2' THEN {_MIX_TARGETS["src2"]}
