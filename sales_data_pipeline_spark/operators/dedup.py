@@ -185,10 +185,11 @@ def ngram_jaccard_pairs(
     recall loss at every step.
 
     Cost shape: computing df and re-ordering adds two linear shuffles
-    of the (doc, shingle) occurrence table (groupBy shingle → join →
-    groupBy doc rebuild). That linear work is what collapses the
-    otherwise-quadratic candidate join — at 100 TB the trade is not
-    close.
+    of the (doc, shingle) occurrence table (a shingle-keyed window for
+    df, then the groupBy doc rebuild — r13: the window replaced a
+    groupBy+join-back that shuffled occ twice on the same key). That
+    linear work is what collapses the otherwise-quadratic candidate
+    join — at 100 TB the trade is not close.
 
     ``max_shingle_freq`` drops prefix entries whose shingle appears in
     more than that many docs — the skew guard that keeps one ubiquitous
@@ -229,17 +230,29 @@ def ngram_jaccard_pairs(
     # projection, re-evaluating the shingle expression per row in its
     # slow per-element form (measured ~18×/40× — see _shingle_index)
     occ = _shingle_index(df, id_col, text_col, n)
-    if persist:
-        # occ feeds BOTH the df aggregation and the re-order join below;
-        # caching it halves the tokenize+hash work (Spark re-executes
-        # common subplans per consumer)
-        occ = _persist(occ)
-    dfreq = occ.groupBy("shingle").agg(F.count(F.lit(1)).alias("dfreq"))
+    # dfreq via ONE shingle-keyed window over occ, not the old
+    # groupBy(shingle) + join-back (r13): both formulations ship every
+    # (doc, shingle) row through a shingle-keyed exchange, but the old
+    # shape paid a SECOND pass of occ into the join plus the dfreq
+    # aggregate's own exchange — and needed occ persisted to avoid
+    # recomputing the tokenize+shingle chain per consumer. The window
+    # computes the same count on the same exchange (bit-identical
+    # dfreq: COUNT(*) OVER (PARTITION BY shingle) = the groupBy count),
+    # occ drops to a single consumer (no persist, no materialization
+    # barrier), and the whole q22 plan loses two stages. Measured
+    # same-process A/B (warm medians, n=5): window 2.09-2.22 s vs
+    # join 2.57-3.28 s. Skew note: a hot shingle lands on one reducer
+    # either way (the join shipped occ keyed by shingle too); the
+    # max_shingle_freq guard downstream is the real skew defence.
+    from pyspark.sql import Window as _W
+
+    occd = occ.withColumn(
+        "dfreq", F.count(F.lit(1)).over(_W.partitionBy("shingle"))
+    )
     # ordered sets: array of (dfreq, shingle) structs, ascending — the
     # global total order all prefix/positional reasoning runs in
     sets = (
-        occ.join(dfreq, "shingle")
-        .groupBy("doc")
+        occd.groupBy("doc")
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("dfreq"), F.col("shingle")))
@@ -282,6 +295,7 @@ def ngram_jaccard_pairs(
         # idx feeds BOTH self-join sides and (when guarded) the
         # candidate-count scalar — three consumers, each of which
         # would otherwise re-run the slice+posexplode over sets
+        # (measured r13: dropping this persist costs ~0.6 s at sf0.1)
         idx = _persist(idx)
     est = None
     if max_candidates is not None:
@@ -1207,6 +1221,10 @@ def jaccard_pair_estimate(
     # 2*maxLong in its own DECIMAL(38,0) type BEFORE the /2, so the
     # division's result type (and every value below 2^63 — all test
     # SFs) is bit-identical to the unclamped form.
+    # PARITY DOMAIN (ADVICE r12): the DuckDB oracle has no saturation,
+    # so bitwise parity on cooccur_candidates holds for C < 2^63 only;
+    # past that (web scale) this engine saturates where the oracle
+    # engine would overflow — the documented edge of the contract.
     two_max_long = F.lit("18446744073709551614").cast("decimal(38,0)")
     return n_pairs.crossJoin(F.broadcast(params)).select(
         F.col("__n_docs").cast("bigint").alias("n_docs"),

@@ -71,6 +71,13 @@ def connected_components(
     """(node, cluster) for every node in ``pairs``; cluster = min node
     id of its connected component. Deterministic, order-independent.
 
+    Input contract (r12): ``pairs`` should be DEDUPLICATED canonical
+    pairs (each undirected edge once — the shape every pair operator in
+    this catalog emits). Duplicated/reversed pairs stay CORRECT
+    (min-aggregation is duplicate-insensitive, tested) but multiply
+    per-round join volume; a caller with heavily duplicated pairs
+    should dedup upstream once rather than pay that every round.
+
     ``checkpoint_dir`` switches per-round lineage truncation from
     localCheckpoint (executor-local blocks) to reliable checkpoint()
     files under that directory — required for fault tolerance on a
@@ -297,7 +304,12 @@ def bfs_hops(
     at fixed reach the hop sum only decreases. Raises ConvergenceError
     when the budget is exhausted. ``checkpoint_dir`` = reliable
     per-round lineage truncation, same contract as the other graph
-    operators."""
+    operators.
+
+    Input contract (r12, same as connected_components): pass
+    deduplicated canonical pairs. Duplicated/reversed edges remain
+    CORRECT (min-agg semantics, tested) but multiply per-round join
+    volume — dedup upstream once if your pair source emits them."""
     spark = pairs.sparkSession
     if checkpoint_dir is not None:
         spark.sparkContext.setCheckpointDir(checkpoint_dir)
@@ -783,7 +795,12 @@ def triangle_count_estimate(
     # exceed 2^63, but an ANSI cast of such a W back to bigint would
     # re-introduce the crash the decimal avoids; the clamp is exact a
     # no-op below 2^63 (every test SF) and saturates instead of
-    # throwing past it
+    # throwing past it.
+    # PARITY DOMAIN (ADVICE r12): the DuckDB oracle SQL has no such
+    # saturation, so bitwise cross-engine parity on n_wedges is
+    # guaranteed only for W < 2^63 — unreachable at any test SF, and
+    # past it the oracle engine itself would overflow; the clamp is
+    # where this engine chooses saturation over a crash.
     max_long = F.lit(9223372036854775807).cast("decimal(38,0)")
     return tri.crossJoin(F.broadcast(params)).select(
         F.col("__n_edges").cast("bigint").alias("n_edges"),

@@ -70,15 +70,7 @@ def salted_agg(
     )
 
 
-# spread_scan decisions are pure functions of the physical scan split
-# (file layout + split confs), which cannot change within a session for
-# the immutable bench/test inputs — memoized so repeated plan
-# construction (bench iterations, the oracle-parity suite) pays the
-# extra physical-planning pass once per distinct subtree.
-_SPREAD_CACHE: dict[str, int] = {}
-
-
-def spread_scan(df: DataFrame, cache_key: str | None = None) -> DataFrame:
+def spread_scan(df: DataFrame) -> DataFrame:
     """Round-robin repartition an input whose physical scan yields fewer
     partitions than the session's parallelism — the guide-§2.5 "input
     skew" fix for effectively-unsplittable inputs (single-row-group
@@ -97,16 +89,11 @@ def spread_scan(df: DataFrame, cache_key: str | None = None) -> DataFrame:
     operators here are aggregations/joins, insensitive to row order."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
-    if cache_key is not None and cache_key in _SPREAD_CACHE:
-        n = _SPREAD_CACHE[cache_key]
-    else:
-        try:
-            n = df.rdd.getNumPartitions()
-        except Exception:
-            # pathological plans (e.g. streaming sources) — leave as-is
-            return df
-        if cache_key is not None:
-            _SPREAD_CACHE[cache_key] = n
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        # pathological plans (e.g. streaming sources) — leave as-is
+        return df
     # 2× headroom: a scan already within a factor of two of the core
     # count parallelizes fine; repartitioning it would pay a shuffle
     # for at most a 2× stage win
@@ -644,6 +631,7 @@ def distributed_rank(
     descending: bool = True,
     n_buckets: int = 32,
     with_total_col: str | None = None,
+    persist: bool = False,
 ) -> DataFrame:
     """``row_number() OVER (ORDER BY signal [DESC], id)`` with NO
     single-partition stage anywhere in the plan — the two-phase
@@ -693,15 +681,21 @@ def distributed_rank(
     signal is compared as DOUBLE, so two inputs that differ only beyond
     2^53 precision tie here but not in a decimal-ordered window —
     integral signals stay exact to 2^53."""
-    # persist the input (r12): three consumers walk this subtree — the
-    # bounds aggregate, the bucketed window input, and the per-bucket
-    # counts — and Spark re-executes common subplans per consumer, so an
-    # unpersisted input (often a full scoring pipeline: BM25, cosine)
-    # was computed three times per rank call. Registered in the dedup
-    # cache registry (release_caches()/clearCache frees it).
-    from sales_data_pipeline_spark.operators.dedup import _persist
+    # persist is OPT-IN (r13, reverting r12's unconditional persist):
+    # three consumers do walk this subtree (bounds aggregate, bucketed
+    # window input, per-bucket counts), but when the input pipeline
+    # ends in an aggregation — every bench caller: q287's BM25 groupBy,
+    # q285's signal ranks — Spark's ReusedExchange already dedups the
+    # expensive pre-shuffle work across consumers, and the persist's
+    # materialization barrier + MEMORY_AND_DISK round-trip measured
+    # SLOWER (q287: 1.47× over baseline warm, PERF_r12). Callers whose
+    # input is a heavy exchange-free map pipeline (a raw corpus scan
+    # scored in place, re-scanned 3× otherwise) opt in; the cache
+    # registers in the dedup registry (release_caches() frees it).
+    if persist:
+        from sales_data_pipeline_spark.operators.dedup import _persist
 
-    df = _persist(df)
+        df = _persist(df)
     ordv = F.col(signal_col).cast("double")
     if descending:
         ordv = -ordv

@@ -2160,19 +2160,26 @@ def q288_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (wc <= 10000)
         & (F.size(F.array_distinct("w")) * 10 >= wc * 3)
     )
-    # Stage survivors as PERSISTED narrow id-sets (r12, guide-§8
-    # lightweight-proxy discipline): each stage frame used to carry the
-    # full (text, w) payload and feed 2-3 downstream consumers
-    # unpersisted, so the final four-flag census re-executed the whole
+    # Stage survivors as narrow id-sets (r12, guide-§8 lightweight-
+    # proxy discipline): each stage frame used to carry the full
+    # (text, w) payload and feed 2-3 downstream consumers unpersisted,
+    # so the final four-flag census re-executed the whole
     # quality→dedup→decontam chain per flag (measured: 90 Exchange
     # nodes in the plan). Flags, joins and the DSIR pool only ever need
     # doc_id — the payload re-attaches from `base` exactly where a
-    # stage needs text/shingles. Survivor sets are a few bytes per doc
-    # at any corpus scale; registered in the dedup cache registry.
-    from sales_data_pipeline_spark.operators.dedup import _persist
-
-    q_ids = _persist(base.filter(q_ok).select("doc_id"))
-    d_ids = _persist(
+    # stage needs text/shingles.
+    #
+    # NO persists (r13 — r12 persisted all four stage frames and
+    # measured 1.29× OVER baseline warm): every stage frame here ends
+    # in an exchange (groupBy/join), so Spark's ReusedExchange already
+    # deduplicates the heavy pre-shuffle work across the census's
+    # consumers within the one job; a persist buys only the cheap
+    # post-shuffle agg re-run at the price of a full materialization
+    # barrier + MEMORY_AND_DISK round-trip. Measured same-process A/B
+    # (warm medians, n=5): none 2.32 s < {d_ids,lt} 2.67 s < {lt}
+    # 2.94 s < all-four 3.24 s — persisting anything loses.
+    q_ids = base.filter(q_ok).select("doc_id")
+    d_ids = (
         base.join(q_ids, "doc_id")
         .groupBy(F.md5("text").alias("h"))
         .agg(F.min("doc_id").alias("doc_id"))
@@ -2198,7 +2205,7 @@ def q288_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode_outer(sh).alias("g")
     )
     contaminated = d_sh.join(bench_sh, "g").select("doc_id").distinct()
-    c_ids = _persist(
+    c_ids = (
         base.filter(F.col("source") != _BENCH_SOURCE)
         .select("doc_id")
         .join(d_ids, "doc_id")
@@ -2227,10 +2234,11 @@ def q288_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     leaning = (F.col("c_tgt") + 1) * (F.col("n_raw_tok") + 1024) > (
         F.col("c_raw") + 1
     ) * (F.col("n_tgt_tok") + 1024)
-    # lt persisted: it feeds BOTH the pool-average aggregate g and the
-    # selection filter — unpersisted, the exploded-token join (the
-    # funnel's heaviest stage) executed twice
-    lt = _persist(
+    # lt feeds BOTH the pool-average aggregate g and the selection
+    # filter, but its groupBy exchange is reused across them
+    # (ReusedExchange), so only the final agg re-runs — cheaper than a
+    # persist barrier (measured, see the id-set comment above)
+    lt = (
         bk.join(c_ids, "doc_id")
         .join(F.broadcast(dist), "b")
         .crossJoin(F.broadcast(tot))

@@ -4650,6 +4650,9 @@ def q146_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (plus its double aggregate) was pure overhead — one exchange now
     # carries the (order, frequent-part) rows straight into the basket
     # aggregation
+    # no .distinct() before the basket build (r12; re-measured r13 A/B:
+    # 2.59 s vs 3.14 s with it): collect_set dedups per basket by
+    # construction, so the distinct's fact-sized exchange was overhead
     items = li.join(F.broadcast(freq.select("l_partkey")), "l_partkey").select(
         "l_orderkey", "l_partkey"
     )
@@ -5055,6 +5058,8 @@ def q157_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fact-sized aggregate at sf0.1). The lost map-side partial agg
     # is cheap here: (order, supplier) is nearly unique per line, so
     # partial aggregation was barely shrinking the shuffle anyway.
+    # (re-measured r13 A/B: 1.25 s with the repartition vs 2.00 s
+    # without — the single-exchange shape wins warm too)
     per_os = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .select("l_orderkey", "l_suppkey", late.alias("__late"))
@@ -7868,16 +7873,13 @@ def q214_sequential_crosssell(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", "o_custkey", F.to_date("o_orderdate").alias("day")
     )
     p = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    # persist: purchases feeds BOTH sides of the band self-join below,
-    # and the two sides do not canonicalize to one exchange (different
-    # post-aggregate projections merge into the distinct's final
-    # HashAggregate), so without a materialization the scan + two joins
-    # + distinct map side execute twice — measured as two identical
-    # 8.3 MB exchange stages at sf0.1 (r12). Registered in the dedup
-    # cache registry so release_caches()/clearCache frees it.
-    from sales_data_pipeline_spark.operators.dedup import _persist
-
-    purchases = _persist(
+    # NO persist of purchases (r13, reverting r12): it feeds both sides
+    # of the band self-join, but the distinct ends in an exchange whose
+    # map side is the part Spark re-executes — and the r13 same-process
+    # A/B (n=9 warm medians) measured unpersisted 2.50 s vs persisted
+    # 2.61 s: the materialization barrier + cache round-trip costs more
+    # than re-running the scan+joins map side, which parallelizes fully.
+    purchases = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .select(

@@ -174,6 +174,70 @@ def test_connected_components_long_path_converges(spark):
     assert len(got) == 65
 
 
+def test_connected_components_duplicate_and_reversed_edges(spark):
+    """r12 dropped the symmetrization distinct (min-agg is duplicate-
+    insensitive) — pin that duplicated and reversed pairs still yield
+    exactly the canonical clustering, one row per node."""
+    from sales_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(2, 7), (2, 7), (7, 2), (7, 4), (11, 12), (12, 11)],
+        "doc_a long, doc_b long",
+    )
+    rows = connected_components(pairs).collect()
+    got = {r.node: r.cluster for r in rows}
+    assert got == {2: 2, 7: 2, 4: 2, 11: 11, 12: 11}
+    assert len(rows) == len(got)  # no duplicate node rows
+
+
+def test_connected_components_empty_input(spark):
+    """An empty pair list is a legal input (a corpus with no near-dups)
+    — must return an empty frame, not diverge or raise."""
+    from sales_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).collect() == []
+
+
+def test_connected_components_self_loop_and_star(spark):
+    """Join-free round 0 (r12) seeds labels from the symmetrized edge
+    groupBy — a self-loop and a star hub must both label correctly."""
+    from sales_data_pipeline_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(5, 5), (10, 20), (10, 30), (10, 40)], "doc_a long, doc_b long"
+    )
+    got = {r.node: r.cluster for r in connected_components(pairs).collect()}
+    assert got == {5: 5, 10: 10, 20: 10, 30: 10, 40: 10}
+
+
+def test_lazy_local_checkpoint_defers_job_and_preserves_rows(spark):
+    """The r12 lazy-localCheckpoint contract _truncate(eager=False)
+    relies on: construction runs NO job (the loop's own convergence
+    action materializes the blocks), rows are unchanged, and lineage is
+    actually truncated (the checkpointed plan no longer recomputes its
+    parent)."""
+    from sales_data_pipeline_spark.operators.graph import _truncate
+
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    sc.setJobGroup("lazy-ckpt-probe", "construction must be job-free")
+    try:
+        df = spark.range(0, 1000, 1, numPartitions=2).selectExpr(
+            "id", "id * 2 AS v"
+        )
+        out = _truncate(df, None, eager=False)
+        assert tracker.getJobIdsForGroup("lazy-ckpt-probe") == []
+    finally:
+        sc.setJobGroup("", "")
+    assert sorted(r.v for r in out.collect()) == sorted(
+        r.v for r in df.collect()
+    )
+    # lineage truncated: the materialized plan is a scan of checkpoint
+    # blocks, not the original range+project
+    assert "Scan ExistingRDD" in out._jdf.queryExecution().executedPlan().toString()
+
+
 def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
     """checkpoint_dir mode (cluster fault tolerance) must produce the
     same clusters as localCheckpoint mode, and actually write checkpoint

@@ -75,11 +75,46 @@ def test_q02_single_shuffle(spark, sf_dir):
     assert n_shuffles == 1, plan
 
 
+def _synth_docs(spark, n_parts: int):
+    """A documents-shaped input with a CONTROLLED partition count —
+    the spread_scan contract depends on how the physical scan splits,
+    which a parquet fixture can't parameterize."""
+    return spark.range(0, 64, 1, numPartitions=n_parts).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("alpha beta gamma"),
+            F.col("id").cast("string"),
+            F.lit("delta epsilon zeta"),
+        ).alias("text"),
+    )
+
+
 def test_minhash_signatures_map_only(spark, sf_dir):
-    """The 100 TB contract for signature computation: zero shuffles."""
-    docs = table(spark, sf_dir, "documents")
+    """The 100 TB contract for signature computation: zero shuffles on
+    any input whose scan already fills the cores. At real scale a
+    corpus scan has thousands of splits, so scale.spread_scan takes its
+    adaptive no-op branch and the plan stays map-only (r13: the r12
+    assertion ran on the single-split sf0.001 fixture, where spread_scan
+    CORRECTLY fires — the contract and the fixture contradicted each
+    other; test_minhash_signatures_spreads_underfilled_scan now pins
+    that branch explicitly)."""
+    docs = _synth_docs(spark, spark.sparkContext.defaultParallelism)
     plan = _plan(minhash_signatures(docs, "doc_id", "text", n=3, num_perm=16))
     assert "Exchange" not in plan, plan
+
+
+def test_minhash_signatures_spreads_underfilled_scan(spark, sf_dir):
+    """The companion contract: on an UNDER-SPLIT input (1 partition vs
+    defaultParallelism cores — gzip, single-row-group parquet),
+    spread_scan inserts exactly ONE round-robin repartition so the
+    64-hash map work uses every core (guide §2.5 input skew) — and
+    nothing else in the signature plan shuffles."""
+    docs = _synth_docs(spark, 1)
+    plan = _plan(minhash_signatures(docs, "doc_id", "text", n=3, num_perm=16))
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+    assert n_ex == 1, plan
+    assert "RoundRobinPartitioning" in plan or "REPARTITION_BY_NUM" in plan, plan
 
 
 def test_jaccard_scan_filters_stay_cheap(spark, sf_dir):

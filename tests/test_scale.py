@@ -999,3 +999,50 @@ def test_q214_banded_bitwise_equals_keyonly_crosssell(spark, sf_dir):
     )
     want = {(r.brand_from, r.brand_to): r.n_seq for r in naive.collect()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# spread_scan (r13: the r12 helper shipped untested and broke the
+# minhash plan contract — these pin BOTH adaptive branches)
+# ---------------------------------------------------------------------------
+
+
+def test_spread_scan_noop_on_well_split_input(spark):
+    """A scan already within 2x of the core count must come back
+    UNTOUCHED — the branch that guarantees spread_scan never adds a
+    shuffle at real scale (thousands of splits)."""
+    from sales_data_pipeline_spark.operators.scale import spread_scan
+
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 100, 1, numPartitions=target)
+    out = spread_scan(df)
+    assert out is df  # no-op, not even a new plan node
+
+
+def test_spread_scan_repartitions_underfilled_input(spark):
+    """A 1-split input vs defaultParallelism cores must round-robin out
+    to the core count, preserving the row SET exactly."""
+    from sales_data_pipeline_spark.operators.scale import spread_scan
+
+    target = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 100, 1, numPartitions=1)
+    out = spread_scan(df)
+    assert out.rdd.getNumPartitions() == target
+    assert sorted(r.id for r in out.collect()) == list(range(100))
+
+
+def test_spread_scan_boundary_half_parallelism(spark):
+    """The 2x-headroom boundary: n*2 >= parallelism stays as-is (paying
+    a shuffle for at most a 2x stage win is the wrong trade); one split
+    below the boundary spreads."""
+    from sales_data_pipeline_spark.operators.scale import spread_scan
+
+    target = spark.sparkContext.defaultParallelism
+    if target < 4:
+        import pytest as _pytest
+
+        _pytest.skip("needs parallelism >= 4 to have a below-half count > 1")
+    at_half = spark.range(0, 100, 1, numPartitions=(target + 1) // 2)
+    assert spread_scan(at_half) is at_half
+    below = spark.range(0, 100, 1, numPartitions=target // 2 - 1)
+    assert spread_scan(below).rdd.getNumPartitions() == target
