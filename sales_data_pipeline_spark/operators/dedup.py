@@ -1073,11 +1073,15 @@ def shingle_cooccurrence_edges(
     is the fence that keeps this operator serveable. ``None`` removes
     the cap (vetted corpora only).
 
-    Plan shape: shingle index (persisted — feeds the df census and
-    both join sides) -> df filter -> one shingle-keyed self-join ->
-    map-side-combined distinct on (doc_a, doc_b). No node ever sees
-    more than its own shingle groups; the distinct is the only
-    edge-sized shuffle.
+    Plan shape (r13): shingle index -> ONE shingle-keyed exchange ->
+    df-cap window filter -> shingle self-join (both sides reuse that
+    same exchange) -> map-side-combined distinct on (doc_a, doc_b).
+    No persist anywhere: the self-join's two sides are identical
+    subtrees, so ReusedExchange computes the shingle chain once; the
+    old persisted-index shape raced two concurrent stages into
+    computing the unmaterialized cache twice. No node ever sees more
+    than its own shingle groups; the distinct is the only edge-sized
+    shuffle.
 
     The shingle index is SPREAD (scale.spread_scan, r12): pair
     production is the heaviest map work in this operator (the self-join
@@ -1089,13 +1093,24 @@ def shingle_cooccurrence_edges(
     from sales_data_pipeline_spark.operators.scale import spread_scan
 
     occ = _shingle_index(spread_scan(df.select(id_col, text_col)), id_col, text_col, n)
-    occ = _persist(occ)
     if max_shingle_freq is not None:
-        dfreq = occ.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        # df cap via ONE shingle-keyed window, not groupBy+join-back
+        # (r13, the q22 lesson): the join shape consumed the persisted
+        # occ from TWO concurrent stages (the dfreq partial agg and the
+        # join-side exchange), and a cache that hasn't materialized yet
+        # is COMPUTED BY BOTH racers — the q294 profile showed the
+        # shingle chain running twice (17.7 s + 8.1 s stages). The
+        # window computes the identical count on occ's single exchange;
+        # occ now has one consumer, so the persist (and the race) goes
+        # away entirely.
+        from pyspark.sql import Window as _W
+
         occ = (
-            occ.join(
-                dfreq.filter(F.col("__df") <= max_shingle_freq), "shingle"
-            ).select("doc", "shingle")
+            occ.withColumn(
+                "__df", F.count(F.lit(1)).over(_W.partitionBy("shingle"))
+            )
+            .filter(F.col("__df") <= max_shingle_freq)
+            .select("doc", "shingle")
         )
     a = occ.select("shingle", F.col("doc").alias("doc_a"))
     b = occ.select("shingle", F.col("doc").alias("doc_b"))

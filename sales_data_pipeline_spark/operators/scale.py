@@ -721,8 +721,18 @@ def distributed_rank(
 
     w_in = Window.partitionBy("__b").orderBy(ordv.asc(), F.col(id_col).asc())
     inner = bucketed.withColumn("__rn", F.row_number().over(w_in))
-    counts = bucketed.groupBy("__b").agg(
-        F.count(F.lit(1)).cast("bigint").alias("__cnt")
+    # per-bucket counts = MAX row_number per bucket, read off the
+    # window output (r13): counting `bucketed` directly walked the
+    # rank input a THIRD time (its partial-agg exchange is distinct
+    # from the window's raw-row exchange, so nothing was reused);
+    # max(__rn) is the same integer, and because it consumes the
+    # window column the counts branch shares the window's exchange —
+    # two input walks instead of three, one fewer independent
+    # exchange to materialize. (A bare count(1) over `inner` would
+    # NOT work: column pruning drops the unused Window and the branch
+    # silently reverts to the third walk.)
+    counts = inner.groupBy("__b").agg(
+        F.max("__rn").cast("bigint").alias("__cnt")
     )
     aggs = [F.sort_array(F.collect_list(F.struct("__b", "__cnt"))).alias("a")]
     if with_total_col is not None:
